@@ -1,0 +1,223 @@
+"""Arrow interchange: sanitize arbitrary user data into Arrow tables.
+
+Covers the input surface of the reference Python SDK (list-of-dicts,
+dict-of-lists, pandas, polars, numpy vectors, Arrow tables/batches/
+readers, pydantic LanceModel rows — reference python table.py `add`,
+nodejs arrow.ts sanitization) plus vector-column inference: uniform-
+length numeric list columns become FixedSizeList<float32> so they are
+index-able on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+
+from .errors import InvalidInputError, SchemaError
+
+VECTOR_COLUMN_NAME = "vector"
+
+
+def vector(dim: int, value_type: pa.DataType = pa.float32()) -> pa.DataType:
+    """Schema helper: a vector column type (reference python schema.py `vector`)."""
+    return pa.list_(value_type, dim)
+
+
+def is_vector_type(t: pa.DataType) -> bool:
+    return pa.types.is_fixed_size_list(t) and (
+        pa.types.is_floating(t.value_type) or t.value_type in (pa.uint8(), pa.int8())
+    )
+
+
+def infer_vector_columns(table: pa.Table) -> pa.Table:
+    """Promote uniform-length numeric list columns to FixedSizeList."""
+    out = table
+    for i, field in enumerate(table.schema):
+        if pa.types.is_fixed_size_list(field.type):
+            continue
+        if not (pa.types.is_list(field.type) or pa.types.is_large_list(field.type)):
+            continue
+        if not pa.types.is_floating(field.type.value_type) and not pa.types.is_integer(
+            field.type.value_type
+        ):
+            continue
+        col = table.column(i)
+        if col.null_count:
+            continue
+        lengths = pa.compute.list_value_length(col)
+        uniq = pa.compute.unique(lengths)
+        if len(uniq) != 1:
+            continue
+        dim = uniq[0].as_py()
+        if not dim:
+            continue
+        value_type = (
+            field.type.value_type
+            if pa.types.is_floating(field.type.value_type)
+            else pa.float32()
+        )
+        casted = col.cast(pa.list_(value_type, dim))
+        out = out.set_column(i, pa.field(field.name, pa.list_(value_type, dim)), casted)
+    return out
+
+
+def _from_list_of_dicts(rows: list[dict], schema: pa.Schema | None) -> pa.Table:
+    if schema is not None:
+        return pa.Table.from_pylist(rows, schema=schema)
+    # normalize numpy values so pyarrow infers cleanly
+    norm = []
+    for row in rows:
+        r = {}
+        for k, v in row.items():
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            elif isinstance(v, np.generic):
+                v = v.item()
+            r[k] = v
+        norm.append(r)
+    return infer_vector_columns(pa.Table.from_pylist(norm))
+
+
+def _from_dict_of_columns(data: dict, schema: pa.Schema | None) -> pa.Table:
+    arrays = {}
+    for k, v in data.items():
+        if isinstance(v, np.ndarray) and v.ndim == 2:
+            dim = v.shape[1]
+            values = pa.array(np.ascontiguousarray(v, dtype=np.float32).ravel())
+            arrays[k] = pa.FixedSizeListArray.from_arrays(values, dim)
+        elif isinstance(v, np.ndarray):
+            arrays[k] = pa.array(v)
+        else:
+            arrays[k] = v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)
+    tbl = pa.table(arrays)
+    if schema is not None:
+        tbl = align_table(tbl, schema)
+    else:
+        tbl = infer_vector_columns(tbl)
+    return tbl
+
+
+def to_arrow_table(data: Any, schema: pa.Schema | None = None) -> pa.Table:
+    """Convert any supported input into an Arrow table."""
+    if data is None:
+        if schema is None:
+            raise InvalidInputError("either data or schema is required")
+        return schema.empty_table()
+    if isinstance(data, pa.Table):
+        tbl = data
+    elif isinstance(data, pa.RecordBatch):
+        tbl = pa.Table.from_batches([data])
+    elif isinstance(data, pa.RecordBatchReader):
+        tbl = data.read_all()
+    elif isinstance(data, dict):
+        return _from_dict_of_columns(data, schema)
+    elif _is_pandas(data):
+        tbl = pa.Table.from_pandas(data, schema=schema, preserve_index=False)
+        if schema is None:
+            tbl = infer_vector_columns(tbl)
+    elif _is_polars(data):
+        tbl = data.to_arrow()
+        if schema is None:
+            tbl = infer_vector_columns(tbl)
+    elif isinstance(data, (list, tuple)):
+        if len(data) == 0:
+            if schema is None:
+                raise InvalidInputError("cannot infer schema from empty data")
+            return schema.empty_table()
+        first = data[0]
+        if isinstance(first, dict):
+            tbl = _from_list_of_dicts(list(data), schema)
+        elif isinstance(first, pa.RecordBatch):
+            tbl = pa.Table.from_batches(list(data))
+        elif hasattr(first, "model_dump"):  # pydantic v2 models
+            tbl = _from_list_of_dicts([m.model_dump() for m in data], schema)
+        elif hasattr(first, "dict") and callable(getattr(first, "dict", None)):
+            tbl = _from_list_of_dicts([m.dict() for m in data], schema)
+        else:
+            raise InvalidInputError(f"unsupported row type {type(first)}")
+    elif isinstance(data, Iterable):
+        batches = list(data)
+        return to_arrow_table(batches, schema)
+    else:
+        raise InvalidInputError(f"unsupported data type {type(data)}")
+    if schema is not None:
+        tbl = align_table(tbl, schema)
+    return tbl
+
+
+def align_table(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a table to the target schema (order, types, missing nullables)."""
+    import pyarrow.compute as pc
+
+    arrays = []
+    for field in schema:
+        if field.name in tbl.schema.names:
+            col = tbl.column(field.name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.type != field.type:
+                try:
+                    col = col.cast(field.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                    raise SchemaError(
+                        f"cannot cast column {field.name!r} from {col.type} to {field.type}: {e}"
+                    ) from None
+        elif field.nullable:
+            col = pa.nulls(tbl.num_rows, field.type)
+        else:
+            raise SchemaError(f"missing non-nullable column {field.name!r}")
+        arrays.append(col)
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def _is_pandas(obj: Any) -> bool:
+    mod = type(obj).__module__
+    return mod.startswith("pandas.") and type(obj).__name__ == "DataFrame"
+
+
+def _is_polars(obj: Any) -> bool:
+    mod = type(obj).__module__
+    return mod.startswith("polars.") and type(obj).__name__ == "DataFrame"
+
+
+def vector_column_name(schema: pa.Schema, requested: str | None = None) -> str:
+    """Resolve which column holds vectors (reference default 'vector',
+    else the single FixedSizeList column)."""
+    if requested is not None:
+        if requested not in schema.names:
+            raise InvalidInputError(f"no column {requested!r} in schema")
+        return requested
+    if VECTOR_COLUMN_NAME in schema.names and is_vector_type(
+        schema.field(VECTOR_COLUMN_NAME).type
+    ):
+        return VECTOR_COLUMN_NAME
+    candidates = [f.name for f in schema if is_vector_type(f.type)]
+    if len(candidates) == 1:
+        return candidates[0]
+    if not candidates:
+        raise InvalidInputError("table has no vector (FixedSizeList) column")
+    raise InvalidInputError(
+        f"multiple vector columns {candidates}; specify vector_column_name explicitly"
+    )
+
+
+def fsl_to_numpy(col: pa.ChunkedArray | pa.Array, dtype=np.float32) -> np.ndarray:
+    """FixedSizeList column → (n, dim) numpy matrix, zero-copy when possible."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_fixed_size_list(col.type):
+        raise InvalidInputError(f"expected FixedSizeList column, got {col.type}")
+    dim = col.type.list_size
+    flat = col.flatten()
+    out = flat.to_numpy(zero_copy_only=False).reshape(-1, dim)
+    if out.dtype != dtype:
+        out = out.astype(dtype)
+    return out
+
+
+def numpy_to_fsl(mat: np.ndarray, value_type: pa.DataType = pa.float32()) -> pa.Array:
+    mat = np.ascontiguousarray(mat)
+    values = pa.array(mat.ravel(), type=value_type)
+    return pa.FixedSizeListArray.from_arrays(values, mat.shape[1])

@@ -1,0 +1,262 @@
+"""Evaluate filter/projection ASTs against Arrow data.
+
+This is the host half of the filter pipeline. Predicates evaluate to
+boolean masks with SQL three-valued-logic handled by pyarrow compute;
+the mask is then either applied host-side (postfilter) or shipped to
+the device as a row bitmask consumed inside the scan kernels
+(prefilter) — matching the reference's prefilter/postfilter split
+(reference: rust/lancedb/src/query.rs `prefilter`, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import SqlParseError
+from .sql import (
+    Between,
+    BinaryOp,
+    Cast,
+    Column,
+    Expr,
+    FunctionCall,
+    Literal,
+    UnaryOp,
+    parse_sql_expr,
+)
+
+_CAST_TYPES = {
+    "int": pa.int64(), "integer": pa.int64(), "bigint": pa.int64(),
+    "smallint": pa.int16(), "tinyint": pa.int8(),
+    "float": pa.float32(), "real": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(), "varchar": pa.string(), "text": pa.string(),
+    "boolean": pa.bool_(), "bool": pa.bool_(),
+    "timestamp": pa.timestamp("us"),
+    "date": pa.date32(),
+}
+
+# function registry: name -> callable(args...) -> Array/Scalar
+_FUNCTIONS = {
+    "lower": lambda a: pc.utf8_lower(a),
+    "upper": lambda a: pc.utf8_upper(a),
+    "length": lambda a: pc.utf8_length(a),
+    "char_length": lambda a: pc.utf8_length(a),
+    "trim": lambda a: pc.utf8_trim_whitespace(a),
+    "ltrim": lambda a: pc.utf8_ltrim_whitespace(a),
+    "rtrim": lambda a: pc.utf8_rtrim_whitespace(a),
+    "abs": lambda a: pc.abs(a),
+    "ceil": lambda a: pc.ceil(a),
+    "floor": lambda a: pc.floor(a),
+    "round": lambda a, nd=None: pc.round(a, ndigits=int(_scalar(nd)) if nd is not None else 0),
+    "sqrt": lambda a: pc.sqrt(a),
+    "exp": lambda a: pc.exp(a),
+    "ln": lambda a: pc.ln(a),
+    "log10": lambda a: pc.log10(a),
+    "power": lambda a, b: pc.power(a, b),
+    "pow": lambda a, b: pc.power(a, b),
+    "coalesce": lambda *args: pc.coalesce(*args),
+    "starts_with": lambda a, b: pc.starts_with(a, pattern=_scalar(b)),
+    "ends_with": lambda a, b: pc.ends_with(a, pattern=_scalar(b)),
+    "contains": lambda a, b: pc.match_substring(a, pattern=_scalar(b)),
+    "regexp_match": lambda a, b: pc.match_substring_regex(a, pattern=_scalar(b)),
+    "is_nan": lambda a: pc.is_nan(a),
+    "array_length": lambda a: pc.list_value_length(a),
+    "array_has": lambda a, b: pc.list_element(a, 0) if False else _array_has(a, b),
+    "date_part": lambda part, a: _date_part(_scalar(part), a),
+    "to_timestamp": lambda a: pc.cast(a, pa.timestamp("us")),
+    "timestamp": lambda a: pc.cast(a, pa.timestamp("us")),
+    "date": lambda a: pc.cast(a, pa.date32()),
+    "greatest": lambda *args: pc.max_element_wise(*args),
+    "least": lambda *args: pc.min_element_wise(*args),
+}
+
+
+def _scalar(v):
+    if isinstance(v, pa.Scalar):
+        return v.as_py()
+    return v
+
+
+def _array_has(arr, val):
+    # list-column membership: does list contain val?
+    flat = pc.list_flatten(arr)
+    raise SqlParseError("array_has is not supported yet")
+
+
+def _date_part(part: str, a):
+    part = part.lower()
+    fns = {
+        "year": pc.year, "month": pc.month, "day": pc.day, "hour": pc.hour,
+        "minute": pc.minute, "second": pc.second, "dow": pc.day_of_week,
+        "doy": pc.day_of_year,
+    }
+    if part not in fns:
+        raise SqlParseError(f"unsupported date_part {part!r}")
+    return fns[part](a)
+
+
+class Evaluator:
+    """Evaluates an AST against one RecordBatch/Table."""
+
+    def __init__(self, data: pa.Table | pa.RecordBatch):
+        self.data = data
+        self.num_rows = data.num_rows
+
+    def _column(self, name: str):
+        parts = name.split(".")
+        cols = self.data.schema.names
+        # exact match first (case-preserving like reference expr `col()`)
+        if name in cols:
+            return self.data.column(name) if isinstance(self.data, pa.Table) else self.data.column(cols.index(name))
+        # case-insensitive fallback
+        lowered = {c.lower(): c for c in cols}
+        if parts[0] not in cols and parts[0].lower() in lowered:
+            parts[0] = lowered[parts[0].lower()]
+        if parts[0] not in cols:
+            raise SqlParseError(f"unknown column {name!r}; available: {cols}")
+        arr = self.data.column(parts[0]) if isinstance(self.data, pa.Table) else self.data.column(cols.index(parts[0]))
+        for field_name in parts[1:]:
+            arr = pc.struct_field(arr, field_name)
+        return arr
+
+    def evaluate(self, e: Expr):
+        if isinstance(e, Literal):
+            if isinstance(e.value, (list, tuple)):
+                return e.value  # only valid as the RHS of IN
+            return pa.scalar(e.value)
+        if isinstance(e, Column):
+            return self._column(e.name)
+        if isinstance(e, UnaryOp):
+            if e.op == "not":
+                return pc.invert(self._as_bool(self.evaluate(e.operand)))
+            if e.op == "neg":
+                return pc.negate(self.evaluate(e.operand))
+            if e.op == "is_null":
+                return pc.is_null(self.evaluate(e.operand))
+            if e.op == "is_not_null":
+                return pc.is_valid(self.evaluate(e.operand))
+            raise AssertionError(e.op)
+        if isinstance(e, BinaryOp):
+            return self._binary(e)
+        if isinstance(e, Between):
+            v = self.evaluate(e.operand)
+            lo = self.evaluate(e.low)
+            hi = self.evaluate(e.high)
+            res = pc.and_kleene(
+                self._as_bool(pc.greater_equal(v, lo)), self._as_bool(pc.less_equal(v, hi))
+            )
+            return pc.invert(res) if e.negated else res
+        if isinstance(e, FunctionCall):
+            fn = _FUNCTIONS.get(e.name)
+            if fn is None:
+                raise SqlParseError(f"unsupported function {e.name!r}")
+            args = [self.evaluate(a) for a in e.args]
+            return fn(*args)
+        if isinstance(e, Cast):
+            ty = _CAST_TYPES.get(e.type_name)
+            if ty is None:
+                raise SqlParseError(f"unsupported CAST target {e.type_name!r}")
+            return pc.cast(self.evaluate(e.operand), ty, safe=False)
+        raise AssertionError(type(e))
+
+    def _binary(self, e: BinaryOp):
+        op = e.op
+        if op in ("and", "or"):
+            left = self._as_bool(self.evaluate(e.left))
+            right = self._as_bool(self.evaluate(e.right))
+            return pc.and_kleene(left, right) if op == "and" else pc.or_kleene(left, right)
+        if op in ("in", "not_in"):
+            left = self.evaluate(e.left)
+            values = e.right.value if isinstance(e.right, Literal) else self.evaluate(e.right)
+            if not isinstance(values, (list, tuple)):
+                raise SqlParseError("IN requires a literal list")
+            res = pc.is_in(left, value_set=pa.array(list(values)))
+            return pc.invert(res) if op == "not_in" else res
+        if op in ("like", "not_like"):
+            left = self.evaluate(e.left)
+            pattern = _scalar(self.evaluate(e.right))
+            res = pc.match_like(left, pattern)
+            return pc.invert(res) if op == "not_like" else res
+        left = self.evaluate(e.left)
+        right = self.evaluate(e.right)
+        fns = {
+            "eq": pc.equal, "ne": pc.not_equal, "lt": pc.less, "le": pc.less_equal,
+            "gt": pc.greater, "ge": pc.greater_equal, "add": pc.add, "sub": pc.subtract,
+            "mul": pc.multiply, "div": pc.divide, "mod": lambda a, b: pc.bit_wise_and(a, b)
+            if False else _mod(a, b),
+        }
+        return fns[op](left, right)
+
+    def _as_bool(self, arr):
+        if isinstance(arr, pa.Scalar):
+            return pa.scalar(bool(arr.as_py()), type=pa.bool_())
+        if pa.types.is_boolean(arr.type):
+            return arr
+        raise SqlParseError("expected a boolean expression")
+
+
+def _mod(a, b):
+    try:
+        return pc.mod(a, b)  # pyarrow >= 21
+    except AttributeError:
+        fa = pc.cast(a, pa.float64())
+        fb = pc.cast(b, pa.float64())
+        return pc.subtract(fa, pc.multiply(pc.floor(pc.divide(fa, fb)), fb))
+
+
+def evaluate_predicate_mask(
+    data: pa.Table | pa.RecordBatch, predicate: str | Expr
+) -> np.ndarray:
+    """Evaluate a boolean predicate → numpy bool mask (NULL ⇒ False)."""
+    ast = parse_sql_expr(predicate) if isinstance(predicate, str) else predicate
+    out = Evaluator(data).evaluate(ast)
+    if isinstance(out, pa.Scalar):
+        v = out.as_py()
+        return np.full(data.num_rows, bool(v) if v is not None else False)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    if not pa.types.is_boolean(out.type):
+        raise SqlParseError("filter must be a boolean expression")
+    # NULL → False (SQL WHERE semantics)
+    out = pc.fill_null(out, False)
+    return np.asarray(out)
+
+
+def evaluate_expression(data: pa.Table | pa.RecordBatch, expr: str | Expr) -> pa.Array:
+    """Evaluate a scalar expression column-wise (for dynamic SELECT /
+    update assignments / add_columns backfill)."""
+    ast = parse_sql_expr(expr) if isinstance(expr, str) else expr
+    out = Evaluator(data).evaluate(ast)
+    if isinstance(out, pa.Scalar):
+        return pa.array([out.as_py()] * data.num_rows, type=out.type)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def referenced_columns(e: Expr) -> set[str]:
+    """Top-level column names referenced by an expression (for projection
+    pushdown when scanning fragments)."""
+    out: set[str] = set()
+
+    def walk(node: Expr):
+        if isinstance(node, Column):
+            out.add(node.name.split(".")[0])
+        elif isinstance(node, UnaryOp):
+            walk(node.operand)
+        elif isinstance(node, BinaryOp):
+            walk(node.left)
+            walk(node.right)
+        elif isinstance(node, Between):
+            walk(node.operand), walk(node.low), walk(node.high)
+        elif isinstance(node, FunctionCall):
+            for a in node.args:
+                walk(a)
+        elif isinstance(node, Cast):
+            walk(node.operand)
+
+    walk(e)
+    return out

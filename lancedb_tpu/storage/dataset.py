@@ -1,0 +1,1037 @@
+"""Versioned columnar dataset: fragments + manifest MVCC.
+
+This is the TPU-framework equivalent of the lance Dataset layer the
+reference builds on (SURVEY.md §2.9): append-only fragment files,
+immutable JSON manifests per version, optimistic-concurrency commits,
+deletion vectors, time travel (checkout/restore), tags and branches.
+
+Every mutating operation follows the same shape:
+  1. read current manifest
+  2. write new immutable artifacts (fragment files, deletion bitmaps)
+  3. build a child manifest and commit it with ``put_if_absent``
+  4. on conflict, rebase-and-retry if the op commutes (appends do),
+     else surface CommitConflictError
+
+Reference semantics mirrored: table.rs:1873-2228 (versions/checkout/
+restore), table.rs:345-377 (tags), branch_merge.rs (branches),
+table/optimize.rs (compact/prune).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import (
+    BranchNotFoundError,
+    CommitConflictError,
+    InvalidInputError,
+    SchemaError,
+    TagNotFoundError,
+    VersionNotFoundError,
+)
+from ..filters.eval import evaluate_expression, evaluate_predicate_mask, referenced_columns
+from ..filters.sql import parse_sql_expr
+from ..io.object_store import ObjectStore
+from .fragments import (
+    DEFAULT_FRAGMENT_ROWS,
+    FragmentReader,
+    deletion_mask,
+    read_deletion_offsets,
+    write_deletion_bitmap,
+    write_fragment,
+)
+from .manifest import (
+    INDICES_DIR,
+    MAIN_BRANCH,
+    REFS_DIR,
+    VERSIONS_DIR,
+    FragmentMeta,
+    IndexMeta,
+    Manifest,
+    make_row_id,
+    manifest_path,
+    version_from_path,
+)
+
+ROW_ID_COL = "_rowid"
+
+_COMMIT_RETRIES = 10
+
+
+@dataclass
+class VersionInfo:
+    version: int
+    timestamp: float
+    branch: str
+    parent_version: int | None
+    transaction: dict
+
+    def to_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "timestamp": self.timestamp,
+            "branch": self.branch,
+            "parent_version": self.parent_version,
+            "metadata": self.transaction,
+        }
+
+
+class Dataset:
+    """One versioned table on an object store."""
+
+    def __init__(self, store: ObjectStore, root: str, manifest: Manifest, pinned: bool = False):
+        self.store = store
+        self.root = root
+        self.manifest = manifest
+        # pinned == time-travel checkout: reads allowed, writes refused
+        self.pinned = pinned
+        self._readers: dict[int, FragmentReader] = {}
+        self._deletion_cache: dict[tuple[int, str | None], np.ndarray | None] = {}
+
+    # ------------------------------------------------------------ basic
+
+    @property
+    def schema(self) -> pa.Schema:
+        return self.manifest.schema
+
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    @property
+    def branch(self) -> str:
+        return self.manifest.branch
+
+    def __repr__(self) -> str:
+        return f"Dataset(root={self.root!r}, version={self.version}, rows={self.manifest.num_rows})"
+
+    # ----------------------------------------------------------- create
+
+    @staticmethod
+    def create(
+        store: ObjectStore,
+        root: str,
+        schema: pa.Schema,
+        data: pa.Table | None = None,
+        mode: str = "create",
+        config: dict | None = None,
+    ) -> "Dataset":
+        exists = store.exists(f"{root}/{VERSIONS_DIR}")
+        if exists:
+            if mode == "create":
+                from ..errors import TableAlreadyExistsError
+
+                raise TableAlreadyExistsError(root.rsplit("/", 1)[-1])
+            if mode == "exist_ok":
+                ds = Dataset.open(store, root)
+                if data is not None and data.num_rows:
+                    ds.append(data)
+                return ds
+            if mode == "overwrite":
+                ds = Dataset.open(store, root)
+                ds.overwrite(data if data is not None else schema.empty_table(), schema=schema)
+                return ds
+            raise InvalidInputError(f"unknown create mode {mode!r}")
+        manifest = Manifest(
+            version=1,
+            schema=schema,
+            config=config or {},
+            transaction={"op": "create"},
+            timestamp=time.time(),
+        )
+        if data is not None and data.num_rows:
+            frag = write_fragment(store, root, data, fragment_id=0)
+            manifest.fragments.append(frag)
+            manifest.max_fragment_id = 0
+        ok = store.put_if_absent(manifest_path(root, 1), manifest.to_json_bytes())
+        if not ok:
+            raise CommitConflictError(1, "table created concurrently")
+        ds = Dataset(store, root, manifest)
+        ds._update_branch_head(MAIN_BRANCH, 1)
+        return ds
+
+    @staticmethod
+    def open(
+        store: ObjectStore,
+        root: str,
+        version: int | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
+    ) -> "Dataset":
+        if tag is not None:
+            version = Dataset._read_ref(store, root, "tags", tag)
+        pinned = version is not None
+        if version is None:
+            version = Dataset._latest_version(store, root, branch or MAIN_BRANCH)
+        data = Dataset._read_manifest(store, root, version)
+        return Dataset(store, root, data, pinned=pinned)
+
+    @staticmethod
+    def _read_manifest(store: ObjectStore, root: str, version: int) -> Manifest:
+        try:
+            raw = store.read_bytes(manifest_path(root, version))
+        except FileNotFoundError:
+            raise VersionNotFoundError(version) from None
+        return Manifest.from_json_bytes(raw)
+
+    @staticmethod
+    def _latest_version(store: ObjectStore, root: str, branch: str = MAIN_BRANCH) -> int:
+        # fast path: branch head cache
+        head = None
+        try:
+            raw = store.read_bytes(f"{root}/{REFS_DIR}/branches/{branch}.json")
+            head = json.loads(raw)["version"]
+        except FileNotFoundError:
+            pass
+        versions = sorted(
+            version_from_path(p)
+            for p in store.list(f"{root}/{VERSIONS_DIR}")
+            if p.endswith(".json")
+        )
+        if not versions:
+            raise VersionNotFoundError("(no versions)")
+        if branch == MAIN_BRANCH and head is None:
+            # pre-branches table: newest manifest on main
+            candidates = versions
+        else:
+            candidates = versions
+        # scan down from the newest for a manifest on this branch, starting
+        # at the cached head if it is still valid
+        best = None
+        for v in reversed(candidates):
+            m = Dataset._read_manifest(store, root, v)
+            if m.branch == branch:
+                best = v
+                break
+        if best is None:
+            raise BranchNotFoundError(branch)
+        return best
+
+    # ----------------------------------------------------------- commit
+
+    def _update_branch_head(self, branch: str, version: int) -> None:
+        self.store.write_bytes(
+            f"{self.root}/{REFS_DIR}/branches/{branch}.json",
+            json.dumps({"version": version}).encode(),
+        )
+
+    def _check_writable(self) -> None:
+        if self.pinned:
+            raise InvalidInputError(
+                "dataset is checked out at a fixed version; call checkout_latest() "
+                "or restore() before writing"
+            )
+
+    def commit(self, draft: Manifest) -> None:
+        """Commit a child manifest built against self.manifest."""
+        ok = self.store.put_if_absent(manifest_path(self.root, draft.version), draft.to_json_bytes())
+        if not ok:
+            raise CommitConflictError(draft.version)
+        self.manifest = draft
+        self._update_branch_head(draft.branch, draft.version)
+        self._deletion_cache.clear()
+
+    def _commit_with_rebase(
+        self, build: Callable[[Manifest], Manifest], retries: int = _COMMIT_RETRIES
+    ) -> None:
+        """Run `build(current_manifest) -> draft` and commit, rebasing on
+        conflict (the reference's conflict-resolved commit loop)."""
+        self._check_writable()
+        for _ in range(retries):
+            draft = build(self.manifest)
+            try:
+                self.commit(draft)
+                return
+            except CommitConflictError:
+                # another writer won; reload and retry on top of their commit
+                latest = Dataset._latest_version(self.store, self.root, self.manifest.branch)
+                self.manifest = Dataset._read_manifest(self.store, self.root, latest)
+        raise CommitConflictError(self.manifest.version + 1, "retries exhausted")
+
+    # ------------------------------------------------------------ write
+
+    def _align_to_schema(self, data: pa.Table) -> pa.Table:
+        """Cast/reorder incoming data to the table schema (reference
+        data/sanitize.rs + datafusion/cast.rs semantics)."""
+        schema = self.manifest.schema
+        cols = []
+        for field in schema:
+            if field.name in data.schema.names:
+                col = data.column(field.name)
+                if col.type != field.type:
+                    try:
+                        col = pc.cast(col, field.type)
+                    except pa.ArrowInvalid as e:
+                        raise SchemaError(
+                            f"cannot cast column {field.name!r} from {col.type} to {field.type}: {e}"
+                        ) from None
+            elif field.nullable:
+                col = pa.nulls(data.num_rows, field.type)
+            else:
+                raise SchemaError(f"missing non-nullable column {field.name!r}")
+            cols.append(col)
+        extra = [n for n in data.schema.names if n not in schema.names]
+        if extra:
+            raise SchemaError(f"unexpected columns {extra}; table schema is {schema.names}")
+        return pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=schema)
+
+    def append(self, data: pa.Table, max_rows_per_fragment: int = DEFAULT_FRAGMENT_ROWS) -> None:
+        self._check_writable()
+        data = self._align_to_schema(data)
+        if data.num_rows == 0:
+            return
+        # Write fragment files once; fragment ids are assigned at commit
+        # time per attempt so appends rebase cleanly.
+        chunks = [
+            data.slice(i, max_rows_per_fragment) for i in range(0, data.num_rows, max_rows_per_fragment)
+        ]
+
+        written: list[FragmentMeta] = []
+
+        def build(current: Manifest) -> Manifest:
+            nonlocal written
+            draft = current.child("append", rows=data.num_rows)
+            if not written:
+                fid = current.max_fragment_id
+                for chunk in chunks:
+                    fid += 1
+                    written.append(write_fragment(self.store, self.root, chunk, fid))
+            else:
+                # rebase: renumber fragment ids without rewriting files
+                fid = current.max_fragment_id
+                for frag in written:
+                    fid += 1
+                    frag.id = fid
+            draft.fragments.extend(written)
+            draft.max_fragment_id = max(draft.max_fragment_id, written[-1].id)
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+
+    def overwrite(self, data: pa.Table, schema: pa.Schema | None = None) -> None:
+        self._check_writable()
+        schema = schema or data.schema
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("overwrite", rows=data.num_rows)
+            draft.schema = schema
+            draft.fragments = []
+            draft.indices = []
+            if data.num_rows:
+                fid = current.max_fragment_id + 1
+                frag = write_fragment(self.store, self.root, data, fid)
+                draft.fragments = [frag]
+                draft.max_fragment_id = fid
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+
+    # ------------------------------------------------------------- read
+
+    def reader(self, fragment_id: int) -> FragmentReader:
+        if fragment_id not in self._readers:
+            meta = self.manifest.fragment_by_id(fragment_id)
+            if meta is None:
+                raise InvalidInputError(f"no fragment {fragment_id}")
+            self._readers[fragment_id] = FragmentReader(self.store, self.root, meta)
+        return self._readers[fragment_id]
+
+    def _keep_mask(self, meta: FragmentMeta) -> np.ndarray | None:
+        key = (meta.id, meta.deletion_file)
+        if key not in self._deletion_cache:
+            self._deletion_cache[key] = deletion_mask(self.store, self.root, meta)
+        return self._deletion_cache[key]
+
+    def count_rows(self, predicate: str | None = None) -> int:
+        if predicate is None:
+            return self.manifest.num_rows
+        ast = parse_sql_expr(predicate)
+        needed = sorted(referenced_columns(ast) & set(self.schema.names))
+        total = 0
+        for meta in self.manifest.fragments:
+            tbl = self.reader(meta.id).read_all(columns=needed or None)
+            mask = evaluate_predicate_mask(tbl, ast)
+            keep = self._keep_mask(meta)
+            if keep is not None:
+                mask = mask & keep
+            total += int(mask.sum())
+        return total
+
+    def scan_fragments(
+        self,
+        columns: list[str] | None = None,
+        predicate: str | None = None,
+        with_row_id: bool = False,
+    ) -> Iterator[tuple[FragmentMeta, pa.Table]]:
+        """Yield (fragment, filtered table) pairs. Projection is pushed
+        down; deletion vectors and the predicate are applied."""
+        ast = parse_sql_expr(predicate) if predicate else None
+        schema_names = set(self.schema.names)
+        if columns is not None:
+            unknown = [c for c in columns if c not in schema_names and c != ROW_ID_COL]
+            if unknown:
+                raise InvalidInputError(f"unknown columns {unknown}")
+        read_cols: list[str] | None
+        if columns is None:
+            read_cols = list(self.schema.names)
+        else:
+            read_cols = [c for c in columns if c != ROW_ID_COL]
+        if ast is not None:
+            filter_cols = referenced_columns(ast) & schema_names
+            read_all = sorted(set(read_cols or []) | filter_cols)
+        else:
+            read_all = read_cols
+        for meta in self.manifest.fragments:
+            tbl = self.reader(meta.id).read_all(columns=read_all)
+            n = tbl.num_rows
+            mask = np.ones(n, dtype=bool)
+            keep = self._keep_mask(meta)
+            if keep is not None:
+                mask &= keep
+            if ast is not None:
+                mask &= evaluate_predicate_mask(tbl, ast)
+            sel = np.nonzero(mask)[0]
+            if len(sel) == 0:
+                continue
+            out = tbl.take(pa.array(sel)) if len(sel) < n else tbl
+            if read_cols is not None and read_all != read_cols:
+                out = out.select(read_cols)
+            if with_row_id:
+                rid = (np.uint64(meta.id) << np.uint64(32)) | sel.astype(np.uint64)
+                out = out.append_column(ROW_ID_COL, pa.array(rid, type=pa.uint64()))
+                if columns is not None:
+                    # honor requested column order
+                    out = out.select([c for c in columns])
+            yield meta, out
+
+    def to_table(
+        self,
+        columns: list[str] | None = None,
+        predicate: str | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+        with_row_id: bool = False,
+    ) -> pa.Table:
+        parts: list[pa.Table] = []
+        needed = (limit + offset) if limit is not None else None
+        got = 0
+        for _, tbl in self.scan_fragments(columns, predicate, with_row_id):
+            parts.append(tbl)
+            got += tbl.num_rows
+            if needed is not None and got >= needed:
+                break
+        if parts:
+            out = pa.concat_tables(parts)
+        else:
+            out = self._empty_projection(columns, with_row_id)
+        if offset:
+            out = out.slice(offset)
+        if limit is not None:
+            out = out.slice(0, limit)
+        return out
+
+    def _empty_projection(self, columns: list[str] | None, with_row_id: bool) -> pa.Table:
+        fields = []
+        for f in self.schema:
+            if columns is None or f.name in columns:
+                fields.append(f)
+        if with_row_id:
+            fields.append(pa.field(ROW_ID_COL, pa.uint64()))
+        return pa.schema(fields).empty_table()
+
+    def take_rows(self, row_ids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        """Take by stable row address, preserving request order."""
+        row_ids = np.asarray(row_ids, dtype=np.uint64)
+        if len(row_ids) == 0:
+            return self._empty_projection(columns, with_row_id=False)
+        frag_ids = (row_ids >> np.uint64(32)).astype(np.int64)
+        offsets = (row_ids & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        pieces = []
+        positions = []
+        for fid in np.unique(frag_ids):
+            sel = np.nonzero(frag_ids == fid)[0]
+            reader = self.reader(int(fid))
+            pieces.append(reader.take(offsets[sel], columns=columns))
+            positions.append(sel)
+        combined = pa.concat_tables(pieces)
+        order = np.concatenate(positions)
+        restore = np.empty(len(order), dtype=np.int64)
+        restore[order] = np.arange(len(order))
+        return combined.take(pa.array(restore))
+
+    def take_offsets(self, offsets: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        """Take by logical offset into the (deletion-aware) table order."""
+        offsets = np.asarray(offsets, dtype=np.int64)
+        row_ids = self.offsets_to_row_ids(offsets)
+        return self.take_rows(row_ids, columns=columns)
+
+    def offsets_to_row_ids(self, offsets: np.ndarray) -> np.ndarray:
+        """Map logical offsets → stable row addresses."""
+        bounds = [0]
+        frags = self.manifest.fragments
+        for meta in frags:
+            bounds.append(bounds[-1] + meta.num_rows)
+        bounds_arr = np.asarray(bounds, dtype=np.int64)
+        total = bounds_arr[-1]
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if len(offsets) and (offsets.min() < 0 or offsets.max() >= total):
+            raise InvalidInputError(f"offset out of range [0, {total})")
+        frag_pos = np.searchsorted(bounds_arr, offsets, side="right") - 1
+        out = np.empty(len(offsets), dtype=np.uint64)
+        for i_frag in np.unique(frag_pos):
+            meta = frags[i_frag]
+            sel = np.nonzero(frag_pos == i_frag)[0]
+            local = offsets[sel] - bounds_arr[i_frag]
+            keep = self._keep_mask(meta)
+            if keep is None:
+                phys = local
+            else:
+                phys = np.nonzero(keep)[0][local]
+            out[sel] = (np.uint64(meta.id) << np.uint64(32)) | phys.astype(np.uint64)
+        return out
+
+    # ----------------------------------------------------------- delete
+
+    def delete(self, predicate: str) -> int:
+        """Delete rows matching the predicate. Returns deleted count."""
+        self._check_writable()
+        ast = parse_sql_expr(predicate)
+        needed = sorted(referenced_columns(ast) & set(self.schema.names))
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("delete", predicate=predicate)
+            deleted_total = 0
+            new_frags = []
+            for meta in draft.fragments:
+                reader = FragmentReader(self.store, self.root, meta)
+                tbl = reader.read_all(columns=needed or None)
+                mask = evaluate_predicate_mask(tbl, ast)  # True = delete
+                keep = deletion_mask(self.store, self.root, meta)
+                if keep is not None:
+                    mask &= keep  # don't re-delete
+                hit = np.nonzero(mask)[0]
+                if len(hit) == 0:
+                    new_frags.append(meta)
+                    continue
+                prior = (
+                    read_deletion_offsets(self.store, self.root, meta.deletion_file)
+                    if meta.deletion_file
+                    else np.empty(0, dtype=np.uint32)
+                )
+                all_deleted = np.union1d(prior, hit.astype(np.uint32))
+                deleted_total += len(hit)
+                if len(all_deleted) == meta.physical_rows:
+                    continue  # fragment fully deleted: drop it
+                dfile = write_deletion_bitmap(self.store, self.root, all_deleted)
+                new_frags.append(
+                    FragmentMeta(
+                        id=meta.id,
+                        data_file=meta.data_file,
+                        physical_rows=meta.physical_rows,
+                        deletion_file=dfile,
+                        num_deleted=len(all_deleted),
+                    )
+                )
+            draft.fragments = new_frags
+            draft.transaction["deleted_rows"] = deleted_total
+            return draft
+
+        self._commit_with_rebase(build)
+        return int(self.manifest.transaction.get("deleted_rows", 0))
+
+    # ----------------------------------------------------------- update
+
+    def update(self, updates: dict[str, str], where: str | None = None) -> dict:
+        """SQL-expression update: rewrite matched rows (delete + append).
+
+        ``updates`` maps column name → SQL expression evaluated against
+        the matched rows (reference table/update.rs semantics).
+        """
+        self._check_writable()
+        for col in updates:
+            if col not in self.schema.names:
+                raise InvalidInputError(f"unknown column {col!r} in update")
+        where_ast = parse_sql_expr(where) if where else None
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("update", predicate=where, columns=sorted(updates))
+            rewritten: list[pa.Table] = []
+            new_frags: list[FragmentMeta] = []
+            n_updated = 0
+            for meta in draft.fragments:
+                reader = FragmentReader(self.store, self.root, meta)
+                tbl = reader.read_all()
+                mask = (
+                    evaluate_predicate_mask(tbl, where_ast)
+                    if where_ast is not None
+                    else np.ones(tbl.num_rows, dtype=bool)
+                )
+                keep = deletion_mask(self.store, self.root, meta)
+                if keep is not None:
+                    mask &= keep
+                hit = np.nonzero(mask)[0]
+                if len(hit) == 0:
+                    new_frags.append(meta)
+                    continue
+                n_updated += len(hit)
+                matched = tbl.take(pa.array(hit))
+                arrays = []
+                for field in current.schema:
+                    if field.name in updates:
+                        arr = evaluate_expression(matched, updates[field.name])
+                        if arr.type != field.type:
+                            arr = pc.cast(arr, field.type)
+                    else:
+                        arr = matched.column(field.name)
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                    arrays.append(arr)
+                rewritten.append(pa.Table.from_arrays(arrays, schema=current.schema))
+                # mark matched rows deleted in-place
+                prior = (
+                    read_deletion_offsets(self.store, self.root, meta.deletion_file)
+                    if meta.deletion_file
+                    else np.empty(0, dtype=np.uint32)
+                )
+                all_deleted = np.union1d(prior, hit.astype(np.uint32))
+                if len(all_deleted) == meta.physical_rows:
+                    continue
+                dfile = write_deletion_bitmap(self.store, self.root, all_deleted)
+                new_frags.append(
+                    FragmentMeta(
+                        id=meta.id,
+                        data_file=meta.data_file,
+                        physical_rows=meta.physical_rows,
+                        deletion_file=dfile,
+                        num_deleted=len(all_deleted),
+                    )
+                )
+            draft.fragments = new_frags
+            if rewritten:
+                new_data = pa.concat_tables(rewritten)
+                fid = draft.max_fragment_id + 1
+                frag = write_fragment(self.store, self.root, new_data, fid)
+                draft.fragments.append(frag)
+                draft.max_fragment_id = fid
+            draft.transaction["rows_updated"] = n_updated
+            return draft
+
+        self._commit_with_rebase(build)
+        return {"rows_updated": int(self.manifest.transaction.get("rows_updated", 0)), "version": self.version}
+
+    # ------------------------------------------------- schema evolution
+
+    def add_columns(self, definitions: dict[str, str], data_types: dict[str, pa.DataType] | None = None) -> None:
+        """Add columns backfilled by SQL expressions (reference
+        table/schema_evolution.rs `add_columns`). Rewrites each fragment
+        in place (same fragment id ⇒ row addresses survive)."""
+        self._check_writable()
+        data_types = data_types or {}
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("add_columns", columns=sorted(definitions))
+            for name in definitions:
+                if name in current.schema.names:
+                    raise InvalidInputError(f"column {name!r} already exists")
+            new_frags = []
+            new_fields = list(current.schema)
+            decided_types: dict[str, pa.DataType] = {}
+            for meta in draft.fragments:
+                reader = FragmentReader(self.store, self.root, meta)
+                tbl = reader.read_all()
+                for name, expr in definitions.items():
+                    arr = evaluate_expression(tbl, expr)
+                    if name in data_types and arr.type != data_types[name]:
+                        arr = pc.cast(arr, data_types[name])
+                    decided_types.setdefault(name, arr.type)
+                    if arr.type != decided_types[name]:
+                        arr = pc.cast(arr, decided_types[name])
+                    tbl = tbl.append_column(name, arr)
+                frag = write_fragment(self.store, self.root, tbl, meta.id)
+                frag.deletion_file = meta.deletion_file
+                frag.num_deleted = meta.num_deleted
+                new_frags.append(frag)
+            for name in definitions:
+                ty = decided_types.get(name, data_types.get(name, pa.float64()))
+                new_fields.append(pa.field(name, ty))
+            draft.fragments = new_frags
+            draft.schema = pa.schema(new_fields)
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+
+    def alter_columns(self, *alterations: dict) -> None:
+        """Rename / retype / change nullability.
+
+        Each alteration: {"path": name, "rename": new, "data_type": pa type,
+        "nullable": bool} (reference table/schema_evolution.rs alter_columns).
+        """
+        self._check_writable()
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("alter_columns", alterations=[a.get("path") for a in alterations])
+            renames: dict[str, str] = {}
+            retypes: dict[str, pa.DataType] = {}
+            nullables: dict[str, bool] = {}
+            for alt in alterations:
+                path = alt["path"]
+                if path not in current.schema.names:
+                    raise InvalidInputError(f"unknown column {path!r}")
+                if alt.get("rename"):
+                    renames[path] = alt["rename"]
+                if alt.get("data_type") is not None:
+                    retypes[path] = alt["data_type"]
+                if alt.get("nullable") is not None:
+                    nullables[path] = alt["nullable"]
+            needs_rewrite = bool(retypes)
+            new_fields = []
+            for f in current.schema:
+                name = renames.get(f.name, f.name)
+                ty = retypes.get(f.name, f.type)
+                nullable = nullables.get(f.name, f.nullable)
+                new_fields.append(pa.field(name, ty, nullable=nullable))
+            new_schema = pa.schema(new_fields)
+            if needs_rewrite or renames:
+                new_frags = []
+                for meta in draft.fragments:
+                    reader = FragmentReader(self.store, self.root, meta)
+                    tbl = reader.read_all()
+                    arrays = []
+                    for f_old, f_new in zip(current.schema, new_fields):
+                        arr = tbl.column(f_old.name)
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        if arr.type != f_new.type:
+                            arr = pc.cast(arr, f_new.type)
+                        arrays.append(arr)
+                    new_tbl = pa.Table.from_arrays(arrays, schema=new_schema)
+                    frag = write_fragment(self.store, self.root, new_tbl, meta.id)
+                    frag.deletion_file = meta.deletion_file
+                    frag.num_deleted = meta.num_deleted
+                    new_frags.append(frag)
+                draft.fragments = new_frags
+            draft.schema = new_schema
+            # indexes on altered columns are invalidated
+            touched = set(renames) | set(retypes)
+            draft.indices = [
+                ix for ix in draft.indices if not (set(ix.columns) & touched)
+            ]
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+
+    def drop_columns(self, columns: list[str]) -> None:
+        """Metadata-only drop: manifest schema shrinks; fragment files
+        keep the bytes until the next compaction."""
+        self._check_writable()
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("drop_columns", columns=list(columns))
+            for c in columns:
+                if c not in current.schema.names:
+                    raise InvalidInputError(f"unknown column {c!r}")
+            draft.schema = pa.schema([f for f in current.schema if f.name not in columns])
+            dropped = set(columns)
+            draft.indices = [ix for ix in draft.indices if not (set(ix.columns) & dropped)]
+            return draft
+
+        self._commit_with_rebase(build)
+
+    # ------------------------------------------------------ index hooks
+
+    def add_index(self, meta: IndexMeta, replace: bool = True) -> None:
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("create_index", name=meta.name)
+            existing = draft.index_by_name(meta.name)
+            if existing is not None:
+                if not replace:
+                    raise InvalidInputError(f"index {meta.name!r} already exists")
+                draft.indices = [ix for ix in draft.indices if ix.name != meta.name]
+            draft.indices.append(meta)
+            return draft
+
+        self._commit_with_rebase(build)
+
+    def drop_index(self, name: str) -> None:
+        def build(current: Manifest) -> Manifest:
+            from ..errors import IndexNotFoundError
+
+            if current.index_by_name(name) is None:
+                raise IndexNotFoundError(name)
+            draft = current.child("drop_index", name=name)
+            draft.indices = [ix for ix in draft.indices if ix.name != name]
+            return draft
+
+        self._commit_with_rebase(build)
+
+    def index_dir(self, uuid: str) -> str:
+        return f"{self.root}/{INDICES_DIR}/{uuid}"
+
+    # ------------------------------------------------------ time travel
+
+    def list_versions(self) -> list[VersionInfo]:
+        out = []
+        for p in self.store.list(f"{self.root}/{VERSIONS_DIR}"):
+            if not p.endswith(".json"):
+                continue
+            m = Manifest.from_json_bytes(self.store.read_bytes(p))
+            out.append(
+                VersionInfo(
+                    version=m.version,
+                    timestamp=m.timestamp,
+                    branch=m.branch,
+                    parent_version=m.parent_version,
+                    transaction=m.transaction,
+                )
+            )
+        return sorted(out, key=lambda v: v.version)
+
+    def checkout(self, version: int) -> None:
+        self.manifest = Dataset._read_manifest(self.store, self.root, version)
+        self.pinned = True
+        self._readers.clear()
+        self._deletion_cache.clear()
+
+    def checkout_tag(self, tag: str) -> None:
+        self.checkout(Dataset._read_ref(self.store, self.root, "tags", tag))
+
+    def checkout_latest(self) -> None:
+        branch = self.manifest.branch
+        latest = Dataset._latest_version(self.store, self.root, branch)
+        self.manifest = Dataset._read_manifest(self.store, self.root, latest)
+        self.pinned = False
+        self._readers.clear()
+        self._deletion_cache.clear()
+
+    def restore(self) -> None:
+        """Commit the currently-checked-out version as the new latest."""
+        if not self.pinned:
+            return
+        pinned_manifest = self.manifest
+        latest = Dataset._latest_version(self.store, self.root, pinned_manifest.branch)
+        self.manifest = Dataset._read_manifest(self.store, self.root, latest)
+        self.pinned = False
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("restore", source_version=pinned_manifest.version)
+            draft.schema = pinned_manifest.schema
+            draft.fragments = pinned_manifest.fragments
+            draft.indices = pinned_manifest.indices
+            draft.max_fragment_id = max(current.max_fragment_id, pinned_manifest.max_fragment_id)
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+
+    # -------------------------------------------------------------- tags
+
+    @staticmethod
+    def _read_ref(store: ObjectStore, root: str, kind: str, name: str) -> int:
+        try:
+            raw = store.read_bytes(f"{root}/{REFS_DIR}/{kind}/{name}.json")
+        except FileNotFoundError:
+            if kind == "tags":
+                raise TagNotFoundError(name) from None
+            raise BranchNotFoundError(name) from None
+        return json.loads(raw)["version"]
+
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        version = version if version is not None else self.version
+        if not self.store.exists(manifest_path(self.root, version)):
+            raise VersionNotFoundError(version)
+        ok = self.store.put_if_absent(
+            f"{self.root}/{REFS_DIR}/tags/{name}.json", json.dumps({"version": version}).encode()
+        )
+        if not ok:
+            raise InvalidInputError(f"tag {name!r} already exists")
+
+    def update_tag(self, name: str, version: int) -> None:
+        path = f"{self.root}/{REFS_DIR}/tags/{name}.json"
+        if not self.store.exists(path):
+            raise TagNotFoundError(name)
+        self.store.write_bytes(path, json.dumps({"version": version}).encode())
+
+    def delete_tag(self, name: str) -> None:
+        path = f"{self.root}/{REFS_DIR}/tags/{name}.json"
+        if not self.store.exists(path):
+            raise TagNotFoundError(name)
+        self.store.delete(path)
+
+    def list_tags(self) -> dict[str, dict]:
+        out = {}
+        for p in self.store.list(f"{self.root}/{REFS_DIR}/tags"):
+            if p.endswith(".json"):
+                name = p.rsplit("/", 1)[-1][: -len(".json")]
+                out[name] = json.loads(self.store.read_bytes(p))
+        return out
+
+    def tag_version(self, name: str) -> int:
+        return Dataset._read_ref(self.store, self.root, "tags", name)
+
+    # ----------------------------------------------------------- branches
+
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        """Fork a new version lineage from `version` (default: current)."""
+        src_version = version if version is not None else self.version
+        src = Dataset._read_manifest(self.store, self.root, src_version)
+
+        def build(current: Manifest) -> Manifest:
+            draft = src.child("create_branch", source_version=src_version)
+            # branch commits continue the GLOBAL version sequence but a
+            # separate lineage via the branch field + parent pointers
+            latest_any = max(v.version for v in self.list_versions())
+            draft.version = latest_any + 1
+            draft.branch = name
+            return draft
+
+        # direct commit (not rebase — branch creation races are genuine conflicts)
+        for _ in range(_COMMIT_RETRIES):
+            draft = build(self.manifest)
+            if self.store.exists(f"{self.root}/{REFS_DIR}/branches/{name}.json"):
+                raise InvalidInputError(f"branch {name!r} already exists")
+            if self.store.put_if_absent(manifest_path(self.root, draft.version), draft.to_json_bytes()):
+                self._update_branch_head(name, draft.version)
+                return
+        raise CommitConflictError(-1, "create_branch retries exhausted")
+
+    def list_branches(self) -> dict[str, dict]:
+        out = {}
+        for p in self.store.list(f"{self.root}/{REFS_DIR}/branches"):
+            if p.endswith(".json"):
+                name = p.rsplit("/", 1)[-1][: -len(".json")]
+                out[name] = json.loads(self.store.read_bytes(p))
+        return out
+
+    def checkout_branch(self, name: str) -> None:
+        latest = Dataset._latest_version(self.store, self.root, name)
+        self.manifest = Dataset._read_manifest(self.store, self.root, latest)
+        self.pinned = False
+        self._readers.clear()
+        self._deletion_cache.clear()
+
+    def delete_branch(self, name: str) -> None:
+        if name == MAIN_BRANCH:
+            raise InvalidInputError("cannot delete the main branch")
+        path = f"{self.root}/{REFS_DIR}/branches/{name}.json"
+        if not self.store.exists(path):
+            raise BranchNotFoundError(name)
+        self.store.delete(path)
+
+    # ----------------------------------------------------------- optimize
+
+    def compact_files(self, target_rows: int = DEFAULT_FRAGMENT_ROWS, min_fragments: int = 2) -> dict:
+        """Merge small fragments into bigger ones (reference
+        table/optimize.rs `Compact`). Row addresses change; indexes over
+        compacted fragments are remapped by the caller (table layer)."""
+        self._check_writable()
+        small = [f for f in self.manifest.fragments if f.num_rows < target_rows]
+        if len(small) < min_fragments:
+            return {"fragments_removed": 0, "fragments_added": 0}
+        small_ids = {f.id for f in small}
+        tables = []
+        for meta in self.manifest.fragments:
+            if meta.id not in small_ids:
+                continue
+            tbl = self.reader(meta.id).read_all()
+            keep = self._keep_mask(meta)
+            if keep is not None:
+                tbl = tbl.take(pa.array(np.nonzero(keep)[0]))
+            tables.append(tbl)
+        merged = pa.concat_tables(tables)
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("compact", merged_fragments=sorted(small_ids))
+            draft.fragments = [f for f in draft.fragments if f.id not in small_ids]
+            fid = draft.max_fragment_id
+            added = 0
+            for start in range(0, merged.num_rows, target_rows):
+                fid += 1
+                frag = write_fragment(self.store, self.root, merged.slice(start, target_rows), fid)
+                draft.fragments.append(frag)
+                added += 1
+            draft.max_fragment_id = fid
+            # compaction invalidates coverage of indexes over removed frags
+            for ix in draft.indices:
+                ix.fragment_ids = [f for f in ix.fragment_ids if f not in small_ids]
+            draft.transaction["fragments_added"] = added
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+        return {
+            "fragments_removed": len(small_ids),
+            "fragments_added": int(self.manifest.transaction.get("fragments_added", 0)),
+        }
+
+    def prune_versions(self, keep_latest: int = 1, older_than_seconds: float | None = None) -> dict:
+        """Remove old version manifests + unreferenced data files
+        (reference table/optimize.rs `Prune`)."""
+        infos = self.list_versions()
+        tagged = {v["version"] for v in self.list_tags().values()}
+        branch_heads = {v["version"] for v in self.list_branches().values()}
+        branch_heads.add(self.version)
+        keep = set(v.version for v in infos[-keep_latest:]) | tagged | branch_heads
+        now = time.time()
+        removed = 0
+        kept_manifests = []
+        for info in infos:
+            if info.version in keep:
+                kept_manifests.append(info.version)
+                continue
+            if older_than_seconds is not None and (now - info.timestamp) < older_than_seconds:
+                kept_manifests.append(info.version)
+                continue
+            self.store.delete(manifest_path(self.root, info.version))
+            removed += 1
+        # garbage-collect unreferenced data files
+        referenced: set[str] = set()
+        for v in kept_manifests:
+            try:
+                m = Dataset._read_manifest(self.store, self.root, v)
+            except VersionNotFoundError:
+                continue
+            for f in m.fragments:
+                referenced.add(f.data_file)
+                if f.deletion_file:
+                    referenced.add(f.deletion_file)
+        bytes_removed = 0
+        for prefix in ("_data", "_deletions"):
+            for p in list(self.store.list(f"{self.root}/{prefix}")):
+                rel = p[len(self.root) + 1 :]
+                if rel not in referenced:
+                    try:
+                        bytes_removed += self.store.size(p)
+                    except FileNotFoundError:
+                        pass
+                    self.store.delete(p)
+        return {"old_versions_removed": removed, "bytes_removed": bytes_removed}
+
+    # -------------------------------------------------------------- stats
+
+    def stats(self) -> dict:
+        total_bytes = 0
+        for f in self.manifest.fragments:
+            try:
+                total_bytes += self.store.size(f"{self.root}/{f.data_file}")
+            except FileNotFoundError:
+                pass
+        return {
+            "total_bytes": total_bytes,
+            "num_rows": self.manifest.num_rows,
+            "num_fragments": len(self.manifest.fragments),
+            "num_indices": len(self.manifest.indices),
+            "num_deleted_rows": sum(f.num_deleted for f in self.manifest.fragments),
+            "version": self.version,
+            "branch": self.branch,
+        }
