@@ -1,0 +1,216 @@
+"""Batched k-means (Lloyd) on the MXU.
+
+The reference trains IVF coarse quantizers with sampled k-means
+(sample_rate=256 rows per centroid, max 50 iterations —
+index/vector.rs:76-108) inside the lance crates, on CPU SIMD or via a
+GPU `accelerator`. Here both halves of a Lloyd iteration are matmuls:
+
+  assign:  argmin_c ||x - c||^2  → one (N, D)x(D, K) matmul + argmin
+  update:  C' = onehot(assign)ᵀ X / counts → one (K, N)x(N, D) matmul
+
+so the whole trainer runs at MXU rate under one jit. The assignment
+matmul runs in bfloat16 (ranking argmin tolerates it; centroids are
+averages so the update accumulates in f32). Empty clusters are
+reseeded from data rows, matching the usual FAISS/lance recovery.
+
+Everything is shape-static: fixed iteration count via lax.scan with a
+convergence mask (no recompiles across datasets of the same shape).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .util import matmul_dtype
+from .distance import normalize_metric
+
+
+def _assign(x_b: jax.Array, x_n2: jax.Array, cents: jax.Array, metric: str) -> jax.Array:
+    """Nearest-centroid ids. x_b: (N, D) bf16; x_n2: (N,) f32 |x|^2."""
+    c = cents.astype(matmul_dtype())
+    dots = jnp.dot(x_b, c.T, preferred_element_type=jnp.float32)  # (N, K)
+    if metric == "cosine" or metric == "dot":
+        # spherical: centroids renormalized each iter → argmax dot
+        return jnp.argmax(dots, axis=-1)
+    cn2 = jnp.sum(jnp.square(cents), axis=-1)  # (K,)
+    d = x_n2[:, None] - 2.0 * dots + cn2[None, :]
+    return jnp.argmin(d, axis=-1)
+
+
+def _update(x_b: jax.Array, assign: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """One-hot-matmul centroid update. Returns (sums (K, D) f32, counts (K,) f32)."""
+    onehot = jax.nn.one_hot(assign, k, dtype=matmul_dtype())  # exact in bf16
+    sums = jnp.dot(onehot.T, x_b, preferred_element_type=jnp.float32)
+    counts = jnp.sum(onehot.astype(jnp.float32), axis=0)
+    return sums, counts
+
+
+@partial(jax.jit, static_argnames=("k", "max_iters", "metric"))
+def kmeans_fit_device(
+    x: jax.Array,
+    init_centroids: jax.Array,
+    reseed_rows: jax.Array,
+    k: int,
+    max_iters: int = 50,
+    metric: str = "l2",
+    tol: float = 1e-4,
+) -> tuple[jax.Array, jax.Array]:
+    """Run Lloyd iterations on device.
+
+    x:              (N, D) float32 training sample
+    init_centroids: (K, D) float32
+    reseed_rows:    (max_iters, K) int32 random row ids for empty-cluster
+                    recovery (precomputed host-side: no device RNG state)
+    Returns (centroids (K, D) f32, final assignment (N,) int32).
+    """
+    spherical = metric in ("cosine", "dot")
+    xf = x.astype(jnp.float32)
+    if spherical:
+        xf = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-30)
+    x_b = xf.astype(matmul_dtype())
+    x_n2 = jnp.sum(jnp.square(xf), axis=-1)
+
+    def renorm(c):
+        if spherical:
+            return c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-30)
+        return c
+
+    def body(carry, it):
+        cents, done = carry
+        assign = _assign(x_b, x_n2, cents, metric)
+        sums, counts = _update(x_b, assign, k)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # empty clusters: reseed from random data rows this iteration
+        reseed = xf[reseed_rows[it]]
+        new = jnp.where((counts > 0)[:, None], new, reseed)
+        new = renorm(new)
+        shift = jnp.max(jnp.sum(jnp.square(new - cents), axis=-1))
+        new_done = jnp.logical_or(done, shift < tol)
+        # freeze once converged (keeps scan shape-static, skips no work
+        # but avoids drift; XLA still executes — fine, iters are cheap)
+        out = jnp.where(done, cents, new)
+        return (out, new_done), None
+
+    init = (renorm(init_centroids.astype(jnp.float32)), jnp.bool_(False))
+    (cents, _), _ = jax.lax.scan(body, init, jnp.arange(max_iters))
+    final_assign = _assign(x_b, x_n2, cents, metric).astype(jnp.int32)
+    return cents, final_assign
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmeanspp_init_device(x: jax.Array, key: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding as one lax.scan on device.
+
+    Each step extends the running min-distance array with the newest
+    centroid and samples the next one ∝ D² via the Gumbel-max trick —
+    no host round-trips, fully seeded/deterministic.
+    """
+    n = x.shape[0]
+    xf = x.astype(jnp.float32)
+    x_n2 = jnp.sum(jnp.square(xf), axis=-1)
+    k0, kg = jax.random.split(key)
+    first = jax.random.randint(k0, (), 0, n)
+    gumbels = jax.random.gumbel(kg, (k, n), dtype=jnp.float32)
+
+    def body(carry, it):
+        min_d2, prev_idx = carry
+        c = xf[prev_idx]
+        d2 = x_n2 - 2.0 * (xf @ c) + jnp.sum(jnp.square(c))
+        min_d2 = jnp.minimum(min_d2, jnp.maximum(d2, 0.0))
+        logits = jnp.where(min_d2 > 0, jnp.log(jnp.maximum(min_d2, 1e-30)), -jnp.inf)
+        nxt = jnp.argmax(logits + gumbels[it])
+        return (min_d2, nxt), prev_idx
+
+    (_, last), idxs = jax.lax.scan(
+        body, (jnp.full((n,), jnp.inf, dtype=jnp.float32), first), jnp.arange(k)
+    )
+    return xf[idxs]
+
+
+def kmeans_fit(
+    data: np.ndarray,
+    k: int,
+    metric: str = "l2",
+    max_iters: int = 50,
+    sample_rate: int = 256,
+    seed: int = 0,
+    tol: float = 1e-4,
+    init: str = "kmeans++",
+) -> np.ndarray:
+    """Host entry: sample, init, train on device. Returns (K, D) f32.
+
+    Sampling mirrors the reference defaults: at most sample_rate × k
+    training rows (index/vector.rs:286-298). Initialization is
+    k-means++ on a subsample (≤32 rows/centroid) — better partition
+    balance than random init at negligible build cost.
+    """
+    metric = normalize_metric(metric)
+    data = np.asarray(data, dtype=np.float32)
+    n = data.shape[0]
+    if n < k:
+        raise ValueError(f"need at least k={k} rows to train k-means, got {n}")
+    rng = np.random.default_rng(seed)
+    max_sample = sample_rate * k
+    if n > max_sample:
+        sel = rng.choice(n, size=max_sample, replace=False)
+        sample = data[sel]
+    else:
+        sample = data
+    if init == "kmeans++":
+        init_pool_size = min(sample.shape[0], max(32 * k, 4 * k))
+        pool = (
+            sample
+            if init_pool_size >= sample.shape[0]
+            else sample[rng.choice(sample.shape[0], size=init_pool_size, replace=False)]
+        )
+        if metric in ("cosine", "dot"):
+            norms = np.linalg.norm(pool, axis=-1, keepdims=True)
+            pool = pool / np.maximum(norms, 1e-30)
+        init_centroids = kmeanspp_init_device(
+            jnp.asarray(pool), jax.random.PRNGKey(seed), k=k
+        )
+    else:
+        init_ids = rng.choice(sample.shape[0], size=k, replace=False)
+        init_centroids = jnp.asarray(sample[init_ids])
+    reseed = rng.integers(0, sample.shape[0], size=(max_iters, k), dtype=np.int32)
+    cents, _ = kmeans_fit_device(
+        jnp.asarray(sample),
+        init_centroids,
+        jnp.asarray(reseed),
+        k=k,
+        max_iters=max_iters,
+        metric=metric,
+        tol=tol,
+    )
+    return np.asarray(cents)
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def kmeans_assign_device(x: jax.Array, cents: jax.Array, metric: str = "l2") -> jax.Array:
+    spherical = metric in ("cosine", "dot")
+    xf = x.astype(jnp.float32)
+    if spherical:
+        xf = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-30)
+    return _assign(xf.astype(matmul_dtype()), jnp.sum(jnp.square(xf), -1), cents, metric).astype(
+        jnp.int32
+    )
+
+
+def kmeans_assign(
+    data: np.ndarray, centroids: np.ndarray, metric: str = "l2", block_rows: int = 1 << 18
+) -> np.ndarray:
+    """Blocked host wrapper: partition-assign a full dataset."""
+    metric = normalize_metric(metric)
+    data = np.asarray(data, dtype=np.float32)
+    cents = jnp.asarray(centroids, dtype=jnp.float32)
+    out = np.empty(data.shape[0], dtype=np.int32)
+    for start in range(0, data.shape[0], block_rows):
+        block = data[start : start + block_rows]
+        out[start : start + len(block)] = np.asarray(
+            kmeans_assign_device(jnp.asarray(block), cents, metric)
+        )
+    return out

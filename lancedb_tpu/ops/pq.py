@@ -1,0 +1,185 @@
+"""Product quantization: codebook training, encoding, and the ADC scan
+— formulated so the MXU does all the work.
+
+Reference behavior being matched (built in lance crates, SURVEY.md
+§2.9): PQ codebooks trained by per-subvector k-means (256 centroids,
+default num_sub_vectors = dim/16 — index/vector.rs:306-319), vectors
+encoded per subvector, queries scanned with asymmetric distance
+computation (ADC).
+
+TPU-first design decisions:
+
+* Training is one vmapped Lloyd program over all subvectors — a single
+  batched matmul per iteration, not num_sub_vectors sequential k-means.
+* The scan does NOT use scalar LUT gathers (poison on the VPU).
+  Instead codes are dequantized on the fly with a one-hot einsum that
+  lowers to a bf16 MXU matmul, and the ADC distance is the exact same
+  LUT sum expressed as `lut[q,s,:] · onehot(code)`:
+      d(q, x̃) = Σ_s ||q_s - C_s[code_s]||²
+  For residual IVF_PQ the identity
+      d(q, x̃) = ||q||² − 2·(q·c_p + q·r̃) + ||c_p + r̃||²
+  lets us reuse the query×centroid matmul from partition selection and
+  a stored per-row ||x̃||² term, so the per-candidate work is one
+  dequantize-matmul — no per-(query, partition) LUT materialization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .util import matmul_dtype
+from .kmeans import kmeans_fit_device, kmeanspp_init_device
+
+
+def default_num_sub_vectors(dim: int) -> int:
+    """Reference default: dim/16 if divisible, else dim/8, else 1
+    (index/vector.rs:306-319)."""
+    if dim % 16 == 0:
+        return dim // 16
+    if dim % 8 == 0:
+        return dim // 8
+    return 1
+
+
+def _split_subvectors(data: np.ndarray, nsub: int) -> np.ndarray:
+    """(N, D) → (nsub, N, dsub)."""
+    n, d = data.shape
+    if d % nsub != 0:
+        raise ValueError(f"dim {d} not divisible by num_sub_vectors {nsub}")
+    dsub = d // nsub
+    return np.ascontiguousarray(data.reshape(n, nsub, dsub).transpose(1, 0, 2))
+
+
+def pq_train(
+    data: np.ndarray,
+    num_sub_vectors: int,
+    num_bits: int = 8,
+    max_iters: int = 50,
+    sample_rate: int = 256,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train codebooks → (nsub, 2^bits, dsub) f32.
+
+    All subvector k-means run as ONE vmapped device program.
+    """
+    if num_bits not in (4, 8):
+        raise ValueError("num_bits must be 4 or 8")
+    k = 1 << num_bits
+    data = np.asarray(data, dtype=np.float32)
+    n = data.shape[0]
+    rng = np.random.default_rng(seed)
+    max_sample = sample_rate * k
+    if n > max_sample:
+        sel = rng.choice(n, size=max_sample, replace=False)
+        data = data[sel]
+        n = data.shape[0]
+    if n < k:
+        raise ValueError(f"need at least {k} rows to train PQ, got {n}")
+    subs = _split_subvectors(data, num_sub_vectors)  # (S, N, dsub)
+    # k-means++ seeding per subvector, vmapped into one device program
+    pool_n = min(n, 32 * k)
+    pool_ids = rng.choice(n, size=pool_n, replace=False)
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_sub_vectors)
+    inits = jax.vmap(lambda xs, kk: kmeanspp_init_device(xs, kk, k=k))(
+        jnp.asarray(subs[:, pool_ids]), keys
+    )  # (S, K, dsub)
+    reseed = rng.integers(0, n, size=(max_iters, k), dtype=np.int32)
+
+    fit = jax.vmap(
+        lambda x, c: kmeans_fit_device(
+            x, c, jnp.asarray(reseed), k=k, max_iters=max_iters, metric="l2"
+        )[0]
+    )
+    codebooks = fit(jnp.asarray(subs), jnp.asarray(inits))
+    return np.asarray(codebooks)
+
+
+@jax.jit
+def _encode_device(subs: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """subs: (S, N, dsub); codebooks: (S, K, dsub) → codes (N, S) uint8."""
+
+    def one(x, c):
+        xb = x.astype(matmul_dtype())
+        cb = c.astype(matmul_dtype())
+        dots = jnp.dot(xb, cb.T, preferred_element_type=jnp.float32)
+        cn2 = jnp.sum(jnp.square(c.astype(jnp.float32)), axis=-1)
+        d = cn2[None, :] - 2.0 * dots  # |x|^2 constant per row — argmin unaffected
+        return jnp.argmin(d, axis=-1)
+
+    codes = jax.vmap(one)(subs, codebooks)  # (S, N)
+    return codes.T.astype(jnp.uint8)
+
+
+def pq_encode(
+    data: np.ndarray, codebooks: np.ndarray, block_rows: int = 1 << 17
+) -> np.ndarray:
+    """Encode rows → (N, nsub) uint8 codes (blocked over rows)."""
+    data = np.asarray(data, dtype=np.float32)
+    nsub = codebooks.shape[0]
+    cb = jnp.asarray(codebooks)
+    out = np.empty((data.shape[0], nsub), dtype=np.uint8)
+    for start in range(0, data.shape[0], block_rows):
+        block = data[start : start + block_rows]
+        subs = jnp.asarray(_split_subvectors(block, nsub))
+        out[start : start + len(block)] = np.asarray(_encode_device(subs, cb))
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_dtype",))
+def pq_reconstruct_device(
+    codes: jax.Array, codebooks: jax.Array, out_dtype=None
+) -> jax.Array:
+    """Dequantize codes → (N, D) via one-hot einsum (MXU matmul).
+
+    codes: (N, S) uint8; codebooks: (S, K, dsub).
+    """
+    if out_dtype is None:
+        out_dtype = matmul_dtype()
+    k = codebooks.shape[1]
+    oh = jax.nn.one_hot(codes.astype(jnp.int32), k, dtype=matmul_dtype())  # (N, S, K)
+    recon = jnp.einsum(
+        "nsk,skd->nsd", oh, codebooks.astype(matmul_dtype()), preferred_element_type=jnp.float32
+    )
+    n = codes.shape[0]
+    return recon.reshape(n, -1).astype(out_dtype)
+
+
+def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray, block_rows: int = 1 << 16) -> np.ndarray:
+    cb = jnp.asarray(codebooks)
+    out = np.empty((codes.shape[0], codebooks.shape[0] * codebooks.shape[2]), dtype=np.float32)
+    for start in range(0, codes.shape[0], block_rows):
+        blk = jnp.asarray(codes[start : start + block_rows])
+        out[start : start + blk.shape[0]] = np.asarray(
+            pq_reconstruct_device(blk, cb, out_dtype=jnp.float32)
+        )
+    return out
+
+
+@jax.jit
+def adc_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Classic ADC lookup tables: (Q, S, K) of ||q_s − C_s[k]||².
+
+    Kept for plain (non-residual) PQ scans and for testing the matmul
+    formulation against the textbook one.
+    """
+    q = queries.astype(jnp.float32)
+    nsub, k, dsub = codebooks.shape
+    qs = q.reshape(q.shape[0], nsub, dsub)
+    cb = codebooks.astype(jnp.float32)
+    dots = jnp.einsum("qsd,skd->qsk", qs, cb, precision=jax.lax.Precision.HIGHEST)
+    qn2 = jnp.sum(jnp.square(qs), axis=-1)  # (Q, S)
+    cn2 = jnp.sum(jnp.square(cb), axis=-1)  # (S, K)
+    return qn2[:, :, None] - 2.0 * dots + cn2[None, :, :]
+
+
+@jax.jit
+def adc_scan_lut(luts: jax.Array, codes: jax.Array) -> jax.Array:
+    """LUT-sum ADC via one-hot contraction: luts (Q, S, K) × codes (N, S)
+    → distances (Q, N). Lowers to a bf16 batched matmul over S."""
+    k = luts.shape[-1]
+    oh = jax.nn.one_hot(codes.astype(jnp.int32), k, dtype=matmul_dtype())  # (N, S, K)
+    return jnp.einsum("qsk,nsk->qn", luts.astype(matmul_dtype()), oh, preferred_element_type=jnp.float32)
