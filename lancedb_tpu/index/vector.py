@@ -1,0 +1,650 @@
+"""Vector index build + search: FLAT / IVF_FLAT / IVF_SQ / IVF_PQ.
+
+Reference parity: these are the index families lancedb exposes
+(index.rs:29-102) whose kernels live in the lance crates (SURVEY.md
+§2.9 "Vector index build", "Scanner physical plans"). TPU-native
+re-design (SURVEY.md §7):
+
+* Partitions live as PADDED dense blocks ``(num_partitions, pmax, …)``
+  in HBM — XLA needs static shapes, so ragged IVF lists become padded
+  blocks with an additive +inf penalty on padding slots. ``jnp.take``
+  over the leading partition axis turns nprobe selection into
+  contiguous block gathers (DMA-friendly).
+* All distance work is matmuls (see ops/): partition selection is one
+  (Q, P) matmul; the probed IVF_FLAT/SQ scan is a batched matvec over
+  gathered blocks; the IVF_PQ scan dequantizes residual codes with a
+  one-hot einsum and reuses the partition-selection matmul for the
+  q·centroid term:  d = |q|² − 2(q·c_p + q·r̃) + |c_p + r̃|².
+* Search returns dense (Q, k) global slot ids; the host maps slots →
+  stable row addresses with one numpy take.
+
+Deletes/filters enter as a per-slot penalty vector (prefilter
+semantics — reference query.rs `prefilter`); unindexed fragments are
+brute-forced and merged by the query layer (delta-index semantics).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..arrow import fsl_to_numpy
+from ..errors import InvalidInputError
+from ..io.object_store import ObjectStore
+from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
+from ..ops.kmeans import kmeans_assign, kmeans_fit
+from ..ops.pq import default_num_sub_vectors, pq_encode, pq_reconstruct, pq_train
+from ..ops.topk import merge_topk, topk_smallest
+from ..ops.util import matmul_dtype, round_up
+from ..storage.manifest import IndexMeta, new_uuid
+from . import IvfFlat, IvfPq, IvfSq, default_num_partitions
+
+PAD_PENALTY = np.float32(3.0e38)
+
+# query-batch buckets: queries are padded up so jit caches stay small
+_Q_BUCKETS = (8, 32, 128, 512)
+
+
+def _q_bucket(q: int) -> int:
+    for b in _Q_BUCKETS:
+        if q <= b:
+            return b
+    return round_up(q, _Q_BUCKETS[-1])
+
+
+@dataclass
+class SearchParams:
+    """Per-query knobs (reference VectorQueryRequest, query.rs:1067-1114)."""
+
+    k: int = 10
+    nprobes: int = 20  # minimum_nprobes default (query.rs:1103)
+    refine_factor: int | None = None
+    lower_bound: float | None = None
+    upper_bound: float | None = None
+    precision: str = "default"  # 'default' | 'float32' | 'bfloat16'
+
+
+# --------------------------------------------------------------- save/load
+
+
+def _save_npy(store: ObjectStore, path: str, arr: np.ndarray) -> None:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    store.write_bytes(path, buf.getvalue())
+
+
+def _load_npy(store: ObjectStore, path: str) -> np.ndarray:
+    local = store.local_path(path)
+    if local is not None:
+        return np.load(local, mmap_mode="r")
+    return np.load(io.BytesIO(store.read_bytes(path)))
+
+
+# ------------------------------------------------------------------ build
+
+
+def _collect_vectors(dataset, column: str) -> tuple[np.ndarray, np.ndarray, list[int]]:
+    """Read (vectors, row_ids, fragment_ids) for all live rows."""
+    mats, rids, frag_ids = [], [], []
+    for meta, tbl in dataset.scan_fragments(columns=[column], with_row_id=True):
+        mats.append(fsl_to_numpy(tbl.column(column)))
+        rids.append(tbl.column("_rowid").to_numpy().astype(np.uint64))
+        frag_ids.append(meta.id)
+    if not mats:
+        raise InvalidInputError("cannot build a vector index on an empty table")
+    return np.concatenate(mats), np.concatenate(rids), frag_ids
+
+
+def _partition_layout(
+    assign: np.ndarray, num_partitions: int, pad_multiple: int = 8
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sort rows by partition → (order, counts, pmax)."""
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=num_partitions)
+    pmax = int(round_up(max(1, counts.max()), pad_multiple))
+    return order, counts, pmax
+
+
+def _scatter_padded(
+    values: np.ndarray, order: np.ndarray, counts: np.ndarray, pmax: int, fill=0
+) -> np.ndarray:
+    """(N, …) sorted-by-partition → (P, pmax, …) padded."""
+    p = len(counts)
+    out_shape = (p, pmax) + values.shape[1:]
+    out = np.full(out_shape, fill, dtype=values.dtype)
+    sorted_vals = values[order]
+    start = 0
+    for pid in range(p):
+        c = counts[pid]
+        if c:
+            out[pid, :c] = sorted_vals[start : start + c]
+        start += c
+    return out
+
+
+def build_vector_index(
+    dataset,
+    column: str,
+    config,
+    name: str | None = None,
+) -> IndexMeta:
+    """Train + encode + persist one vector index; returns its catalog entry.
+
+    Build path mirrors reference create_index (SURVEY.md §3.3): sampled
+    k-means on device → assign all rows → partitioned layout → (PQ/SQ)
+    encode on device → persist artifacts → commit manifest entry.
+    """
+    t0 = time.time()
+    metric = normalize_metric(config.distance_type)
+    vectors, row_ids, frag_ids = _collect_vectors(dataset, column)
+    n, dim = vectors.shape
+    uuid = new_uuid()
+    store: ObjectStore = dataset.store
+    prefix = dataset.index_dir(uuid)
+    index_type = config.index_type
+
+    meta_doc: dict = {
+        "index_type": index_type,
+        "column": column,
+        "metric": metric,
+        "dim": dim,
+        "num_rows": n,
+    }
+
+    if metric == "cosine":
+        # normalize once at build: cosine == l2²/2 on the unit sphere
+        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+        vectors = vectors / np.maximum(norms, 1e-30)
+
+    if index_type == "FLAT":
+        _save_npy(store, f"{prefix}/vectors.npy", vectors)
+        _save_npy(store, f"{prefix}/row_ids.npy", row_ids)
+    else:
+        nparts = config.num_partitions or default_num_partitions(n)
+        if nparts > n:
+            raise InvalidInputError(f"num_partitions {nparts} > num_rows {n}")
+        train_metric = "l2" if metric == "cosine" else metric
+        centroids = kmeans_fit(
+            vectors,
+            nparts,
+            metric=train_metric,
+            max_iters=config.max_iterations,
+            sample_rate=config.sample_rate,
+            seed=config.seed,
+        )
+        assign = kmeans_assign(vectors, centroids, metric=train_metric)
+        order, counts, pmax = _partition_layout(assign, nparts)
+        rid_padded = _scatter_padded(row_ids.view(np.int64), order, counts, pmax, fill=-1)
+        _save_npy(store, f"{prefix}/centroids.npy", centroids)
+        _save_npy(store, f"{prefix}/row_ids.npy", rid_padded)
+        _save_npy(store, f"{prefix}/counts.npy", counts.astype(np.int32))
+        meta_doc.update(num_partitions=nparts, pmax=pmax)
+
+        if index_type == "IVF_FLAT":
+            vec_padded = _scatter_padded(vectors, order, counts, pmax)
+            _save_npy(store, f"{prefix}/vectors.npy", vec_padded)
+        elif index_type == "IVF_SQ":
+            # int8 scalar quantization of raw vectors: per-dim affine
+            lo = vectors.min(axis=0)
+            hi = vectors.max(axis=0)
+            scale = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+            codes = np.clip(np.round((vectors - lo) / scale), 0, 255).astype(np.uint8)
+            deq = codes.astype(np.float32) * scale + lo
+            norms2 = np.sum(deq.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            _save_npy(store, f"{prefix}/codes.npy", _scatter_padded(codes, order, counts, pmax))
+            _save_npy(
+                store,
+                f"{prefix}/norms.npy",
+                _scatter_padded(norms2, order, counts, pmax, fill=PAD_PENALTY),
+            )
+            _save_npy(store, f"{prefix}/sq_scale.npy", scale)
+            _save_npy(store, f"{prefix}/sq_offset.npy", lo.astype(np.float32))
+        elif index_type == "IVF_PQ":
+            nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
+            residuals = vectors - centroids[assign]
+            codebooks = pq_train(
+                residuals,
+                nsub,
+                num_bits=config.num_bits,
+                max_iters=config.max_iterations,
+                sample_rate=config.sample_rate,
+                seed=config.seed,
+            )
+            codes = pq_encode(residuals, codebooks)
+            recon_res = pq_reconstruct(codes, codebooks)
+            recon = recon_res + centroids[assign]
+            rnorms = np.sum(recon.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            _save_npy(store, f"{prefix}/codes.npy", _scatter_padded(codes, order, counts, pmax))
+            _save_npy(store, f"{prefix}/codebooks.npy", codebooks)
+            _save_npy(
+                store,
+                f"{prefix}/rnorms.npy",
+                _scatter_padded(rnorms, order, counts, pmax, fill=PAD_PENALTY),
+            )
+            meta_doc.update(num_sub_vectors=nsub, num_bits=config.num_bits)
+        else:
+            raise InvalidInputError(f"unsupported vector index type {index_type!r}")
+
+    meta_doc["build_seconds"] = time.time() - t0
+    store.write_bytes(f"{prefix}/meta.json", json.dumps(meta_doc).encode())
+    return IndexMeta(
+        name=name or f"{column}_idx",
+        uuid=uuid,
+        columns=[column],
+        index_type=index_type,
+        params=meta_doc,
+        fragment_ids=frag_ids,
+        num_indexed_rows=n,
+        created_at=time.time(),
+    )
+
+
+# ------------------------------------------------------------------ search
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "use_bf16"))
+def _flat_search_device(q, vectors, norms2, penalty, k: int, metric: str, use_bf16: bool):
+    """Brute-force scan: one matmul + top-k. vectors: (N, D)."""
+    qf = q.astype(jnp.float32)
+    dtype = matmul_dtype() if use_bf16 else jnp.float32
+    prec = None if use_bf16 else jax.lax.Precision.HIGHEST
+    dots = jnp.dot(
+        qf.astype(dtype), vectors.astype(dtype).T,
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    if metric == "dot":
+        d = -dots
+    elif metric == "cosine":
+        qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1, keepdims=True))
+        d = 1.0 - dots / jnp.maximum(qn, 1e-30)  # index vectors pre-normalized
+    else:
+        qn2 = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+        d = qn2 - 2.0 * dots + norms2[None, :]
+        d = jnp.maximum(d, 0.0)
+    d = d + penalty[None, :]
+    return topk_smallest(d, k)
+
+
+@partial(jax.jit, static_argnames=("nprobes", "metric"))
+def _select_probes(q, centroids, nprobes: int, metric: str):
+    """(Q, P) centroid distances → top-nprobes partitions + q·c dots."""
+    qf = q.astype(jnp.float32)
+    dots = jnp.dot(
+        qf.astype(matmul_dtype()), centroids.astype(matmul_dtype()).T,
+        preferred_element_type=jnp.float32,
+    )  # (Q, P)
+    if metric == "dot":
+        d = -dots
+    else:
+        cn2 = jnp.sum(jnp.square(centroids), axis=-1)
+        qn2 = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+        d = qn2 - 2.0 * dots + cn2[None, :]
+    _, probe_ids = topk_smallest(d, nprobes)
+    probe_dots = jnp.take_along_axis(dots, probe_ids, axis=1)
+    return probe_ids, probe_dots
+
+
+@partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
+def _ivf_flat_search_device(
+    q, centroids, vectors, norms2, slot_penalty, k: int, nprobes: int, metric: str, has_mask: bool
+):
+    """vectors: (P, pmax, D); norms2: (P, pmax) with +inf padding."""
+    qb, dim = q.shape
+    pmax = vectors.shape[1]
+    probe_ids, _ = _select_probes(q, centroids, nprobes, metric)
+    g_vecs = jnp.take(vectors, probe_ids, axis=0)  # (Q, np, pmax, D)
+    g_norm = jnp.take(norms2, probe_ids, axis=0)  # (Q, np, pmax)
+    qf = q.astype(jnp.float32)
+    dots = jnp.einsum(
+        "qnpd,qd->qnp",
+        g_vecs.astype(matmul_dtype()),
+        qf.astype(matmul_dtype()),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "dot":
+        d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    elif metric == "cosine":
+        qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1))[:, None, None]
+        d = 1.0 - dots / jnp.maximum(qn, 1e-30)
+        d = d + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    else:
+        qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+        d = qn2 - 2.0 * dots + g_norm
+    if has_mask:
+        d = d + jnp.take(slot_penalty.reshape(centroids.shape[0], pmax), probe_ids, axis=0)
+    d = d.reshape(qb, -1)
+    vals, pos = topk_smallest(d, k)
+    # local position → global slot = partition * pmax + offset
+    probe_of = pos // pmax
+    off = pos % pmax
+    slots = jnp.take_along_axis(probe_ids, probe_of, axis=1) * pmax + off
+    return vals, slots
+
+
+@partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
+def _ivf_pq_search_device(
+    q,
+    centroids,
+    codes,
+    rnorms,
+    codebooks,
+    slot_penalty,
+    k: int,
+    nprobes: int,
+    metric: str,
+    has_mask: bool,
+):
+    """Residual-PQ ADC scan.
+
+    codes: (P, pmax, S) uint8; rnorms: (P, pmax) = |c_p + r̃|² (+inf pad);
+    codebooks: (S, K, dsub).
+
+    d(q, x̃) = |q|² − 2(q·c_p + q·r̃) + |x̃|²   (l2; dot analogous)
+
+    q·r̃ is the LUT sum Σ_s dlut[q, s, code_s], computed with a one-hot
+    einsum per probe step (lax.map over probes bounds the transient
+    one-hot to (Q, pmax, S, K) in bf16).
+    """
+    qb = q.shape[0]
+    nparts, pmax, nsub = codes.shape
+    kcode = codebooks.shape[1]
+    dsub = codebooks.shape[2]
+    qf = q.astype(jnp.float32)
+    probe_ids, probe_dots = _select_probes(q, centroids, nprobes, metric)
+    # dot-product LUT: dlut[q, s, c] = q_s · cb[s, c]
+    qs = qf.reshape(qb, nsub, dsub)
+    dlut = jnp.einsum(
+        "qsd,skd->qsk", qs.astype(matmul_dtype()), codebooks.astype(matmul_dtype()),
+        preferred_element_type=jnp.float32,
+    )  # (Q, S, K)
+    dlut_b = dlut.astype(matmul_dtype())
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)  # (Q,)
+
+    def probe_step(j):
+        pid = probe_ids[:, j]  # (Q,)
+        codes_j = jnp.take(codes, pid, axis=0)  # (Q, pmax, S)
+        rn_j = jnp.take(rnorms, pid, axis=0)  # (Q, pmax)
+        oh = jax.nn.one_hot(codes_j.astype(jnp.int32), kcode, dtype=matmul_dtype())
+        qdotr = jnp.einsum("qpsk,qsk->qp", oh, dlut_b, preferred_element_type=jnp.float32)
+        qdotc = probe_dots[:, j][:, None]  # (Q, 1)
+        if metric == "dot":
+            d = -(qdotc + qdotr) + jnp.where(rn_j >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:  # l2 (cosine pre-normalized → l2 ordering; reported as l2/2)
+            d = qn2[:, None] - 2.0 * (qdotc + qdotr) + rn_j
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
+        vals, off = topk_smallest(d, min(k, pmax))
+        slots = pid[:, None] * pmax + off
+        return vals, slots
+
+    def body(carry, j):
+        best_v, best_s = carry
+        v, s = probe_step(j)
+        if v.shape[1] < k:
+            pad = k - v.shape[1]
+            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=PAD_PENALTY)
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=0)
+        return merge_topk(best_v, best_s, v, s, k), None
+
+    init = (
+        jnp.full((qb, k), PAD_PENALTY, dtype=jnp.float32),
+        jnp.zeros((qb, k), dtype=jnp.int32),
+    )
+    (vals, slots), _ = jax.lax.scan(body, init, jnp.arange(nprobes))
+    return vals, slots
+
+
+@partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
+def _ivf_sq_search_device(
+    q, centroids, codes, norms2, scale, offset, slot_penalty,
+    k: int, nprobes: int, metric: str, has_mask: bool,
+):
+    """SQ scan: dequantize-on-the-fly matvec over probed blocks.
+
+    q·x̃ = (q*scale)·codes + q·offset — codes stay uint8 in HBM, cast
+    to bf16 in registers.
+    """
+    qb = q.shape[0]
+    nparts, pmax, dim = codes.shape
+    qf = q.astype(jnp.float32)
+    probe_ids, _ = _select_probes(q, centroids, nprobes, metric)
+    g_codes = jnp.take(codes, probe_ids, axis=0)  # (Q, np, pmax, D) uint8
+    g_norm = jnp.take(norms2, probe_ids, axis=0)
+    q_scaled = (qf * scale[None, :]).astype(matmul_dtype())
+    dots = jnp.einsum(
+        "qnpd,qd->qnp", g_codes.astype(matmul_dtype()), q_scaled,
+        preferred_element_type=jnp.float32,
+    )
+    dots = dots + jnp.dot(qf, offset)[:, None, None]
+    if metric == "dot":
+        d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    else:
+        qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+        d = qn2 - 2.0 * dots + g_norm
+    if has_mask:
+        d = d + jnp.take(slot_penalty.reshape(nparts, pmax), probe_ids, axis=0)
+    d = d.reshape(qb, -1)
+    vals, pos = topk_smallest(d, k)
+    probe_of = pos // pmax
+    off = pos % pmax
+    slots = jnp.take_along_axis(probe_ids, probe_of, axis=1) * pmax + off
+    return vals, slots
+
+
+class VectorSearcher:
+    """Loaded, device-resident index ready to serve queries."""
+
+    def __init__(self, store: ObjectStore, prefix: str, meta: IndexMeta):
+        self.meta = meta
+        self.params = json.loads(store.read_bytes(f"{prefix}/meta.json"))
+        self.metric = self.params["metric"]
+        self.index_type = self.params["index_type"]
+        self.dim = self.params["dim"]
+        self._store = store
+        self._prefix = prefix
+        self._device: dict[str, jax.Array] = {}
+        self._load(store, prefix)
+
+    # ---- loading -------------------------------------------------------
+    def _load(self, store, prefix):
+        if self.index_type == "FLAT":
+            vecs = np.asarray(_load_npy(store, f"{prefix}/vectors.npy"))
+            rids = np.asarray(_load_npy(store, f"{prefix}/row_ids.npy")).astype(np.uint64)
+            n = vecs.shape[0]
+            n_pad = round_up(n, 8)
+            penalty = np.zeros(n_pad, np.float32)
+            penalty[n:] = PAD_PENALTY
+            if n_pad != n:
+                vecs = np.pad(vecs, ((0, n_pad - n), (0, 0)))
+                rids = np.pad(rids, (0, n_pad - n), constant_values=np.iinfo(np.uint64).max)
+            self.row_ids_flat = rids
+            norms2 = np.sum(vecs.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            self._device["vectors"] = jnp.asarray(vecs)
+            self._device["norms2"] = jnp.asarray(norms2)
+            self._device["penalty"] = jnp.asarray(penalty)
+            self.num_slots = n_pad
+            return
+        self.nparts = self.params["num_partitions"]
+        self.pmax = self.params["pmax"]
+        rid = np.asarray(_load_npy(store, f"{prefix}/row_ids.npy"))  # (P, pmax) int64
+        self.row_ids_flat = rid.reshape(-1).view(np.uint64)
+        self.row_ids_valid = rid.reshape(-1) >= 0
+        self.num_slots = self.nparts * self.pmax
+        self._device["centroids"] = jnp.asarray(
+            np.asarray(_load_npy(store, f"{prefix}/centroids.npy"))
+        )
+        if self.index_type == "IVF_FLAT":
+            vecs = np.asarray(_load_npy(store, f"{prefix}/vectors.npy"))
+            norms2 = np.sum(vecs.astype(np.float64) ** 2, axis=2).astype(np.float32)
+            norms2[~self.row_ids_valid.reshape(self.nparts, self.pmax)] = PAD_PENALTY
+            self._device["vectors"] = jnp.asarray(vecs)
+            self._device["norms2"] = jnp.asarray(norms2)
+        elif self.index_type == "IVF_SQ":
+            self._device["codes"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/codes.npy")))
+            self._device["norms2"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/norms.npy")))
+            self._device["scale"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/sq_scale.npy")))
+            self._device["offset"] = jnp.asarray(
+                np.asarray(_load_npy(store, f"{prefix}/sq_offset.npy"))
+            )
+        elif self.index_type == "IVF_PQ":
+            self._device["codes"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/codes.npy")))
+            self._device["rnorms"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/rnorms.npy")))
+            self._device["codebooks"] = jnp.asarray(
+                np.asarray(_load_npy(store, f"{prefix}/codebooks.npy"))
+            )
+        else:
+            raise InvalidInputError(f"cannot load index type {self.index_type!r}")
+
+    # ---- mask plumbing -------------------------------------------------
+    def slot_penalty(self, allowed_row_ids: np.ndarray | None, deleted_row_ids: np.ndarray | None):
+        """Build the per-slot additive penalty for prefilter/deletions.
+
+        allowed_row_ids: sorted uint64 array (None = all allowed).
+        deleted_row_ids: sorted uint64 array (None = none deleted).
+        """
+        if allowed_row_ids is None and (deleted_row_ids is None or not len(deleted_row_ids)):
+            return None
+        penalty = np.zeros(self.num_slots, dtype=np.float32)
+        rid = self.row_ids_flat
+        if allowed_row_ids is not None:
+            ok = np.isin(rid, allowed_row_ids)
+            penalty[~ok] = PAD_PENALTY
+        if deleted_row_ids is not None and len(deleted_row_ids):
+            penalty[np.isin(rid, deleted_row_ids)] = PAD_PENALTY
+        return penalty
+
+    # ---- search --------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        params: SearchParams,
+        slot_penalty: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (distances (Q, k), row_ids (Q, k) uint64). Slots that
+        fell off the index (padding / filtered) come back with distance
+        +inf and row id 2^64-1."""
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if q.shape[1] != self.dim:
+            raise InvalidInputError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        nq = q.shape[0]
+        qb = _q_bucket(nq)
+        if qb != nq:
+            q = np.pad(q, ((0, qb - nq), (0, 0)))
+        k_eff = params.k if params.refine_factor is None else params.k * params.refine_factor
+        k_eff = min(k_eff, self.num_slots)
+        qj = jnp.asarray(q)
+        has_mask = slot_penalty is not None
+        pen = jnp.asarray(slot_penalty) if has_mask else jnp.zeros((1,), jnp.float32)
+
+        if self.index_type == "FLAT":
+            use_bf16 = params.precision == "bfloat16"
+            vals, slots = _flat_search_device(
+                qj,
+                self._device["vectors"],
+                self._device["norms2"],
+                self._device["penalty"] + (pen if has_mask else 0.0),
+                k=k_eff,
+                metric=self.metric,
+                use_bf16=use_bf16,
+            )
+        else:
+            nprobes = min(params.nprobes, self.nparts)
+            if self.index_type == "IVF_FLAT":
+                vals, slots = _ivf_flat_search_device(
+                    qj, self._device["centroids"], self._device["vectors"],
+                    self._device["norms2"], pen,
+                    k=min(k_eff, self.num_slots), nprobes=nprobes,
+                    metric=self.metric, has_mask=has_mask,
+                )
+            elif self.index_type == "IVF_SQ":
+                vals, slots = _ivf_sq_search_device(
+                    qj, self._device["centroids"], self._device["codes"],
+                    self._device["norms2"], self._device["scale"], self._device["offset"], pen,
+                    k=min(k_eff, self.num_slots), nprobes=nprobes,
+                    metric=self.metric, has_mask=has_mask,
+                )
+            else:  # IVF_PQ
+                vals, slots = _ivf_pq_search_device(
+                    qj, self._device["centroids"], self._device["codes"],
+                    self._device["rnorms"], self._device["codebooks"], pen,
+                    k=k_eff, nprobes=nprobes, metric=self.metric, has_mask=has_mask,
+                )
+        vals = np.asarray(vals)[:nq]
+        slots = np.asarray(slots)[:nq]
+        rids = self.row_ids_flat[slots]
+        invalid = vals >= PAD_PENALTY / 2
+        rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
+        vals = np.where(invalid, np.float32(np.inf), vals)
+        if self.metric == "cosine" and self.index_type in ("IVF_SQ", "IVF_PQ"):
+            # those scans compute l2² on the unit sphere = 2·(1−cos);
+            # FLAT / IVF_FLAT already produce cosine distance directly
+            vals = np.where(np.isfinite(vals), vals / 2.0, vals)
+        return vals.astype(np.float32), rids
+
+    def refine(
+        self,
+        dataset,
+        column: str,
+        queries: np.ndarray,
+        dists: np.ndarray,
+        row_ids: np.ndarray,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact rerank of candidates: gather original full-precision
+        vectors from the dataset (late materialization, reference
+        SURVEY.md §3.2 refine) and recompute distances."""
+        nq, cand = row_ids.shape
+        flat_ids = row_ids.reshape(-1)
+        valid = flat_ids != np.uint64(np.iinfo(np.uint64).max)
+        uniq, inverse = np.unique(flat_ids[valid], return_inverse=True)
+        tbl = dataset.take_rows(uniq, columns=[column])
+        mat = fsl_to_numpy(tbl.column(column))
+        if self.metric == "cosine":
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        gathered = np.zeros((nq * cand, mat.shape[1]), dtype=np.float32)
+        gathered[valid] = mat[inverse]
+        cands = gathered.reshape(nq, cand, -1)
+        q = np.asarray(queries, dtype=np.float32)
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        exact = np.asarray(refine_distances(jnp.asarray(q), jnp.asarray(cands), self.metric))
+        exact = np.where(valid.reshape(nq, cand), exact, np.inf)
+        order = np.argsort(exact, axis=1)[:, :k]
+        return np.take_along_axis(exact, order, axis=1), np.take_along_axis(row_ids, order, axis=1)
+
+
+def load_searcher(dataset, meta: IndexMeta) -> VectorSearcher:
+    return VectorSearcher(dataset.store, dataset.index_dir(meta.uuid), meta)
+
+
+def brute_force_search(
+    vectors: np.ndarray,
+    row_ids: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    metric: str,
+    precision: str = "float32",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index-free exact search over in-memory vectors (used for unindexed
+    delta fragments and tiny tables)."""
+    metric = normalize_metric(metric)
+    k = min(k, len(vectors))
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    d = np.asarray(
+        pairwise_distance(
+            jnp.asarray(q), jnp.asarray(vectors), metric,
+            precision="bfloat16" if precision == "bfloat16" else "float32",
+        )
+    )
+    vals, idx = topk_smallest(jnp.asarray(d), k)
+    idx = np.asarray(idx)
+    return np.asarray(vals), row_ids[idx]

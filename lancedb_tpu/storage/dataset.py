@@ -409,8 +409,11 @@ class Dataset:
                 rid = (np.uint64(meta.id) << np.uint64(32)) | sel.astype(np.uint64)
                 out = out.append_column(ROW_ID_COL, pa.array(rid, type=pa.uint64()))
                 if columns is not None:
-                    # honor requested column order
-                    out = out.select([c for c in columns])
+                    # honor requested column order; _rowid rides along
+                    want = list(columns)
+                    if ROW_ID_COL not in want:
+                        want.append(ROW_ID_COL)
+                    out = out.select(want)
             yield meta, out
 
     def to_table(

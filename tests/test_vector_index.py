@@ -1,0 +1,166 @@
+"""Vector index build/search tests: recall vs exact, filters, refine,
+metrics, persistence (reference test_index.py territory)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lancedb_tpu.index import Flat, IvfFlat, IvfPq, IvfSq
+from lancedb_tpu.index.vector import (
+    SearchParams,
+    brute_force_search,
+    build_vector_index,
+    load_searcher,
+)
+from lancedb_tpu.io.object_store import MemoryStore
+from lancedb_tpu.storage.dataset import Dataset
+
+N, DIM = 2000, 32
+RNG = np.random.default_rng(7)
+VECS = RNG.standard_normal((N, DIM)).astype(np.float32)
+
+
+def exact_topk(queries, k, metric="l2"):
+    if metric == "l2":
+        d = ((queries[:, None, :] - VECS[None, :, :]) ** 2).sum(-1)
+    elif metric == "cosine":
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        xn = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+        d = 1 - qn @ xn.T
+    else:
+        d = -(queries @ VECS.T)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    store = MemoryStore()
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(N, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(VECS.ravel()), DIM),
+        }
+    )
+    return Dataset.create(store, "t.lance", tbl.schema, tbl)
+
+
+def recall_at_k(found_rowids, truth_ids, dataset, k):
+    """found rowids → table ids via take, overlap with ground truth."""
+    hits = 0
+    for q in range(found_rowids.shape[0]):
+        valid = found_rowids[q][found_rowids[q] != np.uint64(np.iinfo(np.uint64).max)]
+        got = set(dataset.take_rows(valid, columns=["id"]).column("id").to_pylist())
+        hits += len(got & set(truth_ids[q].tolist())) / k
+    return hits / found_rowids.shape[0]
+
+
+QUERIES = RNG.standard_normal((10, DIM)).astype(np.float32)
+
+
+class TestFlat:
+    def test_exact_recall(self, dataset):
+        meta = build_vector_index(dataset, "vector", Flat())
+        dataset.add_index(meta)
+        s = load_searcher(dataset, meta)
+        d, rids = s.search(QUERIES, SearchParams(k=10))
+        truth = exact_topk(QUERIES, 10)
+        assert recall_at_k(rids, truth, dataset, 10) == 1.0
+        assert (np.diff(d, axis=1) >= -1e-5).all()  # sorted ascending
+
+    def test_cosine(self, dataset):
+        meta = build_vector_index(dataset, "vector", Flat(distance_type="cosine"))
+        s = load_searcher(dataset, meta)
+        d, rids = s.search(QUERIES, SearchParams(k=10))
+        truth = exact_topk(QUERIES, 10, "cosine")
+        assert recall_at_k(rids, truth, dataset, 10) == 1.0
+        assert (d >= -1e-5).all() and (d <= 2.0 + 1e-5).all()
+
+    def test_dot(self, dataset):
+        meta = build_vector_index(dataset, "vector", Flat(distance_type="dot"))
+        s = load_searcher(dataset, meta)
+        d, rids = s.search(QUERIES, SearchParams(k=10))
+        truth = exact_topk(QUERIES, 10, "dot")
+        assert recall_at_k(rids, truth, dataset, 10) == 1.0
+
+
+class TestIvfFlat:
+    def test_recall_improves_with_nprobes(self, dataset):
+        meta = build_vector_index(dataset, "vector", IvfFlat(num_partitions=32))
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(QUERIES, 10)
+        r_all = recall_at_k(s.search(QUERIES, SearchParams(k=10, nprobes=32))[1], truth, dataset, 10)
+        r_few = recall_at_k(s.search(QUERIES, SearchParams(k=10, nprobes=2))[1], truth, dataset, 10)
+        assert r_all == 1.0  # probing all partitions == exact
+        assert r_few <= r_all
+
+    def test_prefilter_mask(self, dataset):
+        meta = build_vector_index(dataset, "vector", IvfFlat(num_partitions=16))
+        s = load_searcher(dataset, meta)
+        # only allow rows with id < 100
+        allowed_tbl = dataset.to_table(columns=["id"], predicate="id < 100", with_row_id=True)
+        allowed = np.sort(allowed_tbl.column("_rowid").to_numpy().astype(np.uint64))
+        pen = s.slot_penalty(allowed, None)
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16), slot_penalty=pen)
+        for q in range(len(QUERIES)):
+            valid = rids[q][rids[q] != np.uint64(np.iinfo(np.uint64).max)]
+            ids = dataset.take_rows(valid, columns=["id"]).column("id").to_pylist()
+            assert all(i < 100 for i in ids)
+
+
+class TestIvfPq:
+    def test_recall_with_refine(self, dataset):
+        meta = build_vector_index(
+            dataset, "vector", IvfPq(num_partitions=16, num_sub_vectors=8)
+        )
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(QUERIES, 10)
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16))
+        r_plain = recall_at_k(rids, truth, dataset, 10)
+        d2, rids2 = s.search(QUERIES, SearchParams(k=10, nprobes=16, refine_factor=10))
+        d3, rids3 = s.refine(dataset, "vector", QUERIES, d2, rids2, 10)
+        r_refined = recall_at_k(rids3, truth, dataset, 10)
+        assert r_plain > 0.4
+        assert r_refined >= r_plain
+        assert r_refined > 0.9
+
+    def test_cosine_pq(self, dataset):
+        meta = build_vector_index(
+            dataset, "vector", IvfPq(distance_type="cosine", num_partitions=16, num_sub_vectors=8)
+        )
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(QUERIES, 10, "cosine")
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16, refine_factor=8))
+        d, rids = s.refine(dataset, "vector", QUERIES, d, rids, 10)
+        assert recall_at_k(rids, truth, dataset, 10) > 0.8
+        assert (d >= -1e-5).all() and (d <= 2.0 + 1e-5).all()
+
+
+class TestIvfSq:
+    def test_recall(self, dataset):
+        meta = build_vector_index(dataset, "vector", IvfSq(num_partitions=16))
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(QUERIES, 10)
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16))
+        assert recall_at_k(rids, truth, dataset, 10) > 0.9  # int8 is near-exact
+
+
+class TestBruteForce:
+    def test_matches_exact(self, dataset):
+        rid_tbl = dataset.to_table(columns=["id"], with_row_id=True)
+        rids = rid_tbl.column("_rowid").to_numpy().astype(np.uint64)
+        d, found = brute_force_search(VECS, rids, QUERIES, 10, "l2")
+        truth = exact_topk(QUERIES, 10)
+        assert recall_at_k(found, truth, dataset, 10) == 1.0
+
+
+def test_persistence_roundtrip(dataset):
+    meta = build_vector_index(dataset, "vector", IvfPq(num_partitions=8, num_sub_vectors=4))
+    dataset.add_index(meta, replace=True)
+    # re-open dataset fresh and reload the index from storage
+    ds2 = Dataset.open(dataset.store, dataset.root)
+    stored = ds2.manifest.index_by_name(meta.name)
+    assert stored is not None
+    s = load_searcher(ds2, stored)
+    d, rids = s.search(QUERIES, SearchParams(k=5, nprobes=8))
+    assert d.shape == (10, 5)
+    assert np.isfinite(d).all()
