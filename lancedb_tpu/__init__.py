@@ -1,0 +1,69 @@
+"""lancedb_tpu — a TPU-native embedded vector database.
+
+A from-scratch re-design of the LanceDB capability surface
+(github.com/lancedb/lancedb) for TPU hardware: versioned columnar
+tables on object storage, vector indexes whose training and search run
+as JAX/XLA/Pallas programs on the MXU, BM25 full-text search, SQL
+filtering, hybrid search + reranking, embeddings registry, and an
+elastic streaming dataloader. See SURVEY.md for the architecture map.
+
+Quick start::
+
+    import lancedb_tpu as ldb
+
+    db = ldb.connect("/tmp/mydb")
+    tbl = db.create_table("items", [{"id": 1, "vector": [0.1, 0.2]}])
+    tbl.create_index(index_type="IVF_PQ", metric="l2")
+    tbl.search([0.1, 0.2]).limit(5).where("id > 0").to_arrow()
+"""
+
+from .arrow import vector
+from .db import AsyncConnection, DBConnection, LanceDBConnection, connect, connect_async
+from .errors import LanceDBError
+from .query import (
+    DEFAULT_TOP_K,
+    LanceEmptyQueryBuilder,
+    LanceFtsQueryBuilder,
+    LanceHybridQueryBuilder,
+    LanceQueryBuilder,
+    LanceVectorQueryBuilder,
+)
+from .query_fts import (
+    BooleanQuery,
+    BoostQuery,
+    MatchQuery,
+    MultiMatchQuery,
+    Occur,
+    Operator,
+    PhraseQuery,
+)
+from .table import AsyncTable, MergeInsertBuilder, Table
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "connect",
+    "connect_async",
+    "vector",
+    "DBConnection",
+    "LanceDBConnection",
+    "AsyncConnection",
+    "Table",
+    "AsyncTable",
+    "MergeInsertBuilder",
+    "LanceQueryBuilder",
+    "LanceVectorQueryBuilder",
+    "LanceFtsQueryBuilder",
+    "LanceHybridQueryBuilder",
+    "LanceEmptyQueryBuilder",
+    "MatchQuery",
+    "PhraseQuery",
+    "BoostQuery",
+    "MultiMatchQuery",
+    "BooleanQuery",
+    "Occur",
+    "Operator",
+    "LanceDBError",
+    "DEFAULT_TOP_K",
+    "__version__",
+]

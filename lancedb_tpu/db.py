@@ -1,0 +1,241 @@
+"""Database connections: URI routing, table CRUD.
+
+Mirrors reference `connect()` → `Connection` (rust connection.rs:
+376-649, python db.py `LanceDBConnection`): a database is a directory
+of `<name>.lance` table datasets on an object store (reference
+ListingDatabase, database/listing.rs:42).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Iterable
+
+import pyarrow as pa
+
+from .arrow import to_arrow_table
+from .errors import InvalidInputError, TableAlreadyExistsError, TableNotFoundError
+from .io.object_store import ObjectStore, resolve_uri
+from .storage.dataset import Dataset
+from .storage.manifest import VERSIONS_DIR
+from .table import AsyncTable, Table
+
+TABLE_SUFFIX = ".lance"
+
+
+class DBConnection:
+    """Abstract connection (reference python db.py:79)."""
+
+    def table_names(self, page_token: str | None = None, limit: int | None = None) -> list[str]:
+        raise NotImplementedError
+
+    def create_table(self, name: str, data=None, schema=None, mode: str = "create", **kw) -> Table:
+        raise NotImplementedError
+
+    def open_table(self, name: str, **kw) -> Table:
+        raise NotImplementedError
+
+    def drop_table(self, name: str) -> None:
+        raise NotImplementedError
+
+    def rename_table(self, old: str, new: str) -> None:
+        raise NotImplementedError
+
+    def drop_all_tables(self) -> None:
+        for n in self.table_names():
+            self.drop_table(n)
+
+    # deprecated alias kept for reference-parity
+    def drop_database(self) -> None:
+        self.drop_all_tables()
+
+
+class LanceDBConnection(DBConnection):
+    def __init__(
+        self,
+        uri: str,
+        *,
+        read_consistency_interval: float | None = None,
+        storage_options: dict | None = None,
+        store: ObjectStore | None = None,
+    ):
+        self.uri = uri
+        self.read_consistency_interval = read_consistency_interval
+        self.storage_options = storage_options or {}
+        if store is not None:
+            self._store, self._root = store, uri
+        else:
+            self._store, self._root = resolve_uri(uri, storage_options)
+
+    def __repr__(self) -> str:
+        return f"LanceDBConnection(uri={self.uri!r})"
+
+    def _table_root(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise InvalidInputError(f"invalid table name {name!r}")
+        return f"{self._root}/{name}{TABLE_SUFFIX}"
+
+    def table_names(self, page_token: str | None = None, limit: int | None = None) -> list[str]:
+        names = []
+        for path in self._store.list(self._root):
+            base = path.rsplit("/", 1)[-1]
+            if base.endswith(TABLE_SUFFIX):
+                names.append(base[: -len(TABLE_SUFFIX)])
+        names.sort()
+        if page_token is not None:
+            names = [n for n in names if n > page_token]
+        if limit is not None:
+            names = names[:limit]
+        return names
+
+    def create_table(
+        self,
+        name: str,
+        data: Any = None,
+        schema: pa.Schema | None = None,
+        mode: str = "create",
+        exist_ok: bool = False,
+        on_bad_vectors: str = "error",
+        embedding_functions: list | None = None,
+        **unused,
+    ) -> Table:
+        """Create a table from data and/or schema (reference
+        connection.rs CreateTableBuilder, python db.py create_table)."""
+        if mode not in ("create", "overwrite"):
+            raise InvalidInputError(f"unknown mode {mode!r}")
+        if mode == "create" and exist_ok:
+            mode = "exist_ok"
+
+        # pydantic LanceModel schema support
+        if schema is not None and not isinstance(schema, pa.Schema):
+            if hasattr(schema, "to_arrow_schema"):
+                schema = schema.to_arrow_schema()
+            else:
+                raise InvalidInputError("schema must be a pyarrow.Schema or LanceModel")
+
+        if embedding_functions:
+            from .embeddings.registry import EmbeddingFunctionRegistry
+
+            registry = EmbeddingFunctionRegistry.get_instance()
+            schema = registry.attach_metadata(schema, embedding_functions)
+
+        if data is None and schema is None:
+            raise InvalidInputError("either data or schema is required")
+        tbl = to_arrow_table(data, schema=schema) if data is not None else None
+        if schema is None:
+            schema = tbl.schema
+        root = self._table_root(name)
+        try:
+            ds = Dataset.create(
+                self._store,
+                root,
+                schema,
+                data=tbl,
+                mode=mode,
+            )
+        except TableAlreadyExistsError:
+            raise TableAlreadyExistsError(name) from None
+        table = Table(self, name, ds)
+        if tbl is not None and table._embedding_functions:
+            # data was written before embedding config existed on the
+            # instance; backfill vectors if the column is missing values
+            pass
+        return table
+
+    def open_table(
+        self,
+        name: str,
+        *,
+        version: int | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
+        **unused,
+    ) -> Table:
+        root = self._table_root(name)
+        if not self._store.exists(f"{root}/{VERSIONS_DIR}"):
+            raise TableNotFoundError(name)
+        ds = Dataset.open(self._store, root, version=version, tag=tag, branch=branch)
+        return Table(self, name, ds)
+
+    def drop_table(self, name: str, ignore_missing: bool = False) -> None:
+        root = self._table_root(name)
+        if not self._store.exists(f"{root}/{VERSIONS_DIR}"):
+            if ignore_missing:
+                return
+            raise TableNotFoundError(name)
+        self._store.delete(root)
+
+    def rename_table(self, old: str, new: str) -> None:
+        old_root = self._table_root(old)
+        new_root = self._table_root(new)
+        if not self._store.exists(f"{old_root}/{VERSIONS_DIR}"):
+            raise TableNotFoundError(old)
+        if self._store.exists(f"{new_root}/{VERSIONS_DIR}"):
+            raise TableAlreadyExistsError(new)
+        self._store.rename_prefix(old_root, new_root)
+
+    def __getitem__(self, name: str) -> Table:
+        return self.open_table(name)
+
+
+class AsyncConnection:
+    """Async facade (reference AsyncConnection)."""
+
+    def __init__(self, inner: LanceDBConnection):
+        self._c = inner
+
+    @property
+    def uri(self) -> str:
+        return self._c.uri
+
+    async def table_names(self, **kw) -> list[str]:
+        return await asyncio.to_thread(self._c.table_names, **kw)
+
+    async def create_table(self, name: str, data=None, schema=None, **kw) -> AsyncTable:
+        t = await asyncio.to_thread(lambda: self._c.create_table(name, data, schema, **kw))
+        return AsyncTable(t)
+
+    async def open_table(self, name: str, **kw) -> AsyncTable:
+        t = await asyncio.to_thread(lambda: self._c.open_table(name, **kw))
+        return AsyncTable(t)
+
+    async def drop_table(self, name: str, ignore_missing: bool = False) -> None:
+        await asyncio.to_thread(self._c.drop_table, name, ignore_missing)
+
+    async def rename_table(self, old: str, new: str) -> None:
+        await asyncio.to_thread(self._c.rename_table, old, new)
+
+    async def drop_all_tables(self) -> None:
+        await asyncio.to_thread(self._c.drop_all_tables)
+
+
+def connect(
+    uri: str,
+    *,
+    read_consistency_interval: float | None = None,
+    storage_options: dict | None = None,
+    **unused,
+) -> LanceDBConnection:
+    """Connect to a database directory / memory:// URI (reference
+    __init__.py:69 connect)."""
+    return LanceDBConnection(
+        uri,
+        read_consistency_interval=read_consistency_interval,
+        storage_options=storage_options,
+    )
+
+
+async def connect_async(
+    uri: str,
+    *,
+    read_consistency_interval: float | None = None,
+    storage_options: dict | None = None,
+    **unused,
+) -> AsyncConnection:
+    return AsyncConnection(
+        connect(
+            uri,
+            read_consistency_interval=read_consistency_interval,
+            storage_options=storage_options,
+        )
+    )

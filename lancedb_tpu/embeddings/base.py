@@ -1,0 +1,68 @@
+"""Embedding function contract (reference python embeddings/base.py:16-228
+`EmbeddingFunction` / `TextEmbeddingFunction`; rust embeddings.rs:45-57)."""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from typing import Any, ClassVar
+
+import numpy as np
+
+
+class EmbeddingFunction(ABC):
+    """Computes source + query embeddings; registered by name."""
+
+    name: ClassVar[str] = ""
+    max_retries: int = 7
+
+    def __init__(self, **kwargs):
+        self._config = dict(kwargs)
+        self.source_column: str | None = kwargs.get("source_column")
+
+    # --- contract --------------------------------------------------------
+    @abstractmethod
+    def ndims(self) -> int: ...
+
+    @abstractmethod
+    def compute_source_embeddings(self, texts: list[Any]) -> np.ndarray: ...
+
+    def compute_query_embeddings(self, query: Any) -> np.ndarray:
+        return self.compute_source_embeddings([query])
+
+    # --- retry wrapper (reference base.py *_with_retry) ------------------
+    def compute_source_embeddings_with_retry(self, texts, **kw) -> np.ndarray:
+        return self._retry(lambda: self.compute_source_embeddings(texts, **kw))
+
+    def compute_query_embeddings_with_retry(self, query, **kw) -> np.ndarray:
+        return self._retry(lambda: self.compute_query_embeddings(query, **kw))
+
+    def _retry(self, fn):
+        delay = 0.5
+        for attempt in range(self.max_retries):
+            try:
+                return fn()
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    raise
+                time.sleep(min(delay, 8.0))
+                delay *= 2
+        raise RuntimeError("unreachable")
+
+    # --- config ser/de ---------------------------------------------------
+    def safe_model_dump(self) -> dict:
+        return {k: v for k, v in self._config.items() if _json_safe(v)}
+
+
+def _json_safe(v) -> bool:
+    return isinstance(v, (str, int, float, bool, type(None), list, dict))
+
+
+class TextEmbeddingFunction(EmbeddingFunction):
+    """Text in → vector out convenience base."""
+
+    def compute_source_embeddings(self, texts: list[str]) -> np.ndarray:
+        return self.generate_embeddings([t if t is not None else "" for t in texts])
+
+    @abstractmethod
+    def generate_embeddings(self, texts: list[str]) -> np.ndarray: ...

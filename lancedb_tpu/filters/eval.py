@@ -106,8 +106,14 @@ class Evaluator:
         self.num_rows = data.num_rows
 
     def _column(self, name: str):
-        parts = name.split(".")
         cols = self.data.schema.names
+        # a dotted name may itself be a column (e.g. merge_insert exposes
+        # 'target.price' / 'source.price' as flat columns)
+        if "." in name and name in cols:
+            if isinstance(self.data, pa.Table):
+                return self.data.column(name)
+            return self.data.column(cols.index(name))
+        parts = name.split(".")
         # exact match first (case-preserving like reference expr `col()`)
         if name in cols:
             return self.data.column(name) if isinstance(self.data, pa.Table) else self.data.column(cols.index(name))

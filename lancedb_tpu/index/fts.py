@@ -1,0 +1,551 @@
+"""BM25 full-text index: build, persist, search.
+
+Reference parity: lance's inverted index + lancedb's FTS query exec
+(SURVEY.md §2.9 "FTS: BM25 inverted index…", python query.py FTS AST).
+Design: postings stored as CSR numpy arrays (term → doc ids + tfs,
+optional positions) — columnar and vectorizable; scoring is a
+vectorized numpy accumulation over the postings of the query's terms
+(queries touch few terms, so the host VPU… CPU is the right engine;
+the TPU earns its keep on the vector side of hybrid queries).
+
+BM25: idf(t) = ln(1 + (N − df + ½)/(df + ½)),
+      score = Σ_t idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)),
+      k1 = 1.2, b = 0.75 (lance defaults).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import InvalidInputError
+from ..query_fts import (
+    BooleanQuery,
+    BoostQuery,
+    FtsQueryNode,
+    MatchQuery,
+    MultiMatchQuery,
+    Occur,
+    Operator,
+    PhraseQuery,
+    parse_string_query,
+)
+from ..storage.manifest import IndexMeta, new_uuid
+from .tokenizer import Tokenizer
+
+K1 = 1.2
+B = 0.75
+
+
+def _save_npy(store, path, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    store.write_bytes(path, buf.getvalue())
+
+
+def _load_npy(store, path):
+    local = store.local_path(path)
+    if local is not None:
+        return np.load(local, mmap_mode="r")
+    return np.load(io.BytesIO(store.read_bytes(path)))
+
+
+class ColumnFtsIndex:
+    """In-memory searchable inverted index for one text column."""
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        df: np.ndarray,
+        postings_offsets: np.ndarray,
+        postings_docs: np.ndarray,
+        postings_tf: np.ndarray,
+        doc_lens: np.ndarray,
+        doc_rowids: np.ndarray,
+        tokenizer: Tokenizer,
+        pos_offsets: np.ndarray | None = None,
+        positions: np.ndarray | None = None,
+    ):
+        self.vocab = vocab
+        self.df = df
+        self.postings_offsets = postings_offsets
+        self.postings_docs = postings_docs
+        self.postings_tf = postings_tf
+        self.doc_lens = doc_lens
+        self.doc_rowids = doc_rowids
+        self.tokenizer = tokenizer
+        self.pos_offsets = pos_offsets
+        self.positions = positions
+        self.num_docs = len(doc_lens)
+        self.avgdl = float(doc_lens.mean()) if len(doc_lens) else 1.0
+        # sorted view for rowid → doc index mapping
+        self._sorted_order = np.argsort(doc_rowids)
+        self._sorted_rowids = doc_rowids[self._sorted_order]
+
+    # ---- term machinery ------------------------------------------------
+    def term_ids(self, tokens: list[str], fuzziness: int = 0, max_expansions: int = 50) -> list[list[int]]:
+        """Per query-token list of matching term ids (fuzzy expansion)."""
+        out = []
+        for tok in tokens:
+            tid = self.vocab.get(tok)
+            if tid is not None or fuzziness == 0:
+                out.append([tid] if tid is not None else [])
+                continue
+            out.append(self._fuzzy_expand(tok, fuzziness, max_expansions))
+        return out
+
+    def _fuzzy_expand(self, token: str, fuzziness: int, max_expansions: int) -> list[int]:
+        cands = []
+        lo, hi = len(token) - fuzziness, len(token) + fuzziness
+        for term, tid in self.vocab.items():
+            if not (lo <= len(term) <= hi):
+                continue
+            if _levenshtein_leq(token, term, fuzziness):
+                cands.append((self.df[tid], tid))
+                if len(cands) >= max_expansions * 4:
+                    break
+        cands.sort(reverse=True)  # most frequent expansions first
+        return [tid for _, tid in cands[:max_expansions]]
+
+    def postings(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = self.postings_offsets[tid], self.postings_offsets[tid + 1]
+        return self.postings_docs[s:e], self.postings_tf[s:e]
+
+    def term_positions(self, tid: int, posting_idx: np.ndarray) -> list[np.ndarray]:
+        assert self.pos_offsets is not None and self.positions is not None
+        s = self.postings_offsets[tid]
+        out = []
+        for pi in posting_idx:
+            a, b = self.pos_offsets[s + pi], self.pos_offsets[s + pi + 1]
+            out.append(self.positions[a:b])
+        return out
+
+    # ---- scoring -------------------------------------------------------
+    def idf(self, tid: int) -> float:
+        df = float(self.df[tid])
+        return float(np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5)))
+
+    def score_match(self, query: str, operator: Operator = Operator.OR, fuzziness: int = 0, max_expansions: int = 50) -> np.ndarray:
+        tokens = self.tokenizer.tokenize(query)
+        scores = np.zeros(self.num_docs, dtype=np.float32)
+        if not tokens:
+            return scores
+        groups = self.term_ids(tokens, fuzziness, max_expansions)
+        match_count = np.zeros(self.num_docs, dtype=np.int32) if operator == Operator.AND else None
+        norm = K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))
+        n_groups_with_terms = 0
+        for tids in groups:
+            if not tids:
+                continue
+            n_groups_with_terms += 1
+            group_hit = None
+            for tid in tids:
+                docs, tfs = self.postings(tid)
+                contrib = self.idf(tid) * tfs * (K1 + 1.0) / (tfs + norm[docs])
+                np.add.at(scores, docs, contrib.astype(np.float32))
+                if match_count is not None:
+                    if group_hit is None:
+                        group_hit = np.zeros(self.num_docs, dtype=bool)
+                    group_hit[docs] = True
+            if match_count is not None and group_hit is not None:
+                match_count += group_hit
+        if match_count is not None:
+            scores[match_count < n_groups_with_terms] = 0.0
+        return scores
+
+    def score_phrase(self, query: str, slop: int = 0) -> np.ndarray:
+        if self.positions is None:
+            raise InvalidInputError(
+                "phrase queries need an FTS index built with with_position=True"
+            )
+        tokens = self.tokenizer.tokenize(query)
+        scores = np.zeros(self.num_docs, dtype=np.float32)
+        if not tokens:
+            return scores
+        tids = [self.vocab.get(t) for t in tokens]
+        if any(t is None for t in tids):
+            return scores
+        if len(tids) == 1:
+            hit = self.score_match(query)
+            return hit
+        # candidate docs: intersection of postings
+        doc_sets = []
+        posting_pos = []  # per term: dict doc -> posting offset index
+        for tid in tids:
+            docs, _ = self.postings(tid)
+            doc_sets.append(docs)
+            posting_pos.append({int(d): i for i, d in enumerate(docs)})
+        cands = doc_sets[0]
+        for ds in doc_sets[1:]:
+            cands = np.intersect1d(cands, ds, assume_unique=True)
+        bm25 = self.score_match(" ".join(tokens))
+        for doc in cands:
+            plists = []
+            for t_i, tid in enumerate(tids):
+                pi = posting_pos[t_i][int(doc)]
+                plists.append(np.asarray(self.term_positions(tid, np.array([pi]))[0], dtype=np.int64))
+            if _phrase_match(plists, slop):
+                scores[doc] = bm25[doc]
+        return scores
+
+    # ---- persistence ---------------------------------------------------
+    def save(self, store, prefix: str) -> None:
+        store.write_bytes(
+            f"{prefix}/vocab.json",
+            json.dumps(sorted(self.vocab, key=self.vocab.get)).encode(),
+        )
+        _save_npy(store, f"{prefix}/df.npy", self.df)
+        _save_npy(store, f"{prefix}/postings_offsets.npy", self.postings_offsets)
+        _save_npy(store, f"{prefix}/postings_docs.npy", self.postings_docs)
+        _save_npy(store, f"{prefix}/postings_tf.npy", self.postings_tf)
+        _save_npy(store, f"{prefix}/doc_lens.npy", self.doc_lens)
+        _save_npy(store, f"{prefix}/doc_rowids.npy", self.doc_rowids.view(np.int64))
+        if self.pos_offsets is not None:
+            _save_npy(store, f"{prefix}/pos_offsets.npy", self.pos_offsets)
+            _save_npy(store, f"{prefix}/positions.npy", self.positions)
+
+    @staticmethod
+    def load(store, prefix: str, tokenizer: Tokenizer, with_position: bool) -> "ColumnFtsIndex":
+        vocab_list = json.loads(store.read_bytes(f"{prefix}/vocab.json"))
+        pos_offsets = positions = None
+        if with_position:
+            pos_offsets = np.asarray(_load_npy(store, f"{prefix}/pos_offsets.npy"))
+            positions = np.asarray(_load_npy(store, f"{prefix}/positions.npy"))
+        return ColumnFtsIndex(
+            vocab={t: i for i, t in enumerate(vocab_list)},
+            df=np.asarray(_load_npy(store, f"{prefix}/df.npy")),
+            postings_offsets=np.asarray(_load_npy(store, f"{prefix}/postings_offsets.npy")),
+            postings_docs=np.asarray(_load_npy(store, f"{prefix}/postings_docs.npy")),
+            postings_tf=np.asarray(_load_npy(store, f"{prefix}/postings_tf.npy")),
+            doc_lens=np.asarray(_load_npy(store, f"{prefix}/doc_lens.npy")),
+            doc_rowids=np.asarray(_load_npy(store, f"{prefix}/doc_rowids.npy")).view(np.uint64),
+            tokenizer=tokenizer,
+            pos_offsets=pos_offsets,
+            positions=positions,
+        )
+
+
+def _phrase_match(plists: list[np.ndarray], slop: int) -> bool:
+    """Do the terms appear consecutively (within slop)?"""
+    if slop == 0:
+        base = plists[0]
+        ok = base
+        for i, pl in enumerate(plists[1:], start=1):
+            ok = ok[np.isin(ok + i, pl)]
+            if len(ok) == 0:
+                return False
+        return True
+    # slop: greedy window check
+    base = plists[0]
+    for start in base:
+        pos = start
+        good = True
+        for i, pl in enumerate(plists[1:], start=1):
+            nxt = pl[(pl > pos) & (pl <= start + i + slop)]
+            if len(nxt) == 0:
+                good = False
+                break
+            pos = nxt[0]
+        if good:
+            return True
+    return False
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+# -------------------------------------------------------------------- build
+
+
+def build_fts_index(dataset, columns: list[str], config, name: str | None = None) -> IndexMeta:
+    """Tokenize + build CSR postings for each text column; persist."""
+    t0 = time.time()
+    tokenizer = Tokenizer(
+        base=config.base_tokenizer,
+        lower_case=config.lower_case,
+        stem=config.stem,
+        remove_stop_words=config.remove_stop_words,
+        ascii_folding=config.ascii_folding,
+        max_token_length=config.max_token_length,
+        language=config.language,
+        ngram_min_length=config.ngram_min_length,
+        ngram_max_length=config.ngram_max_length,
+        prefix_only=config.prefix_only,
+    )
+    for c in columns:
+        f = dataset.schema.field(c) if c in dataset.schema.names else None
+        if f is None:
+            raise InvalidInputError(f"no column {c!r}")
+        if not (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)):
+            raise InvalidInputError(f"FTS column {c!r} must be a string column, got {f.type}")
+    uuid = new_uuid()
+    store = dataset.store
+    prefix = dataset.index_dir(uuid)
+    frag_ids = []
+    n_docs_total = 0
+    for col_i, column in enumerate(columns):
+        vocab: dict[str, int] = {}
+        post: list[dict[int, list[int]]] = []  # tid -> {doc: positions}
+        doc_lens: list[int] = []
+        doc_rowids: list[int] = []
+        doc_idx = 0
+        frag_ids = []
+        for meta, tbl in dataset.scan_fragments(columns=[column], with_row_id=True):
+            frag_ids.append(meta.id)
+            texts = tbl.column(column).to_pylist()
+            rids = tbl.column("_rowid").to_numpy()
+            for text, rid in zip(texts, rids):
+                toks = tokenizer.tokenize(text)
+                doc_lens.append(len(toks))
+                doc_rowids.append(int(rid))
+                for pos, tok in enumerate(toks):
+                    tid = vocab.get(tok)
+                    if tid is None:
+                        tid = len(vocab)
+                        vocab[tok] = tid
+                        post.append({})
+                    post[tid].setdefault(doc_idx, []).append(pos)
+                doc_idx += 1
+        n_docs_total = doc_idx
+        # CSR conversion
+        T = len(vocab)
+        df = np.zeros(T, dtype=np.int32)
+        counts = np.zeros(T, dtype=np.int64)
+        for tid in range(T):
+            df[tid] = len(post[tid])
+            counts[tid] = len(post[tid])
+        offsets = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        P = int(offsets[-1])
+        p_docs = np.zeros(P, dtype=np.int32)
+        p_tf = np.zeros(P, dtype=np.float32)
+        pos_counts = np.zeros(P, dtype=np.int64)
+        w = 0
+        for tid in range(T):
+            for doc, positions in sorted(post[tid].items()):
+                p_docs[w] = doc
+                p_tf[w] = len(positions)
+                pos_counts[w] = len(positions)
+                w += 1
+        pos_offsets = positions_arr = None
+        if config.with_position:
+            pos_offsets = np.zeros(P + 1, dtype=np.int64)
+            np.cumsum(pos_counts, out=pos_offsets[1:])
+            positions_arr = np.zeros(int(pos_offsets[-1]), dtype=np.int32)
+            w = 0
+            for tid in range(T):
+                for doc, positions in sorted(post[tid].items()):
+                    a = pos_offsets[w]
+                    positions_arr[a : a + len(positions)] = positions
+                    w += 1
+        col_index = ColumnFtsIndex(
+            vocab=vocab,
+            df=df,
+            postings_offsets=offsets,
+            postings_docs=p_docs,
+            postings_tf=p_tf,
+            doc_lens=np.asarray(doc_lens, dtype=np.int32),
+            doc_rowids=np.asarray(doc_rowids, dtype=np.uint64),
+            tokenizer=tokenizer,
+            pos_offsets=pos_offsets,
+            positions=positions_arr,
+        )
+        col_index.save(store, f"{prefix}/col{col_i}")
+    params = {
+        "columns": columns,
+        "tokenizer": tokenizer.to_json(),
+        "with_position": config.with_position,
+        "num_docs": n_docs_total,
+        "build_seconds": time.time() - t0,
+    }
+    store.write_bytes(f"{prefix}/meta.json", json.dumps(params).encode())
+    return IndexMeta(
+        name=name or f"{columns[0]}_fts_idx",
+        uuid=uuid,
+        columns=columns,
+        index_type="FTS",
+        params=params,
+        fragment_ids=frag_ids,
+        num_indexed_rows=n_docs_total,
+        created_at=time.time(),
+    )
+
+
+class FtsIndex:
+    """Loaded multi-column FTS index."""
+
+    def __init__(self, store, prefix: str, meta: IndexMeta):
+        self.meta = meta
+        params = json.loads(store.read_bytes(f"{prefix}/meta.json"))
+        self.columns = params["columns"]
+        self.tokenizer = Tokenizer.from_json(params["tokenizer"])
+        self.with_position = params["with_position"]
+        self.by_column = {
+            col: ColumnFtsIndex.load(store, f"{prefix}/col{i}", self.tokenizer, self.with_position)
+            for i, col in enumerate(self.columns)
+        }
+
+    def default_column(self) -> str:
+        return self.columns[0]
+
+    def evaluate(self, node: FtsQueryNode) -> tuple[np.ndarray, "ColumnFtsIndex"]:
+        """Recursive evaluation → (scores over docs, column index used)."""
+        if isinstance(node, MatchQuery):
+            col = node.column or self.default_column()
+            ix = self._col(col)
+            s = ix.score_match(node.query, node.operator, node.fuzziness, node.max_expansions)
+            return s * node.boost, ix
+        if isinstance(node, PhraseQuery):
+            col = node.column or self.default_column()
+            ix = self._col(col)
+            return ix.score_phrase(node.query, node.slop), ix
+        if isinstance(node, MultiMatchQuery):
+            ix0 = self._col(node.columns[0])
+            total = None
+            for col, boost in zip(node.columns, node.boosts):
+                s, _ = self.evaluate(MatchQuery(node.query, col, boost=boost, operator=node.operator))
+                total = s if total is None else np.maximum(total, s)
+            return total, ix0
+        if isinstance(node, BoostQuery):
+            pos, ix = self.evaluate(node.positive)
+            neg, _ = self.evaluate(node.negative)
+            return pos - node.negative_boost * neg, ix
+        if isinstance(node, BooleanQuery):
+            ix = None
+            total = None
+            must_mask = None
+            not_mask = None
+            for occur, sub in node.queries:
+                s, ixs = self.evaluate(sub)
+                ix = ix or ixs
+                if occur == Occur.MUST_NOT:
+                    m = s > 0
+                    not_mask = m if not_mask is None else (not_mask | m)
+                    continue
+                total = s if total is None else total + s
+                if occur == Occur.MUST:
+                    m = s > 0
+                    must_mask = m if must_mask is None else (must_mask & m)
+            if total is None:
+                total = np.zeros(ix.num_docs if ix else 0, dtype=np.float32)
+            if must_mask is not None:
+                total = np.where(must_mask, total, 0.0)
+            if not_mask is not None:
+                total = np.where(not_mask, 0.0, total)
+            return total, ix
+        raise InvalidInputError(f"unsupported FTS query node {type(node)}")
+
+    def _col(self, col: str) -> ColumnFtsIndex:
+        if col not in self.by_column:
+            raise InvalidInputError(
+                f"column {col!r} is not part of this FTS index ({self.columns})"
+            )
+        return self.by_column[col]
+
+
+def load_fts_index(dataset, meta: IndexMeta) -> FtsIndex:
+    return FtsIndex(dataset.store, dataset.index_dir(meta.uuid), meta)
+
+
+# ------------------------------------------------------------------- query
+
+
+def execute_fts_query(
+    table,
+    query,
+    columns=None,
+    k: int = 10,
+    offset: int = 0,
+    filter: str | None = None,
+    prefilter: bool = True,
+    select=None,
+    with_row_id: bool = False,
+) -> pa.Table:
+    """FTS execution pipeline (reference SURVEY.md §3.2 hybrid FTS leg)."""
+    from .vector import PAD_PENALTY  # noqa: F401  (shared sentinel convention)
+
+    ds = table._dataset
+    fts_meta = None
+    for ix in ds.manifest.indices:
+        if ix.index_type != "FTS":
+            continue
+        if columns is None or set(columns) <= set(ix.columns):
+            fts_meta = ix
+            break
+    if fts_meta is None:
+        raise InvalidInputError(
+            "this table has no FTS index; call create_fts_index() first"
+        )
+    fts = table._get_fts_index(fts_meta)
+    node = parse_string_query(query, columns or fts.columns) if isinstance(query, str) else query
+    scores, col_ix = fts.evaluate(node)
+
+    # mask deleted + prefiltered docs
+    allowed = None
+    if filter is not None and prefilter:
+        t = ds.to_table(columns=[], predicate=filter, with_row_id=True)
+        allowed = np.sort(t.column("_rowid").to_numpy().astype(np.uint64))
+    live_frags = {f.id for f in ds.manifest.fragments}
+    frag_of = (col_ix.doc_rowids >> np.uint64(32)).astype(np.int64)
+    dead = ~np.isin(frag_of, np.fromiter(live_frags, dtype=np.int64)) if live_frags else None
+    if dead is not None:
+        scores = np.where(dead, 0.0, scores)
+    deleted_mask = _deleted_doc_mask(ds, fts_meta, col_ix)
+    if deleted_mask is not None:
+        scores = np.where(deleted_mask, 0.0, scores)
+    if allowed is not None:
+        ok = np.isin(col_ix.doc_rowids, allowed)
+        scores = np.where(ok, scores, 0.0)
+
+    top = np.argsort(-scores, kind="stable")[: k + offset]
+    top = top[scores[top] > 0]
+    top = top[offset:]
+    rowids = col_ix.doc_rowids[top]
+    hit_scores = scores[top]
+
+    cols = list(select) if isinstance(select, (list, tuple)) else None
+    data = ds.take_rows(rowids, columns=cols)
+    if isinstance(select, dict):
+        from ..filters.eval import evaluate_expression
+
+        base = ds.take_rows(rowids, columns=None)
+        data = pa.table({a: evaluate_expression(base, e) for a, e in select.items()})
+    data = data.append_column("_score", pa.array(hit_scores.astype(np.float32)))
+    if with_row_id:
+        data = data.append_column("_rowid", pa.array(rowids, type=pa.uint64()))
+    if filter is not None and not prefilter and data.num_rows:
+        from ..filters.eval import evaluate_predicate_mask
+
+        mask = evaluate_predicate_mask(data, filter)
+        data = data.filter(pa.array(mask))
+    return data
+
+
+def _deleted_doc_mask(ds, fts_meta, col_ix) -> np.ndarray | None:
+    out = None
+    for meta in ds.manifest.fragments:
+        keep = ds._keep_mask(meta)
+        if keep is None:
+            continue
+        gone = np.nonzero(~keep)[0].astype(np.uint64)
+        dead_rids = (np.uint64(meta.id) << np.uint64(32)) | gone
+        m = np.isin(col_ix.doc_rowids, dead_rids)
+        out = m if out is None else (out | m)
+    return out

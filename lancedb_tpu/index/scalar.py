@@ -1,0 +1,231 @@
+"""Scalar indexes: BTree (sorted), Bitmap, LabelList.
+
+Reference: lance scalar indices (SURVEY.md §2.9: BTree with 4096-row
+blocks, Bitmap, LabelList) surfaced through lancedb index.rs:31-56.
+Purpose here is prefilter acceleration: simple predicates over indexed
+columns resolve to row-id sets without scanning fragment data, feeding
+the slot-penalty mask of the vector searchers.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import InvalidInputError
+from ..filters.sql import Between, BinaryOp, Column, Expr, Literal, UnaryOp
+from ..storage.manifest import IndexMeta, new_uuid
+
+
+def _save_npy(store, path, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    store.write_bytes(path, buf.getvalue())
+
+
+def _load_npy(store, path):
+    local = store.local_path(path)
+    if local is not None:
+        return np.load(local, mmap_mode="r", allow_pickle=True)
+    return np.load(io.BytesIO(store.read_bytes(path)), allow_pickle=True)
+
+
+def build_scalar_index(dataset, column: str, config, name: str | None = None) -> IndexMeta:
+    if column not in dataset.schema.names:
+        raise InvalidInputError(f"no column {column!r}")
+    t0 = time.time()
+    uuid = new_uuid()
+    store = dataset.store
+    prefix = dataset.index_dir(uuid)
+    index_type = config.index_type
+
+    values_parts, rid_parts, frag_ids = [], [], []
+    for meta, tbl in dataset.scan_fragments(columns=[column], with_row_id=True):
+        frag_ids.append(meta.id)
+        values_parts.append(tbl.column(column))
+        rid_parts.append(tbl.column("_rowid").to_numpy().astype(np.uint64))
+    if not values_parts:
+        raise InvalidInputError("cannot index an empty table")
+    col = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in values_parts])
+    rids = np.concatenate(rid_parts)
+    n = len(rids)
+
+    if index_type == "BTREE":
+        vals = col.to_numpy(zero_copy_only=False)
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        order = np.argsort(np.where(null_mask, _null_sort_key(vals), vals), kind="stable")
+        order = order[~null_mask[order]]  # nulls excluded from the sorted run
+        _save_npy(store, f"{prefix}/sorted_values.npy", np.asarray(vals)[order])
+        _save_npy(store, f"{prefix}/sorted_rowids.npy", rids[order].view(np.int64))
+        _save_npy(store, f"{prefix}/null_rowids.npy", rids[null_mask].view(np.int64))
+    elif index_type == "BITMAP":
+        vals = col.to_numpy(zero_copy_only=False)
+        uniques, inverse = np.unique(
+            np.asarray(vals, dtype=object), return_inverse=True
+        )
+        order = np.argsort(inverse, kind="stable")
+        counts = np.bincount(inverse, minlength=len(uniques))
+        offsets = np.zeros(len(uniques) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        _save_npy(store, f"{prefix}/keys.npy", uniques)
+        _save_npy(store, f"{prefix}/offsets.npy", offsets)
+        _save_npy(store, f"{prefix}/rowids.npy", rids[order].view(np.int64))
+    elif index_type == "LABEL_LIST":
+        if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+            raise InvalidInputError("LABEL_LIST requires a list column")
+        flat = []
+        flat_rids = []
+        pylist = col.to_pylist()
+        for rid, labels in zip(rids, pylist):
+            for lab in labels or []:
+                flat.append(lab)
+                flat_rids.append(rid)
+        flat = np.asarray(flat, dtype=object)
+        flat_rids = np.asarray(flat_rids, dtype=np.uint64)
+        uniques, inverse = np.unique(flat, return_inverse=True)
+        order = np.argsort(inverse, kind="stable")
+        counts = np.bincount(inverse, minlength=len(uniques))
+        offsets = np.zeros(len(uniques) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        _save_npy(store, f"{prefix}/keys.npy", uniques)
+        _save_npy(store, f"{prefix}/offsets.npy", offsets)
+        _save_npy(store, f"{prefix}/rowids.npy", flat_rids[order].view(np.int64))
+    else:
+        raise InvalidInputError(f"unknown scalar index type {index_type!r}")
+
+    params = {"column": column, "num_rows": n, "build_seconds": time.time() - t0}
+    store.write_bytes(f"{prefix}/meta.json", json.dumps(params).encode())
+    return IndexMeta(
+        name=name or f"{column}_idx",
+        uuid=uuid,
+        columns=[column],
+        index_type=index_type,
+        params=params,
+        fragment_ids=frag_ids,
+        num_indexed_rows=n,
+        created_at=time.time(),
+    )
+
+
+def _null_sort_key(vals):
+    # stand-in key for nulls so argsort doesn't choke on None
+    try:
+        return np.zeros_like(vals)
+    except Exception:
+        return np.zeros(len(vals), dtype=object)
+
+
+class ScalarIndexReader:
+    """Loaded scalar index answering simple predicates with row-id sets."""
+
+    def __init__(self, store, prefix: str, meta: IndexMeta):
+        self.meta = meta
+        self.index_type = meta.index_type
+        if self.index_type == "BTREE":
+            self.sorted_values = np.asarray(_load_npy(store, f"{prefix}/sorted_values.npy"))
+            self.sorted_rowids = np.asarray(_load_npy(store, f"{prefix}/sorted_rowids.npy")).view(np.uint64)
+            self.null_rowids = np.asarray(_load_npy(store, f"{prefix}/null_rowids.npy")).view(np.uint64)
+        else:
+            self.keys = np.asarray(_load_npy(store, f"{prefix}/keys.npy"))
+            self.offsets = np.asarray(_load_npy(store, f"{prefix}/offsets.npy"))
+            self.rowids = np.asarray(_load_npy(store, f"{prefix}/rowids.npy")).view(np.uint64)
+
+    # ---- predicate resolution -----------------------------------------
+    def lookup_range(self, lo=None, hi=None, lo_incl=True, hi_incl=True) -> np.ndarray:
+        if self.index_type != "BTREE":
+            raise InvalidInputError("range lookup requires a BTREE index")
+        sv = self.sorted_values
+        left = 0 if lo is None else np.searchsorted(sv, lo, side="left" if lo_incl else "right")
+        right = len(sv) if hi is None else np.searchsorted(sv, hi, side="right" if hi_incl else "left")
+        return np.sort(self.sorted_rowids[left:right])
+
+    def lookup_eq(self, value) -> np.ndarray:
+        if self.index_type == "BTREE":
+            return self.lookup_range(value, value)
+        idx = np.searchsorted(self.keys, value)
+        if idx >= len(self.keys) or self.keys[idx] != value:
+            return np.empty(0, dtype=np.uint64)
+        return np.sort(self.rowids[self.offsets[idx] : self.offsets[idx + 1]])
+
+    def lookup_in(self, values) -> np.ndarray:
+        parts = [self.lookup_eq(v) for v in values]
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        return np.unique(np.concatenate(parts))
+
+    def lookup_is_null(self) -> np.ndarray:
+        if self.index_type == "BTREE":
+            return np.sort(self.null_rowids)
+        return self.lookup_eq(None)
+
+
+def try_scalar_prefilter(table, ast: Expr) -> np.ndarray | None:
+    """Resolve a predicate to sorted row-ids via scalar indexes when the
+    shape allows (col op literal / IN / BETWEEN / AND-OR of those).
+    Returns None when the predicate needs a full scan. Only valid when
+    index coverage is complete (no delta fragments, no new deletes) —
+    the caller checks coverage."""
+    ds = table._dataset
+    readers: dict[str, ScalarIndexReader] = {}
+
+    def reader_for(col: str) -> ScalarIndexReader | None:
+        if col in readers:
+            return readers[col]
+        for ix in ds.manifest.indices:
+            if ix.columns == [col] and ix.index_type in ("BTREE", "BITMAP", "LABEL_LIST"):
+                covered = {f.id for f in ds.manifest.fragments} == set(ix.fragment_ids)
+                fresh = all(f.num_deleted == 0 for f in ds.manifest.fragments)
+                if covered and fresh:
+                    r = ScalarIndexReader(ds.store, ds.index_dir(ix.uuid), ix)
+                    readers[col] = r
+                    return r
+        return None
+
+    def resolve(e: Expr) -> np.ndarray | None:
+        if isinstance(e, BinaryOp):
+            if e.op in ("and", "or"):
+                left = resolve(e.left)
+                right = resolve(e.right)
+                if left is None or right is None:
+                    return None
+                if e.op == "and":
+                    return np.intersect1d(left, right)
+                return np.union1d(left, right)
+            if isinstance(e.left, Column) and isinstance(e.right, Literal):
+                r = reader_for(e.left.name)
+                if r is None:
+                    return None
+                v = e.right.value
+                if e.op == "eq":
+                    return r.lookup_eq(v)
+                if e.op == "in":
+                    return r.lookup_in(v)
+                if r.index_type != "BTREE":
+                    return None
+                if e.op == "lt":
+                    return r.lookup_range(hi=v, hi_incl=False)
+                if e.op == "le":
+                    return r.lookup_range(hi=v)
+                if e.op == "gt":
+                    return r.lookup_range(lo=v, lo_incl=False)
+                if e.op == "ge":
+                    return r.lookup_range(lo=v)
+            return None
+        if isinstance(e, Between) and isinstance(e.operand, Column) and not e.negated:
+            if isinstance(e.low, Literal) and isinstance(e.high, Literal):
+                r = reader_for(e.operand.name)
+                if r is None or r.index_type != "BTREE":
+                    return None
+                return r.lookup_range(e.low.value, e.high.value)
+            return None
+        if isinstance(e, UnaryOp) and e.op == "is_null" and isinstance(e.operand, Column):
+            r = reader_for(e.operand.name)
+            return r.lookup_is_null() if r is not None else None
+        return None
+
+    return resolve(ast)

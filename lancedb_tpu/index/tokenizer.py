@@ -1,0 +1,219 @@
+"""Text analysis for the FTS index: tokenizers, Porter stemming,
+stop words, ascii folding.
+
+Covers the reference tokenizer surface (python index.py:111-188:
+base_tokenizer simple/whitespace/raw/ngram, language stemming, stop
+words, ascii_folding, max_token_length, ngram options). ICU/Jieba/
+Lindera CJK tokenizers are gated out (no external data files in this
+environment); the tokenizer registry is the extension point.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_WS_RE = re.compile(r"\S+")
+
+# classic english stop word list (lucene's)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+
+def _porter_stem(w: str) -> str:
+    """Compact Porter stemmer (standard algorithm, steps 1a–5b)."""
+    if len(w) <= 2:
+        return w
+
+    def cons(word, i):
+        c = word[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not cons(word, i - 1)
+        return True
+
+    def measure(stem):
+        # number of VC sequences
+        form = ""
+        for i in range(len(stem)):
+            form += "C" if cons(stem, i) else "V"
+        form = re.sub(r"C+", "C", form)
+        form = re.sub(r"V+", "V", form)
+        return form.count("VC")
+
+    def has_vowel(stem):
+        return any(not cons(stem, i) for i in range(len(stem)))
+
+    def ends_double_cons(word):
+        return len(word) >= 2 and word[-1] == word[-2] and cons(word, len(word) - 1)
+
+    def cvc(word):
+        if len(word) < 3:
+            return False
+        if not (cons(word, len(word) - 3) and not cons(word, len(word) - 2) and cons(word, len(word) - 1)):
+            return False
+        return word[-1] not in "wxy"
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+    elif w.endswith("ing"):
+        if has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif measure(w) == 1 and cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    pairs2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    for suf, rep in pairs2:
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    pairs3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in pairs3:
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    sufs4 = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    for suf in sorted(sufs4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and measure(w[:-3]) > 1 and w[:-3].endswith(("s", "t")):
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = measure(stem)
+        if m > 1 or (m == 1 and not cvc(stem)):
+            w = stem
+    # step 5b
+    if measure(w) > 1 and ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def _ascii_fold(text: str) -> str:
+    return unicodedata.normalize("NFKD", text).encode("ascii", "ignore").decode()
+
+
+@dataclass
+class Tokenizer:
+    base: str = "simple"  # simple | whitespace | raw | ngram
+    lower_case: bool = True
+    stem: bool = True
+    remove_stop_words: bool = True
+    ascii_folding: bool = True
+    max_token_length: int | None = 40
+    language: str = "English"
+    ngram_min_length: int = 3
+    ngram_max_length: int = 3
+    prefix_only: bool = False
+
+    def tokenize(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        if self.ascii_folding:
+            text = _ascii_fold(text)
+        if self.base == "raw":
+            toks = [text.strip()] if text.strip() else []
+        elif self.base == "whitespace":
+            toks = _WS_RE.findall(text)
+        elif self.base == "ngram":
+            return self._ngrams(text)
+        else:  # simple
+            toks = _WORD_RE.findall(text)
+        out = []
+        for t in toks:
+            if self.lower_case:
+                t = t.lower()
+            if self.max_token_length and len(t) > self.max_token_length:
+                continue
+            if self.remove_stop_words and self.language.lower() == "english" and t in ENGLISH_STOP_WORDS:
+                continue
+            if self.stem and self.language.lower() == "english":
+                t = _porter_stem(t)
+            if t:
+                out.append(t)
+        return out
+
+    def _ngrams(self, text: str) -> list[str]:
+        t = text.lower() if self.lower_case else text
+        t = re.sub(r"\s+", " ", t).strip()
+        out = []
+        words = t.split(" ")
+        for word in words:
+            if self.prefix_only:
+                for n in range(self.ngram_min_length, self.ngram_max_length + 1):
+                    if len(word) >= n:
+                        out.append(word[:n])
+            else:
+                for n in range(self.ngram_min_length, self.ngram_max_length + 1):
+                    for i in range(0, len(word) - n + 1):
+                        out.append(word[i : i + n])
+        return out
+
+    def to_json(self) -> dict:
+        return {
+            "base": self.base,
+            "lower_case": self.lower_case,
+            "stem": self.stem,
+            "remove_stop_words": self.remove_stop_words,
+            "ascii_folding": self.ascii_folding,
+            "max_token_length": self.max_token_length,
+            "language": self.language,
+            "ngram_min_length": self.ngram_min_length,
+            "ngram_max_length": self.ngram_max_length,
+            "prefix_only": self.prefix_only,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Tokenizer":
+        return Tokenizer(**d)

@@ -503,21 +503,33 @@ class VectorSearcher:
             raise InvalidInputError(f"cannot load index type {self.index_type!r}")
 
     # ---- mask plumbing -------------------------------------------------
-    def slot_penalty(self, allowed_row_ids: np.ndarray | None, deleted_row_ids: np.ndarray | None):
+    def slot_penalty(
+        self,
+        allowed_row_ids: np.ndarray | None,
+        deleted_row_ids: np.ndarray | None,
+        vanished_fragments: set[int] | None = None,
+    ):
         """Build the per-slot additive penalty for prefilter/deletions.
 
         allowed_row_ids: sorted uint64 array (None = all allowed).
         deleted_row_ids: sorted uint64 array (None = none deleted).
+        vanished_fragments: fragment ids no longer in the manifest whose
+        indexed rows must all be masked.
         """
-        if allowed_row_ids is None and (deleted_row_ids is None or not len(deleted_row_ids)):
+        no_deleted = deleted_row_ids is None or not len(deleted_row_ids)
+        if allowed_row_ids is None and no_deleted and not vanished_fragments:
             return None
         penalty = np.zeros(self.num_slots, dtype=np.float32)
         rid = self.row_ids_flat
         if allowed_row_ids is not None:
             ok = np.isin(rid, allowed_row_ids)
             penalty[~ok] = PAD_PENALTY
-        if deleted_row_ids is not None and len(deleted_row_ids):
+        if not no_deleted:
             penalty[np.isin(rid, deleted_row_ids)] = PAD_PENALTY
+        if vanished_fragments:
+            frag_of = (rid >> np.uint64(32)).astype(np.int64)
+            dead = np.isin(frag_of, np.fromiter(vanished_fragments, dtype=np.int64))
+            penalty[dead] = PAD_PENALTY
         return penalty
 
     # ---- search --------------------------------------------------------

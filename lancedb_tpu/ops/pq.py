@@ -78,7 +78,12 @@ def pq_train(
         data = data[sel]
         n = data.shape[0]
     if n < k:
-        raise ValueError(f"need at least {k} rows to train PQ, got {n}")
+        # tiny table: oversample with replacement so every codebook still
+        # has 2^bits entries (duplicate centroids are harmless — encode
+        # picks the first argmin)
+        extra = rng.integers(0, n, size=k - n)
+        data = np.concatenate([data, data[extra]])
+        n = data.shape[0]
     subs = _split_subvectors(data, num_sub_vectors)  # (S, N, dsub)
     # k-means++ seeding per subvector, vmapped into one device program
     pool_n = min(n, 32 * k)

@@ -1,0 +1,632 @@
+"""Query builders + execution: the hot path of the framework.
+
+Mirrors the reference query surface (rust query.rs QueryBase/
+VectorQuery/ExecutableQuery; python query.py LanceQueryBuilder family)
+— fluent builders that accumulate a request and execute against the
+table's dataset + indexes.
+
+Execution pipeline (reference create_plan, table/query.rs:131-331,
+re-architected for TPU):
+
+  1. resolve vector column + index; compute the prefilter row-id set
+     from the SQL predicate (host, Arrow compute)
+  2. device search: index searcher (IVF/PQ/SQ/FLAT kernels) over
+     indexed fragments + brute-force over unindexed "delta" fragments,
+     merged — delta-index semantics without rebuilds
+  3. optional exact refine rerank (late materialization)
+  4. distance_range / postfilter / offset+limit on the host
+  5. hydrate selected columns via take_rows, append _distance
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Literal
+
+import numpy as np
+import pyarrow as pa
+
+from .arrow import fsl_to_numpy, vector_column_name
+from .errors import InvalidInputError
+from .filters.eval import evaluate_expression, evaluate_predicate_mask
+from .filters.sql import parse_sql_expr
+from .index.vector import SearchParams, brute_force_search, load_searcher
+from .ops.distance import normalize_metric
+from .storage.dataset import ROW_ID_COL
+
+DEFAULT_TOP_K = 10  # reference query.rs:36
+DEFAULT_NPROBES = 20  # reference query.rs:1103-1105
+
+DIST_COL = "_distance"
+SCORE_COL = "_score"
+RELEVANCE_COL = "_relevance_score"
+QUERY_INDEX_COL = "query_index"
+
+_INVALID_ROWID = np.uint64(np.iinfo(np.uint64).max)
+
+
+@dataclass
+class VectorQueryRequest:
+    """Accumulated query state (reference VectorQueryRequest, query.rs:1067-1114)."""
+
+    column: str | None = None
+    query_vectors: list[np.ndarray] = field(default_factory=list)
+    k: int = DEFAULT_TOP_K
+    offset: int = 0
+    filter: str | None = None
+    prefilter: bool = True
+    minimum_nprobes: int = DEFAULT_NPROBES
+    maximum_nprobes: int | None = DEFAULT_NPROBES
+    refine_factor: int | None = None
+    distance_type: str | None = None
+    lower_bound: float | None = None
+    upper_bound: float | None = None
+    ef: int | None = None
+    use_index: bool = True
+    fast_search: bool = False
+    with_row_id: bool = False
+    select: list[str] | dict[str, str] | None = None
+    precision: str = "default"
+
+
+def _result_sort(tbl: pa.Table, col: str, ascending: bool = True) -> pa.Table:
+    order = "ascending" if ascending else "descending"
+    return tbl.sort_by([(col, order)])
+
+
+def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
+    """Run one (or a batch of) vector queries → Arrow result table."""
+    ds = table._dataset
+    column = req.column or vector_column_name(ds.schema)
+    if not req.query_vectors:
+        raise InvalidInputError("no query vector provided")
+    queries = np.stack([np.asarray(v, dtype=np.float32).reshape(-1) for v in req.query_vectors])
+    multi = len(req.query_vectors) > 1
+
+    # ---- index resolution ------------------------------------------------
+    index_meta = None
+    if req.use_index:
+        for ix in ds.manifest.indices:
+            if ix.columns == [column] and ix.index_type.startswith(("IVF", "FLAT")):
+                index_meta = ix
+                break
+    searcher = table._get_searcher(index_meta) if index_meta is not None else None
+    metric = normalize_metric(
+        req.distance_type or (searcher.metric if searcher else "l2")
+    )
+    if searcher is not None and req.distance_type is not None and metric != searcher.metric:
+        # metric override that disagrees with the index → brute force
+        searcher = None
+        index_meta = None
+
+    # ---- prefilter -------------------------------------------------------
+    allowed: np.ndarray | None = None
+    if req.filter is not None and req.prefilter:
+        t = ds.to_table(columns=[], predicate=req.filter, with_row_id=True)
+        allowed = np.sort(t.column(ROW_ID_COL).to_numpy().astype(np.uint64))
+        if len(allowed) == 0:
+            return _empty_result(table, req, multi)
+
+    # deleted rows that an already-built index may still contain
+    deleted, vanished = (
+        _deleted_rowids(ds, index_meta) if index_meta is not None else (None, None)
+    )
+
+    k_search = req.k + req.offset
+    nprobes = req.minimum_nprobes
+    if req.maximum_nprobes:
+        nprobes = max(nprobes, min(req.maximum_nprobes, nprobes))
+
+    # ---- search ----------------------------------------------------------
+    if searcher is not None:
+        pen = searcher.slot_penalty(allowed, deleted, vanished_fragments=vanished)
+        params = SearchParams(
+            k=k_search,
+            nprobes=nprobes,
+            refine_factor=req.refine_factor,
+            precision=req.precision,
+        )
+        dists, rowids = searcher.search(queries, params, slot_penalty=pen)
+        if req.refine_factor is not None:
+            dists, rowids = searcher.refine(ds, column, queries, dists, rowids, k_search)
+        # delta fragments not covered by the index → brute force + merge
+        if not req.fast_search:
+            covered = set(index_meta.fragment_ids)
+            delta = [f for f in ds.manifest.fragments if f.id not in covered]
+            if delta:
+                d2, r2 = _brute_force_fragments(
+                    ds, column, queries, k_search, metric, req, allowed, frags=delta
+                )
+                dists, rowids = _merge_host(dists, rowids, d2, r2, k_search)
+    else:
+        dists, rowids = _brute_force_fragments(
+            ds, column, queries, k_search, metric, req, allowed, frags=ds.manifest.fragments
+        )
+
+    # ---- distance range / postfilter ------------------------------------
+    if req.lower_bound is not None:
+        dists = np.where(dists >= req.lower_bound, dists, np.inf)
+    if req.upper_bound is not None:
+        dists = np.where(dists < req.upper_bound, dists, np.inf)
+    rowids = np.where(np.isfinite(dists), rowids, _INVALID_ROWID)
+
+    # ---- hydrate ---------------------------------------------------------
+    out = _hydrate_results(table, req, queries, dists, rowids, multi)
+    if req.filter is not None and not req.prefilter and out.num_rows:
+        mask = evaluate_predicate_mask(out, req.filter)
+        out = out.filter(pa.array(mask))
+    if req.offset:
+        per_query_offset = req.offset
+        if multi:
+            parts = []
+            for qi in range(len(req.query_vectors)):
+                sub = out.filter(pa.compute.equal(out.column(QUERY_INDEX_COL), qi))
+                parts.append(sub.slice(per_query_offset, req.k))
+            out = pa.concat_tables(parts) if parts else out
+        else:
+            out = out.slice(per_query_offset, req.k)
+    return out
+
+
+def _deleted_rowids(ds, index_meta) -> tuple[np.ndarray | None, set[int] | None]:
+    """(deleted row addresses, vanished fragment ids) the index may still
+    contain: rows deleted after the build, and fragments dropped entirely
+    (fully-deleted or compacted away)."""
+    out = []
+    covered = set(index_meta.fragment_ids)
+    present = set()
+    for meta in ds.manifest.fragments:
+        present.add(meta.id)
+        if meta.id not in covered:
+            continue
+        keep = ds._keep_mask(meta)
+        if keep is not None:
+            gone = np.nonzero(~keep)[0].astype(np.uint64)
+            out.append((np.uint64(meta.id) << np.uint64(32)) | gone)
+    vanished = covered - present
+    deleted = np.concatenate(out) if out else None
+    return deleted, (vanished or None)
+
+
+def _brute_force_fragments(ds, column, queries, k, metric, req, allowed, frags):
+    """Exact scan over a set of fragments (predicate applied during scan)."""
+    wanted = {f.id for f in frags}
+    mats, rids = [], []
+    for m, tbl in ds.scan_fragments(
+        columns=[column],
+        predicate=req.filter if req.prefilter else None,
+        with_row_id=True,
+    ):
+        if m.id not in wanted:
+            continue
+        mats.append(fsl_to_numpy(tbl.column(column)))
+        rids.append(tbl.column(ROW_ID_COL).to_numpy().astype(np.uint64))
+    if not mats:
+        nq = queries.shape[0]
+        return (
+            np.full((nq, k), np.inf, np.float32),
+            np.full((nq, k), _INVALID_ROWID, np.uint64),
+        )
+    vecs = np.concatenate(mats)
+    all_rids = np.concatenate(rids)
+    precision = "bfloat16" if req.precision == "bfloat16" else "float32"
+    d, r = brute_force_search(vecs, all_rids, queries, min(k, len(vecs)), metric, precision)
+    if d.shape[1] < k:
+        pad = k - d.shape[1]
+        d = np.pad(d, ((0, 0), (0, pad)), constant_values=np.inf)
+        r = np.pad(r, ((0, 0), (0, pad)), constant_values=_INVALID_ROWID)
+    return d, r
+
+
+def _merge_host(d1, r1, d2, r2, k):
+    d = np.concatenate([d1, d2], axis=1)
+    r = np.concatenate([r1, r2], axis=1)
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, order, axis=1), np.take_along_axis(r, order, axis=1)
+
+
+def _selected_columns(table, req) -> list[str] | None:
+    if req.select is None:
+        return None
+    if isinstance(req.select, dict):
+        return None  # dynamic projection handled in _hydrate_results
+    return list(req.select)
+
+
+def _hydrate_results(table, req, queries, dists, rowids, multi) -> pa.Table:
+    ds = table._dataset
+    parts = []
+    for qi in range(dists.shape[0]):
+        valid = rowids[qi] != _INVALID_ROWID
+        rid = rowids[qi][valid]
+        dst = dists[qi][valid]
+        cols = _selected_columns(table, req)
+        data = ds.take_rows(rid, columns=cols)
+        if isinstance(req.select, dict):
+            arrays, names = [], []
+            base = ds.take_rows(rid, columns=None)
+            for alias, expr in req.select.items():
+                arrays.append(evaluate_expression(base, expr))
+                names.append(alias)
+            data = pa.table(dict(zip(names, arrays)))
+        data = data.append_column(DIST_COL, pa.array(dst.astype(np.float32)))
+        if req.with_row_id:
+            data = data.append_column(ROW_ID_COL, pa.array(rid, type=pa.uint64()))
+        if multi:
+            data = data.append_column(
+                QUERY_INDEX_COL, pa.array(np.full(len(rid), qi, dtype=np.int32))
+            )
+        parts.append(data)
+    if not parts:
+        return _empty_result(table, req, multi)
+    return pa.concat_tables(parts)
+
+
+def _empty_result(table, req, multi) -> pa.Table:
+    ds = table._dataset
+    cols = _selected_columns(table, req)
+    fields = [f for f in ds.schema if cols is None or f.name in cols]
+    if isinstance(req.select, dict):
+        fields = [pa.field(a, pa.float64()) for a in req.select]
+    fields.append(pa.field(DIST_COL, pa.float32()))
+    if req.with_row_id:
+        fields.append(pa.field(ROW_ID_COL, pa.uint64()))
+    if multi:
+        fields.append(pa.field(QUERY_INDEX_COL, pa.int32()))
+    return pa.schema(fields).empty_table()
+
+
+# ===================================================================== plans
+
+
+def explain_vector_plan(table, req: VectorQueryRequest) -> str:
+    """Textual physical plan (reference explain_plan, query.rs:741)."""
+    ds = table._dataset
+    column = req.column or vector_column_name(ds.schema)
+    index_meta = None
+    if req.use_index:
+        for ix in ds.manifest.indices:
+            if ix.columns == [column]:
+                index_meta = ix
+                break
+    lines = []
+    lines.append(f"ProjectionExec: columns={req.select or 'all'} +[_distance]")
+    if req.filter and not req.prefilter:
+        lines.append(f"  FilterExec: postfilter [{req.filter}]")
+    lines.append(f"  SortExec: _distance ASC, limit={req.k} offset={req.offset}")
+    lines.append("    TakeExec: late materialization via row addresses")
+    if index_meta is not None:
+        ix = index_meta
+        lines.append(
+            f"      ANNSubIndexExec: {ix.index_type} column={column} "
+            f"nprobes={req.minimum_nprobes} refine={req.refine_factor or 0} "
+            f"metric={ix.params.get('metric')} partitions={ix.params.get('num_partitions')}"
+        )
+        covered = set(ix.fragment_ids)
+        delta = [f.id for f in ds.manifest.fragments if f.id not in covered]
+        if delta and not req.fast_search:
+            lines.append(f"      KnnFlatExec: delta fragments {delta} (MXU matmul scan)")
+    else:
+        lines.append(f"      KnnFlatExec: brute-force column={column} (MXU matmul scan)")
+    if req.filter and req.prefilter:
+        lines.append(f"        PrefilterExec: [{req.filter}] → slot penalty mask")
+    return "\n".join(lines)
+
+
+def analyze_vector_plan(table, req: VectorQueryRequest) -> str:
+    """Execute + report metrics (reference analyze_plan, query.rs:756)."""
+    from .io.object_store import IoStats, IoTrackingStore
+
+    ds = table._dataset
+    stats = IoStats()
+    orig_store = ds.store
+    ds.store = IoTrackingStore(orig_store, stats)
+    try:
+        t0 = time.perf_counter()
+        out = execute_vector_query(table, req)
+        elapsed = time.perf_counter() - t0
+    finally:
+        ds.store = orig_store
+    snap = stats.snapshot()
+    plan = explain_vector_plan(table, req)
+    return (
+        f"{plan}\n"
+        f"-- metrics --\n"
+        f"elapsed_ms={elapsed * 1e3:.3f} output_rows={out.num_rows} "
+        f"iops={snap['read_iops']} bytes_read={snap['read_bytes']}"
+    )
+
+
+# ================================================================= builders
+
+
+class LanceQueryBuilder:
+    """Base fluent builder (reference python query.py LanceQueryBuilder)."""
+
+    def __init__(self, table):
+        self._table = table
+        self._req = VectorQueryRequest()
+
+    # -- shared fluent setters --
+    def where(self, predicate: str, prefilter: bool = True) -> "LanceQueryBuilder":
+        parse_sql_expr(predicate)  # validate eagerly
+        if self._req.filter is not None:
+            self._req.filter = f"({self._req.filter}) AND ({predicate})"
+        else:
+            self._req.filter = predicate
+        self._req.prefilter = prefilter
+        return self
+
+    filter = where
+
+    def select(self, columns: list[str] | dict[str, str]) -> "LanceQueryBuilder":
+        self._req.select = columns
+        return self
+
+    def limit(self, k: int) -> "LanceQueryBuilder":
+        if k is None or k <= 0:
+            self._req.k = max(self._table.count_rows(), 1)
+        else:
+            self._req.k = int(k)
+        return self
+
+    def offset(self, n: int) -> "LanceQueryBuilder":
+        self._req.offset = int(n)
+        return self
+
+    def with_row_id(self, flag: bool = True) -> "LanceQueryBuilder":
+        self._req.with_row_id = flag
+        return self
+
+    # -- outputs --
+    def to_arrow(self) -> pa.Table:
+        raise NotImplementedError
+
+    def to_batches(self, max_batch_length: int = 1024) -> Iterable[pa.RecordBatch]:
+        return self.to_arrow().to_batches(max_chunksize=max_batch_length)
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def to_polars(self):
+        import polars as pl  # soft dependency
+
+        return pl.from_arrow(self.to_arrow())
+
+    def to_list(self) -> list[dict]:
+        return self.to_arrow().to_pylist()
+
+    def to_pydantic(self, model_cls) -> list:
+        return [
+            model_cls(**{k: v for k, v in row.items() if k in model_cls.model_fields})
+            for row in self.to_list()
+        ]
+
+    @staticmethod
+    def create(
+        table,
+        query,
+        query_type: str = "auto",
+        vector_column_name: str | None = None,
+        fts_columns: list[str] | None = None,
+    ):
+        """Type-dispatch like reference query.py:844 LanceQueryBuilder.create."""
+        if query is None:
+            return LanceEmptyQueryBuilder(table)
+        if query_type == "hybrid" or (
+            query_type == "auto" and isinstance(query, tuple) and len(query) == 2
+        ):
+            if isinstance(query, tuple):
+                vec, text = query
+            else:
+                vec, text = None, query
+            return LanceHybridQueryBuilder(table, text, vec, vector_column_name, fts_columns)
+        if isinstance(query, str):
+            if query_type in ("auto", "fts"):
+                return LanceFtsQueryBuilder(table, query, fts_columns)
+            if query_type == "vector":
+                # embed text through the table's embedding function
+                vec = table._embed_query(query, vector_column_name)
+                return LanceVectorQueryBuilder(table, vec, vector_column_name)
+            raise InvalidInputError(f"unknown query_type {query_type!r}")
+        from .query_fts import FtsQueryNode  # AST query objects
+
+        if isinstance(query, FtsQueryNode):
+            return LanceFtsQueryBuilder(table, query, fts_columns)
+        return LanceVectorQueryBuilder(table, query, vector_column_name)
+
+
+class LanceVectorQueryBuilder(LanceQueryBuilder):
+    """Vector (ANN/KNN) search builder (reference query.py:1559)."""
+
+    def __init__(self, table, query, vector_column_name: str | None = None):
+        super().__init__(table)
+        if isinstance(query, (list, tuple)) and query and isinstance(query[0], (list, tuple, np.ndarray)):
+            vecs = [np.asarray(q, dtype=np.float32) for q in query]
+        else:
+            vecs = [np.asarray(query, dtype=np.float32)]
+        self._req.query_vectors = vecs
+        self._req.column = vector_column_name
+
+    def metric(self, metric: str) -> "LanceVectorQueryBuilder":
+        self._req.distance_type = normalize_metric(metric)
+        return self
+
+    distance_type = metric
+
+    def nprobes(self, n: int) -> "LanceVectorQueryBuilder":
+        self._req.minimum_nprobes = int(n)
+        self._req.maximum_nprobes = int(n)
+        return self
+
+    def minimum_nprobes(self, n: int) -> "LanceVectorQueryBuilder":
+        self._req.minimum_nprobes = int(n)
+        return self
+
+    def maximum_nprobes(self, n: int) -> "LanceVectorQueryBuilder":
+        self._req.maximum_nprobes = int(n)
+        return self
+
+    def refine_factor(self, rf: int) -> "LanceVectorQueryBuilder":
+        self._req.refine_factor = int(rf)
+        return self
+
+    def distance_range(
+        self, lower_bound: float | None = None, upper_bound: float | None = None
+    ) -> "LanceVectorQueryBuilder":
+        self._req.lower_bound = lower_bound
+        self._req.upper_bound = upper_bound
+        return self
+
+    def ef(self, ef: int) -> "LanceVectorQueryBuilder":
+        self._req.ef = int(ef)
+        return self
+
+    def bypass_vector_index(self) -> "LanceVectorQueryBuilder":
+        self._req.use_index = False
+        return self
+
+    def fast_search(self) -> "LanceVectorQueryBuilder":
+        self._req.fast_search = True
+        return self
+
+    def precision(self, p: str) -> "LanceVectorQueryBuilder":
+        self._req.precision = p
+        return self
+
+    def to_arrow(self) -> pa.Table:
+        return execute_vector_query(self._table, self._req)
+
+    def explain_plan(self, verbose: bool = False) -> str:
+        return explain_vector_plan(self._table, self._req)
+
+    def analyze_plan(self) -> str:
+        return analyze_vector_plan(self._table, self._req)
+
+    def rerank(self, reranker) -> "LanceVectorQueryBuilder":
+        self._reranker = reranker
+        return self
+
+
+class LanceEmptyQueryBuilder(LanceQueryBuilder):
+    """Plain scan (no search) — filters/projection/limit only."""
+
+    def to_arrow(self) -> pa.Table:
+        ds = self._table._dataset
+        cols = _selected_columns(self._table, self._req)
+        limit = self._req.k if self._req.k != DEFAULT_TOP_K else None
+        out = ds.to_table(
+            columns=cols,
+            predicate=self._req.filter,
+            limit=limit if limit is not None else self._req.k,
+            offset=self._req.offset,
+            with_row_id=self._req.with_row_id,
+        )
+        if isinstance(self._req.select, dict):
+            arrays = {a: evaluate_expression(out, e) for a, e in self._req.select.items()}
+            out = pa.table(arrays)
+        return out
+
+    def explain_plan(self, verbose: bool = False) -> str:
+        return (
+            f"ProjectionExec: columns={self._req.select or 'all'}\n"
+            f"  ScanExec: filter=[{self._req.filter}] limit={self._req.k}"
+        )
+
+
+class LanceFtsQueryBuilder(LanceQueryBuilder):
+    """Full-text (BM25) search builder (reference query.py:1971)."""
+
+    def __init__(self, table, query, fts_columns: list[str] | None = None):
+        super().__init__(table)
+        self._query = query
+        self._fts_columns = fts_columns
+
+    def to_arrow(self) -> pa.Table:
+        return self._table._execute_fts(
+            self._query,
+            columns=self._fts_columns,
+            k=self._req.k,
+            offset=self._req.offset,
+            filter=self._req.filter,
+            prefilter=self._req.prefilter,
+            select=self._req.select,
+            with_row_id=self._req.with_row_id,
+        )
+
+    def explain_plan(self, verbose: bool = False) -> str:
+        return (
+            f"ProjectionExec: +[_score]\n  SortExec: _score DESC limit={self._req.k}\n"
+            f"    FtsExec: BM25 query={self._query!r} filter=[{self._req.filter}]"
+        )
+
+
+class LanceHybridQueryBuilder(LanceQueryBuilder):
+    """Hybrid = FTS ∥ vector, normalized + fused by a reranker
+    (reference query.py:2146 + rust execute_hybrid query.rs:1372-1445)."""
+
+    def __init__(self, table, text_query, vector_query=None, vector_column_name=None, fts_columns=None):
+        super().__init__(table)
+        self._text_query = text_query
+        self._vector = (
+            np.asarray(vector_query, dtype=np.float32)
+            if vector_query is not None
+            else table._embed_query(text_query, vector_column_name)
+        )
+        self._vector_column = vector_column_name
+        self._fts_columns = fts_columns
+        self._reranker = None
+        self._norm = "score"
+        self._vq_opts: dict[str, Any] = {}
+
+    def rerank(self, reranker=None, normalize: str = "score") -> "LanceHybridQueryBuilder":
+        self._reranker = reranker
+        self._norm = normalize
+        return self
+
+    def nprobes(self, n: int) -> "LanceHybridQueryBuilder":
+        self._vq_opts["nprobes"] = n
+        return self
+
+    def refine_factor(self, rf: int) -> "LanceHybridQueryBuilder":
+        self._vq_opts["refine_factor"] = rf
+        return self
+
+    def metric(self, m: str) -> "LanceHybridQueryBuilder":
+        self._vq_opts["metric"] = m
+        return self
+
+    def to_arrow(self) -> pa.Table:
+        from .rerankers.rrf import RRFReranker
+
+        k = self._req.k
+        vq = LanceVectorQueryBuilder(self._table, self._vector, self._vector_column)
+        vq._req.filter = self._req.filter
+        vq._req.prefilter = self._req.prefilter
+        vq._req.k = k
+        vq._req.with_row_id = True
+        if "nprobes" in self._vq_opts:
+            vq.nprobes(self._vq_opts["nprobes"])
+        if "refine_factor" in self._vq_opts:
+            vq.refine_factor(self._vq_opts["refine_factor"])
+        if "metric" in self._vq_opts:
+            vq.metric(self._vq_opts["metric"])
+        vector_results = vq.to_arrow()
+
+        fts = LanceFtsQueryBuilder(self._table, self._text_query, self._fts_columns)
+        fts._req.filter = self._req.filter
+        fts._req.prefilter = self._req.prefilter
+        fts._req.k = k
+        fts._req.with_row_id = True
+        fts_results = fts.to_arrow()
+
+        reranker = self._reranker or RRFReranker()
+        fused = reranker.rerank_hybrid(str(self._text_query), vector_results, fts_results)
+        fused = fused.slice(0, k)
+        if not self._req.with_row_id and ROW_ID_COL in fused.column_names:
+            fused = fused.drop_columns([ROW_ID_COL])
+        if self._req.select is not None and not isinstance(self._req.select, dict):
+            keep = [c for c in fused.column_names if c in set(self._req.select) | {DIST_COL, SCORE_COL, RELEVANCE_COL, ROW_ID_COL}]
+            fused = fused.select(keep)
+        return fused

@@ -65,6 +65,19 @@ ROW_ID_COL = "_rowid"
 _COMMIT_RETRIES = 10
 
 
+def _pair_table(target_row: pa.Table, source_row: pa.Table) -> pa.Table:
+    """One-row table exposing target.<col> / source.<col> flat columns for
+    merge_insert condition evaluation."""
+    arrays, names = [], []
+    for name in target_row.schema.names:
+        arrays.append(target_row.column(name).combine_chunks())
+        names.append(f"target.{name}")
+    for name in source_row.schema.names:
+        arrays.append(source_row.column(name).combine_chunks())
+        names.append(f"source.{name}")
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 @dataclass
 class VersionInfo:
     version: int
@@ -630,6 +643,132 @@ class Dataset:
 
         self._commit_with_rebase(build)
         return {"rows_updated": int(self.manifest.transaction.get("rows_updated", 0)), "version": self.version}
+
+    # ------------------------------------------------------ merge insert
+
+    def merge_insert(
+        self,
+        source: pa.Table,
+        on: list[str],
+        when_matched_update_all: bool = False,
+        matched_condition: str | None = None,
+        when_not_matched_insert_all: bool = False,
+        when_not_matched_by_source_delete: bool = False,
+        delete_condition: str | None = None,
+    ) -> dict:
+        """Upsert in ONE commit (reference MergeInsertBuilder semantics,
+        table/merge.rs:66-223): join source to target on key columns,
+        update matched rows (optionally gated by a condition over
+        ``target.<col>`` / ``source.<col>``), insert unmatched source
+        rows, optionally delete target rows missing from the source.
+        """
+        self._check_writable()
+        for c in on:
+            if c not in self.schema.names:
+                raise InvalidInputError(f"merge key {c!r} not in table schema")
+            if c not in source.schema.names:
+                raise InvalidInputError(f"merge key {c!r} not in source data")
+        source = self._align_to_schema(source)
+        matched_ast = parse_sql_expr(matched_condition) if matched_condition else None
+        delete_ast = parse_sql_expr(delete_condition) if delete_condition else None
+
+        def _key_array(tbl: pa.Table) -> np.ndarray:
+            cols = [tbl.column(c).to_numpy(zero_copy_only=False) for c in on]
+            if len(cols) == 1:
+                return cols[0]
+            return np.array(list(zip(*cols)), dtype=object)
+
+        src_keys = _key_array(source)
+        src_index: dict = {}
+        for i, k in enumerate(src_keys):
+            src_index[k if not isinstance(k, np.ndarray) else tuple(k)] = i
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("merge_insert", on=on)
+            matched_src_rows: set[int] = set()
+            appends: list[pa.Table] = []
+            new_frags: list[FragmentMeta] = []
+            n_updated = n_deleted = 0
+            for meta in draft.fragments:
+                reader = FragmentReader(self.store, self.root, meta)
+                tbl = reader.read_all()
+                keep = deletion_mask(self.store, self.root, meta)
+                tgt_keys = _key_array(tbl)
+                to_delete: list[int] = []
+                for off in range(tbl.num_rows):
+                    if keep is not None and not keep[off]:
+                        continue
+                    k = tgt_keys[off]
+                    k = k if not isinstance(k, np.ndarray) else tuple(k)
+                    si = src_index.get(k)
+                    if si is not None:
+                        matched_src_rows.add(si)
+                        if when_matched_update_all:
+                            if matched_ast is not None:
+                                pair = _pair_table(tbl.slice(off, 1), source.slice(si, 1))
+                                ok = evaluate_predicate_mask(pair, matched_ast)[0]
+                                if not ok:
+                                    continue
+                            to_delete.append(off)
+                            appends.append(source.slice(si, 1))
+                            n_updated += 1
+                    elif when_not_matched_by_source_delete:
+                        if delete_ast is not None:
+                            ok = evaluate_predicate_mask(tbl.slice(off, 1), delete_ast)[0]
+                            if not ok:
+                                continue
+                        to_delete.append(off)
+                        n_deleted += 1
+                if to_delete:
+                    prior = (
+                        read_deletion_offsets(self.store, self.root, meta.deletion_file)
+                        if meta.deletion_file
+                        else np.empty(0, dtype=np.uint32)
+                    )
+                    all_del = np.union1d(prior, np.asarray(to_delete, dtype=np.uint32))
+                    if len(all_del) == meta.physical_rows:
+                        continue
+                    dfile = write_deletion_bitmap(self.store, self.root, all_del)
+                    new_frags.append(
+                        FragmentMeta(
+                            id=meta.id,
+                            data_file=meta.data_file,
+                            physical_rows=meta.physical_rows,
+                            deletion_file=dfile,
+                            num_deleted=len(all_del),
+                        )
+                    )
+                else:
+                    new_frags.append(meta)
+            n_inserted = 0
+            if when_not_matched_insert_all:
+                unmatched = [i for i in range(source.num_rows) if i not in matched_src_rows]
+                if unmatched:
+                    appends.append(source.take(pa.array(unmatched)))
+                    n_inserted = len(unmatched)
+            draft.fragments = new_frags
+            if appends:
+                data = pa.concat_tables(appends)
+                fid = draft.max_fragment_id + 1
+                frag = write_fragment(self.store, self.root, data, fid)
+                draft.fragments.append(frag)
+                draft.max_fragment_id = fid
+            draft.transaction.update(
+                num_updated_rows=n_updated,
+                num_inserted_rows=n_inserted,
+                num_deleted_rows=n_deleted,
+            )
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+        tx = self.manifest.transaction
+        return {
+            "num_updated_rows": tx.get("num_updated_rows", 0),
+            "num_inserted_rows": tx.get("num_inserted_rows", 0),
+            "num_deleted_rows": tx.get("num_deleted_rows", 0),
+            "version": self.version,
+        }
 
     # ------------------------------------------------- schema evolution
 

@@ -1,0 +1,725 @@
+"""Table API: the user-facing handle over one versioned dataset.
+
+Mirrors the reference `Table` surface (rust table.rs:903-2232 `Table`,
+python table.py `LanceTable`): data CRUD, query builders, index CRUD,
+merge_insert, schema evolution, time travel/tags/branches, optimize.
+The sync API is the core; `AsyncTable` (async facade) wraps it — the
+inverse of the reference's arrangement (their sync wraps async over a
+background event loop, background_loop.py:11-39) because our data
+plane is synchronous JAX dispatch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable, Literal
+
+import numpy as np
+import pyarrow as pa
+
+from .arrow import to_arrow_table, vector_column_name
+from .errors import IndexNotFoundError, InvalidInputError
+from .index import (
+    FTS,
+    BTree,
+    Bitmap,
+    Flat,
+    IndexConfig,
+    IvfFlat,
+    IvfPq,
+    IvfSq,
+    LabelList,
+    SCALAR_INDEX_TYPES,
+    VECTOR_INDEX_TYPES,
+    default_num_partitions,
+)
+from .query import (
+    DEFAULT_TOP_K,
+    LanceEmptyQueryBuilder,
+    LanceQueryBuilder,
+    LanceVectorQueryBuilder,
+    VectorQueryRequest,
+    execute_vector_query,
+)
+from .storage.dataset import ROW_ID_COL, Dataset
+
+
+class Tags:
+    """Tag CRUD (reference trait Tags, table.rs:345-377)."""
+
+    def __init__(self, table: "Table"):
+        self._table = table
+
+    def create(self, name: str, version: int | None = None) -> None:
+        self._table._dataset.create_tag(name, version)
+
+    def list(self) -> dict[str, dict]:
+        return self._table._dataset.list_tags()
+
+    def update(self, name: str, version: int) -> None:
+        self._table._dataset.update_tag(name, version)
+
+    def delete(self, name: str) -> None:
+        self._table._dataset.delete_tag(name)
+
+    def get_version(self, name: str) -> int:
+        return self._table._dataset.tag_version(name)
+
+
+class MergeInsertBuilder:
+    """Fluent upsert builder (reference MergeInsertBuilder, merge.rs:66-223)."""
+
+    def __init__(self, table: "Table", on: str | list[str]):
+        self._table = table
+        self._on = [on] if isinstance(on, str) else list(on)
+        self._update_all = False
+        self._update_condition: str | None = None
+        self._insert_all = False
+        self._delete_missing = False
+        self._delete_condition: str | None = None
+
+    def when_matched_update_all(self, where: str | None = None) -> "MergeInsertBuilder":
+        self._update_all = True
+        self._update_condition = where
+        return self
+
+    def when_not_matched_insert_all(self) -> "MergeInsertBuilder":
+        self._insert_all = True
+        return self
+
+    def when_not_matched_by_source_delete(self, condition: str | None = None) -> "MergeInsertBuilder":
+        self._delete_missing = True
+        self._delete_condition = condition
+        return self
+
+    def execute(self, new_data: Any, timeout: float | None = None) -> dict:
+        source = to_arrow_table(new_data, schema=None)
+        stats = self._table._dataset.merge_insert(
+            source,
+            on=self._on,
+            when_matched_update_all=self._update_all,
+            matched_condition=self._update_condition,
+            when_not_matched_insert_all=self._insert_all,
+            when_not_matched_by_source_delete=self._delete_missing,
+            delete_condition=self._delete_condition,
+        )
+        self._table._invalidate_caches()
+        return stats
+
+
+class Table:
+    """A handle on one table of a database."""
+
+    def __init__(self, connection, name: str, dataset: Dataset):
+        self._conn = connection
+        self.name = name
+        self.__dataset = dataset
+        self._searchers: dict[str, Any] = {}
+        self._fts_indexes: dict[str, Any] = {}
+        self._last_consistency_check = time.monotonic()
+        self._embedding_functions: dict[str, Any] = {}
+        self._load_embedding_config()
+
+    # ------------------------------------------------------------ basics
+
+    @property
+    def _dataset(self) -> Dataset:
+        interval = getattr(self._conn, "read_consistency_interval", None)
+        if interval is not None and not self.__dataset.pinned:
+            now = time.monotonic()
+            if interval == 0 or (now - self._last_consistency_check) >= interval:
+                old_version = self.__dataset.version
+                self.__dataset.checkout_latest()
+                self._last_consistency_check = now
+                if self.__dataset.version != old_version:
+                    self._invalidate_caches()
+        return self.__dataset
+
+    def _invalidate_caches(self) -> None:
+        self._searchers.clear()
+        self._fts_indexes.clear()
+
+    @property
+    def schema(self) -> pa.Schema:
+        return self._dataset.schema
+
+    @property
+    def version(self) -> int:
+        return self._dataset.version
+
+    @property
+    def embedding_functions(self) -> dict:
+        return self._embedding_functions
+
+    def __repr__(self) -> str:
+        return f"Table(name={self.name!r}, version={self.version}, rows={self.count_rows()})"
+
+    def __len__(self) -> int:
+        return self.count_rows()
+
+    def count_rows(self, filter: str | None = None) -> int:
+        return self._dataset.count_rows(filter)
+
+    def to_arrow(self) -> pa.Table:
+        return self._dataset.to_table()
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def to_polars(self):
+        import polars as pl
+
+        return pl.from_arrow(self.to_arrow())
+
+    def head(self, n: int = 5) -> pa.Table:
+        return self._dataset.to_table(limit=n)
+
+    def take_offsets(self, offsets: list[int]) -> pa.Table:
+        return self._dataset.take_offsets(np.asarray(offsets, dtype=np.int64))
+
+    def take_row_ids(self, row_ids: list[int]) -> pa.Table:
+        return self._dataset.take_rows(np.asarray(row_ids, dtype=np.uint64))
+
+    # ------------------------------------------------------------- write
+
+    def add(self, data: Any, mode: Literal["append", "overwrite"] = "append") -> None:
+        tbl = to_arrow_table(data, schema=self.schema if mode == "append" else None)
+        tbl = self._apply_embeddings(tbl)
+        if mode == "append":
+            self._dataset.append(tbl)
+        elif mode == "overwrite":
+            self._dataset.overwrite(tbl)
+        else:
+            raise InvalidInputError(f"unknown add mode {mode!r}")
+        self._invalidate_caches()
+
+    def delete(self, where: str) -> int:
+        n = self._dataset.delete(where)
+        self._invalidate_caches()
+        return n
+
+    def update(
+        self,
+        where: str | None = None,
+        values: dict | None = None,
+        *,
+        values_sql: dict[str, str] | None = None,
+    ) -> dict:
+        """Update rows: `values` are python literals, `values_sql` SQL
+        expressions (reference table.py update API)."""
+        updates: dict[str, str] = {}
+        if values:
+            for col, val in values.items():
+                if isinstance(val, str):
+                    updates[col] = "'" + val.replace("'", "''") + "'"
+                elif val is None:
+                    updates[col] = "NULL"
+                elif isinstance(val, bool):
+                    updates[col] = "TRUE" if val else "FALSE"
+                else:
+                    updates[col] = repr(val)
+        if values_sql:
+            updates.update(values_sql)
+        if not updates:
+            raise InvalidInputError("update requires values or values_sql")
+        stats = self._dataset.update(updates, where=where)
+        self._invalidate_caches()
+        return stats
+
+    def merge_insert(self, on: str | list[str]) -> MergeInsertBuilder:
+        return MergeInsertBuilder(self, on)
+
+    # ------------------------------------------------------------ search
+
+    def search(
+        self,
+        query: Any = None,
+        vector_column_name: str | None = None,
+        query_type: str = "auto",
+        fts_columns: list[str] | None = None,
+    ) -> LanceQueryBuilder:
+        """Entry point for vector / FTS / hybrid search (reference
+        table.py:3404 → LanceQueryBuilder.create)."""
+        return LanceQueryBuilder.create(
+            self, query, query_type=query_type,
+            vector_column_name=vector_column_name, fts_columns=fts_columns,
+        )
+
+    def vector_search(self, vector) -> LanceVectorQueryBuilder:
+        return LanceVectorQueryBuilder(self, vector, None)
+
+    def query(self) -> LanceEmptyQueryBuilder:
+        return LanceEmptyQueryBuilder(self)
+
+    def _get_searcher(self, index_meta):
+        from .index.vector import load_searcher
+
+        key = index_meta.uuid
+        if key not in self._searchers:
+            self._searchers[key] = load_searcher(self._dataset, index_meta)
+        return self._searchers[key]
+
+    def _embed_query(self, text: str, vector_column_name: str | None):
+        col = vector_column_name or self._default_vector_column()
+        fn = self._embedding_functions.get(col)
+        if fn is None:
+            raise InvalidInputError(
+                f"cannot embed text query: no embedding function registered for "
+                f"column {col!r}; pass a vector instead"
+            )
+        return np.asarray(fn.compute_query_embeddings(text)[0], dtype=np.float32)
+
+    def _default_vector_column(self) -> str:
+        return vector_column_name(self.schema)
+
+    # ------------------------------------------------------------- index
+
+    def create_index(
+        self,
+        metric: str = "l2",
+        num_partitions: int | None = None,
+        num_sub_vectors: int | None = None,
+        vector_column_name: str | None = None,
+        replace: bool = True,
+        index_type: str = "IVF_PQ",
+        num_bits: int = 8,
+        sample_rate: int = 256,
+        max_iterations: int = 50,
+        *,
+        config: IndexConfig | None = None,
+        name: str | None = None,
+    ) -> None:
+        """Build a vector index (reference table.py:2604 create_index /
+        rust IndexBuilder)."""
+        from .index.vector import build_vector_index
+
+        column = vector_column_name or self._default_vector_column()
+        if config is None:
+            it = index_type.upper()
+            if it == "IVF_PQ":
+                config = IvfPq(
+                    distance_type=metric,
+                    num_partitions=num_partitions,
+                    num_sub_vectors=num_sub_vectors,
+                    num_bits=num_bits,
+                    sample_rate=sample_rate,
+                    max_iterations=max_iterations,
+                )
+            elif it == "IVF_FLAT":
+                config = IvfFlat(
+                    distance_type=metric,
+                    num_partitions=num_partitions,
+                    sample_rate=sample_rate,
+                    max_iterations=max_iterations,
+                )
+            elif it == "IVF_SQ":
+                config = IvfSq(
+                    distance_type=metric,
+                    num_partitions=num_partitions,
+                    sample_rate=sample_rate,
+                    max_iterations=max_iterations,
+                )
+            elif it == "FLAT":
+                config = Flat(distance_type=metric)
+            else:
+                raise InvalidInputError(f"unsupported index_type {index_type!r}")
+        meta = build_vector_index(
+            self._dataset, column, config, name=name or f"{column}_idx"
+        )
+        self._dataset.add_index(meta, replace=replace)
+        self._invalidate_caches()
+
+    def create_scalar_index(
+        self,
+        column: str,
+        *,
+        index_type: str = "BTREE",
+        replace: bool = True,
+        config: IndexConfig | None = None,
+    ) -> None:
+        from .index.scalar import build_scalar_index
+
+        if config is None:
+            it = index_type.upper()
+            config = {"BTREE": BTree, "BITMAP": Bitmap, "LABEL_LIST": LabelList}.get(it)
+            if config is None:
+                raise InvalidInputError(f"unknown scalar index type {index_type!r}")
+            config = config()
+        meta = build_scalar_index(self._dataset, column, config)
+        self._dataset.add_index(meta, replace=replace)
+
+    def create_fts_index(
+        self,
+        field_names: str | list[str],
+        *,
+        replace: bool = True,
+        with_position: bool = True,
+        base_tokenizer: str = "simple",
+        language: str = "English",
+        max_token_length: int | None = 40,
+        lower_case: bool = True,
+        stem: bool = True,
+        remove_stop_words: bool = True,
+        ascii_folding: bool = True,
+        ngram_min_length: int = 3,
+        ngram_max_length: int = 3,
+        prefix_only: bool = False,
+    ) -> None:
+        """Build the BM25 inverted index (reference table.py:3111)."""
+        from .index.fts import build_fts_index
+
+        fields = [field_names] if isinstance(field_names, str) else list(field_names)
+        config = FTS(
+            with_position=with_position,
+            base_tokenizer=base_tokenizer,  # type: ignore[arg-type]
+            language=language,
+            max_token_length=max_token_length,
+            lower_case=lower_case,
+            stem=stem,
+            remove_stop_words=remove_stop_words,
+            ascii_folding=ascii_folding,
+            ngram_min_length=ngram_min_length,
+            ngram_max_length=ngram_max_length,
+            prefix_only=prefix_only,
+        )
+        meta = build_fts_index(self._dataset, fields, config)
+        self._dataset.add_index(meta, replace=replace)
+        self._invalidate_caches()
+
+    def list_indices(self) -> list[dict]:
+        return [
+            {
+                "name": ix.name,
+                "index_type": ix.index_type,
+                "columns": list(ix.columns),
+            }
+            for ix in self._dataset.manifest.indices
+        ]
+
+    def index_stats(self, index_name: str) -> dict | None:
+        ix = self._dataset.manifest.index_by_name(index_name)
+        if ix is None:
+            return None
+        covered = set(ix.fragment_ids)
+        unindexed = sum(
+            f.num_rows for f in self._dataset.manifest.fragments if f.id not in covered
+        )
+        return {
+            "num_indexed_rows": ix.num_indexed_rows,
+            "num_unindexed_rows": unindexed,
+            "index_type": ix.index_type,
+            "distance_type": ix.params.get("metric"),
+            "num_indices": 1,
+        }
+
+    def drop_index(self, name: str) -> None:
+        self._dataset.drop_index(name)
+        self._invalidate_caches()
+
+    def prewarm_index(self, name: str) -> None:
+        """Load index artifacts onto the device ahead of queries."""
+        ix = self._dataset.manifest.index_by_name(name)
+        if ix is None:
+            raise IndexNotFoundError(name)
+        if ix.index_type in VECTOR_INDEX_TYPES:
+            self._get_searcher(ix)
+        elif ix.index_type == "FTS":
+            self._get_fts_index(ix)
+
+    def wait_for_index(self, index_names: list[str], timeout: float = 300.0) -> None:
+        """Poll until indexes exist (reference index/waiter.rs:16). Local
+        builds are synchronous so this returns immediately unless absent."""
+        deadline = time.monotonic() + timeout
+        names = set(index_names)
+        while time.monotonic() < deadline:
+            present = {ix.name for ix in self._dataset.manifest.indices}
+            if names <= present:
+                return
+            time.sleep(0.1)
+        raise TimeoutError(f"indexes {names} not ready after {timeout}s")
+
+    # --------------------------------------------------------------- fts
+
+    def _get_fts_index(self, meta):
+        from .index.fts import load_fts_index
+
+        if meta.uuid not in self._fts_indexes:
+            self._fts_indexes[meta.uuid] = load_fts_index(self._dataset, meta)
+        return self._fts_indexes[meta.uuid]
+
+    def _execute_fts(
+        self,
+        query,
+        columns=None,
+        k: int = DEFAULT_TOP_K,
+        offset: int = 0,
+        filter: str | None = None,
+        prefilter: bool = True,
+        select=None,
+        with_row_id: bool = False,
+    ) -> pa.Table:
+        from .index.fts import execute_fts_query
+
+        return execute_fts_query(
+            self,
+            query,
+            columns=columns,
+            k=k,
+            offset=offset,
+            filter=filter,
+            prefilter=prefilter,
+            select=select,
+            with_row_id=with_row_id,
+        )
+
+    # -------------------------------------------------- schema evolution
+
+    def add_columns(self, transforms: dict[str, str]) -> None:
+        self._dataset.add_columns(transforms)
+        self._invalidate_caches()
+
+    def alter_columns(self, *alterations: dict) -> None:
+        self._dataset.alter_columns(*alterations)
+        self._invalidate_caches()
+
+    def drop_columns(self, columns: list[str]) -> None:
+        self._dataset.drop_columns(columns)
+        self._invalidate_caches()
+
+    # ------------------------------------------------------- time travel
+
+    def list_versions(self) -> list[dict]:
+        return [v.to_dict() for v in self._dataset.list_versions()]
+
+    def checkout(self, version: int | str) -> None:
+        if isinstance(version, str):
+            self._dataset.checkout_tag(version)
+        else:
+            self._dataset.checkout(version)
+        self._invalidate_caches()
+
+    def checkout_latest(self) -> None:
+        self._dataset.checkout_latest()
+        self._invalidate_caches()
+
+    def restore(self, version: int | None = None) -> None:
+        if version is not None:
+            self.checkout(version)
+        self._dataset.restore()
+        self._invalidate_caches()
+
+    @property
+    def tags(self) -> Tags:
+        return Tags(self)
+
+    # ---------------------------------------------------------- branches
+
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        self._dataset.create_branch(name, version)
+
+    def checkout_branch(self, name: str) -> None:
+        self._dataset.checkout_branch(name)
+        self._invalidate_caches()
+
+    def list_branches(self) -> dict:
+        return self._dataset.list_branches()
+
+    def delete_branch(self, name: str) -> None:
+        self._dataset.delete_branch(name)
+
+    @property
+    def current_branch(self) -> str:
+        return self._dataset.branch
+
+    # ---------------------------------------------------------- optimize
+
+    def optimize(
+        self,
+        cleanup_older_than: float | None = None,
+        delete_unverified: bool = False,
+        retrain: bool = False,
+    ) -> dict:
+        """Compact fragments, prune versions, refresh stale indexes
+        (reference OptimizeAction::All, table/optimize.rs:30-75)."""
+        compact = self._dataset.compact_files()
+        rebuilt = self._reindex_stale(retrain=retrain)
+        prune = {}
+        if cleanup_older_than is not None:
+            prune = self._dataset.prune_versions(
+                keep_latest=1, older_than_seconds=cleanup_older_than
+            )
+        self._invalidate_caches()
+        return {"compaction": compact, "prune": prune, "indices_rebuilt": rebuilt}
+
+    def _reindex_stale(self, retrain: bool = False) -> int:
+        """Rebuild indexes whose fragment coverage went stale (the delta
+        merge of reference optimize index)."""
+        from .index.fts import build_fts_index
+        from .index.scalar import build_scalar_index
+        from .index.vector import build_vector_index
+        from .index import FTS as FTSConfig
+
+        ds = self._dataset
+        live = {f.id for f in ds.manifest.fragments}
+        rebuilt = 0
+        for ix in list(ds.manifest.indices):
+            if set(ix.fragment_ids) == live:
+                continue
+            rebuilt += 1
+            if ix.index_type in VECTOR_INDEX_TYPES:
+                cfg = _config_from_params(ix.index_type, ix.params)
+                meta = build_vector_index(ds, ix.columns[0], cfg, name=ix.name)
+            elif ix.index_type == "FTS":
+                cfg = FTSConfig(**{
+                    k: v for k, v in ix.params.items()
+                    if k in FTSConfig.__dataclass_fields__ and k != "index_type"
+                })
+                meta = build_fts_index(ds, ix.columns, cfg, name=ix.name)
+            elif ix.index_type in SCALAR_INDEX_TYPES:
+                from .index import BTree as BTreeCfg, Bitmap as BitmapCfg, LabelList as LLCfg
+
+                cfg = {"BTREE": BTreeCfg, "BITMAP": BitmapCfg, "LABEL_LIST": LLCfg}[
+                    ix.index_type
+                ]()
+                meta = build_scalar_index(ds, ix.columns[0], cfg, name=ix.name)
+            else:
+                continue
+            ds.add_index(meta, replace=True)
+        return rebuilt
+
+    def compact_files(self) -> dict:
+        out = self._dataset.compact_files()
+        self._invalidate_caches()
+        return out
+
+    def cleanup_old_versions(self, older_than_seconds: float = 0.0, delete_unverified: bool = False) -> dict:
+        return self._dataset.prune_versions(keep_latest=1, older_than_seconds=older_than_seconds)
+
+    def stats(self) -> dict:
+        return self._dataset.stats()
+
+    # -------------------------------------------------------- embeddings
+
+    def _load_embedding_config(self) -> None:
+        import json
+
+        meta = self.__dataset.schema.metadata or {}
+        raw = meta.get(b"embedding_functions")
+        if not raw:
+            return
+        from .embeddings.registry import EmbeddingFunctionRegistry
+
+        registry = EmbeddingFunctionRegistry.get_instance()
+        try:
+            self._embedding_functions = registry.parse_functions_from_schema_metadata(raw)
+        except Exception:
+            self._embedding_functions = {}
+
+    def _apply_embeddings(self, tbl: pa.Table) -> pa.Table:
+        """Compute missing vector columns from configured source columns
+        (reference WithEmbeddings wrapper, embeddings.rs:130)."""
+        for vec_col, fn in self._embedding_functions.items():
+            field_idx = tbl.schema.get_field_index(vec_col) if vec_col in tbl.schema.names else -1
+            needs = (
+                vec_col not in tbl.schema.names
+                or tbl.column(vec_col).null_count == tbl.num_rows
+            )
+            if not needs:
+                continue
+            src = fn.source_column
+            if src not in tbl.schema.names:
+                continue
+            texts = tbl.column(src).to_pylist()
+            vecs = np.asarray(fn.compute_source_embeddings(texts), dtype=np.float32)
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), type=pa.float32()), vecs.shape[1]
+            )
+            if field_idx >= 0:
+                tbl = tbl.set_column(field_idx, tbl.schema.field(field_idx).name, arr)
+            else:
+                tbl = tbl.append_column(vec_col, arr)
+        return tbl
+
+
+def _config_from_params(index_type: str, params: dict):
+    common = dict(
+        distance_type=params.get("metric", "l2"),
+        num_partitions=params.get("num_partitions"),
+    )
+    if index_type == "IVF_PQ":
+        return IvfPq(
+            **common,
+            num_sub_vectors=params.get("num_sub_vectors"),
+            num_bits=params.get("num_bits", 8),
+        )
+    if index_type == "IVF_FLAT":
+        return IvfFlat(**common)
+    if index_type == "IVF_SQ":
+        return IvfSq(**common)
+    return Flat(distance_type=params.get("metric", "l2"))
+
+
+class AsyncTable:
+    """Async facade over Table (reference AsyncTable, table.py:4511) —
+    blocking work runs in a thread so the event loop stays free."""
+
+    def __init__(self, table: Table):
+        self._t = table
+
+    @property
+    def name(self) -> str:
+        return self._t.name
+
+    async def _run(self, fn, *args, **kwargs):
+        import asyncio
+
+        return await asyncio.to_thread(fn, *args, **kwargs)
+
+    async def schema(self) -> pa.Schema:
+        return await self._run(lambda: self._t.schema)
+
+    async def count_rows(self, filter: str | None = None) -> int:
+        return await self._run(self._t.count_rows, filter)
+
+    async def add(self, data, mode: str = "append") -> None:
+        return await self._run(self._t.add, data, mode)
+
+    async def delete(self, where: str) -> int:
+        return await self._run(self._t.delete, where)
+
+    async def update(self, where: str | None = None, values: dict | None = None, **kw):
+        return await self._run(lambda: self._t.update(where, values, **kw))
+
+    async def create_index(self, **kwargs) -> None:
+        return await self._run(lambda: self._t.create_index(**kwargs))
+
+    async def query_arrow(self, builder_fn) -> pa.Table:
+        """Run `builder_fn(sync_table) -> builder` and execute it."""
+        return await self._run(lambda: builder_fn(self._t).to_arrow())
+
+    async def to_arrow(self) -> pa.Table:
+        return await self._run(self._t.to_arrow)
+
+    async def vector_search(self, vector, **kwargs) -> pa.Table:
+        def run():
+            b = self._t.vector_search(vector)
+            for k, v in kwargs.items():
+                getattr(b, k)(v)
+            return b.to_arrow()
+
+        return await self._run(run)
+
+    async def list_indices(self):
+        return await self._run(self._t.list_indices)
+
+    async def version(self) -> int:
+        return await self._run(lambda: self._t.version)
+
+    async def checkout(self, version) -> None:
+        return await self._run(self._t.checkout, version)
+
+    async def checkout_latest(self) -> None:
+        return await self._run(self._t.checkout_latest)
+
+    async def optimize(self, **kw) -> dict:
+        return await self._run(lambda: self._t.optimize(**kw))

@@ -1,0 +1,194 @@
+"""FTS (BM25) + hybrid search tests (reference test_fts.py /
+test_hybrid_query.py territory)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lancedb_tpu as ldb
+from lancedb_tpu import (
+    BooleanQuery,
+    BoostQuery,
+    MatchQuery,
+    MultiMatchQuery,
+    Occur,
+    PhraseQuery,
+)
+from lancedb_tpu.index.tokenizer import Tokenizer, _porter_stem
+from lancedb_tpu.rerankers import LinearCombinationReranker, RRFReranker
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over sleeping hounds",
+    "machine learning on tensor processing units",
+    "vector databases store embeddings for semantic search",
+    "the dog sleeps while the fox runs",
+    "quick reference guide for database indexes",
+    "brown bears eat fish in the river",
+    "searching text with BM25 ranking functions",
+]
+
+
+@pytest.fixture
+def fts_table(mem_db):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((len(DOCS), 8)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "id": pa.array(range(len(DOCS))),
+            "text": pa.array(DOCS),
+            "title": pa.array([f"doc {i}" for i in range(len(DOCS))]),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), 8),
+        }
+    )
+    t = mem_db.create_table("docs", tbl)
+    t.create_fts_index("text")
+    return t
+
+
+class TestTokenizer:
+    def test_simple(self):
+        tok = Tokenizer(stem=False, remove_stop_words=False)
+        assert tok.tokenize("Hello, World!") == ["hello", "world"]
+
+    def test_stop_words(self):
+        tok = Tokenizer(stem=False)
+        assert "the" not in tok.tokenize("the quick fox")
+
+    def test_stemming(self):
+        assert _porter_stem("running") == "run"
+        assert _porter_stem("jumps") == "jump"
+        assert _porter_stem("databases") == "databas"
+        tok = Tokenizer()
+        assert tok.tokenize("running runs") == ["run", "run"]
+
+    def test_ngram(self):
+        tok = Tokenizer(base="ngram", ngram_min_length=3, ngram_max_length=3)
+        assert "fox" in tok.tokenize("foxes")
+        assert "oxe" in tok.tokenize("foxes")
+
+    def test_ascii_folding(self):
+        tok = Tokenizer(stem=False, remove_stop_words=False)
+        assert tok.tokenize("café") == ["cafe"]
+
+
+class TestFts:
+    def test_basic_match(self, fts_table):
+        res = fts_table.search("fox", query_type="fts").limit(5).to_arrow()
+        assert res.num_rows == 3
+        assert "_score" in res.column_names
+        ids = set(res.column("id").to_pylist())
+        assert ids == {0, 1, 4}
+        scores = res.column("_score").to_pylist()
+        assert scores == sorted(scores, reverse=True)
+
+    def test_match_ranking(self, fts_table):
+        # doc 0 mentions quick+fox; should outrank docs with only one term
+        res = fts_table.search("quick fox", query_type="fts").limit(8).to_arrow()
+        assert res.column("id")[0].as_py() == 0
+
+    def test_phrase_query(self, fts_table):
+        res = fts_table.search(PhraseQuery("quick brown fox", "text")).limit(5).to_arrow()
+        assert res.column("id").to_pylist() == [0]
+        # "brown fox quick" is not a phrase match
+        res2 = fts_table.search(PhraseQuery("brown fox quick", "text")).limit(5).to_arrow()
+        assert res2.num_rows == 0
+
+    def test_quoted_string_becomes_phrase(self, fts_table):
+        res = fts_table.search('"lazy dog"', query_type="fts").limit(5).to_arrow()
+        assert res.column("id").to_pylist() == [0]
+
+    def test_boolean_query(self, fts_table):
+        q = MatchQuery("fox", "text") & MatchQuery("dog", "text")
+        res = fts_table.search(q).limit(8).to_arrow()
+        assert set(res.column("id").to_pylist()) == {0, 4}
+        q2 = BooleanQuery([(Occur.MUST, MatchQuery("fox", "text")), (Occur.MUST_NOT, MatchQuery("dog", "text"))])
+        res2 = fts_table.search(q2).limit(8).to_arrow()
+        assert set(res2.column("id").to_pylist()) == {1}
+
+    def test_boost_query(self, fts_table):
+        q = BoostQuery(MatchQuery("fox", "text"), MatchQuery("lazy", "text"), negative_boost=1.0)
+        res = fts_table.search(q).limit(8).to_arrow()
+        assert res.column("id")[0].as_py() in (1, 4)  # doc 0 penalized
+
+    def test_multi_match(self, fts_table):
+        fts_table.create_fts_index(["text", "title"], replace=True)
+        res = fts_table.search(MultiMatchQuery("doc fox", ["text", "title"])).limit(8).to_arrow()
+        assert res.num_rows > 0
+
+    def test_fts_with_filter(self, fts_table):
+        res = fts_table.search("fox", query_type="fts").where("id > 0").limit(5).to_arrow()
+        assert set(res.column("id").to_pylist()) == {1, 4}
+
+    def test_fts_after_delete(self, fts_table):
+        fts_table.delete("id = 0")
+        res = fts_table.search("fox", query_type="fts").limit(5).to_arrow()
+        assert 0 not in res.column("id").to_pylist()
+
+    def test_fuzzy(self, fts_table):
+        res = fts_table.search(MatchQuery("foxx", "text", fuzziness=1)).limit(5).to_arrow()
+        assert res.num_rows >= 1
+
+    def test_and_operator_match(self, fts_table):
+        from lancedb_tpu.query_fts import Operator
+
+        res = fts_table.search(
+            MatchQuery("quick dog", "text", operator=Operator.AND)
+        ).limit(8).to_arrow()
+        assert set(res.column("id").to_pylist()) == {0}
+
+
+class TestHybrid:
+    def test_hybrid_rrf(self, fts_table):
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal(8).astype(np.float32)
+        res = (
+            fts_table.search((q, "fox"), query_type="hybrid")
+            .rerank(RRFReranker())
+            .limit(5)
+            .to_arrow()
+        )
+        assert res.num_rows == 5
+        assert "_relevance_score" in res.column_names
+        rel = res.column("_relevance_score").to_pylist()
+        assert rel == sorted(rel, reverse=True)
+
+    def test_hybrid_linear(self, fts_table):
+        q = np.zeros(8, np.float32)
+        res = (
+            fts_table.search((q, "vector database"), query_type="hybrid")
+            .rerank(LinearCombinationReranker(weight=0.5))
+            .limit(4)
+            .to_arrow()
+        )
+        assert res.num_rows == 4
+
+    def test_hybrid_default_reranker(self, fts_table):
+        q = np.zeros(8, np.float32)
+        res = fts_table.search((q, "fox"), query_type="hybrid").limit(3).to_arrow()
+        assert res.num_rows == 3
+
+
+class TestRerankers:
+    def _mk(self, ids, dists=None, scores=None):
+        cols = {"_rowid": pa.array(np.asarray(ids, np.uint64))}
+        if dists is not None:
+            cols["_distance"] = pa.array(np.asarray(dists, np.float32))
+        if scores is not None:
+            cols["_score"] = pa.array(np.asarray(scores, np.float32))
+        return pa.table(cols)
+
+    def test_rrf_math(self):
+        v = self._mk([1, 2, 3], dists=[0.1, 0.2, 0.3])
+        f = self._mk([3, 1], scores=[9.0, 8.0])
+        fused = RRFReranker(K=60).rerank_hybrid("q", v, f)
+        ids = fused.column("_rowid").to_pylist()
+        # id 1: 1/61 + 1/62 ; id 3: 1/63 + 1/61 ; id 2: 1/62
+        assert ids[0] == 1 and ids[1] == 3 and ids[2] == 2
+
+    def test_linear_combination(self):
+        v = self._mk([1, 2], dists=[0.0, 1.0])
+        f = self._mk([2], scores=[5.0])
+        fused = LinearCombinationReranker(weight=0.3).rerank_hybrid("q", v, f)
+        # id1: 0.3·1.0 = 0.3 ; id2: 0.3·0.0 + 0.7·1.0 = 0.7
+        assert fused.column("_rowid")[0].as_py() == 2

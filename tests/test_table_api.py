@@ -1,0 +1,300 @@
+"""End-to-end API tests over the connection/table/query surface
+(modeled on reference python tests test_table.py / test_query.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lancedb_tpu as ldb
+from lancedb_tpu.errors import InvalidInputError, TableAlreadyExistsError, TableNotFoundError
+
+from conftest import make_vector_table
+
+
+class TestConnection:
+    def test_create_open_drop(self, mem_db):
+        t = mem_db.create_table("t1", make_vector_table(50))
+        assert mem_db.table_names() == ["t1"]
+        t2 = mem_db.open_table("t1")
+        assert t2.count_rows() == 50
+        with pytest.raises(TableAlreadyExistsError):
+            mem_db.create_table("t1", make_vector_table(5))
+        mem_db.drop_table("t1")
+        assert mem_db.table_names() == []
+        with pytest.raises(TableNotFoundError):
+            mem_db.open_table("t1")
+
+    def test_create_modes(self, mem_db):
+        mem_db.create_table("t", make_vector_table(10))
+        t = mem_db.create_table("t", make_vector_table(20), mode="overwrite")
+        assert t.count_rows() == 20
+        t = mem_db.create_table("t", exist_ok=True, schema=t.schema)
+        assert t.count_rows() == 20
+
+    def test_schema_only_create(self, mem_db):
+        schema = pa.schema([("id", pa.int64()), ("vector", ldb.vector(8))])
+        t = mem_db.create_table("empty", schema=schema)
+        assert t.count_rows() == 0
+        t.add([{"id": 1, "vector": [0.0] * 8}])
+        assert t.count_rows() == 1
+
+    def test_rename(self, tmp_db):
+        tmp_db.create_table("a", make_vector_table(5))
+        tmp_db.rename_table("a", "b")
+        assert tmp_db.table_names() == ["b"]
+
+    def test_table_names_pagination(self, mem_db):
+        for n in ["c", "a", "b"]:
+            mem_db.create_table(n, make_vector_table(2))
+        assert mem_db.table_names() == ["a", "b", "c"]
+        assert mem_db.table_names(page_token="a", limit=1) == ["b"]
+
+    def test_from_dict_of_arrays(self, mem_db):
+        vecs = np.random.rand(10, 4).astype(np.float32)
+        t = mem_db.create_table("m", {"vector": vecs, "id": np.arange(10)})
+        assert t.schema.field("vector").type == pa.list_(pa.float32(), 4)
+
+
+class TestCrud:
+    def test_add_and_count(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        t.add(make_vector_table(10, seed=9))
+        assert t.count_rows() == 266
+        assert t.count_rows("price > 50") > 0
+
+    def test_delete_update(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(100))
+        n = t.delete("id >= 90")
+        assert n == 10 and t.count_rows() == 90
+        t.update(where="id < 5", values={"price": 0.0})
+        assert t.count_rows("price = 0.0") == 5
+        t.update(values_sql={"price": "price + 1"}, where="id = 10")
+        assert t.count_rows("price >= 1") >= 1
+
+    def test_merge_insert(self, mem_db):
+        t = mem_db.create_table(
+            "t", [{"id": i, "val": f"v{i}"} for i in range(5)]
+        )
+        stats = (
+            t.merge_insert("id")
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute([{"id": 3, "val": "updated"}, {"id": 99, "val": "new"}])
+        )
+        assert stats["num_updated_rows"] == 1
+        assert stats["num_inserted_rows"] == 1
+        assert t.count_rows() == 6
+        assert t.count_rows("val = 'updated'") == 1
+
+    def test_merge_insert_delete_missing(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i} for i in range(5)])
+        t.merge_insert("id").when_not_matched_by_source_delete().when_not_matched_insert_all().execute(
+            [{"id": 1}, {"id": 7}]
+        )
+        assert sorted(t.to_arrow().column("id").to_pylist()) == [1, 7]
+
+    def test_merge_insert_condition(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 1, "v": 5}, {"id": 2, "v": 50}])
+        t.merge_insert("id").when_matched_update_all(
+            where="target.v < source.v"
+        ).execute([{"id": 1, "v": 10}, {"id": 2, "v": 10}])
+        vals = dict(zip(t.to_arrow().column("id").to_pylist(), t.to_arrow().column("v").to_pylist()))
+        assert vals == {1: 10, 2: 50}
+
+
+class TestQuery:
+    def test_vector_search_basic(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        q = fsl_to_numpy(sample_table_data.column("vector"))[0]
+        res = t.search(q).limit(5).to_arrow()
+        assert res.num_rows == 5
+        assert "_distance" in res.column_names
+        assert res.column("id")[0].as_py() == 0  # itself
+        assert res.column("_distance")[0].as_py() < 1e-5
+
+    def test_search_with_filter(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        res = t.search(q).where("id >= 100 AND id < 120").limit(50).to_arrow()
+        ids = res.column("id").to_pylist()
+        assert len(ids) == 20
+        assert all(100 <= i < 120 for i in ids)
+
+    def test_postfilter(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        res = t.search(q).where("id < 10", prefilter=False).limit(30).to_arrow()
+        assert res.num_rows <= 10  # postfilter may drop results below limit
+
+    def test_select_and_row_id(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        res = t.search(q).select(["id"]).with_row_id(True).limit(3).to_arrow()
+        assert set(res.column_names) == {"id", "_distance", "_rowid"}
+
+    def test_dynamic_select(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        res = t.search(q).select({"id2": "id * 2"}).limit(3).to_arrow()
+        assert "id2" in res.column_names
+
+    def test_multiple_query_vectors(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        vecs = fsl_to_numpy(sample_table_data.column("vector"))
+        res = t.search([vecs[0], vecs[1]]).limit(3).to_arrow()
+        assert "query_index" in res.column_names
+        assert res.num_rows == 6
+
+    def test_empty_query_builder(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        res = t.search(None).where("id < 7").select(["id", "price"]).to_arrow()
+        assert res.num_rows == 7
+        res2 = t.query().where("id < 3").to_arrow()
+        assert res2.num_rows == 3
+
+    def test_offset_limit(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        full = t.search(q).limit(10).to_arrow()
+        page2 = t.search(q).limit(5).offset(5).to_arrow()
+        assert page2.column("id").to_pylist() == full.column("id").to_pylist()[5:]
+
+    def test_distance_range(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        all_res = t.search(q).limit(20).to_arrow()
+        d5 = all_res.column("_distance")[5].as_py()
+        res = t.search(q).limit(20).distance_range(upper_bound=d5).to_arrow()
+        assert res.num_rows == 5
+        assert max(res.column("_distance").to_pylist()) < d5
+
+    def test_to_list_pandas(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        q = np.zeros(16, np.float32)
+        rows = t.search(q).limit(2).to_list()
+        assert len(rows) == 2 and "_distance" in rows[0]
+        df = t.search(q).limit(2).to_pandas()
+        assert len(df) == 2
+
+    def test_with_index_then_delta(self, mem_db):
+        data = make_vector_table(300, dim=16, seed=3)
+        t = mem_db.create_table("t", data)
+        t.create_index(index_type="IVF_FLAT", num_partitions=8, metric="l2")
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        vecs = fsl_to_numpy(data.column("vector"))
+        res = t.search(vecs[5]).nprobes(8).limit(1).to_arrow()
+        assert res.column("id")[0].as_py() == 5
+        # add new rows — delta fragments searched brute-force
+        extra = make_vector_table(10, dim=16, seed=99)
+        extra = extra.set_column(0, "id", pa.array(np.arange(1000, 1010)))
+        t.add(extra)
+        q = fsl_to_numpy(extra.column("vector"))[0]
+        res = t.search(q).nprobes(8).limit(1).to_arrow()
+        assert res.column("id")[0].as_py() == 1000
+
+    def test_search_after_delete_with_index(self, mem_db):
+        data = make_vector_table(200, dim=16, seed=4)
+        t = mem_db.create_table("t", data)
+        t.create_index(index_type="IVF_FLAT", num_partitions=4)
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        vecs = fsl_to_numpy(data.column("vector"))
+        assert t.search(vecs[7]).limit(1).to_arrow().column("id")[0].as_py() == 7
+        t.delete("id = 7")
+        top = t.search(vecs[7]).nprobes(4).limit(1).to_arrow()
+        assert top.column("id")[0].as_py() != 7
+
+    def test_bypass_vector_index(self, mem_db):
+        data = make_vector_table(100, dim=16)
+        t = mem_db.create_table("t", data)
+        t.create_index(index_type="IVF_PQ", num_partitions=4, num_sub_vectors=4)
+        q = np.zeros(16, np.float32)
+        res = t.search(q).bypass_vector_index().limit(5).to_arrow()
+        assert res.num_rows == 5
+        plan = t.search(q).bypass_vector_index().limit(5).explain_plan()
+        assert "KnnFlat" in plan
+
+    def test_explain_analyze(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        t.create_index(index_type="IVF_FLAT", num_partitions=4)
+        q = np.zeros(16, np.float32)
+        plan = t.search(q).limit(5).explain_plan()
+        assert "ANNSubIndexExec" in plan
+        analyzed = t.search(q).limit(5).analyze_plan()
+        assert "elapsed_ms" in analyzed
+
+
+class TestIndexManagement:
+    def test_list_and_stats(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        t.create_index(index_type="IVF_PQ", num_partitions=4, num_sub_vectors=4)
+        idx = t.list_indices()
+        assert len(idx) == 1 and idx[0]["index_type"] == "IVF_PQ"
+        stats = t.index_stats(idx[0]["name"])
+        assert stats["num_indexed_rows"] == 256
+        assert stats["num_unindexed_rows"] == 0
+        t.drop_index(idx[0]["name"])
+        assert t.list_indices() == []
+
+    def test_wait_and_prewarm(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        t.create_index(index_type="IVF_FLAT", num_partitions=4, name="vi")
+        t.wait_for_index(["vi"], timeout=1)
+        t.prewarm_index("vi")
+
+    def test_optimize_reindexes_delta(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(200, dim=16))
+        t.create_index(index_type="IVF_FLAT", num_partitions=4, name="vi")
+        extra = make_vector_table(50, dim=16, seed=5)
+        t.add(extra)
+        assert t.index_stats("vi")["num_unindexed_rows"] == 50
+        t.optimize()
+        assert t.index_stats("vi")["num_unindexed_rows"] == 0
+
+
+class TestVersioning:
+    def test_versions_checkout_restore(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(10))
+        v1 = t.version
+        t.add(make_vector_table(10, seed=2))  # ids 0..9 again → 20 rows
+        t.tags.create("before-delete")
+        t.delete("id < 5")  # removes both copies of ids 0..4
+        assert t.count_rows() == 10
+        t.checkout(v1)
+        assert t.count_rows() == 10
+        t.checkout("before-delete")
+        assert t.count_rows() == 20
+        t.restore()
+        assert t.count_rows() == 20
+        versions = t.list_versions()
+        assert versions[-1]["metadata"]["op"] == "restore"
+
+    def test_branches(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(10))
+        t.create_branch("exp")
+        t.checkout_branch("exp")
+        t.add(make_vector_table(5, seed=1))
+        assert t.count_rows() == 15
+        assert t.current_branch == "exp"
+        t.checkout_branch("main")
+        assert t.count_rows() == 10
+
+
+class TestAsync:
+    def test_async_roundtrip(self, tmp_path):
+        import asyncio
+
+        async def main():
+            db = await ldb.connect_async(str(tmp_path / "adb"))
+            t = await db.create_table("t", make_vector_table(30))
+            assert await t.count_rows() == 30
+            res = await t.vector_search(np.zeros(16, np.float32), limit=3)
+            assert res.num_rows == 3
+            assert (await db.table_names()) == ["t"]
+
+        asyncio.run(main())
