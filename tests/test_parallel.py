@@ -1,0 +1,134 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh (the reference
+verifies multi-rank logic in one process — test_elastic_dataloader.py;
+we use xla_force_host_platform_device_count the same way)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lancedb_tpu.parallel import (
+    QUERY_AXIS,
+    SHARD_AXIS,
+    ShardedFlatIndex,
+    make_distributed_kmeans_step,
+    make_mesh,
+    make_sharded_flat_search,
+    make_sharded_ivf_search,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+RNG = np.random.default_rng(11)
+
+
+def np_l2(q, x):
+    return ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+
+
+class TestShardedFlat:
+    def test_matches_exact(self):
+        mesh = make_mesh(8)
+        x = RNG.standard_normal((1024, 32)).astype(np.float32)
+        q = RNG.standard_normal((16, 32)).astype(np.float32)
+        rowids = np.arange(1024, dtype=np.uint64) * 7  # arbitrary mapping
+        idx = ShardedFlatIndex(mesh, x, rowids)
+        vals, ids = idx.search(q, 10)
+        truth = np.argsort(np_l2(q, x), axis=1)[:, :10]
+        for i in range(16):
+            assert set(ids[i].tolist()) == set((truth[i] * 7).tolist())
+        assert (np.diff(vals, axis=1) >= -1e-4).all()
+
+    def test_query_parallel_mesh(self):
+        mesh = make_mesh(8, query_parallel=2)  # 2×4 mesh
+        x = RNG.standard_normal((512, 16)).astype(np.float32)
+        q = RNG.standard_normal((8, 16)).astype(np.float32)
+        rowids = np.arange(512, dtype=np.uint64)
+        idx = ShardedFlatIndex(mesh, x, rowids)
+        vals, ids = idx.search(q, 5)
+        truth = np.argsort(np_l2(q, x), axis=1)[:, :5]
+        for i in range(8):
+            assert set(ids[i].tolist()) == set(truth[i].tolist())
+
+    def test_unpadded_rows(self):
+        mesh = make_mesh(8)
+        x = RNG.standard_normal((1000, 16)).astype(np.float32)  # not divisible by 8
+        q = RNG.standard_normal((4, 16)).astype(np.float32)
+        idx = ShardedFlatIndex(mesh, x, np.arange(1000, dtype=np.uint64))
+        vals, ids = idx.search(q, 10)
+        truth = np.argsort(np_l2(q, x), axis=1)[:, :10]
+        for i in range(4):
+            assert set(ids[i].tolist()) == set(truth[i].tolist())
+
+
+class TestShardedIvf:
+    def test_matches_single_device_ivf(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(8)
+        nparts, pmax, dim = 16, 64, 16
+        cents = RNG.standard_normal((nparts, dim)).astype(np.float32)
+        parts = RNG.standard_normal((nparts, pmax, dim)).astype(np.float32)
+        norms2 = np.sum(parts.astype(np.float64) ** 2, axis=2).astype(np.float32)
+        rowids = np.arange(nparts * pmax, dtype=np.int32).reshape(nparts, pmax)
+        q = RNG.standard_normal((8, dim)).astype(np.float32)
+
+        step = make_sharded_ivf_search(mesh, k=10, nprobes=16)
+        qj = jax.device_put(q, NamedSharding(mesh, P(QUERY_AXIS, None)))
+        shard3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
+        shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+        vals, ids = step(
+            qj,
+            jax.device_put(cents, NamedSharding(mesh, P())),
+            jax.device_put(parts, shard3),
+            jax.device_put(norms2, shard2),
+            jax.device_put(rowids, shard2),
+        )
+        # probing all partitions == exact over the flattened rows
+        flat = parts.reshape(-1, dim)
+        truth = np.argsort(np_l2(q, flat), axis=1)[:, :10]
+        ids = np.asarray(ids)
+        for i in range(8):
+            assert set(ids[i].tolist()) == set(truth[i].tolist())
+
+
+class TestDistributedKmeans:
+    def test_matches_single_device_step(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(8)
+        x = RNG.standard_normal((4096, 8)).astype(np.float32)
+        cents = x[:16].copy()
+        step = make_distributed_kmeans_step(mesh, k=16)
+        xj = jax.device_put(x, NamedSharding(mesh, P((QUERY_AXIS, SHARD_AXIS), None)))
+        cj = jax.device_put(cents, NamedSharding(mesh, P()))
+        new, counts = step(xj, cj)
+        # numpy reference
+        d = np_l2(x, cents)
+        assign = d.argmin(1)
+        ref_counts = np.bincount(assign, minlength=16)
+        np.testing.assert_array_equal(np.asarray(counts), ref_counts)
+        ref = np.stack(
+            [x[assign == c].mean(0) if (assign == c).any() else cents[c] for c in range(16)]
+        )
+        np.testing.assert_allclose(np.asarray(new), ref, rtol=2e-2, atol=2e-2)
+
+    def test_converges(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(123)
+        centers = np.array([[0, 0], [20, 0], [0, 20], [20, 20]], dtype=np.float32)
+        x = np.concatenate(
+            [c + rng.standard_normal((256, 2)).astype(np.float32) for c in centers]
+        )
+        init = np.stack([x[0], x[256], x[512], x[768]])  # one seed per blob
+        rng.shuffle(x)
+        step = make_distributed_kmeans_step(mesh, k=4)
+        xj = jax.device_put(x, NamedSharding(mesh, P((QUERY_AXIS, SHARD_AXIS), None)))
+        cents = jax.device_put(init, NamedSharding(mesh, P()))
+        for _ in range(20):
+            cents, _ = step(xj, cents)
+        learned = np.asarray(cents)
+        d = np_l2(learned, centers)
+        assert (d.min(axis=1) < 1.0).all()
