@@ -1,0 +1,212 @@
+"""Permutation + elastic streaming dataloader tests.
+
+The topology sweep mirrors the reference's test_elastic_dataloader.py:
+determinism and resumability are verified for many (world_size, workers)
+combinations in ONE process by passing explicit rank/world_size and a
+fake worker-info (reference test_elastic_dataloader.py:20-77)."""
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lancedb_tpu.data import StreamingDataset, permutation_builder
+from lancedb_tpu.errors import InvalidInputError
+
+
+@dataclass
+class FakeWorkerInfo:
+    id: int
+    num_workers: int
+
+
+@pytest.fixture
+def base_table(mem_db):
+    n = 240
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "value": pa.array(np.arange(n, dtype=np.float64) * 1.5),
+            "group": pa.array([f"g{i % 4}" for i in range(n)]),
+        }
+    )
+    return mem_db.create_table("base", tbl)
+
+
+class TestPermutation:
+    def test_random_split_fractions(self, base_table):
+        perm = (
+            permutation_builder(base_table)
+            .split_random(seed=1, fractions=[0.75, 0.25])
+            .execute()
+        )
+        assert perm.num_splits == 2
+        assert perm.split_size(0) == 180
+        assert perm.split_size(1) == 60
+        # disjoint + complete
+        a = set(perm.read(0, 0, 180).column("id").to_pylist())
+        b = set(perm.read(1, 0, 60).column("id").to_pylist())
+        assert not (a & b)
+        assert len(a | b) == 240
+
+    def test_random_split_deterministic(self, base_table):
+        p1 = permutation_builder(base_table).split_random(seed=7, counts=[50, 50]).execute()
+        p2 = permutation_builder(base_table).split_random(seed=7, counts=[50, 50]).execute()
+        assert p1.read(0, 0, 50).column("id").to_pylist() == p2.read(0, 0, 50).column("id").to_pylist()
+
+    def test_hash_split_stable(self, base_table):
+        perm = permutation_builder(base_table).split_hash(["id"], [1, 1]).execute()
+        perm2 = permutation_builder(base_table).split_hash(["id"], [1, 1]).execute()
+        assert perm.split_size(0) == perm2.split_size(0)
+        # same id always lands in the same split
+        s0 = set(perm.read(0, 0, perm.split_size(0)).column("id").to_pylist())
+        s0b = set(perm2.read(0, 0, perm2.split_size(0)).column("id").to_pylist())
+        assert s0 == s0b
+
+    def test_hash_split_discard(self, base_table):
+        perm = permutation_builder(base_table).split_hash(["id"], [1, 1], discard_weight=2).execute()
+        assert len(perm) < 240
+
+    def test_sequential_split(self, base_table):
+        perm = permutation_builder(base_table).split_sequential(sizes=[100, 140]).execute()
+        assert perm.read(0, 0, 3).column("id").to_pylist() == [0, 1, 2]
+        assert perm.read(1, 0, 3).column("id").to_pylist() == [100, 101, 102]
+
+    def test_calculated_split(self, base_table):
+        perm = permutation_builder(base_table).split_calculated("id % 3").execute()
+        assert perm.num_splits == 3
+        ids = perm.read(1, 0, perm.split_size(1)).column("id").to_pylist()
+        assert all(i % 3 == 1 for i in ids)
+
+    def test_filter(self, base_table):
+        perm = permutation_builder(base_table).filter("id < 100").execute()
+        assert len(perm) == 100
+
+    def test_shuffle(self, base_table):
+        plain = permutation_builder(base_table).execute()
+        shuffled = permutation_builder(base_table).shuffle(seed=3).execute()
+        assert plain.read(0, 0, 240).column("id").to_pylist() != shuffled.read(0, 0, 240).column(
+            "id"
+        ).to_pylist()
+        assert sorted(shuffled.read(0, 0, 240).column("id").to_pylist()) == list(range(240))
+
+    def test_named_dest(self, base_table, mem_db):
+        permutation_builder(base_table, dest="my_perm").execute()
+        assert "my_perm" in mem_db.table_names()
+
+
+def collect(ds):
+    return [row["id"] for row in ds]
+
+
+class TestStreamingDataset:
+    def test_full_epoch_single_rank(self, base_table):
+        perm = permutation_builder(base_table).shuffle(seed=1).execute()
+        ds = StreamingDataset(perm, num_splits=12, read_batch_size=7)
+        ids = collect(ds)
+        assert sorted(ids) == list(range(240))
+
+    def test_topology_independence(self, base_table):
+        """Union of samples over all ranks is the full dataset for every
+        topology, and per-rank streams are deterministic."""
+        perm = permutation_builder(base_table).shuffle(seed=5).execute()
+        for world in (1, 2, 3, 4, 6, 12):
+            seen = []
+            for rank in range(world):
+                ds = StreamingDataset(perm, num_splits=12, rank=rank, world_size=world)
+                seen.extend(collect(ds))
+            assert sorted(seen) == list(range(240)), f"world={world}"
+
+    def test_workers_subdivide(self, base_table):
+        perm = permutation_builder(base_table).execute()
+        all_ids = []
+        for wid in range(2):
+            ds = StreamingDataset(
+                perm, num_splits=12, rank=0, world_size=2,
+                worker_info=FakeWorkerInfo(id=wid, num_workers=2),
+            )
+            all_ids.extend(collect(ds))
+        solo = StreamingDataset(perm, num_splits=12, rank=0, world_size=2)
+        assert sorted(all_ids) == sorted(collect(solo))
+
+    def test_resume_mid_epoch(self, base_table):
+        perm = permutation_builder(base_table).shuffle(seed=9).execute()
+        full = collect(StreamingDataset(perm, num_splits=6, read_batch_size=5))
+        ds = StreamingDataset(perm, num_splits=6, read_batch_size=5)
+        it = iter(ds)
+        first = [next(it)["id"] for _ in range(100)]
+        state = ds.state_dict()
+        del it
+        resumed = StreamingDataset(perm, num_splits=6, read_batch_size=5)
+        resumed.load_state_dict(state)
+        rest = collect(resumed)
+        assert sorted(first + rest) == list(range(240))
+        assert first + rest == full  # exact continuation, same order
+
+    def test_resume_across_topology(self, base_table):
+        """The killer feature: state from a 2-rank run resumes on 3 ranks
+        (reference streaming.py topology-independent checkpoints)."""
+        perm = permutation_builder(base_table).shuffle(seed=2).execute()
+        NS = 12
+        # run 2 ranks partially
+        states = []
+        consumed_ids = []
+        for rank in range(2):
+            ds = StreamingDataset(perm, num_splits=NS, rank=rank, world_size=2)
+            it = iter(ds)
+            consumed_ids.extend(next(it)["id"] for _ in range(45))
+            states.append(np.asarray(ds.state_dict()["consumed"]))
+            del it
+        merged = np.maximum.reduce(states)  # disjoint splits → elementwise max merges
+        # resume on 3 ranks
+        rest = []
+        for rank in range(3):
+            ds = StreamingDataset(perm, num_splits=NS, rank=rank, world_size=3)
+            ds.load_state_dict({"consumed": merged.tolist(), "num_splits": NS, "total_rows": 240})
+            rest.extend(collect(ds))
+        assert sorted(consumed_ids + rest) == list(range(240))
+
+    def test_round_robin_interleaves_splits(self, base_table):
+        perm = permutation_builder(base_table).execute()  # sequential order
+        ds = StreamingDataset(perm, num_splits=4, read_batch_size=10)
+        first8 = [r["id"] for _, r in zip(range(8), iter(ds))]
+        # one sample from each split per pass: ids come from 4 different blocks
+        blocks = {i // 60 for i in first8[:4]}
+        assert len(blocks) == 4
+
+    def test_validation_errors(self, base_table):
+        perm = permutation_builder(base_table).execute()
+        with pytest.raises(InvalidInputError):
+            StreamingDataset(perm, num_splits=7, world_size=2)  # not divisible
+        with pytest.raises(InvalidInputError):
+            StreamingDataset(perm, num_splits=4, rank=9, world_size=2)
+
+    def test_columns_and_transform(self, base_table):
+        perm = permutation_builder(base_table).execute()
+        ds = StreamingDataset(
+            perm,
+            num_splits=4,
+            columns=["value"],
+            transform=lambda t: list(t.column("value").to_numpy() * 2),
+        )
+        vals = list(ds)
+        assert len(vals) == 240
+        assert isinstance(vals[0], float)
+
+    def test_instrumentation(self, base_table):
+        perm = permutation_builder(base_table).execute()
+        ds = StreamingDataset(perm, num_splits=4)
+        collect(ds)
+        assert ds.bytes_loaded > 0
+        assert ds.fetch_time > 0
+        assert ds.average_fetch_time > 0
+
+    def test_split_selection(self, base_table):
+        perm = (
+            permutation_builder(base_table)
+            .split_random(seed=1, fractions=[0.5, 0.5])
+            .execute()
+        )
+        ds = StreamingDataset(perm, split=1, num_splits=4)
+        assert len(collect(ds)) == 120
