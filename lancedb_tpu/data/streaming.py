@@ -193,7 +193,13 @@ class StreamingDataset(_TorchIterable):
             active = [s for s in splits if self._consumed[s] < self._split_len(s)]
             while active:
                 exhausted = []
+                # the round-robin position is fully derivable from the
+                # per-split counts: lagging splits are served first, so a
+                # resumed stream continues exactly where it stopped
+                minc = min(self._consumed[s] for s in active)
                 for s in active:
+                    if self._consumed[s] > minc and self._consumed[s] < self._split_len(s):
+                        continue  # ahead in this pass; catch-up handled next pass
                     if not cursors[s]:
                         if pending[s]:
                             samples, _ = pending[s].pop(0).result()
