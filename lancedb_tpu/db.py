@@ -212,12 +212,31 @@ class AsyncConnection:
 def connect(
     uri: str,
     *,
+    api_key: str | None = None,
+    host_override: str | None = None,
     read_consistency_interval: float | None = None,
     storage_options: dict | None = None,
+    client_config=None,
     **unused,
-) -> LanceDBConnection:
-    """Connect to a database directory / memory:// URI (reference
-    __init__.py:69 connect)."""
+):
+    """Connect to a database (reference __init__.py:69 connect).
+
+    URI routing mirrors reference connection.rs:1040-1063:
+      * ``db://name``  → remote client (requires host_override in this
+        build; api_key from the LANCEDB_API_KEY env var if unset)
+      * anything else  → local/memory listing database
+    """
+    if uri.startswith("db://"):
+        import os
+
+        from .remote import connect_remote
+
+        if host_override is None:
+            raise InvalidInputError(
+                "db:// URIs need host_override=<server url> in this build"
+            )
+        api_key = api_key or os.environ.get("LANCEDB_API_KEY")
+        return connect_remote(host_override, api_key=api_key, config=client_config)
     return LanceDBConnection(
         uri,
         read_consistency_interval=read_consistency_interval,

@@ -1,0 +1,19 @@
+from .client import (
+    ClientConfig,
+    RemoteDBConnection,
+    RemoteTable,
+    RetryConfig,
+    TimeoutConfig,
+    connect_remote,
+)
+from .server import QueryServer
+
+__all__ = [
+    "connect_remote",
+    "RemoteDBConnection",
+    "RemoteTable",
+    "QueryServer",
+    "ClientConfig",
+    "RetryConfig",
+    "TimeoutConfig",
+]

@@ -1,0 +1,387 @@
+"""Query server: serves a local database over the Cloud REST protocol.
+
+The reference's server side is LanceDB Cloud (closed); its client
+endpoints are documented in remote/table.rs + docs/openapi.yml. This
+server implements that surface over our engine so (a) the remote client
+has a real peer, (b) multi-host deployments can front TPU hosts with
+the same protocol, and (c) tests exercise client/server exactly the way
+the reference's python suite spins a localhost server
+(test_remote_db.py).
+
+Stdlib-only (ThreadingHTTPServer): no external web framework.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import traceback
+import uuid as _uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pyarrow as pa
+
+from ..db import LanceDBConnection
+from ..errors import LanceDBError, TableNotFoundError
+from ..query import VectorQueryRequest, execute_vector_query
+from .protocol import (
+    CONTENT_ARROW,
+    CONTENT_JSON,
+    REQUEST_ID_HEADER,
+    dumps,
+    ipc_to_table,
+    loads,
+    schema_to_json,
+    table_to_ipc,
+)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "lancedb-tpu-server/0.1"
+    conn: LanceDBConnection = None  # injected by make_server
+
+    # silence default stderr logging
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    # ------------------------------------------------------------ plumbing
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("content-length", 0))
+        return self.rfile.read(length) if length else b""
+
+    def _respond(self, code: int, body: bytes = b"", content_type: str = CONTENT_JSON):
+        self.send_response(code)
+        self.send_header("content-type", content_type)
+        self.send_header("content-length", str(len(body)))
+        rid = self.headers.get(REQUEST_ID_HEADER) or _uuid.uuid4().hex
+        self.send_header(REQUEST_ID_HEADER, rid)
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def _error(self, code: int, message: str):
+        self._respond(code, dumps({"error": message}))
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def _route(self, method: str):
+        try:
+            path = self.path.split("?")[0].rstrip("/")
+            if path == "/v1/table" and method == "GET":
+                return self._list_tables()
+            m = re.match(r"^/v1/table/([^/]+)/(.+)$", path)
+            if not m:
+                return self._error(404, f"no route {path}")
+            name, op = m.group(1), m.group(2)
+            handler = getattr(self, f"op_{op.replace('/', '_')}", None)
+            if handler is None:
+                return self._error(404, f"unknown operation {op!r}")
+            return handler(name)
+        except TableNotFoundError as e:
+            return self._error(404, str(e))
+        except LanceDBError as e:
+            return self._error(400, str(e))
+        except Exception as e:  # pragma: no cover - defensive
+            traceback.print_exc()
+            return self._error(500, f"{type(e).__name__}: {e}")
+
+    # ---------------------------------------------------------- tables
+    def _list_tables(self):
+        import urllib.parse
+
+        q = urllib.parse.urlparse(self.path).query
+        params = dict(urllib.parse.parse_qsl(q))
+        names = self.conn.table_names(
+            page_token=params.get("page_token"),
+            limit=int(params["limit"]) if "limit" in params else None,
+        )
+        self._respond(200, dumps({"tables": names}))
+
+    def op_create(self, name):
+        body = self._read_body()
+        if body:
+            data = ipc_to_table(body)
+            self.conn.create_table(name, data, mode="create")
+        else:
+            return self._error(400, "create requires an Arrow IPC body")
+        self._respond(200, dumps({}))
+
+    def op_drop(self, name):
+        self.conn.drop_table(name)
+        self._respond(200, dumps({}))
+
+    def op_rename(self, name):
+        body = loads(self._read_body())
+        self.conn.rename_table(name, body["new_name"])
+        self._respond(200, dumps({}))
+
+    def op_describe(self, name):
+        t = self.conn.open_table(name)
+        self._respond(
+            200,
+            dumps(
+                {
+                    "table": name,
+                    "version": t.version,
+                    "schema": schema_to_json(t.schema),
+                    "stats": t.stats(),
+                }
+            ),
+        )
+
+    def op_count_rows(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        self._respond(200, dumps(t.count_rows(body.get("predicate"))))
+
+    def op_insert(self, name):
+        import urllib.parse
+
+        q = urllib.parse.urlparse(self.path).query
+        params = dict(urllib.parse.parse_qsl(q))
+        data = ipc_to_table(self._read_body())
+        t = self.conn.open_table(name)
+        t.add(data, mode=params.get("mode", "append"))
+        self._respond(200, dumps({"version": t.version}))
+
+    # ----------------------------------------------------------- queries
+    def op_query(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        if "full_text_query" in body and body.get("vector") in (None, []):
+            out = t._execute_fts(
+                body["full_text_query"]["query"],
+                columns=body["full_text_query"].get("columns"),
+                k=body.get("k", 10),
+                offset=body.get("offset", 0),
+                filter=body.get("filter"),
+                prefilter=body.get("prefilter", True),
+                select=body.get("columns"),
+                with_row_id=body.get("with_row_id", False),
+            )
+        else:
+            vec = body.get("vector")
+            multi = bool(vec) and isinstance(vec[0], list)
+            req = VectorQueryRequest(
+                column=body.get("vector_column"),
+                query_vectors=[np.asarray(v, np.float32) for v in (vec if multi else [vec])],
+                k=body.get("k", 10),
+                offset=body.get("offset", 0),
+                filter=body.get("filter"),
+                prefilter=body.get("prefilter", True),
+                minimum_nprobes=body.get("nprobes", 20),
+                maximum_nprobes=body.get("nprobes", 20),
+                refine_factor=body.get("refine_factor"),
+                distance_type=body.get("distance_type"),
+                lower_bound=body.get("lower_bound"),
+                upper_bound=body.get("upper_bound"),
+                use_index=not body.get("bypass_vector_index", False),
+                fast_search=body.get("fast_search", False),
+                with_row_id=body.get("with_row_id", False),
+                select=body.get("columns"),
+            )
+            out = execute_vector_query(t, req)
+        self._respond(200, table_to_ipc(out), CONTENT_ARROW)
+
+    def op_explain_plan(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        req = VectorQueryRequest(
+            column=body.get("vector_column"),
+            query_vectors=[np.asarray(body.get("vector"), np.float32)],
+            k=body.get("k", 10),
+            filter=body.get("filter"),
+        )
+        from ..query import explain_vector_plan
+
+        self._respond(200, dumps({"plan": explain_vector_plan(t, req)}))
+
+    def op_analyze_plan(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        req = VectorQueryRequest(
+            column=body.get("vector_column"),
+            query_vectors=[np.asarray(body.get("vector"), np.float32)],
+            k=body.get("k", 10),
+            filter=body.get("filter"),
+        )
+        from ..query import analyze_vector_plan
+
+        self._respond(200, dumps({"plan": analyze_vector_plan(t, req)}))
+
+    # --------------------------------------------------------- mutation
+    def op_update(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        updates = {c: e for c, e in body.get("updates", [])}
+        stats = t.update(where=body.get("predicate"), values_sql=updates)
+        self._respond(200, dumps(stats))
+
+    def op_delete(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        n = t.delete(body["predicate"])
+        self._respond(200, dumps({"deleted_rows": n, "version": t.version}))
+
+    def op_merge_insert(self, name):
+        import urllib.parse
+
+        q = urllib.parse.urlparse(self.path).query
+        params = dict(urllib.parse.parse_qsl(q))
+        data = ipc_to_table(self._read_body())
+        t = self.conn.open_table(name)
+        on = params.get("on", "").split(",")
+        b = t.merge_insert(on)
+        if params.get("when_matched_update_all") == "true":
+            b.when_matched_update_all(params.get("when_matched_update_all_filt") or None)
+        if params.get("when_not_matched_insert_all") == "true":
+            b.when_not_matched_insert_all()
+        if params.get("when_not_matched_by_source_delete") == "true":
+            b.when_not_matched_by_source_delete(
+                params.get("when_not_matched_by_source_delete_filt") or None
+            )
+        stats = b.execute(data)
+        self._respond(200, dumps(stats))
+
+    # ----------------------------------------------------------- indexes
+    def op_create_index(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        index_type = body.get("index_type", "IVF_PQ").upper()
+        if index_type == "FTS":
+            t.create_fts_index(
+                body["column"],
+                with_position=body.get("with_position", True),
+                base_tokenizer=body.get("base_tokenizer", "simple"),
+            )
+        elif index_type in ("BTREE", "BITMAP", "LABEL_LIST"):
+            t.create_scalar_index(body["column"], index_type=index_type)
+        else:
+            t.create_index(
+                metric=body.get("metric_type", body.get("distance_type", "l2")),
+                num_partitions=body.get("num_partitions"),
+                num_sub_vectors=body.get("num_sub_vectors"),
+                vector_column_name=body.get("column"),
+                index_type=index_type,
+            )
+        self._respond(200, dumps({}))
+
+    def op_index_list(self, name):
+        t = self.conn.open_table(name)
+        self._respond(200, dumps({"indexes": t.list_indices()}))
+
+    def op_index_stats(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        stats = t.index_stats(body["index_name"])
+        if stats is None:
+            return self._error(404, f"index {body['index_name']} not found")
+        self._respond(200, dumps(stats))
+
+    def op_index_drop(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.drop_index(body["index_name"])
+        self._respond(200, dumps({}))
+
+    # ----------------------------------------------------------- versions
+    def op_version_list(self, name):
+        t = self.conn.open_table(name)
+        self._respond(200, dumps({"versions": t.list_versions()}))
+
+    def op_checkout(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.checkout(body["version"])
+        self._respond(200, dumps({"version": t.version}))
+
+    def op_restore(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.restore(body.get("version"))
+        self._respond(200, dumps({"version": t.version}))
+
+    # -------------------------------------------------------------- tags
+    def op_tags_list(self, name):
+        t = self.conn.open_table(name)
+        self._respond(200, dumps(t.tags.list()))
+
+    def op_tags_create(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.tags.create(body["tag"], body.get("version"))
+        self._respond(200, dumps({}))
+
+    def op_tags_delete(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.tags.delete(body["tag"])
+        self._respond(200, dumps({}))
+
+    def op_tags_update(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.tags.update(body["tag"], body["version"])
+        self._respond(200, dumps({}))
+
+    # ----------------------------------------------------------- optimize
+    def op_optimize(self, name):
+        t = self.conn.open_table(name)
+        self._respond(200, dumps(t.optimize()))
+
+
+class QueryServer:
+    """A lancedb-tpu server over one database directory."""
+
+    def __init__(self, uri: str, host: str = "127.0.0.1", port: int = 0):
+        self._conn = LanceDBConnection(uri)
+        handler = type("BoundHandler", (_Handler,), {"conn": self._conn})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "QueryServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "QueryServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def main():  # pragma: no cover - CLI entry
+    import argparse
+
+    ap = argparse.ArgumentParser(description="lancedb-tpu query server")
+    ap.add_argument("uri", help="database directory")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8787)
+    args = ap.parse_args()
+    server = QueryServer(args.uri, args.host, args.port)
+    print(f"serving {args.uri} at {server.url}")
+    server._httpd.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,125 @@
+"""Remote client ↔ server tests: localhost server over a temp database,
+exactly the reference's pattern (test_remote_db.py spins a localhost
+HTTP server; MockSender in remote/client.rs)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lancedb_tpu.errors import HttpError
+from lancedb_tpu.remote import QueryServer, connect_remote
+from lancedb_tpu.remote.client import ClientConfig, RetryConfig
+
+from conftest import make_vector_table
+
+
+@pytest.fixture
+def remote_db(tmp_path):
+    with QueryServer(str(tmp_path / "db")) as server:
+        yield connect_remote(server.url)
+
+
+class TestRemote:
+    def test_create_list_drop(self, remote_db):
+        remote_db.create_table("t1", make_vector_table(50))
+        assert remote_db.table_names() == ["t1"]
+        t = remote_db.open_table("t1")
+        assert t.count_rows() == 50
+        remote_db.drop_table("t1")
+        assert remote_db.table_names() == []
+
+    def test_open_missing_404(self, remote_db):
+        with pytest.raises(HttpError) as e:
+            remote_db.open_table("nope")
+        assert e.value.status_code == 404
+
+    def test_schema_and_describe(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        schema = t.schema
+        assert schema.field("vector").type == pa.list_(pa.float32(), 16)
+        assert t.version >= 1
+        assert t.stats()["num_rows"] == 10
+
+    def test_insert_and_count(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        t.add(make_vector_table(5, seed=3))
+        assert t.count_rows() == 15
+        assert t.count_rows("id < 3") == 6  # both batches have ids 0..n
+
+    def test_vector_query(self, remote_db):
+        data = make_vector_table(100)
+        remote_db.create_table("t", data)
+        t = remote_db.open_table("t")
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        q = fsl_to_numpy(data.column("vector"))[7]
+        res = t.search(q).limit(3).to_arrow()
+        assert res.num_rows == 3
+        assert res.column("id")[0].as_py() == 7
+        res2 = t.search(q).where("id >= 50").limit(3).to_arrow()
+        assert all(i >= 50 for i in res2.column("id").to_pylist())
+
+    def test_fts_query(self, remote_db):
+        docs = pa.table({"id": pa.array(range(3)), "text": pa.array(["alpha beta", "beta gamma", "delta"])})
+        remote_db.create_table("d", docs)
+        t = remote_db.open_table("d")
+        t.create_fts_index("text")
+        res = t.search("beta").limit(5).to_arrow()
+        assert set(res.column("id").to_pylist()) == {0, 1}
+
+    def test_update_delete(self, remote_db):
+        remote_db.create_table("t", make_vector_table(20))
+        t = remote_db.open_table("t")
+        t.update(where="id < 5", values={"price": 0.0})
+        assert t.count_rows("price = 0.0") == 5
+        n = t.delete("id >= 15")
+        assert n == 5
+        assert t.count_rows() == 15
+
+    def test_merge_insert(self, remote_db):
+        remote_db.create_table("t", [{"id": i, "v": i} for i in range(5)])
+        t = remote_db.open_table("t")
+        stats = (
+            t.merge_insert("id")
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute([{"id": 2, "v": 100}, {"id": 9, "v": 9}])
+        )
+        assert stats["num_updated_rows"] == 1
+        assert stats["num_inserted_rows"] == 1
+
+    def test_index_lifecycle(self, remote_db):
+        remote_db.create_table("t", make_vector_table(300))
+        t = remote_db.open_table("t")
+        t.create_index(index_type="IVF_FLAT", num_partitions=4)
+        idx = t.list_indices()
+        assert idx[0]["index_type"] == "IVF_FLAT"
+        stats = t.index_stats(idx[0]["name"])
+        assert stats["num_indexed_rows"] == 300
+        t.drop_index(idx[0]["name"])
+        assert t.list_indices() == []
+
+    def test_versions_and_tags(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        t.add(make_vector_table(5, seed=1))
+        versions = t.list_versions()
+        assert len(versions) == 2
+        t.tags.create("v1", versions[0]["version"])
+        assert "v1" in t.tags.list()
+        t.restore(versions[0]["version"])
+        assert t.count_rows() == 10
+
+    def test_explain_plan(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        plan = t.explain_plan(np.zeros(16))
+        assert "KnnFlat" in plan
+
+    def test_retry_on_unreachable(self):
+        cfg = ClientConfig(retry_config=RetryConfig(retries=1, connect_retries=1, backoff_factor=0.01))
+        db = connect_remote("http://127.0.0.1:1", config=cfg)
+        with pytest.raises(HttpError):
+            db.table_names()
