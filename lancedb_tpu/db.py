@@ -125,6 +125,13 @@ class LanceDBConnection(DBConnection):
         if schema is None:
             schema = tbl.schema
         root = self._table_root(name)
+        # blob columns: payloads go out-of-line, schema becomes descriptors
+        from .blob import blob_columns, encode_blobs, physical_schema
+
+        if blob_columns(schema):
+            if tbl is not None:
+                tbl = encode_blobs(self._store, root, tbl, schema)
+            schema = physical_schema(schema)
         try:
             ds = Dataset.create(
                 self._store,

@@ -274,6 +274,104 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
 # -------------------------------------------------------------------- build
 
 
+def _build_column_index(
+    texts: list[str | None],
+    doc_rowids: np.ndarray,
+    tokenizer: Tokenizer,
+    with_position: bool,
+) -> ColumnFtsIndex:
+    """Build the CSR postings for one column — native C++ builder when
+    the tokenizer configuration permits (simple/English), python loop
+    otherwise. Both produce identical structures (tested)."""
+    use_native = (
+        tokenizer.base == "simple"
+        and tokenizer.language.lower() == "english"
+    )
+    if use_native:
+        from ..native import fts_build_native
+
+        if tokenizer.ascii_folding:
+            from .tokenizer import _ascii_fold
+
+            texts = [(_ascii_fold(t) if t else t) for t in texts]
+        res = fts_build_native(
+            texts,
+            lower_case=tokenizer.lower_case,
+            stem=tokenizer.stem,
+            remove_stop_words=tokenizer.remove_stop_words,
+            max_token_length=tokenizer.max_token_length,
+            with_positions=with_position,
+        )
+        if res is not None:
+            vocab_list, df, post_offsets, post_docs, post_tf, pos_offsets, positions, doc_lens = res
+            return ColumnFtsIndex(
+                vocab={t: i for i, t in enumerate(vocab_list)},
+                df=df,
+                postings_offsets=post_offsets,
+                postings_docs=post_docs,
+                postings_tf=post_tf,
+                doc_lens=doc_lens,
+                doc_rowids=doc_rowids,
+                tokenizer=tokenizer,
+                pos_offsets=pos_offsets if with_position else None,
+                positions=positions if with_position else None,
+            )
+    # ---- pure-python fallback (and non-simple tokenizers) ----
+    vocab: dict[str, int] = {}
+    post: list[dict[int, list[int]]] = []  # tid -> {doc: positions}
+    doc_lens_l: list[int] = []
+    for doc_idx, text in enumerate(texts):
+        toks = tokenizer.tokenize(text)
+        doc_lens_l.append(len(toks))
+        for pos, tok in enumerate(toks):
+            tid = vocab.get(tok)
+            if tid is None:
+                tid = len(vocab)
+                vocab[tok] = tid
+                post.append({})
+            post[tid].setdefault(doc_idx, []).append(pos)
+    T = len(vocab)
+    df = np.zeros(T, dtype=np.int32)
+    for tid in range(T):
+        df[tid] = len(post[tid])
+    offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(df.astype(np.int64), out=offsets[1:])
+    P = int(offsets[-1])
+    p_docs = np.zeros(P, dtype=np.int32)
+    p_tf = np.zeros(P, dtype=np.float32)
+    pos_counts = np.zeros(P, dtype=np.int64)
+    w = 0
+    for tid in range(T):
+        for doc, positions in sorted(post[tid].items()):
+            p_docs[w] = doc
+            p_tf[w] = len(positions)
+            pos_counts[w] = len(positions)
+            w += 1
+    pos_offsets = positions_arr = None
+    if with_position:
+        pos_offsets = np.zeros(P + 1, dtype=np.int64)
+        np.cumsum(pos_counts, out=pos_offsets[1:])
+        positions_arr = np.zeros(int(pos_offsets[-1]), dtype=np.int32)
+        w = 0
+        for tid in range(T):
+            for doc, positions in sorted(post[tid].items()):
+                a = pos_offsets[w]
+                positions_arr[a : a + len(positions)] = positions
+                w += 1
+    return ColumnFtsIndex(
+        vocab=vocab,
+        df=df,
+        postings_offsets=offsets,
+        postings_docs=p_docs,
+        postings_tf=p_tf,
+        doc_lens=np.asarray(doc_lens_l, dtype=np.int32),
+        doc_rowids=doc_rowids,
+        tokenizer=tokenizer,
+        pos_offsets=pos_offsets,
+        positions=positions_arr,
+    )
+
+
 def build_fts_index(dataset, columns: list[str], config, name: str | None = None) -> IndexMeta:
     """Tokenize + build CSR postings for each text column; persist."""
     t0 = time.time()
@@ -301,71 +399,16 @@ def build_fts_index(dataset, columns: list[str], config, name: str | None = None
     frag_ids = []
     n_docs_total = 0
     for col_i, column in enumerate(columns):
-        vocab: dict[str, int] = {}
-        post: list[dict[int, list[int]]] = []  # tid -> {doc: positions}
-        doc_lens: list[int] = []
+        texts: list[str | None] = []
         doc_rowids: list[int] = []
-        doc_idx = 0
         frag_ids = []
         for meta, tbl in dataset.scan_fragments(columns=[column], with_row_id=True):
             frag_ids.append(meta.id)
-            texts = tbl.column(column).to_pylist()
-            rids = tbl.column("_rowid").to_numpy()
-            for text, rid in zip(texts, rids):
-                toks = tokenizer.tokenize(text)
-                doc_lens.append(len(toks))
-                doc_rowids.append(int(rid))
-                for pos, tok in enumerate(toks):
-                    tid = vocab.get(tok)
-                    if tid is None:
-                        tid = len(vocab)
-                        vocab[tok] = tid
-                        post.append({})
-                    post[tid].setdefault(doc_idx, []).append(pos)
-                doc_idx += 1
-        n_docs_total = doc_idx
-        # CSR conversion
-        T = len(vocab)
-        df = np.zeros(T, dtype=np.int32)
-        counts = np.zeros(T, dtype=np.int64)
-        for tid in range(T):
-            df[tid] = len(post[tid])
-            counts[tid] = len(post[tid])
-        offsets = np.zeros(T + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        P = int(offsets[-1])
-        p_docs = np.zeros(P, dtype=np.int32)
-        p_tf = np.zeros(P, dtype=np.float32)
-        pos_counts = np.zeros(P, dtype=np.int64)
-        w = 0
-        for tid in range(T):
-            for doc, positions in sorted(post[tid].items()):
-                p_docs[w] = doc
-                p_tf[w] = len(positions)
-                pos_counts[w] = len(positions)
-                w += 1
-        pos_offsets = positions_arr = None
-        if config.with_position:
-            pos_offsets = np.zeros(P + 1, dtype=np.int64)
-            np.cumsum(pos_counts, out=pos_offsets[1:])
-            positions_arr = np.zeros(int(pos_offsets[-1]), dtype=np.int32)
-            w = 0
-            for tid in range(T):
-                for doc, positions in sorted(post[tid].items()):
-                    a = pos_offsets[w]
-                    positions_arr[a : a + len(positions)] = positions
-                    w += 1
-        col_index = ColumnFtsIndex(
-            vocab=vocab,
-            df=df,
-            postings_offsets=offsets,
-            postings_docs=p_docs,
-            postings_tf=p_tf,
-            doc_lens=np.asarray(doc_lens, dtype=np.int32),
-            doc_rowids=np.asarray(doc_rowids, dtype=np.uint64),
-            tokenizer=tokenizer,
-            pos_offsets=pos_offsets,
-            positions=positions_arr,
+            texts.extend(tbl.column(column).to_pylist())
+            doc_rowids.extend(int(r) for r in tbl.column("_rowid").to_numpy())
+        n_docs_total = len(texts)
+        col_index = _build_column_index(
+            texts, np.asarray(doc_rowids, dtype=np.uint64), tokenizer, config.with_position
         )
         col_index.save(store, f"{prefix}/col{col_i}")
     params = {

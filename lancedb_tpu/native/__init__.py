@@ -1,0 +1,195 @@
+"""ctypes loader for the C++ native runtime (native/lancedb_native.cpp).
+
+Compiles lazily on first use (g++ is in the image; pybind11 is not, so
+the module is a plain C ABI). Every consumer has a pure-Python
+fallback — absence of a compiler degrades performance, not features.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "lancedb_native.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
+_SO = os.path.join(_BUILD_DIR, "liblancedb_native.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _compile() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-march=native", _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _compile():
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _load_failed = True
+            return None
+        # signatures
+        i64 = ctypes.c_int64
+        p = ctypes.c_void_p
+        lib.ldb_fts_build.restype = p
+        lib.ldb_fts_build.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(i64), i64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        for name in ("ldb_fts_num_terms", "ldb_fts_num_postings", "ldb_fts_num_positions",
+                     "ldb_fts_vocab_bytes", "ldb_fts_num_docs"):
+            fn = getattr(lib, name)
+            fn.restype = i64
+            fn.argtypes = [p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(i64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ldb_fts_export.restype = None
+        lib.ldb_fts_export.argtypes = [
+            p, ctypes.c_char_p, i64p, i32p, i64p, i32p, f32p, i64p, i32p, i32p,
+        ]
+        lib.ldb_fts_free.restype = None
+        lib.ldb_fts_free.argtypes = [p]
+        lib.ldb_hash_join.restype = None
+        lib.ldb_hash_join.argtypes = [
+            ctypes.c_char_p, i64p, i64, ctypes.c_char_p, i64p, i64, i64p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _np_ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def fts_build_native(
+    texts: list[str | None],
+    *,
+    lower_case: bool = True,
+    stem: bool = True,
+    remove_stop_words: bool = True,
+    max_token_length: int | None = 40,
+    with_positions: bool = True,
+):
+    """Build CSR postings in C++. Returns the same tuple shape the
+    python builder produces: (vocab list, df, post_offsets, post_docs,
+    post_tf, pos_offsets, positions, doc_lens) — or None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob_parts = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    total = 0
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8", errors="ignore")
+        blob_parts.append(b)
+        total += len(b)
+        offsets[i + 1] = total
+    blob = b"".join(blob_parts)
+    h = lib.ldb_fts_build(
+        blob,
+        _np_ptr(offsets, ctypes.c_int64),
+        len(texts),
+        int(lower_case),
+        int(stem),
+        int(remove_stop_words),
+        int(max_token_length or 0),
+        int(with_positions),
+    )
+    try:
+        T = lib.ldb_fts_num_terms(h)
+        P = lib.ldb_fts_num_postings(h)
+        PP = lib.ldb_fts_num_positions(h)
+        VB = lib.ldb_fts_vocab_bytes(h)
+        ND = lib.ldb_fts_num_docs(h)
+        vocab_buf = ctypes.create_string_buffer(max(int(VB), 1))
+        vocab_offsets = np.zeros(T + 1, dtype=np.int64)
+        df = np.zeros(T, dtype=np.int32)
+        post_offsets = np.zeros(T + 1, dtype=np.int64)
+        post_docs = np.zeros(max(P, 1), dtype=np.int32)
+        post_tf = np.zeros(max(P, 1), dtype=np.float32)
+        doc_lens = np.zeros(max(ND, 1), dtype=np.int32)
+        if with_positions:
+            pos_offsets = np.zeros(P + 1, dtype=np.int64)
+            positions = np.zeros(max(PP, 1), dtype=np.int32)
+            pos_ptr = _np_ptr(pos_offsets, ctypes.c_int64)
+            positions_ptr = _np_ptr(positions, ctypes.c_int32)
+        else:
+            pos_offsets = positions = None
+            pos_ptr = None
+            positions_ptr = None
+        lib.ldb_fts_export(
+            h, vocab_buf, _np_ptr(vocab_offsets, ctypes.c_int64),
+            _np_ptr(df, ctypes.c_int32), _np_ptr(post_offsets, ctypes.c_int64),
+            _np_ptr(post_docs, ctypes.c_int32), _np_ptr(post_tf, ctypes.c_float),
+            pos_ptr, positions_ptr, _np_ptr(doc_lens, ctypes.c_int32),
+        )
+        raw = vocab_buf.raw[: int(VB)]
+        vocab = [
+            raw[vocab_offsets[t] : vocab_offsets[t + 1]].decode("utf-8", errors="ignore")
+            for t in range(T)
+        ]
+        return (
+            vocab, df, post_offsets, post_docs[:P], post_tf[:P],
+            pos_offsets, positions[:PP] if positions is not None else None,
+            doc_lens[:ND],
+        )
+    finally:
+        lib.ldb_fts_free(h)
+
+
+def hash_join_native(src_keys: list[bytes], tgt_keys: list[bytes]) -> np.ndarray | None:
+    """For each target key, the index of the matching source key or -1."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    def pack(keys):
+        offs = np.zeros(len(keys) + 1, dtype=np.int64)
+        total = 0
+        for i, k in enumerate(keys):
+            total += len(k)
+            offs[i + 1] = total
+        return b"".join(keys), offs
+
+    src_blob, src_off = pack(src_keys)
+    tgt_blob, tgt_off = pack(tgt_keys)
+    out = np.empty(len(tgt_keys), dtype=np.int64)
+    lib.ldb_hash_join(
+        src_blob, _np_ptr(src_off, ctypes.c_int64), len(src_keys),
+        tgt_blob, _np_ptr(tgt_off, ctypes.c_int64), len(tgt_keys),
+        _np_ptr(out, ctypes.c_int64),
+    )
+    return out

@@ -672,16 +672,25 @@ class Dataset:
         matched_ast = parse_sql_expr(matched_condition) if matched_condition else None
         delete_ast = parse_sql_expr(delete_condition) if delete_condition else None
 
-        def _key_array(tbl: pa.Table) -> np.ndarray:
-            cols = [tbl.column(c).to_numpy(zero_copy_only=False) for c in on]
-            if len(cols) == 1:
-                return cols[0]
-            return np.array(list(zip(*cols)), dtype=object)
+        def _key_bytes(tbl: pa.Table) -> list[bytes]:
+            cols = [tbl.column(c).to_pylist() for c in on]
+            return [
+                "\x1f".join(repr(c[i]) for c in cols).encode()
+                for i in range(tbl.num_rows)
+            ]
 
-        src_keys = _key_array(source)
-        src_index: dict = {}
-        for i, k in enumerate(src_keys):
-            src_index[k if not isinstance(k, np.ndarray) else tuple(k)] = i
+        src_key_bytes = _key_bytes(source)
+
+        def _match_indices(tgt_keys: list[bytes]) -> np.ndarray:
+            """For each target row, matching source row index or -1 —
+            native C++ hash join when available."""
+            from ..native import hash_join_native
+
+            out = hash_join_native(src_key_bytes, tgt_keys)
+            if out is not None:
+                return out
+            index = {k: i for i, k in enumerate(src_key_bytes)}
+            return np.asarray([index.get(k, -1) for k in tgt_keys], dtype=np.int64)
 
         def build(current: Manifest) -> Manifest:
             draft = current.child("merge_insert", on=on)
@@ -693,32 +702,37 @@ class Dataset:
                 reader = FragmentReader(self.store, self.root, meta)
                 tbl = reader.read_all()
                 keep = deletion_mask(self.store, self.root, meta)
-                tgt_keys = _key_array(tbl)
-                to_delete: list[int] = []
-                for off in range(tbl.num_rows):
-                    if keep is not None and not keep[off]:
-                        continue
-                    k = tgt_keys[off]
-                    k = k if not isinstance(k, np.ndarray) else tuple(k)
-                    si = src_index.get(k)
-                    if si is not None:
-                        matched_src_rows.add(si)
-                        if when_matched_update_all:
-                            if matched_ast is not None:
-                                pair = _pair_table(tbl.slice(off, 1), source.slice(si, 1))
-                                ok = evaluate_predicate_mask(pair, matched_ast)[0]
-                                if not ok:
-                                    continue
-                            to_delete.append(off)
-                            appends.append(source.slice(si, 1))
-                            n_updated += 1
-                    elif when_not_matched_by_source_delete:
-                        if delete_ast is not None:
-                            ok = evaluate_predicate_mask(tbl.slice(off, 1), delete_ast)[0]
-                            if not ok:
-                                continue
-                        to_delete.append(off)
-                        n_deleted += 1
+                alive = keep if keep is not None else np.ones(tbl.num_rows, dtype=bool)
+                match = _match_indices(_key_bytes(tbl))
+                matched = alive & (match >= 0)
+                matched_src_rows.update(match[matched].tolist())
+                to_delete_mask = np.zeros(tbl.num_rows, dtype=bool)
+                if when_matched_update_all and matched.any():
+                    upd = matched.copy()
+                    if matched_ast is not None:
+                        offs = np.nonzero(matched)[0]
+                        pair = _pair_table(
+                            tbl.take(pa.array(offs)),
+                            source.take(pa.array(match[offs])),
+                        )
+                        ok = evaluate_predicate_mask(pair, matched_ast)
+                        upd[:] = False
+                        upd[offs[ok]] = True
+                    if upd.any():
+                        offs = np.nonzero(upd)[0]
+                        appends.append(source.take(pa.array(match[offs])))
+                        to_delete_mask |= upd
+                        n_updated += int(upd.sum())
+                if when_not_matched_by_source_delete:
+                    missing = alive & (match < 0)
+                    if delete_ast is not None and missing.any():
+                        offs = np.nonzero(missing)[0]
+                        ok = evaluate_predicate_mask(tbl.take(pa.array(offs)), delete_ast)
+                        missing[:] = False
+                        missing[offs[ok]] = True
+                    to_delete_mask |= missing
+                    n_deleted += int(missing.sum())
+                to_delete = np.nonzero(to_delete_mask)[0].tolist()
                 if to_delete:
                     prior = (
                         read_deletion_offsets(self.store, self.root, meta.deletion_file)

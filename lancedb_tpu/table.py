@@ -183,7 +183,23 @@ class Table:
     # ------------------------------------------------------------- write
 
     def add(self, data: Any, mode: Literal["append", "overwrite"] = "append") -> None:
-        tbl = to_arrow_table(data, schema=self.schema if mode == "append" else None)
+        from .blob import blob_columns, encode_blobs
+
+        bcols = blob_columns(self.schema) if mode == "append" else []
+        if bcols:
+            # align against an ingest view of the schema where blob
+            # descriptor columns accept raw binary payloads
+            ingest_fields = []
+            for f in self.schema:
+                if f.name in bcols:
+                    ingest_fields.append(pa.field(f.name, pa.large_binary(), nullable=f.nullable))
+                else:
+                    ingest_fields.append(f)
+            tbl = to_arrow_table(data, schema=pa.schema(ingest_fields))
+            ds = self._dataset
+            tbl = encode_blobs(ds.store, ds.root, tbl, self.schema)
+        else:
+            tbl = to_arrow_table(data, schema=self.schema if mode == "append" else None)
         tbl = self._apply_embeddings(tbl)
         if mode == "append":
             self._dataset.append(tbl)
@@ -597,6 +613,28 @@ class Table:
 
     def stats(self) -> dict:
         return self._dataset.stats()
+
+    # ------------------------------------------------------------- blobs
+
+    def fetch_blobs(self, column: str, row_ids: list[int]) -> list[bytes | None]:
+        """Materialize blob payloads by row address (reference
+        table.rs:744 fetch_blobs)."""
+        from .blob import fetch_blobs
+
+        return fetch_blobs(self._dataset, column, np.asarray(row_ids, dtype=np.uint64))
+
+    def fetch_blob_files(self, column: str, row_ids: list[int]):
+        """Lazy seekable BlobFile handles (reference fetch_blob_files)."""
+        from .blob import fetch_blob_files
+
+        return fetch_blob_files(self._dataset, column, np.asarray(row_ids, dtype=np.uint64))
+
+    def fetch_blob_ranges(self, column: str, row_ids: list[int], ranges: list[tuple[int, int]]):
+        from .blob import fetch_blob_ranges
+
+        return fetch_blob_ranges(
+            self._dataset, column, np.asarray(row_ids, dtype=np.uint64), ranges
+        )
 
     # -------------------------------------------------------- embeddings
 

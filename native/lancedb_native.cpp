@@ -1,0 +1,324 @@
+// lancedb_tpu native runtime — host-side hot paths in C++.
+//
+// The reference implements its host data plane in Rust (rust/lancedb +
+// the lance crates). Here the TPU does the vector math; this module
+// covers the CPU-bound pieces that are too slow in Python:
+//
+//   * FTS index building: tokenization (simple tokenizer + Porter
+//     stemmer + stop words) and CSR postings accumulation
+//     (reference: lance's inverted index builder, SURVEY.md §2.9 FTS)
+//   * hash join for merge_insert key matching
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 lancedb_native.cpp -o liblancedb_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------- tokenizer
+
+inline bool is_word_char(unsigned char c) {
+  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+         (c >= '0' && c <= '9') || c == '_';
+}
+
+// Lucene's classic english stop list (matches python tokenizer.py).
+const std::unordered_map<std::string, bool>& stop_words() {
+  static const std::unordered_map<std::string, bool> s = [] {
+    std::unordered_map<std::string, bool> m;
+    for (const char* w :
+         {"a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+          "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+          "such", "that", "the", "their", "then", "there", "these",
+          "they", "this", "to", "was", "will", "with"})
+      m[w] = true;
+    return m;
+  }();
+  return s;
+}
+
+// ------------------------------------------------------ porter stemmer
+// Standard Porter algorithm, behavior-matched to the python
+// implementation in lancedb_tpu/index/tokenizer.py (_porter_stem).
+
+struct Porter {
+  static bool cons(const std::string& w, int i) {
+    char c = w[i];
+    if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') return false;
+    if (c == 'y') return i == 0 ? true : !cons(w, i - 1);
+    return true;
+  }
+
+  static int measure(const std::string& stem) {
+    std::string form;
+    for (size_t i = 0; i < stem.size(); i++)
+      form += cons(stem, (int)i) ? 'C' : 'V';
+    // collapse runs
+    std::string collapsed;
+    for (char c : form)
+      if (collapsed.empty() || collapsed.back() != c) collapsed += c;
+    int m = 0;
+    for (size_t i = 0; i + 1 < collapsed.size(); i++)
+      if (collapsed[i] == 'V' && collapsed[i + 1] == 'C') m++;
+    return m;
+  }
+
+  static bool has_vowel(const std::string& stem) {
+    for (size_t i = 0; i < stem.size(); i++)
+      if (!cons(stem, (int)i)) return true;
+    return false;
+  }
+
+  static bool ends_double_cons(const std::string& w) {
+    size_t n = w.size();
+    return n >= 2 && w[n - 1] == w[n - 2] && cons(w, (int)n - 1);
+  }
+
+  static bool cvc(const std::string& w) {
+    size_t n = w.size();
+    if (n < 3) return false;
+    if (!(cons(w, (int)n - 3) && !cons(w, (int)n - 2) && cons(w, (int)n - 1)))
+      return false;
+    char last = w[n - 1];
+    return last != 'w' && last != 'x' && last != 'y';
+  }
+
+  static bool ends(const std::string& w, const char* suf) {
+    size_t sl = strlen(suf);
+    return w.size() >= sl && w.compare(w.size() - sl, sl, suf) == 0;
+  }
+
+  static std::string stem(std::string w) {
+    if (w.size() <= 2) return w;
+    // 1a
+    if (ends(w, "sses")) w.resize(w.size() - 2);
+    else if (ends(w, "ies")) w.resize(w.size() - 2);
+    else if (ends(w, "ss")) {}
+    else if (ends(w, "s")) w.resize(w.size() - 1);
+    // 1b
+    bool flag = false;
+    if (ends(w, "eed")) {
+      if (measure(w.substr(0, w.size() - 3)) > 0) w.resize(w.size() - 1);
+    } else if (ends(w, "ed")) {
+      if (has_vowel(w.substr(0, w.size() - 2))) { w.resize(w.size() - 2); flag = true; }
+    } else if (ends(w, "ing")) {
+      if (has_vowel(w.substr(0, w.size() - 3))) { w.resize(w.size() - 3); flag = true; }
+    }
+    if (flag) {
+      if (ends(w, "at") || ends(w, "bl") || ends(w, "iz")) w += 'e';
+      else if (ends_double_cons(w) && !ends(w, "l") && !ends(w, "s") && !ends(w, "z"))
+        w.resize(w.size() - 1);
+      else if (measure(w) == 1 && cvc(w)) w += 'e';
+    }
+    // 1c
+    if (ends(w, "y") && has_vowel(w.substr(0, w.size() - 1))) w[w.size() - 1] = 'i';
+    // 2
+    {
+      static const std::pair<const char*, const char*> pairs2[] = {
+          {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"}, {"anci", "ance"},
+          {"izer", "ize"}, {"abli", "able"}, {"alli", "al"}, {"entli", "ent"},
+          {"eli", "e"}, {"ousli", "ous"}, {"ization", "ize"}, {"ation", "ate"},
+          {"ator", "ate"}, {"alism", "al"}, {"iveness", "ive"}, {"fulness", "ful"},
+          {"ousness", "ous"}, {"aliti", "al"}, {"iviti", "ive"}, {"biliti", "ble"}};
+      for (auto& [suf, rep] : pairs2) {
+        if (ends(w, suf)) {
+          std::string st = w.substr(0, w.size() - strlen(suf));
+          if (measure(st) > 0) w = st + rep;
+          break;
+        }
+      }
+    }
+    // 3
+    {
+      static const std::pair<const char*, const char*> pairs3[] = {
+          {"icate", "ic"}, {"ative", ""}, {"alize", "al"}, {"iciti", "ic"},
+          {"ical", "ic"}, {"ful", ""}, {"ness", ""}};
+      for (auto& [suf, rep] : pairs3) {
+        if (ends(w, suf)) {
+          std::string st = w.substr(0, w.size() - strlen(suf));
+          if (measure(st) > 0) w = st + rep;
+          break;
+        }
+      }
+    }
+    // 4 — longest suffix first (matches python's sorted(key=len, reverse=True))
+    {
+      static const char* sufs4[] = {"ement", "ance", "ence", "able", "ible",
+                                    "ment", "ent",  "ant",  "ism",  "ate",
+                                    "iti",  "ous",  "ive",  "ize",  "al",
+                                    "er",   "ic",   "ou"};
+      bool hit = false;
+      for (const char* suf : sufs4) {
+        if (ends(w, suf)) {
+          std::string st = w.substr(0, w.size() - strlen(suf));
+          if (measure(st) > 1) w = st;
+          hit = true;
+          break;
+        }
+      }
+      if (!hit && ends(w, "ion")) {
+        std::string st = w.substr(0, w.size() - 3);
+        if (measure(st) > 1 && (ends(st, "s") || ends(st, "t"))) w = st;
+      }
+    }
+    // 5a
+    if (ends(w, "e")) {
+      std::string st = w.substr(0, w.size() - 1);
+      int m = measure(st);
+      if (m > 1 || (m == 1 && !cvc(st))) w = st;
+    }
+    // 5b
+    if (measure(w) > 1 && ends_double_cons(w) && ends(w, "l")) w.resize(w.size() - 1);
+    return w;
+  }
+};
+
+// ------------------------------------------------------- FTS builder
+
+struct FtsBuilder {
+  std::vector<std::string> vocab;                     // tid -> term
+  std::unordered_map<std::string, int32_t> term_ids;  // term -> tid
+  // per term: (doc, tf, first positions index) — positions flat per term
+  struct Posting { int32_t doc; float tf; std::vector<int32_t> positions; };
+  std::vector<std::vector<Posting>> postings;  // tid -> postings (doc asc)
+  std::vector<int32_t> doc_lens;
+  int64_t total_postings = 0;
+  int64_t total_positions = 0;
+  int64_t vocab_bytes = 0;
+};
+
+void tokenize_doc(const char* begin, const char* end, bool lower, bool do_stem,
+                  bool drop_stop, int max_len, std::vector<std::string>& out) {
+  const char* p = begin;
+  std::string tok;
+  while (p < end) {
+    while (p < end && !is_word_char((unsigned char)*p)) p++;
+    const char* start = p;
+    while (p < end && is_word_char((unsigned char)*p)) p++;
+    if (p == start) break;
+    tok.assign(start, p);
+    if (max_len > 0 && (int)tok.size() > max_len) continue;
+    if (lower)
+      for (auto& c : tok)
+        if (c >= 'A' && c <= 'Z') c += 32;
+    if (drop_stop && stop_words().count(tok)) continue;
+    if (do_stem) tok = Porter::stem(tok);
+    if (!tok.empty()) out.push_back(tok);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ldb_fts_build(const char* blob, const int64_t* offsets, int64_t ndocs,
+                    int lower, int do_stem, int drop_stop, int max_len,
+                    int with_positions) {
+  auto* b = new FtsBuilder();
+  b->doc_lens.reserve(ndocs);
+  std::vector<std::string> toks;
+  for (int64_t d = 0; d < ndocs; d++) {
+    toks.clear();
+    tokenize_doc(blob + offsets[d], blob + offsets[d + 1], lower, do_stem,
+                 drop_stop, max_len, toks);
+    b->doc_lens.push_back((int32_t)toks.size());
+    for (size_t pos = 0; pos < toks.size(); pos++) {
+      const std::string& t = toks[pos];
+      auto it = b->term_ids.find(t);
+      int32_t tid;
+      if (it == b->term_ids.end()) {
+        tid = (int32_t)b->vocab.size();
+        b->term_ids.emplace(t, tid);
+        b->vocab.push_back(t);
+        b->vocab_bytes += (int64_t)t.size();
+        b->postings.emplace_back();
+      } else {
+        tid = it->second;
+      }
+      auto& plist = b->postings[tid];
+      if (plist.empty() || plist.back().doc != (int32_t)d) {
+        plist.push_back({(int32_t)d, 0.0f, {}});
+        b->total_postings++;
+      }
+      plist.back().tf += 1.0f;
+      if (with_positions) {
+        plist.back().positions.push_back((int32_t)pos);
+        b->total_positions++;
+      }
+    }
+  }
+  return b;
+}
+
+int64_t ldb_fts_num_terms(void* h) { return (int64_t)((FtsBuilder*)h)->vocab.size(); }
+int64_t ldb_fts_num_postings(void* h) { return ((FtsBuilder*)h)->total_postings; }
+int64_t ldb_fts_num_positions(void* h) { return ((FtsBuilder*)h)->total_positions; }
+int64_t ldb_fts_vocab_bytes(void* h) { return ((FtsBuilder*)h)->vocab_bytes; }
+int64_t ldb_fts_num_docs(void* h) { return (int64_t)((FtsBuilder*)h)->doc_lens.size(); }
+
+// Export everything into caller-allocated buffers (sizes from getters).
+void ldb_fts_export(void* h, char* vocab_buf, int64_t* vocab_offsets,
+                    int32_t* df, int64_t* post_offsets, int32_t* post_docs,
+                    float* post_tf, int64_t* pos_offsets, int32_t* positions,
+                    int32_t* doc_lens) {
+  auto* b = (FtsBuilder*)h;
+  int64_t vb = 0;
+  int64_t pw = 0;   // posting write index
+  int64_t posw = 0; // position write index
+  int64_t T = (int64_t)b->vocab.size();
+  for (int64_t t = 0; t < T; t++) {
+    vocab_offsets[t] = vb;
+    const std::string& term = b->vocab[t];
+    memcpy(vocab_buf + vb, term.data(), term.size());
+    vb += (int64_t)term.size();
+    post_offsets[t] = pw;
+    auto& plist = b->postings[t];
+    df[t] = (int32_t)plist.size();
+    for (auto& p : plist) {
+      post_docs[pw] = p.doc;
+      post_tf[pw] = p.tf;
+      if (pos_offsets) {
+        pos_offsets[pw] = posw;
+        for (int32_t pp : p.positions) positions[posw++] = pp;
+      }
+      pw++;
+    }
+  }
+  vocab_offsets[T] = vb;
+  post_offsets[T] = pw;
+  if (pos_offsets) pos_offsets[pw] = posw;
+  memcpy(doc_lens, b->doc_lens.data(), b->doc_lens.size() * sizeof(int32_t));
+}
+
+void ldb_fts_free(void* h) { delete (FtsBuilder*)h; }
+
+// ------------------------------------------------------- hash join
+// merge_insert key matching: for every target key, the index of the
+// matching source key (or -1). Keys are pre-serialized byte strings.
+
+void ldb_hash_join(const char* src_blob, const int64_t* src_offsets, int64_t n_src,
+                   const char* tgt_blob, const int64_t* tgt_offsets, int64_t n_tgt,
+                   int64_t* out_match) {
+  std::unordered_map<std::string, int64_t> index;
+  index.reserve((size_t)n_src * 2);
+  for (int64_t i = 0; i < n_src; i++) {
+    index.emplace(std::string(src_blob + src_offsets[i],
+                              (size_t)(src_offsets[i + 1] - src_offsets[i])),
+                  i);
+  }
+  std::string key;
+  for (int64_t i = 0; i < n_tgt; i++) {
+    key.assign(tgt_blob + tgt_offsets[i],
+               (size_t)(tgt_offsets[i + 1] - tgt_offsets[i]));
+    auto it = index.find(key);
+    out_match[i] = it == index.end() ? -1 : it->second;
+  }
+}
+
+}  // extern "C"
