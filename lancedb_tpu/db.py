@@ -66,6 +66,9 @@ class LanceDBConnection(DBConnection):
             self._store, self._root = store, uri
         else:
             self._store, self._root = resolve_uri(uri, storage_options)
+        from .jobs import JobRegistry
+
+        self._jobs = JobRegistry()
 
     def __repr__(self) -> str:
         return f"LanceDBConnection(uri={self.uri!r})"
@@ -183,6 +186,19 @@ class LanceDBConnection(DBConnection):
 
     def __getitem__(self, name: str) -> Table:
         return self.open_table(name)
+
+    # ---- jobs (reference connection.rs:526-556 job APIs) ----
+    def list_jobs(self, include_finished: bool = True) -> list[dict]:
+        return self._jobs.list(include_finished)
+
+    def get_job(self, job_id: str):
+        return self._jobs.get(job_id)
+
+    def cancel_job(self, job_id: str) -> bool:
+        return self._jobs.cancel(job_id)
+
+    def job_history(self) -> list[dict]:
+        return self._jobs.history()
 
 
 class AsyncConnection:

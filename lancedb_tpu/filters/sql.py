@@ -84,6 +84,9 @@ class BinaryOp(Expr):
     }
 
     def sql(self) -> str:
+        if self.op in ("in", "not_in"):
+            # the literal list renders its own parentheses
+            return f"({self.left.sql()}) {self._SYM[self.op]} {self.right.sql()}"
         return f"({self.left.sql()}) {self._SYM[self.op]} ({self.right.sql()})"
 
 

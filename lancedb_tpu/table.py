@@ -345,6 +345,13 @@ class Table:
         self._dataset.add_index(meta, replace=replace)
         self._invalidate_caches()
 
+    def create_index_async(self, **kwargs):
+        """Background index build returning a Job handle (reference
+        index.rs:313 create_index_async → Job)."""
+        return self._conn._jobs.submit(
+            "create_index", lambda: self.create_index(**kwargs)
+        )
+
     def create_scalar_index(
         self,
         column: str,

@@ -1,0 +1,106 @@
+"""Expr DSL, metrics recorder, and job subsystem tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+from lancedb_tpu.errors import JobFailureError
+from lancedb_tpu.expr import col, expr_to_sql_string, lit
+from lancedb_tpu.jobs import JobRegistry, JobStatus
+from lancedb_tpu.metrics import MetricsRecorder, metrics_catalog, recorder, snapshot_metrics
+
+from conftest import make_vector_table
+
+
+class TestExprDsl:
+    def test_comparisons_sql(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(50))
+        e = (col("id") >= 10) & (col("id") < 20)
+        assert t.count_rows(e.sql()) == 10
+        e2 = col("label").is_in(["item-0", "item-1"]) | col("price").between(0, 1)
+        assert t.count_rows(e2.sql()) > 0
+
+    def test_arithmetic_and_functions(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(20))
+        assert t.count_rows(((col("id") * 2 + 1) > 35).sql()) == 2  # ids 18,19
+        assert t.count_rows(col("label").starts_with("item-0").sql()) > 0
+        assert t.count_rows(col("label").upper().like("ITEM-%").sql()) == 20
+        assert t.count_rows((~(col("id") < 10)).sql()) == 10
+
+    def test_null_handling(self, mem_db):
+        import pyarrow as pa
+
+        t = mem_db.create_table("t", pa.table({"x": pa.array([1, None, 3])}))
+        assert t.count_rows(col("x").is_null().sql()) == 1
+        assert t.count_rows(col("x").is_not_null().sql()) == 2
+
+    def test_lowering(self):
+        s = expr_to_sql_string((col("a") + lit(1)) % 3 == 0)
+        from lancedb_tpu.filters.sql import parse_sql_expr
+
+        parse_sql_expr(s)  # round-trips through the parser
+
+
+class TestMetrics:
+    def test_counters_and_gauges(self):
+        rec = MetricsRecorder()
+        rec.increment_counter("queries", labels={"table": "t"})
+        rec.increment_counter("queries", 2, labels={"table": "t"})
+        rec.set_gauge("hbm_bytes", 123.0)
+        snap = rec.snapshot()
+        assert snap["counters"][0]["value"] == 3
+        assert snap["gauges"][0]["value"] == 123.0
+
+    def test_histogram_le_buckets(self):
+        rec = MetricsRecorder()
+        for v in (0.003, 0.004, 0.2, 5.0):
+            rec.record_histogram("latency", v)
+        h = rec.snapshot()["histograms"][0]
+        assert h["count"] == 4
+        assert h["le"]["0.005"] == 2
+        assert h["le"]["+Inf"] == 4
+        assert abs(h["sum"] - 5.207) < 1e-9
+
+    def test_global_recorder(self):
+        recorder().increment_counter("test_global")
+        assert "test_global" in metrics_catalog()
+        assert any(c["name"] == "test_global" for c in snapshot_metrics()["counters"])
+
+
+class TestJobs:
+    def test_submit_wait(self):
+        reg = JobRegistry()
+        job = reg.submit("demo", lambda: 40 + 2)
+        assert job.wait(timeout=10) == 42
+        assert job.status() == JobStatus.SUCCEEDED
+        assert reg.list()[0]["status"] == "SUCCEEDED"
+
+    def test_failure(self):
+        reg = JobRegistry()
+
+        def boom():
+            raise ValueError("nope")
+
+        job = reg.submit("demo", boom)
+        with pytest.raises(JobFailureError):
+            job.wait(timeout=10)
+        assert job.status() == JobStatus.FAILED
+        assert "nope" in reg.history()[0]["error"]
+
+    def test_cancel_pending(self):
+        reg = JobRegistry(max_workers=1)
+        block = reg.submit("slow", lambda: time.sleep(0.4))
+        queued = reg.submit("queued", lambda: 1)
+        assert queued.cancel()
+        block.wait(timeout=10)
+        assert queued.status() == JobStatus.CANCELLED
+
+    def test_create_index_async(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(600, dim=8))
+        job = t.create_index_async(index_type="IVF_FLAT", num_partitions=4)
+        job.wait(timeout=120)
+        assert job.status() == JobStatus.SUCCEEDED
+        assert t.list_indices()[0]["index_type"] == "IVF_FLAT"
+        assert mem_db.list_jobs()[0]["type"] == "create_index"
+        assert mem_db.get_job(job.id) is job
