@@ -189,11 +189,21 @@ def vector_column_name(schema: pa.Schema, requested: str | None = None) -> str:
         if requested not in schema.names:
             raise InvalidInputError(f"no column {requested!r} in schema")
         return requested
-    if VECTOR_COLUMN_NAME in schema.names and is_vector_type(
+    def _is_searchable(t: pa.DataType) -> bool:
+        if is_vector_type(t):
+            return True
+        # multivector: list<fixed_size_list<float>>
+        return (
+            (pa.types.is_list(t) or pa.types.is_large_list(t))
+            and pa.types.is_fixed_size_list(t.value_type)
+            and pa.types.is_floating(t.value_type.value_type)
+        )
+
+    if VECTOR_COLUMN_NAME in schema.names and _is_searchable(
         schema.field(VECTOR_COLUMN_NAME).type
     ):
         return VECTOR_COLUMN_NAME
-    candidates = [f.name for f in schema if is_vector_type(f.type)]
+    candidates = [f.name for f in schema if _is_searchable(f.type)]
     if len(candidates) == 1:
         return candidates[0]
     if not candidates:

@@ -206,6 +206,38 @@ def build_vector_index(
             )
             _save_npy(store, f"{prefix}/sq_scale.npy", scale)
             _save_npy(store, f"{prefix}/sq_offset.npy", lo.astype(np.float32))
+        elif index_type == "IVF_RQ":
+            # RaBitQ-style 1-bit residual quantization: residuals are
+            # rotated by a seeded orthonormal matrix, sign-quantized to
+            # ±1 bits (32× smaller than f32), with a per-row scale that
+            # minimizes L2 error for sign quantization (s = mean|u_i|).
+            # Reconstruction: x̂ = c_p + Rᵀ(s·sign(u)); the scan is a
+            # ±1 matmul against the rotated query (MXU via bit-unpack).
+            rng_r = np.random.default_rng(config.seed + 7)
+            gauss = rng_r.standard_normal((dim, dim)).astype(np.float32)
+            rot, _ = np.linalg.qr(gauss)
+            rot = rot.astype(np.float32)
+            residuals = vectors - centroids[assign]
+            u = residuals @ rot.T  # rotated residuals
+            signs = u > 0
+            scales = np.mean(np.abs(u), axis=1).astype(np.float32)  # per row
+            bits = np.packbits(signs, axis=1, bitorder="little")
+            recon_rot = scales[:, None] * np.where(signs, 1.0, -1.0).astype(np.float32)
+            recon = recon_rot @ rot + centroids[assign]
+            rnorms = np.sum(recon.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            _save_npy(store, f"{prefix}/bits.npy", _scatter_padded(bits, order, counts, pmax))
+            _save_npy(
+                store,
+                f"{prefix}/scales.npy",
+                _scatter_padded(scales, order, counts, pmax),
+            )
+            _save_npy(
+                store,
+                f"{prefix}/rnorms.npy",
+                _scatter_padded(rnorms, order, counts, pmax, fill=PAD_PENALTY),
+            )
+            _save_npy(store, f"{prefix}/rotation.npy", rot)
+            meta_doc.update(num_bits=1)
         elif index_type == "IVF_PQ":
             nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
             residuals = vectors - centroids[assign]
@@ -402,6 +434,48 @@ def _ivf_pq_search_device(
 
 
 @partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
+def _ivf_rq_search_device(
+    q, centroids, bits, scales, rnorms, rotation, slot_penalty,
+    k: int, nprobes: int, metric: str, has_mask: bool,
+):
+    """1-bit residual scan: q·r̂ = s · (Rq)·sign_bits, a ±1 matvec.
+
+    bits: (P, pmax, D/8) uint8 packed little-endian; scales: (P, pmax);
+    rnorms: (P, pmax) = |x̂|² (+inf pad); rotation: (D, D).
+    """
+    qb = q.shape[0]
+    nparts, pmax, _ = bits.shape
+    qf = q.astype(jnp.float32)
+    probe_ids, probe_dots = _select_probes(q, centroids, nprobes, metric)
+    q_rot = jnp.dot(qf, rotation.T, precision=jax.lax.Precision.HIGHEST)  # (Q, D)
+    g_bits = jnp.take(bits, probe_ids, axis=0)  # (Q, np, pmax, D/8)
+    g_scale = jnp.take(scales, probe_ids, axis=0)
+    g_rn = jnp.take(rnorms, probe_ids, axis=0)
+    # unpack to ±1 (little-endian bit order matches np.packbits bitorder)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    pm1 = (((g_bits[..., None] >> shifts) & jnp.uint8(1)).astype(matmul_dtype()) * 2.0 - 1.0)
+    pm1 = pm1.reshape(*g_bits.shape[:-1], -1)  # (Q, np, pmax, D)
+    dots_r = jnp.einsum(
+        "qnpd,qd->qnp", pm1, q_rot.astype(matmul_dtype()), preferred_element_type=jnp.float32
+    )
+    q_dot_res = g_scale * dots_r  # s · (Rq)·b
+    qdotx = probe_dots[:, :, None] + q_dot_res
+    if metric == "dot":
+        d = -qdotx + jnp.where(g_rn >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    else:
+        qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+        d = qn2 - 2.0 * qdotx + g_rn
+    if has_mask:
+        d = d + jnp.take(slot_penalty.reshape(nparts, pmax), probe_ids, axis=0)
+    d = d.reshape(qb, -1)
+    vals, pos = topk_smallest(d, k)
+    probe_of = pos // pmax
+    off = pos % pmax
+    slots = jnp.take_along_axis(probe_ids, probe_of, axis=1) * pmax + off
+    return vals, slots
+
+
+@partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
 def _ivf_sq_search_device(
     q, centroids, codes, norms2, scale, offset, slot_penalty,
     k: int, nprobes: int, metric: str, has_mask: bool,
@@ -499,6 +573,13 @@ class VectorSearcher:
             self._device["codebooks"] = jnp.asarray(
                 np.asarray(_load_npy(store, f"{prefix}/codebooks.npy"))
             )
+        elif self.index_type == "IVF_RQ":
+            self._device["bits"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/bits.npy")))
+            self._device["scales"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/scales.npy")))
+            self._device["rnorms"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/rnorms.npy")))
+            self._device["rotation"] = jnp.asarray(
+                np.asarray(_load_npy(store, f"{prefix}/rotation.npy"))
+            )
         else:
             raise InvalidInputError(f"cannot load index type {self.index_type!r}")
 
@@ -577,6 +658,14 @@ class VectorSearcher:
                     k=min(k_eff, self.num_slots), nprobes=nprobes,
                     metric=self.metric, has_mask=has_mask,
                 )
+            elif self.index_type == "IVF_RQ":
+                vals, slots = _ivf_rq_search_device(
+                    qj, self._device["centroids"], self._device["bits"],
+                    self._device["scales"], self._device["rnorms"],
+                    self._device["rotation"], pen,
+                    k=min(k_eff, self.num_slots), nprobes=nprobes,
+                    metric=self.metric, has_mask=has_mask,
+                )
             elif self.index_type == "IVF_SQ":
                 vals, slots = _ivf_sq_search_device(
                     qj, self._device["centroids"], self._device["codes"],
@@ -596,7 +685,7 @@ class VectorSearcher:
         invalid = vals >= PAD_PENALTY / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
         vals = np.where(invalid, np.float32(np.inf), vals)
-        if self.metric == "cosine" and self.index_type in ("IVF_SQ", "IVF_PQ"):
+        if self.metric == "cosine" and self.index_type in ("IVF_SQ", "IVF_PQ", "IVF_RQ"):
             # those scans compute l2² on the unit sphere = 2·(1−cos);
             # FLAT / IVF_FLAT already produce cosine distance directly
             vals = np.where(np.isfinite(vals), vals / 2.0, vals)

@@ -81,6 +81,12 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     column = req.column or vector_column_name(ds.schema)
     if not req.query_vectors:
         raise InvalidInputError("no query vector provided")
+    # multivector column → late-interaction path (reference
+    # table/query.rs:168-218 multivector handling)
+    from .index.multivector import is_multivector_type
+
+    if column in ds.schema.names and is_multivector_type(ds.schema.field(column).type):
+        return _execute_multivector_query(table, req, column)
     queries = np.stack([np.asarray(v, dtype=np.float32).reshape(-1) for v in req.query_vectors])
     multi = len(req.query_vectors) > 1
 
@@ -166,6 +172,43 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
             out = pa.concat_tables(parts) if parts else out
         else:
             out = out.slice(per_query_offset, req.k)
+    return out
+
+
+def _execute_multivector_query(table, req: VectorQueryRequest, column: str) -> pa.Table:
+    """ColBERT-style maxsim retrieval over a multivector column."""
+    from .index.multivector import multivector_search
+
+    ds = table._dataset
+    tokens = np.stack([np.asarray(v, dtype=np.float32).reshape(-1) for v in req.query_vectors])
+    allowed = None
+    if req.filter is not None and req.prefilter:
+        t = ds.to_table(columns=[], predicate=req.filter, with_row_id=True)
+        allowed = np.sort(t.column(ROW_ID_COL).to_numpy().astype(np.uint64))
+        if len(allowed) == 0:
+            return _empty_result(table, req, multi=False)
+    searcher = None
+    if req.use_index:
+        for ix in ds.manifest.indices:
+            if ix.columns == [column] and ix.params.get("multivector"):
+                covered = {f.id for f in ds.manifest.fragments} == set(ix.fragment_ids)
+                if covered:
+                    searcher = table._get_searcher(ix)
+                break
+    scores, rowids = multivector_search(
+        table, column, tokens, req.k + req.offset,
+        searcher=searcher, nprobes=req.minimum_nprobes, allowed=allowed,
+    )
+    # similarity → distance convention: higher maxsim = closer
+    dists = -scores
+    out = _hydrate_results(
+        table, req, tokens, dists[None, :], rowids[None, :], multi=False
+    )
+    if req.filter is not None and not req.prefilter and out.num_rows:
+        mask = evaluate_predicate_mask(out, req.filter)
+        out = out.filter(pa.array(mask))
+    if req.offset:
+        out = out.slice(req.offset, req.k)
     return out
 
 

