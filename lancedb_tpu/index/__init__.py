@@ -104,6 +104,16 @@ class HnswSq:
 
 
 @dataclass
+class HnswFlat:
+    distance_type: str = "l2"
+    num_partitions: int | None = None
+    m: int = 20
+    ef_construction: int = 300
+
+    index_type: str = "IVF_HNSW_FLAT"
+
+
+@dataclass
 class BTree:
     """Sorted scalar index for range/equality predicates (reference BTree,
     4096-row blocks — index/scalar.rs:14-29)."""
@@ -146,7 +156,7 @@ class FTS:
 
 
 IndexConfig = (
-    IvfFlat | IvfPq | IvfSq | IvfRq | Flat | HnswPq | HnswSq | BTree | Bitmap | LabelList | FTS
+    IvfFlat | IvfPq | IvfSq | IvfRq | Flat | HnswPq | HnswSq | HnswFlat | BTree | Bitmap | LabelList | FTS
 )
 
 VECTOR_INDEX_TYPES = {

@@ -68,6 +68,7 @@ class SearchParams:
     refine_factor: int | None = None
     lower_bound: float | None = None
     upper_bound: float | None = None
+    ef: int | None = None  # HNSW search width
     precision: str = "default"  # 'default' | 'float32' | 'bfloat16'
 
 
@@ -723,7 +724,11 @@ class VectorSearcher:
         return np.take_along_axis(exact, order, axis=1), np.take_along_axis(row_ids, order, axis=1)
 
 
-def load_searcher(dataset, meta: IndexMeta) -> VectorSearcher:
+def load_searcher(dataset, meta: IndexMeta):
+    if meta.index_type.startswith("IVF_HNSW"):
+        from .hnsw import HnswSearcher
+
+        return HnswSearcher(dataset.store, dataset.index_dir(meta.uuid), meta)
     return VectorSearcher(dataset.store, dataset.index_dir(meta.uuid), meta)
 
 

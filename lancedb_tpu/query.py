@@ -131,6 +131,7 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
             k=k_search,
             nprobes=nprobes,
             refine_factor=req.refine_factor,
+            ef=req.ef,
             precision=req.precision,
         )
         dists, rowids = searcher.search(queries, params, slot_penalty=pen)

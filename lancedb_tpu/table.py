@@ -352,11 +352,24 @@ class Table:
                 )
             elif it == "FLAT":
                 config = Flat(distance_type=metric)
+            elif it in ("IVF_HNSW_FLAT", "IVF_HNSW_SQ", "IVF_HNSW_PQ"):
+                from .index import HnswFlat, HnswPq, HnswSq
+
+                cls = {"IVF_HNSW_FLAT": HnswFlat, "IVF_HNSW_SQ": HnswSq, "IVF_HNSW_PQ": HnswPq}[it]
+                kwargs = dict(distance_type=metric, num_partitions=num_partitions)
+                if it == "IVF_HNSW_PQ":
+                    kwargs["num_sub_vectors"] = num_sub_vectors
+                config = cls(**kwargs)
             else:
                 raise InvalidInputError(f"unsupported index_type {index_type!r}")
-        meta = build_vector_index(
-            self._dataset, column, config, name=name or f"{column}_idx"
-        )
+        if config.index_type.startswith("IVF_HNSW"):
+            from .index.hnsw import build_hnsw_index
+
+            meta = build_hnsw_index(self._dataset, column, config, name=name or f"{column}_idx")
+        else:
+            meta = build_vector_index(
+                self._dataset, column, config, name=name or f"{column}_idx"
+            )
         self._dataset.add_index(meta, replace=replace)
         self._invalidate_caches()
 

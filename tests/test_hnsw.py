@@ -1,0 +1,114 @@
+"""HNSW index family tests (reference IvfHnsw* builders, m=20
+ef_construction=300 defaults — index/vector.rs:402-415)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lancedb_tpu.index import HnswFlat, HnswPq, HnswSq
+from lancedb_tpu.index.hnsw import build_hnsw_index, HnswSearcher
+from lancedb_tpu.index.vector import SearchParams, load_searcher
+from lancedb_tpu.io.object_store import MemoryStore
+from lancedb_tpu.storage.dataset import Dataset
+
+N, DIM = 1200, 24
+RNG = np.random.default_rng(17)
+VECS = RNG.standard_normal((N, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    store = MemoryStore()
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(N, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(VECS.ravel()), DIM),
+        }
+    )
+    return Dataset.create(store, "t.lance", tbl.schema, tbl)
+
+
+QUERIES = RNG.standard_normal((8, DIM)).astype(np.float32)
+
+
+def exact_topk(k):
+    d = ((QUERIES[:, None, :] - VECS[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+def recall(rowids, truth, dataset, k):
+    hits = 0
+    for qi in range(rowids.shape[0]):
+        valid = rowids[qi][rowids[qi] != np.uint64(np.iinfo(np.uint64).max)]
+        ids = set(dataset.take_rows(valid, columns=["id"]).column("id").to_pylist())
+        hits += len(ids & set(truth[qi].tolist())) / k
+    return hits / rowids.shape[0]
+
+
+class TestHnsw:
+    def test_flat_recall(self, dataset):
+        meta = build_hnsw_index(dataset, "vector", HnswFlat(m=12, ef_construction=80))
+        s = load_searcher(dataset, meta)
+        assert isinstance(s, HnswSearcher)
+        d, rids = s.search(QUERIES, SearchParams(k=10, ef=120))
+        r = recall(rids, exact_topk(10), dataset, 10)
+        assert r > 0.85, r
+        assert (np.diff(d, axis=1) >= -1e-5).all()
+
+    def test_sq_recall(self, dataset):
+        meta = build_hnsw_index(dataset, "vector", HnswSq(m=12, ef_construction=80))
+        s = load_searcher(dataset, meta)
+        d, rids = s.search(QUERIES, SearchParams(k=10, ef=120))
+        assert recall(rids, exact_topk(10), dataset, 10) > 0.8
+
+    def test_pq_with_refine(self, dataset):
+        meta = build_hnsw_index(
+            dataset, "vector", HnswPq(m=12, ef_construction=80, num_sub_vectors=6)
+        )
+        s = load_searcher(dataset, meta)
+        d, rids = s.search(QUERIES, SearchParams(k=10, ef=200, refine_factor=5))
+        d2, rids2 = s.refine(dataset, "vector", QUERIES, d, rids, 10)
+        assert recall(rids2, exact_topk(10), dataset, 10) > 0.5
+
+    def test_ef_improves_recall(self, dataset):
+        meta = build_hnsw_index(dataset, "vector", HnswFlat(m=8, ef_construction=40))
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(10)
+        r_small = recall(s.search(QUERIES, SearchParams(k=10, ef=12))[1], truth, dataset, 10)
+        r_big = recall(s.search(QUERIES, SearchParams(k=10, ef=300))[1], truth, dataset, 10)
+        assert r_big >= r_small
+
+    def test_prefilter_penalty(self, dataset):
+        meta = build_hnsw_index(dataset, "vector", HnswFlat(m=12, ef_construction=80))
+        s = load_searcher(dataset, meta)
+        allowed_tbl = dataset.to_table(columns=["id"], predicate="id < 200", with_row_id=True)
+        allowed = np.sort(allowed_tbl.column("_rowid").to_numpy().astype(np.uint64))
+        pen = s.slot_penalty(allowed, None)
+        d, rids = s.search(QUERIES, SearchParams(k=5, ef=200), slot_penalty=pen)
+        for qi in range(len(QUERIES)):
+            valid = rids[qi][rids[qi] != np.uint64(np.iinfo(np.uint64).max)]
+            ids = dataset.take_rows(valid, columns=["id"]).column("id").to_pylist()
+            assert all(i < 200 for i in ids)
+
+    def test_via_table_api(self, mem_db):
+        import lancedb_tpu  # noqa: F401
+        from conftest import make_vector_table
+
+        t = mem_db.create_table("t", make_vector_table(400, dim=16, seed=2))
+        t.create_index(index_type="IVF_HNSW_FLAT", metric="l2")
+        idx = t.list_indices()
+        assert idx[0]["index_type"] == "IVF_HNSW_FLAT"
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        data = make_vector_table(400, dim=16, seed=2)
+        q = fsl_to_numpy(data.column("vector"))[11]
+        res = t.search(q).limit(1).to_arrow()
+        assert res.column("id")[0].as_py() == 11
+
+    def test_cosine(self, dataset):
+        meta = build_hnsw_index(
+            dataset, "vector", HnswFlat(distance_type="cosine", m=12, ef_construction=80)
+        )
+        s = load_searcher(dataset, meta)
+        d, rids = s.search(QUERIES, SearchParams(k=5, ef=100))
+        assert (d >= -1e-5).all() and (d <= 2.0 + 1e-5).all()
