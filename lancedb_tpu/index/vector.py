@@ -48,15 +48,19 @@ from . import IvfFlat, IvfPq, IvfSq, default_num_partitions
 
 PAD_PENALTY = np.float32(3.0e38)
 
-# query-batch buckets: queries are padded up so jit caches stay small
-_Q_BUCKETS = (8, 32, 128, 512)
+# query-batch buckets: queries are padded up so jit caches stay small.
+# 128 is also the per-device-call cap — the probed gather is
+# O(Q · nprobes · pmax · D), so larger batches are chunked host-side to
+# bound HBM transients.
+_Q_BUCKETS = (8, 32, 128)
+_Q_CHUNK = 128
 
 
 def _q_bucket(q: int) -> int:
     for b in _Q_BUCKETS:
         if q <= b:
             return b
-    return round_up(q, _Q_BUCKETS[-1])
+    return _Q_BUCKETS[-1]
 
 
 @dataclass
@@ -559,7 +563,10 @@ class VectorSearcher:
             vecs = np.asarray(_load_npy(store, f"{prefix}/vectors.npy"))
             norms2 = np.sum(vecs.astype(np.float64) ** 2, axis=2).astype(np.float32)
             norms2[~self.row_ids_valid.reshape(self.nparts, self.pmax)] = PAD_PENALTY
-            self._device["vectors"] = jnp.asarray(vecs)
+            # bf16 on device: halves HBM footprint + gather traffic; the
+            # f32 norms keep the l2 expansion accurate (ANN ranking is
+            # insensitive to bf16 dots; exact search uses FLAT instead)
+            self._device["vectors"] = jnp.asarray(vecs, dtype=matmul_dtype())
             self._device["norms2"] = jnp.asarray(norms2)
         elif self.index_type == "IVF_SQ":
             self._device["codes"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/codes.npy")))
@@ -630,6 +637,16 @@ class VectorSearcher:
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         nq = q.shape[0]
+        if nq > _Q_CHUNK:
+            # chunk large batches to bound the probed-gather transient
+            parts = [
+                self.search(q[i : i + _Q_CHUNK], params, slot_penalty)
+                for i in range(0, nq, _Q_CHUNK)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
         qb = _q_bucket(nq)
         if qb != nq:
             q = np.pad(q, ((0, qb - nq), (0, 0)))
