@@ -109,8 +109,7 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     # ---- prefilter -------------------------------------------------------
     allowed: np.ndarray | None = None
     if req.filter is not None and req.prefilter:
-        t = ds.to_table(columns=[], predicate=req.filter, with_row_id=True)
-        allowed = np.sort(t.column(ROW_ID_COL).to_numpy().astype(np.uint64))
+        allowed = compute_allowed_rowids(table, req.filter)
         if len(allowed) == 0:
             return _empty_result(table, req, multi)
 
@@ -159,6 +158,11 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     rowids = np.where(np.isfinite(dists), rowids, _INVALID_ROWID)
 
     # ---- hydrate ---------------------------------------------------------
+    from .metrics import recorder
+
+    recorder().increment_counter(
+        "lancedb.queries", labels={"table": table.name, "kind": "vector"}
+    )
     out = _hydrate_results(table, req, queries, dists, rowids, multi)
     if req.filter is not None and not req.prefilter and out.num_rows:
         mask = evaluate_predicate_mask(out, req.filter)
@@ -211,6 +215,21 @@ def _execute_multivector_query(table, req: VectorQueryRequest, column: str) -> p
     if req.offset:
         out = out.slice(req.offset, req.k)
     return out
+
+
+def compute_allowed_rowids(table, predicate: str) -> np.ndarray:
+    """Predicate → sorted allowed row addresses: scalar-index fast path
+    (BTree/Bitmap lookups, reference scalar-index prefilter pushdown)
+    with a full Arrow-compute scan as fallback."""
+    from .index.scalar import try_scalar_prefilter
+
+    ds = table._dataset
+    ast = parse_sql_expr(predicate)
+    fast = try_scalar_prefilter(table, ast)
+    if fast is not None:
+        return np.sort(np.asarray(fast, dtype=np.uint64))
+    t = ds.to_table(columns=[], predicate=predicate, with_row_id=True)
+    return np.sort(t.column(ROW_ID_COL).to_numpy().astype(np.uint64))
 
 
 def _deleted_rowids(ds, index_meta) -> tuple[np.ndarray | None, set[int] | None]:
@@ -556,10 +575,20 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
 class LanceEmptyQueryBuilder(LanceQueryBuilder):
     """Plain scan (no search) — filters/projection/limit only."""
 
+    _use_lsm = False
+
+    def use_lsm(self, flag: bool = True) -> "LanceEmptyQueryBuilder":
+        """Merge WAL rows over the base table (reference QueryRequest
+        use_lsm, query.rs:818-887 + table/query/lsm.rs read plan)."""
+        self._use_lsm = flag
+        return self
+
     def to_arrow(self) -> pa.Table:
         ds = self._table._dataset
         cols = _selected_columns(self._table, self._req)
         limit = self._req.k if self._req.k != DEFAULT_TOP_K else None
+        if self._use_lsm:
+            return self._lsm_scan(cols, limit)
         out = ds.to_table(
             columns=cols,
             predicate=self._req.filter,
@@ -571,6 +600,47 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
             arrays = {a: evaluate_expression(out, e) for a, e in self._req.select.items()}
             out = pa.table(arrays)
         return out
+
+    def _lsm_scan(self, cols, limit) -> pa.Table:
+        """Base rows (PK-overridden rows dropped) + live WAL rows."""
+        ds = self._table._dataset
+        lsm = self._table._lsm
+        spec = lsm.get_spec()
+        wal = lsm.wal_rows() if spec is not None else None
+        keys = spec.key_columns if spec is not None else []
+        read_cols = None
+        if cols is not None:
+            read_cols = sorted(set(cols) | set(keys))
+        base = ds.to_table(
+            columns=read_cols, predicate=self._req.filter, with_row_id=self._req.with_row_id
+        )
+        if wal is not None and wal.num_rows:
+            wal_keys = set(zip(*[wal.column(c).to_pylist() for c in keys]))
+            base_keys = list(zip(*[base.column(c).to_pylist() for c in keys]))
+            keep = np.asarray([k not in wal_keys for k in base_keys], dtype=bool)
+            base = base.filter(pa.array(keep)) if not keep.all() else base
+            if self._req.filter is not None:
+                mask = evaluate_predicate_mask(wal, self._req.filter)
+                wal = wal.filter(pa.array(mask))
+            if self._req.with_row_id:
+                # WAL rows are not committed yet → sentinel row ids
+                wal = wal.append_column(
+                    ROW_ID_COL,
+                    pa.array(np.full(wal.num_rows, _INVALID_ROWID, dtype=np.uint64)),
+                )
+            base = pa.concat_tables(
+                [base, wal.select(base.column_names)], promote_options="default"
+            )
+        if cols is not None:
+            want = list(cols) + ([ROW_ID_COL] if self._req.with_row_id else [])
+            base = base.select(want)
+        if isinstance(self._req.select, dict):
+            base = pa.table({a: evaluate_expression(base, e) for a, e in self._req.select.items()})
+        if self._req.offset:
+            base = base.slice(self._req.offset)
+        if limit is not None:
+            base = base.slice(0, limit)
+        return base
 
     def explain_plan(self, verbose: bool = False) -> str:
         return (

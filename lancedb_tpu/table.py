@@ -92,8 +92,28 @@ class MergeInsertBuilder:
         self._delete_condition = condition
         return self
 
+    def use_lsm(self, flag: bool = True) -> "MergeInsertBuilder":
+        """Route this upsert through the WAL instead of a base-table join
+        (reference merge.rs use_lsm; requires set_lsm_write_spec)."""
+        self._use_lsm = flag
+        return self
+
     def execute(self, new_data: Any, timeout: float | None = None) -> dict:
         source = to_arrow_table(new_data, schema=None)
+        if getattr(self, "_use_lsm", False):
+            if not (self._update_all and self._insert_all) or self._delete_missing:
+                raise InvalidInputError(
+                    "LSM merge_insert supports the upsert shape only "
+                    "(when_matched_update_all + when_not_matched_insert_all)"
+                )
+            spec = self._table._lsm.get_spec()
+            if spec is None:
+                raise InvalidInputError("no LSM spec; call set_lsm_write_spec first")
+            if spec.key_columns != self._on:
+                raise InvalidInputError(
+                    f"merge keys {self._on} must match the LSM spec keys {spec.key_columns}"
+                )
+            return self._table._lsm.append(source)
         stats = self._table._dataset.merge_insert(
             source,
             on=self._on,
@@ -244,6 +264,44 @@ class Table:
 
     def merge_insert(self, on: str | list[str]) -> MergeInsertBuilder:
         return MergeInsertBuilder(self, on)
+
+    # ---------------------------------------------------------- LSM/WAL
+
+    @property
+    def _lsm(self):
+        from .lsm import LsmStore
+
+        return LsmStore(self._dataset)
+
+    def set_lsm_write_spec(
+        self, mode: str = "unsharded", key_columns: list[str] | str = (), num_shards: int = 1
+    ) -> None:
+        """Install the LSM sharding spec (reference table.rs:379-530)."""
+        from .lsm import LsmSpec
+
+        keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+        self._lsm.set_spec(LsmSpec(mode, keys, num_shards))
+
+    def describe_lsm_spec(self) -> dict | None:
+        spec = self._lsm.get_spec()
+        return spec.to_json() if spec else None
+
+    def drop_lsm_spec(self, *, force: bool = False) -> None:
+        self._lsm.drop_spec(force=force)
+
+    def flush_lsm(self) -> dict:
+        out = self._lsm.flush()
+        self._invalidate_caches()
+        return out
+
+    def checkpoint_lsm(self, timeout: float = 60.0) -> dict:
+        """Seal + flush until converged (reference table/checkpoint.rs)."""
+        out = self._lsm.checkpoint(timeout=timeout)
+        self._invalidate_caches()
+        return out
+
+    def lsm_stats(self) -> dict:
+        return self._lsm.stats()
 
     # ------------------------------------------------------------ search
 
