@@ -18,8 +18,12 @@ Quick start::
 """
 
 from .arrow import vector
+from .blob import blob_field
+from .context import contextualize
 from .db import AsyncConnection, DBConnection, LanceDBConnection, connect, connect_async
 from .errors import LanceDBError
+from .namespace import LanceNamespaceConnection, connect_namespace
+from .session import Session
 from .query import (
     DEFAULT_TOP_K,
     LanceEmptyQueryBuilder,
@@ -44,6 +48,11 @@ __version__ = "0.1.0"
 __all__ = [
     "connect",
     "connect_async",
+    "connect_namespace",
+    "LanceNamespaceConnection",
+    "Session",
+    "blob_field",
+    "contextualize",
     "vector",
     "DBConnection",
     "LanceDBConnection",

@@ -58,10 +58,19 @@ class LanceDBConnection(DBConnection):
         read_consistency_interval: float | None = None,
         storage_options: dict | None = None,
         store: ObjectStore | None = None,
+        session=None,
     ):
         self.uri = uri
         self.read_consistency_interval = read_consistency_interval
         self.storage_options = storage_options or {}
+        from .session import BackgroundRefresher, Session
+
+        self.session = session or Session()
+        self._refresher = (
+            BackgroundRefresher(read_consistency_interval)
+            if read_consistency_interval and read_consistency_interval > 0
+            else None
+        )
         if store is not None:
             self._store, self._root = store, uri
         else:
@@ -240,6 +249,7 @@ def connect(
     read_consistency_interval: float | None = None,
     storage_options: dict | None = None,
     client_config=None,
+    session=None,
     **unused,
 ):
     """Connect to a database (reference __init__.py:69 connect).
@@ -264,6 +274,7 @@ def connect(
         uri,
         read_consistency_interval=read_consistency_interval,
         storage_options=storage_options,
+        session=session,
     )
 
 

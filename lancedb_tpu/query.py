@@ -559,7 +559,18 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
         return self
 
     def to_arrow(self) -> pa.Table:
-        return execute_vector_query(self._table, self._req)
+        out = execute_vector_query(self._table, self._req)
+        reranker = getattr(self, "_reranker", None)
+        if reranker is not None:
+            needs_rowid = ROW_ID_COL not in out.column_names
+            if needs_rowid:
+                self._req.with_row_id = True
+                out = execute_vector_query(self._table, self._req)
+            out = reranker.rerank_vector(getattr(self, "_query_string", "") or "", out)
+            out = out.slice(0, self._req.k)
+            if needs_rowid and ROW_ID_COL in out.column_names:
+                out = out.drop_columns([ROW_ID_COL])
+        return out
 
     def explain_plan(self, verbose: bool = False) -> str:
         return explain_vector_plan(self._table, self._req)
@@ -657,8 +668,13 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
         self._query = query
         self._fts_columns = fts_columns
 
+    def rerank(self, reranker) -> "LanceFtsQueryBuilder":
+        self._reranker = reranker
+        return self
+
     def to_arrow(self) -> pa.Table:
-        return self._table._execute_fts(
+        reranker = getattr(self, "_reranker", None)
+        out = self._table._execute_fts(
             self._query,
             columns=self._fts_columns,
             k=self._req.k,
@@ -666,8 +682,13 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
             filter=self._req.filter,
             prefilter=self._req.prefilter,
             select=self._req.select,
-            with_row_id=self._req.with_row_id,
+            with_row_id=self._req.with_row_id or reranker is not None,
         )
+        if reranker is not None:
+            out = reranker.rerank_fts(str(self._query), out).slice(0, self._req.k)
+            if not self._req.with_row_id and ROW_ID_COL in out.column_names:
+                out = out.drop_columns([ROW_ID_COL])
+        return out
 
     def explain_plan(self, verbose: bool = False) -> str:
         return (

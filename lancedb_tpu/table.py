@@ -133,31 +133,48 @@ class Table:
     def __init__(self, connection, name: str, dataset: Dataset):
         self._conn = connection
         self.name = name
-        self.__dataset = dataset
+        self._Table__dataset = dataset
         self._searchers: dict[str, Any] = {}
         self._fts_indexes: dict[str, Any] = {}
         self._last_consistency_check = time.monotonic()
         self._embedding_functions: dict[str, Any] = {}
         self._load_embedding_config()
+        refresher = getattr(connection, "_refresher", None)
+        if refresher is not None:
+            refresher.register(self)
 
     # ------------------------------------------------------------ basics
 
     @property
     def _dataset(self) -> Dataset:
         interval = getattr(self._conn, "read_consistency_interval", None)
-        if interval is not None and not self.__dataset.pinned:
+        if interval is not None and not self._Table__dataset.pinned:
             now = time.monotonic()
             if interval == 0 or (now - self._last_consistency_check) >= interval:
-                old_version = self.__dataset.version
-                self.__dataset.checkout_latest()
+                old_version = self._Table__dataset.version
+                self._Table__dataset.checkout_latest()
                 self._last_consistency_check = now
-                if self.__dataset.version != old_version:
+                if self._Table__dataset.version != old_version:
                     self._invalidate_caches()
-        return self.__dataset
+        return self._Table__dataset
 
     def _invalidate_caches(self) -> None:
         self._searchers.clear()
         self._fts_indexes.clear()
+        session = getattr(self._conn, "session", None)
+        if session is not None:
+            session.invalidate(self._Table__dataset.root)
+
+    def _background_refresh(self) -> None:
+        """Called by the connection's BackgroundRefresher (Eventual
+        consistency, reference utils/background_cache.rs)."""
+        if self._Table__dataset.pinned:
+            return
+        old = self._Table__dataset.version
+        self._Table__dataset.checkout_latest()
+        self._last_consistency_check = time.monotonic()
+        if self._Table__dataset.version != old:
+            self._invalidate_caches()
 
     @property
     def schema(self) -> pa.Schema:
@@ -330,7 +347,14 @@ class Table:
 
         key = index_meta.uuid
         if key not in self._searchers:
-            self._searchers[key] = load_searcher(self._dataset, index_meta)
+            session = getattr(self._conn, "session", None)
+            ds = self._dataset
+            if session is not None:
+                self._searchers[key] = session.get_or_load(
+                    f"{ds.root}/{key}", lambda: load_searcher(ds, index_meta)
+                )
+            else:
+                self._searchers[key] = load_searcher(ds, index_meta)
         return self._searchers[key]
 
     def _embed_query(self, text: str, vector_column_name: str | None):
@@ -734,7 +758,7 @@ class Table:
     def _load_embedding_config(self) -> None:
         import json
 
-        meta = self.__dataset.schema.metadata or {}
+        meta = self._Table__dataset.schema.metadata or {}
         raw = meta.get(b"embedding_functions")
         if not raw:
             return

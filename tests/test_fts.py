@@ -192,3 +192,48 @@ class TestRerankers:
         fused = LinearCombinationReranker(weight=0.3).rerank_hybrid("q", v, f)
         # id1: 0.3·1.0 = 0.3 ; id2: 0.3·0.0 + 0.7·1.0 = 0.7
         assert fused.column("_rowid")[0].as_py() == 2
+
+
+class TestRerankPlumbing:
+    def test_mrr_math(self):
+        import pyarrow as pa
+        from lancedb_tpu.rerankers import MRRReranker
+
+        v = pa.table({"_rowid": pa.array(np.asarray([1, 2], np.uint64))})
+        f = pa.table({"_rowid": pa.array(np.asarray([2, 3], np.uint64))})
+        fused = MRRReranker().rerank_hybrid("q", v, f)
+        ids = fused.column("_rowid").to_pylist()
+        # id2: (1/2 + 1/1)/2 = .75 ; id1: .5 ; id3: .25
+        assert ids == [2, 1, 3]
+
+    def test_custom_reranker_on_vector_query(self, fts_table):
+        import pyarrow as pa
+        from lancedb_tpu.rerankers import Reranker
+
+        class ReverseReranker(Reranker):
+            def rerank_vector(self, query, vector_results):
+                n = vector_results.num_rows
+                rev = vector_results.take(pa.array(list(range(n - 1, -1, -1))))
+                return rev.append_column(
+                    "_relevance_score", pa.array(np.arange(n, dtype=np.float32))
+                )
+
+        q = np.zeros(8, np.float32)
+        plain = fts_table.search(q).limit(4).to_arrow()
+        rr = fts_table.search(q).limit(4).rerank(ReverseReranker()).to_arrow()
+        assert rr.column("id").to_pylist() == plain.column("id").to_pylist()[::-1]
+        assert "_relevance_score" in rr.column_names
+
+    def test_custom_reranker_on_fts_query(self, fts_table):
+        import pyarrow as pa
+        from lancedb_tpu.rerankers import Reranker
+
+        class ConstReranker(Reranker):
+            def rerank_fts(self, query, fts_results):
+                return fts_results.append_column(
+                    "_relevance_score",
+                    pa.array(np.ones(fts_results.num_rows, np.float32)),
+                )
+
+        res = fts_table.search("fox", query_type="fts").rerank(ConstReranker()).limit(3).to_arrow()
+        assert "_relevance_score" in res.column_names

@@ -104,3 +104,59 @@ class TestJobs:
         assert t.list_indices()[0]["index_type"] == "IVF_FLAT"
         assert mem_db.list_jobs()[0]["type"] == "create_index"
         assert mem_db.get_job(job.id) is job
+
+
+class TestSession:
+    def test_cache_hits_and_eviction(self, mem_db):
+        from lancedb_tpu.session import Session
+
+        session = mem_db.session
+        t = mem_db.create_table("t", make_vector_table(300, dim=8))
+        t.create_index(index_type="IVF_FLAT", num_partitions=4)
+        q = np.zeros(8, np.float32)
+        t.search(q).limit(2).to_arrow()
+        stats0 = session.stats()
+        assert stats0["entries"] == 1 and stats0["bytes"] > 0
+        # second table handle reuses the cached searcher
+        t2 = mem_db.open_table("t")
+        t2.search(q).limit(2).to_arrow()
+        assert session.stats()["hits"] >= 1
+
+    def test_tiny_budget_evicts(self, tmp_path):
+        import lancedb_tpu
+        from lancedb_tpu.session import Session
+
+        db = lancedb_tpu.connect(str(tmp_path / "db"), session=Session(index_cache_size_bytes=1))
+        a = db.create_table("a", make_vector_table(200, dim=8))
+        b = db.create_table("b", make_vector_table(200, dim=8))
+        a.create_index(index_type="IVF_FLAT", num_partitions=2)
+        b.create_index(index_type="IVF_FLAT", num_partitions=2)
+        q = np.zeros(8, np.float32)
+        a.search(q).limit(1).to_arrow()
+        b.search(q).limit(1).to_arrow()
+        assert db.session.stats()["evictions"] >= 1
+
+    def test_eventual_consistency_refresh(self, tmp_path):
+        import time
+
+        import lancedb_tpu
+
+        writer = lancedb_tpu.connect(str(tmp_path / "db"))
+        writer.create_table("t", make_vector_table(10))
+        reader = lancedb_tpu.connect(str(tmp_path / "db"), read_consistency_interval=0.1)
+        rt = reader.open_table("t")
+        assert rt.count_rows() == 10
+        writer.open_table("t").add(make_vector_table(5, seed=2))
+        time.sleep(0.4)  # background refresher picks up the new version
+        assert rt._Table__dataset.version >= 2 or rt.count_rows() == 15
+        assert rt.count_rows() == 15
+
+    def test_strong_consistency(self, tmp_path):
+        import lancedb_tpu
+
+        writer = lancedb_tpu.connect(str(tmp_path / "db"))
+        writer.create_table("t", make_vector_table(10))
+        reader = lancedb_tpu.connect(str(tmp_path / "db"), read_consistency_interval=0)
+        rt = reader.open_table("t")
+        writer.open_table("t").add(make_vector_table(5, seed=2))
+        assert rt.count_rows() == 15  # interval=0 → check every read
