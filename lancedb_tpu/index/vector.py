@@ -761,7 +761,8 @@ def brute_force_search(
     delta fragments and tiny tables)."""
     metric = normalize_metric(metric)
     k = min(k, len(vectors))
-    q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    q_dtype = np.uint8 if metric == "hamming" else np.float32
+    q = np.atleast_2d(np.asarray(queries, dtype=q_dtype))
     d = np.asarray(
         pairwise_distance(
             jnp.asarray(q), jnp.asarray(vectors), metric,

@@ -119,23 +119,33 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     )
 
     k_search = req.k + req.offset
-    nprobes = req.minimum_nprobes
-    if req.maximum_nprobes:
-        nprobes = max(nprobes, min(req.maximum_nprobes, nprobes))
 
     # ---- search ----------------------------------------------------------
     if searcher is not None:
         pen = searcher.slot_penalty(allowed, deleted, vanished_fragments=vanished)
-        params = SearchParams(
-            k=k_search,
-            nprobes=nprobes,
-            refine_factor=req.refine_factor,
-            ef=req.ef,
-            precision=req.precision,
-        )
-        dists, rowids = searcher.search(queries, params, slot_penalty=pen)
-        if req.refine_factor is not None:
-            dists, rowids = searcher.refine(ds, column, queries, dists, rowids, k_search)
+
+        def run(nprobes: int):
+            params = SearchParams(
+                k=k_search,
+                nprobes=nprobes,
+                refine_factor=req.refine_factor,
+                ef=req.ef,
+                precision=req.precision,
+            )
+            d, r = searcher.search(queries, params, slot_penalty=pen)
+            if req.refine_factor is not None:
+                d, r = searcher.refine(ds, column, queries, d, r, k_search)
+            return d, r
+
+        dists, rowids = run(req.minimum_nprobes)
+        # adaptive expansion (reference minimum/maximum_nprobes,
+        # query.rs:1215-1283): when filters starve the probed partitions,
+        # retry once at maximum_nprobes before falling back
+        max_np = req.maximum_nprobes or req.minimum_nprobes
+        if max_np > req.minimum_nprobes:
+            underfull = (rowids == _INVALID_ROWID).sum(axis=1) > 0
+            if underfull.any():
+                dists, rowids = run(max_np)
         # delta fragments not covered by the index → brute force + merge
         if not req.fast_search:
             covered = set(index_meta.fragment_ids)
@@ -255,6 +265,7 @@ def _deleted_rowids(ds, index_meta) -> tuple[np.ndarray | None, set[int] | None]
 def _brute_force_fragments(ds, column, queries, k, metric, req, allowed, frags):
     """Exact scan over a set of fragments (predicate applied during scan)."""
     wanted = {f.id for f in frags}
+    dtype = np.uint8 if metric == "hamming" else np.float32
     mats, rids = [], []
     for m, tbl in ds.scan_fragments(
         columns=[column],
@@ -263,7 +274,7 @@ def _brute_force_fragments(ds, column, queries, k, metric, req, allowed, frags):
     ):
         if m.id not in wanted:
             continue
-        mats.append(fsl_to_numpy(tbl.column(column)))
+        mats.append(fsl_to_numpy(tbl.column(column), dtype=dtype))
         rids.append(tbl.column(ROW_ID_COL).to_numpy().astype(np.uint64))
     if not mats:
         nq = queries.shape[0]
@@ -274,7 +285,8 @@ def _brute_force_fragments(ds, column, queries, k, metric, req, allowed, frags):
     vecs = np.concatenate(mats)
     all_rids = np.concatenate(rids)
     precision = "bfloat16" if req.precision == "bfloat16" else "float32"
-    d, r = brute_force_search(vecs, all_rids, queries, min(k, len(vecs)), metric, precision)
+    q_cast = queries.astype(dtype) if metric == "hamming" else queries
+    d, r = brute_force_search(vecs, all_rids, q_cast, min(k, len(vecs)), metric, precision)
     if d.shape[1] < k:
         pad = k - d.shape[1]
         d = np.pad(d, ((0, 0), (0, pad)), constant_values=np.inf)

@@ -298,3 +298,21 @@ class TestAsync:
             assert (await db.table_names()) == ["t"]
 
         asyncio.run(main())
+
+
+class TestBinaryVectors:
+    def test_hamming_search(self, mem_db):
+        rng = np.random.default_rng(1)
+        vecs = rng.integers(0, 256, (100, 16), dtype=np.uint8)
+        tbl = pa.table(
+            {
+                "id": pa.array(range(100)),
+                "vector": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), type=pa.uint8()), 16
+                ),
+            }
+        )
+        t = mem_db.create_table("bin", tbl)
+        res = t.search(vecs[42]).metric("hamming").limit(3).to_arrow()
+        assert res.column("id")[0].as_py() == 42
+        assert res.column("_distance")[0].as_py() == 0.0
