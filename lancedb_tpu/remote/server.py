@@ -379,7 +379,7 @@ def main():  # pragma: no cover - CLI entry
     ap.add_argument("--port", type=int, default=8787)
     args = ap.parse_args()
     server = QueryServer(args.uri, args.host, args.port)
-    print(f"serving {args.uri} at {server.url}")
+    print(f"serving {args.uri} at {server.url} port={server.port}", flush=True)
     server._httpd.serve_forever()
 
 

@@ -160,3 +160,46 @@ class TestSession:
         rt = reader.open_table("t")
         writer.open_table("t").add(make_vector_table(5, seed=2))
         assert rt.count_rows() == 15  # interval=0 → check every read
+
+
+class TestTestUtils:
+    def test_local_connection(self):
+        from lancedb_tpu.test_utils import new_test_connection, random_vector_table
+
+        with new_test_connection() as conn:
+            t = conn.create_table("t", random_vector_table(50, dim=8))
+            assert t.count_rows() == 50
+
+    def test_query_node_subprocess(self, tmp_path, monkeypatch):
+        """env-switchable remote connection (reference
+        test_utils/connection.rs:36-41): spawn a query node, parse its
+        port from stdout, connect over HTTP."""
+        import os
+        import stat
+        import sys
+
+        from lancedb_tpu.test_utils import new_test_connection
+
+        script = tmp_path / "spawn_node.sh"
+        dbdir = tmp_path / "served"
+        script.write_text(
+            "#!/bin/sh\n"
+            f'exec {sys.executable} -m lancedb_tpu.remote.server "{dbdir}" --port 0\n'
+        )
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("CREATE_LANCEDB_TEST_CONNECTION_SCRIPT", str(script))
+        tc = new_test_connection()
+        try:
+            tc.connection.create_table("t", [{"id": 1}])
+            assert tc.connection.table_names() == ["t"]
+        finally:
+            tc.close()
+
+    def test_mock_embeddings(self):
+        from lancedb_tpu.test_utils import MockTextEmbeddingFunction
+
+        fn = MockTextEmbeddingFunction(8)
+        a = fn.compute_source_embeddings(["x", "y"])
+        b = fn.compute_source_embeddings(["x", "y"])
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (2, 8)
