@@ -17,3 +17,7 @@ __all__ = [
     "make_sharded_ivf_search",
     "make_distributed_kmeans_step",
 ]
+
+from .build import ShardedIvfPqIndex, distributed_kmeans  # noqa: E402
+
+__all__ += ["ShardedIvfPqIndex", "distributed_kmeans"]

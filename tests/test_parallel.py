@@ -132,3 +132,34 @@ class TestDistributedKmeans:
         learned = np.asarray(cents)
         d = np_l2(learned, centers)
         assert (d.min(axis=1) < 1.0).all()
+
+
+class TestShardedIvfPq:
+    def test_recall_and_hybrid_merge(self, mem_db):
+        """Config #5 shape: sharded IVF_PQ over the mesh + FTS + RRF."""
+        from lancedb_tpu.parallel import ShardedIvfPqIndex, make_mesh
+
+        mesh = make_mesh(8)
+        n, dim = 2048, 32
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((n, dim)).astype(np.float32)
+        rowids = np.arange(n, dtype=np.uint64)
+        idx = ShardedIvfPqIndex(mesh, x, rowids, num_partitions=16, num_sub_vectors=8)
+        q = rng.standard_normal((8, dim)).astype(np.float32)
+        vals, ids = idx.search(q, k=10, nprobes=16)
+        truth = np.argsort(np_l2(q, x), axis=1)[:, :10]
+        recall = np.mean([
+            len(set(ids[i].tolist()) & set(truth[i].tolist())) / 10 for i in range(8)
+        ])
+        assert recall > 0.4, recall  # unrefined PQ on random data
+
+    def test_distributed_kmeans_quality(self):
+        from lancedb_tpu.parallel import distributed_kmeans, make_mesh
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((8, 4)).astype(np.float32) * 10
+        x = np.concatenate([c + rng.standard_normal((100, 4)).astype(np.float32) for c in centers])
+        cents = distributed_kmeans(mesh, x, k=8, iters=25)
+        d = np_l2(cents, centers)
+        assert (np.sort(d.min(axis=1))[:6] < 2.0).all()  # most centers recovered
