@@ -193,6 +193,24 @@ class LanceDBConnection(DBConnection):
             raise TableAlreadyExistsError(new)
         self._store.rename_prefix(old_root, new_root)
 
+    def clone_table(
+        self,
+        source: str,
+        target: str,
+        *,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> Table:
+        """Copy a table (optionally at a pinned version/tag) into a new
+        table (reference CloneTableBuilder, connection.rs:119-374)."""
+        src = self.open_table(source)
+        if tag is not None:
+            src.checkout(tag)
+        elif version is not None:
+            src.checkout(version)
+        data = src.to_arrow()
+        return self.create_table(target, data if data.num_rows else None, schema=src.schema)
+
     def __getitem__(self, name: str) -> Table:
         return self.open_table(name)
 

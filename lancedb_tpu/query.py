@@ -440,6 +440,7 @@ class LanceQueryBuilder:
         return self
 
     def limit(self, k: int) -> "LanceQueryBuilder":
+        self._limit_set = True
         if k is None or k <= 0:
             self._req.k = max(self._table.count_rows(), 1)
         else:
@@ -599,6 +600,20 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
     """Plain scan (no search) — filters/projection/limit only."""
 
     _use_lsm = False
+    _order_by = None
+
+    def order_by(self, *columns) -> "LanceEmptyQueryBuilder":
+        """Sort scan output (reference QueryRequest.order_by): each item a
+        column name or (name, 'asc'|'desc') pair."""
+        out = []
+        for c in columns:
+            if isinstance(c, str):
+                out.append((c, "ascending"))
+            else:
+                name, direction = c
+                out.append((name, "descending" if str(direction).lower().startswith("desc") else "ascending"))
+        self._order_by = out
+        return self
 
     def use_lsm(self, flag: bool = True) -> "LanceEmptyQueryBuilder":
         """Merge WAL rows over the base table (reference QueryRequest
@@ -609,19 +624,28 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
     def to_arrow(self) -> pa.Table:
         ds = self._table._dataset
         cols = _selected_columns(self._table, self._req)
-        limit = self._req.k if self._req.k != DEFAULT_TOP_K else None
+        # plain scans are unlimited unless .limit() was called explicitly
+        limit = self._req.k if getattr(self, "_limit_set", False) else None
         if self._use_lsm:
             return self._lsm_scan(cols, limit)
+        # sorting changes which rows the limit keeps → push limit down
+        # only for unsorted scans
         out = ds.to_table(
             columns=cols,
             predicate=self._req.filter,
-            limit=limit if limit is not None else self._req.k,
-            offset=self._req.offset,
+            limit=None if self._order_by else limit,
+            offset=0 if self._order_by else self._req.offset,
             with_row_id=self._req.with_row_id,
         )
         if isinstance(self._req.select, dict):
             arrays = {a: evaluate_expression(out, e) for a, e in self._req.select.items()}
             out = pa.table(arrays)
+        if self._order_by:
+            out = out.sort_by(self._order_by)
+            if self._req.offset:
+                out = out.slice(self._req.offset)
+            if limit is not None:
+                out = out.slice(0, limit)
         return out
 
     def _lsm_scan(self, cols, limit) -> pa.Table:

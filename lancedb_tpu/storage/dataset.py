@@ -255,18 +255,33 @@ class Dataset:
         self, build: Callable[[Manifest], Manifest], retries: int = _COMMIT_RETRIES
     ) -> None:
         """Run `build(current_manifest) -> draft` and commit, rebasing on
-        conflict (the reference's conflict-resolved commit loop)."""
+        conflict (the reference's conflict-resolved commit loop).
+
+        Version numbers are GLOBAL across branches (one monotonically
+        increasing sequence); a collision with another branch's manifest
+        just bumps the number, while a collision on our own branch means
+        a concurrent writer won and the draft must be rebuilt on top.
+        """
         self._check_writable()
-        for _ in range(retries):
-            draft = build(self.manifest)
+        draft = build(self.manifest)
+        for _ in range(retries * 4):
             try:
                 self.commit(draft)
                 return
             except CommitConflictError:
-                # another writer won; reload and retry on top of their commit
+                try:
+                    taken = Dataset._read_manifest(self.store, self.root, draft.version)
+                except VersionNotFoundError:
+                    taken = None
+                if taken is not None and taken.branch != self.manifest.branch:
+                    # another branch owns this number; keep lineage, bump
+                    draft.version += 1
+                    continue
+                # a concurrent writer on our branch won → rebase
                 latest = Dataset._latest_version(self.store, self.root, self.manifest.branch)
                 self.manifest = Dataset._read_manifest(self.store, self.root, latest)
-        raise CommitConflictError(self.manifest.version + 1, "retries exhausted")
+                draft = build(self.manifest)
+        raise CommitConflictError(draft.version, "retries exhausted")
 
     # ------------------------------------------------------------ write
 
@@ -1083,6 +1098,64 @@ class Dataset:
         if not self.store.exists(path):
             raise BranchNotFoundError(name)
         self.store.delete(path)
+
+    def _lineage(self, version: int) -> list[int]:
+        """Version chain from `version` back to the root."""
+        chain = []
+        v = version
+        while v is not None:
+            chain.append(v)
+            try:
+                v = Dataset._read_manifest(self.store, self.root, v).parent_version
+            except VersionNotFoundError:
+                break
+        return chain
+
+    def diff_branch(self, name: str) -> dict:
+        """What the branch has that the current lineage lacks (reference
+        branch_merge.rs diff types): unmerged versions + fragment delta."""
+        head = Dataset._latest_version(self.store, self.root, name)
+        ours = set(self._lineage(self.version))
+        theirs = self._lineage(head)
+        unmerged = [v for v in theirs if v not in ours]
+        branch_manifest = Dataset._read_manifest(self.store, self.root, head)
+        our_frag_ids = {f.id for f in self.manifest.fragments}
+        new_frags = [f for f in branch_manifest.fragments if f.id not in our_frag_ids]
+        return {
+            "branch": name,
+            "branch_head": head,
+            "unmerged_versions": sorted(unmerged),
+            "new_fragments": [f.id for f in new_frags],
+            "new_rows": sum(f.num_rows for f in new_frags),
+        }
+
+    def merge_branch(self, name: str) -> dict:
+        """Merge a branch's appended fragments into the current branch
+        (reference branch_merge.rs merge). Append-only merge: fragments
+        added on the branch land here; conflicting rewrites are refused."""
+        self._check_writable()
+        head = Dataset._latest_version(self.store, self.root, name)
+        branch_manifest = Dataset._read_manifest(self.store, self.root, head)
+        if branch_manifest.schema != self.manifest.schema:
+            raise InvalidInputError("branch schema diverged; cannot merge")
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("merge_branch", branch=name, branch_head=head)
+            ours = {f.id for f in draft.fragments}
+            added = 0
+            for f in branch_manifest.fragments:
+                if f.id not in ours:
+                    draft.fragments.append(FragmentMeta.from_json(f.to_json()))
+                    draft.max_fragment_id = max(draft.max_fragment_id, f.id)
+                    added += 1
+            draft.transaction["fragments_merged"] = added
+            return draft
+
+        self._commit_with_rebase(build)
+        return {
+            "fragments_merged": int(self.manifest.transaction.get("fragments_merged", 0)),
+            "version": self.version,
+        }
 
     # ----------------------------------------------------------- optimize
 

@@ -219,7 +219,15 @@ class Table:
 
     # ------------------------------------------------------------- write
 
-    def add(self, data: Any, mode: Literal["append", "overwrite"] = "append") -> None:
+    def add(
+        self,
+        data: Any,
+        mode: Literal["append", "overwrite"] = "append",
+        *,
+        on_progress=None,
+    ) -> None:
+        """on_progress: optional callback(dict) per written batch
+        (reference table/write_progress.rs callbacks)."""
         from .blob import blob_columns, encode_blobs
 
         bcols = blob_columns(self.schema) if mode == "append" else []
@@ -238,12 +246,19 @@ class Table:
         else:
             tbl = to_arrow_table(data, schema=self.schema if mode == "append" else None)
         tbl = self._apply_embeddings(tbl)
+        if on_progress is not None:
+            on_progress({"stage": "start", "rows": tbl.num_rows, "bytes": tbl.nbytes})
         if mode == "append":
             self._dataset.append(tbl)
         elif mode == "overwrite":
             self._dataset.overwrite(tbl)
         else:
             raise InvalidInputError(f"unknown add mode {mode!r}")
+        if on_progress is not None:
+            on_progress({
+                "stage": "committed", "rows": tbl.num_rows,
+                "bytes": tbl.nbytes, "version": self._dataset.version,
+            })
         self._invalidate_caches()
 
     def delete(self, where: str) -> int:
@@ -659,6 +674,37 @@ class Table:
 
     def delete_branch(self, name: str) -> None:
         self._dataset.delete_branch(name)
+
+    def diff_branch(self, name: str) -> dict:
+        return self._dataset.diff_branch(name)
+
+    def merge_branch(self, name: str) -> dict:
+        out = self._dataset.merge_branch(name)
+        self._invalidate_caches()
+        return out
+
+    # ------------------------------------------------------- primary key
+
+    def declare_primary_key(self, columns: list[str] | str) -> None:
+        """Unenforced primary-key declaration (reference
+        table/primary_key.rs, table.rs:673) — recorded in table config,
+        used as the default merge/LSM key."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        for c in cols:
+            if c not in self.schema.names:
+                raise InvalidInputError(f"unknown column {c!r}")
+        ds = self._dataset
+
+        def build(current):
+            draft = current.child("declare_primary_key", columns=cols)
+            draft.config["primary_key"] = cols
+            return draft
+
+        ds._commit_with_rebase(build)
+
+    @property
+    def primary_key(self) -> list[str] | None:
+        return self._dataset.manifest.config.get("primary_key")
 
     @property
     def current_branch(self) -> str:

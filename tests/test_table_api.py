@@ -316,3 +316,54 @@ class TestBinaryVectors:
         res = t.search(vecs[42]).metric("hamming").limit(3).to_arrow()
         assert res.column("id")[0].as_py() == 42
         assert res.column("_distance")[0].as_py() == 0.0
+
+
+class TestParityExtras:
+    def test_clone_table(self, mem_db):
+        t = mem_db.create_table("src", make_vector_table(20))
+        v1 = t.version
+        t.add(make_vector_table(10, seed=3))
+        c = mem_db.clone_table("src", "copy_latest")
+        assert c.count_rows() == 30
+        c2 = mem_db.clone_table("src", "copy_v1", version=v1)
+        assert c2.count_rows() == 20
+        # clones are independent
+        c.add(make_vector_table(5, seed=4))
+        assert mem_db.open_table("src").count_rows() == 30
+
+    def test_order_by(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(20))
+        out = t.query().select(["id"]).order_by(("id", "desc")).to_arrow()
+        assert out.column("id").to_pylist()[:3] == [19, 18, 17]
+        out2 = t.query().select(["id", "label"]).order_by("label", ("id", "desc")).to_arrow()
+        assert out2.column("label")[0].as_py() == "item-0"
+
+    def test_write_progress(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(5))
+        events = []
+        t.add(make_vector_table(7, seed=1), on_progress=events.append)
+        assert [e["stage"] for e in events] == ["start", "committed"]
+        assert events[1]["rows"] == 7 and events[1]["version"] == t.version
+
+    def test_primary_key_declaration(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(5))
+        assert t.primary_key is None
+        t.declare_primary_key("id")
+        assert t.primary_key == ["id"]
+        t2 = mem_db.open_table("t")
+        assert t2.primary_key == ["id"]
+
+    def test_branch_diff_and_merge(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(10))
+        t.create_branch("feature")
+        t.checkout_branch("feature")
+        t.add(make_vector_table(5, seed=8))
+        t.checkout_branch("main")
+        diff = t.diff_branch("feature")
+        assert diff["new_rows"] == 5
+        assert len(diff["unmerged_versions"]) >= 1
+        out = t.merge_branch("feature")
+        assert out["fragments_merged"] == 1
+        assert t.count_rows() == 15
+        # idempotent second merge
+        assert t.merge_branch("feature")["fragments_merged"] == 0
