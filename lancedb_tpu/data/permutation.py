@@ -18,9 +18,7 @@ Split strategies (reference split.rs:31-78):
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
-from typing import Any
-
+from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 

@@ -9,7 +9,7 @@ ListingDatabase, database/listing.rs:42).
 from __future__ import annotations
 
 import asyncio
-from typing import Any, Iterable
+from typing import Any
 
 import pyarrow as pa
 

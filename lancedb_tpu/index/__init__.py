@@ -9,7 +9,7 @@ max_iterations=50 — index/vector.rs:61-118,286-319).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Literal
 
 

@@ -522,8 +522,6 @@ def execute_fts_query(
     with_row_id: bool = False,
 ) -> pa.Table:
     """FTS execution pipeline (reference SURVEY.md §3.2 hybrid FTS leg)."""
-    from .vector import PAD_PENALTY  # noqa: F401  (shared sentinel convention)
-
     ds = table._dataset
     fts_meta = None
     for ix in ds.manifest.indices:

@@ -44,7 +44,7 @@ from ..ops.pq import default_num_sub_vectors, pq_encode, pq_reconstruct, pq_trai
 from ..ops.topk import merge_topk, topk_smallest
 from ..ops.util import matmul_dtype, round_up
 from ..storage.manifest import IndexMeta, new_uuid
-from . import IvfFlat, IvfPq, IvfSq, default_num_partitions
+from . import default_num_partitions
 
 PAD_PENALTY = np.float32(3.0e38)
 

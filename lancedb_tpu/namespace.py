@@ -18,8 +18,8 @@ from typing import Any
 import pyarrow as pa
 
 from .db import TABLE_SUFFIX, LanceDBConnection
-from .errors import InvalidInputError, TableNotFoundError
-from .io.object_store import ObjectStore, resolve_uri
+from .errors import InvalidInputError
+from .io.object_store import resolve_uri
 from .storage.manifest import VERSIONS_DIR
 
 NS_MARKER = ".namespace.json"

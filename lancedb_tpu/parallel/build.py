@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.pq import default_num_sub_vectors, pq_encode, pq_reconstruct, pq_train
 from ..ops.topk import topk_smallest
 from ..ops.util import matmul_dtype, round_up
-from .mesh import QUERY_AXIS, SHARD_AXIS, make_mesh
+from .mesh import QUERY_AXIS, SHARD_AXIS
 from .search import PAD, make_distributed_kmeans_step
 
 

@@ -21,14 +21,12 @@ Programs:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.topk import merge_topk, topk_smallest
+from ..ops.topk import topk_smallest
 from ..ops.util import matmul_dtype
 from .mesh import QUERY_AXIS, SHARD_AXIS
 

@@ -16,10 +16,9 @@ MultiVector `:166`, pydantic→arrow conversion `:487`). Usage::
 from __future__ import annotations
 
 import datetime
-import sys
 import types
 import typing
-from typing import Any, get_args, get_origin
+from typing import get_args, get_origin
 
 import numpy as np
 import pyarrow as pa

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Iterable, Literal
+from typing import Any, Iterable
 
 import numpy as np
 import pyarrow as pa
@@ -31,7 +31,7 @@ from .arrow import fsl_to_numpy, vector_column_name
 from .errors import InvalidInputError
 from .filters.eval import evaluate_expression, evaluate_predicate_mask
 from .filters.sql import parse_sql_expr
-from .index.vector import SearchParams, brute_force_search, load_searcher
+from .index.vector import SearchParams, brute_force_search
 from .ops.distance import normalize_metric
 from .storage.dataset import ROW_ID_COL
 

@@ -21,7 +21,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
-from ..errors import HttpError, InvalidInputError, RetryError, TableNotFoundError
+from ..errors import HttpError, InvalidInputError, RetryError
 from .protocol import (
     CONTENT_ARROW,
     CONTENT_JSON,

@@ -14,7 +14,6 @@ reloading from the object store is cheap and lazy.
 from __future__ import annotations
 
 import threading
-import time
 import weakref
 from collections import OrderedDict
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pyarrow as pa
@@ -55,7 +55,6 @@ from .manifest import (
     FragmentMeta,
     IndexMeta,
     Manifest,
-    make_row_id,
     manifest_path,
     version_from_path,
 )

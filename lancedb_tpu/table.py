@@ -12,7 +12,7 @@ plane is synchronous JAX dispatch.
 from __future__ import annotations
 
 import time
-from typing import Any, Iterable, Literal
+from typing import Any, Literal
 
 import numpy as np
 import pyarrow as pa
@@ -31,17 +31,14 @@ from .index import (
     LabelList,
     SCALAR_INDEX_TYPES,
     VECTOR_INDEX_TYPES,
-    default_num_partitions,
 )
 from .query import (
     DEFAULT_TOP_K,
     LanceEmptyQueryBuilder,
     LanceQueryBuilder,
     LanceVectorQueryBuilder,
-    VectorQueryRequest,
-    execute_vector_query,
 )
-from .storage.dataset import ROW_ID_COL, Dataset
+from .storage.dataset import Dataset
 
 
 class Tags:
