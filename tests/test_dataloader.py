@@ -210,3 +210,41 @@ class TestStreamingDataset:
         )
         ds = StreamingDataset(perm, split=1, num_splits=4)
         assert len(collect(ds)) == 120
+
+
+class TestTorchIntegration:
+    def test_torch_dataloader(self, base_table):
+        """StreamingDataset is a torch IterableDataset (reference
+        test_torch.py territory)."""
+        torch = pytest.importorskip("torch")
+        from torch.utils.data import DataLoader
+
+        perm = permutation_builder(base_table).shuffle(seed=4).execute()
+        ds = StreamingDataset(
+            perm, num_splits=4, columns=["id", "value"],
+            transform=lambda t: [
+                {k: torch.tensor(v) for k, v in row.items()} for row in t.to_pylist()
+            ],
+        )
+        loader = DataLoader(ds, batch_size=16, num_workers=0)
+        batches = list(loader)
+        total = sum(b["id"].shape[0] for b in batches)
+        assert total == 240
+        assert batches[0]["id"].dtype == torch.int64
+
+    def test_torch_workers_split(self, base_table):
+        torch = pytest.importorskip("torch")
+        from torch.utils.data import DataLoader
+
+        perm = permutation_builder(base_table).execute()
+
+        def make(worker_id, num_workers):
+            return StreamingDataset(
+                perm, num_splits=12, rank=0, world_size=1,
+                worker_info=FakeWorkerInfo(id=worker_id, num_workers=num_workers),
+            )
+
+        ids = []
+        for w in range(3):
+            ids.extend(r["id"] for r in make(w, 3))
+        assert sorted(ids) == list(range(240))
