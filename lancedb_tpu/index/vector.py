@@ -40,13 +40,25 @@ from ..errors import InvalidInputError
 from ..io.object_store import ObjectStore
 from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
 from ..ops.kmeans import kmeans_assign, kmeans_fit
+from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
 from ..ops.pq import default_num_sub_vectors, pq_encode, pq_reconstruct, pq_train
-from ..ops.topk import merge_topk, topk_smallest
+from ..ops.topk import approx_topk_smallest, merge_topk, topk_smallest
 from ..ops.util import matmul_dtype, round_up
 from ..storage.manifest import IndexMeta, new_uuid
 from . import default_num_partitions
 
 PAD_PENALTY = np.float32(3.0e38)
+
+_PALLAS_OK: bool | None = None
+
+
+def _pallas_available() -> bool:
+    """Fused Pallas kernels run only on real TPU backends (the CPU/test
+    path uses the XLA formulations; interpret mode is for unit tests)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        _PALLAS_OK = jax.default_backend() == "tpu"
+    return _PALLAS_OK
 
 # query-batch buckets: queries are padded up so jit caches stay small.
 # 128 is also the per-device-call cap — the probed gather is
@@ -74,6 +86,10 @@ class SearchParams:
     upper_bound: float | None = None
     ef: int | None = None  # HNSW search width
     precision: str = "default"  # 'default' | 'float32' | 'bfloat16'
+    # reference ApproxMode (lib.rs:299-307): 'accurate' forces exact
+    # top-k selection; 'normal'/'fast' allow the TPU-native partial-
+    # reduce top-k (lax.approx_max_k) inside quantized scans
+    approx_mode: str = "normal"
 
 
 # --------------------------------------------------------------- save/load
@@ -185,7 +201,9 @@ def build_vector_index(
             seed=config.seed,
         )
         assign = kmeans_assign(vectors, centroids, metric=train_metric)
-        order, counts, pmax = _partition_layout(assign, nparts)
+        # PQ blocks must be lane-aligned for the Pallas ADC kernel
+        pad_multiple = PMAX_ALIGN if index_type == "IVF_PQ" else 8
+        order, counts, pmax = _partition_layout(assign, nparts, pad_multiple=pad_multiple)
         rid_padded = _scatter_padded(row_ids.view(np.int64), order, counts, pmax, fill=-1)
         _save_npy(store, f"{prefix}/centroids.npy", centroids)
         _save_npy(store, f"{prefix}/row_ids.npy", rid_padded)
@@ -258,7 +276,15 @@ def build_vector_index(
             recon_res = pq_reconstruct(codes, codebooks)
             recon = recon_res + centroids[assign]
             rnorms = np.sum(recon.astype(np.float64) ** 2, axis=1).astype(np.float32)
-            _save_npy(store, f"{prefix}/codes.npy", _scatter_padded(codes, order, counts, pmax))
+            # codes live as (P, S_pad, pmax) — subvectors on sublanes,
+            # slots on lanes — the layout the Pallas ADC kernel scans
+            # without any in-HBM gather (ops/pallas_adc.py). S pads with
+            # code 0 + zero LUT rows; pmax pads are masked by +inf rnorms.
+            codes_psp = _scatter_padded(codes, order, counts, pmax).transpose(0, 2, 1)
+            s_pad = round_up(nsub, S_ALIGN)
+            if s_pad != nsub:
+                codes_psp = np.pad(codes_psp, ((0, 0), (0, s_pad - nsub), (0, 0)))
+            _save_npy(store, f"{prefix}/codes.npy", np.ascontiguousarray(codes_psp))
             _save_npy(store, f"{prefix}/codebooks.npy", codebooks)
             _save_npy(
                 store,
@@ -365,7 +391,25 @@ def _ivf_flat_search_device(
     return vals, slots
 
 
-@partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
+def _pq_dlut(q, codebooks, s_pad: int):
+    """Per-query dot LUT dlut[q, s, c] = q_s · cb[s, c] → (Q, S_pad, K) f32
+    with zero rows for padded subvectors (their code-0 entries add 0)."""
+    qb = q.shape[0]
+    nsub, kcode, dsub = codebooks.shape
+    qs = q.astype(jnp.float32).reshape(qb, nsub, dsub)
+    dlut = jnp.einsum(
+        "qsd,skd->qsk", qs, codebooks.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    if s_pad != nsub:
+        dlut = jnp.pad(dlut, ((0, 0), (0, s_pad - nsub), (0, 0)))
+    return dlut
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "nprobes", "metric", "has_mask", "use_pallas", "exact_sel"),
+)
 def _ivf_pq_search_device(
     q,
     centroids,
@@ -377,64 +421,69 @@ def _ivf_pq_search_device(
     nprobes: int,
     metric: str,
     has_mask: bool,
+    use_pallas: bool = False,
+    exact_sel: bool = True,
 ):
-    """Residual-PQ ADC scan.
+    """Residual-PQ ADC scan over probed partitions.
 
-    codes: (P, pmax, S) uint8; rnorms: (P, pmax) = |c_p + r̃|² (+inf pad);
-    codebooks: (S, K, dsub).
+    codes: (P, S_pad, pmax) uint8 — subvectors on sublanes, slots on
+    lanes; rnorms: (P, pmax) = |c_p + r̃|² (+inf pad); codebooks:
+    (S, K, dsub).
 
     d(q, x̃) = |q|² − 2(q·c_p + q·r̃) + |x̃|²   (l2; dot analogous)
 
-    q·r̃ is the LUT sum Σ_s dlut[q, s, code_s], computed with a one-hot
-    einsum per probe step (lax.map over probes bounds the transient
-    one-hot to (Q, pmax, S, K) in bf16).
+    On TPU the per-probe LUT sum q·r̃ = Σ_s dlut[q, s, code_s] runs in
+    the fused Pallas kernel (no gathered codes or one-hot in HBM); the
+    XLA fallback uses a per-probe-step one-hot einsum.
     """
     qb = q.shape[0]
-    nparts, pmax, nsub = codes.shape
+    nparts, s_pad, pmax = codes.shape
     kcode = codebooks.shape[1]
-    dsub = codebooks.shape[2]
     qf = q.astype(jnp.float32)
     probe_ids, probe_dots = _select_probes(q, centroids, nprobes, metric)
-    # dot-product LUT: dlut[q, s, c] = q_s · cb[s, c]
-    qs = qf.reshape(qb, nsub, dsub)
-    dlut = jnp.einsum(
-        "qsd,skd->qsk", qs.astype(matmul_dtype()), codebooks.astype(matmul_dtype()),
-        preferred_element_type=jnp.float32,
-    )  # (Q, S, K)
-    dlut_b = dlut.astype(matmul_dtype())
+    dlut = _pq_dlut(qf, codebooks, s_pad)  # (Q, S_pad, K)
     qn2 = jnp.sum(jnp.square(qf), axis=-1)  # (Q,)
+    if metric == "dot":
+        # kernel form qn2 − 2(qc + qdotr) + rn → with qn2=0 and rn =
+        # padding penalty only, halving yields −(q·x̃) + penalty
+        qn2 = jnp.zeros_like(qn2)
+        rn = jnp.where(rnorms >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    else:
+        rn = rnorms
+    if has_mask:
+        rn = rn + slot_penalty.reshape(nparts, pmax)
 
-    def probe_step(j):
-        pid = probe_ids[:, j]  # (Q,)
-        codes_j = jnp.take(codes, pid, axis=0)  # (Q, pmax, S)
-        rn_j = jnp.take(rnorms, pid, axis=0)  # (Q, pmax)
-        oh = jax.nn.one_hot(codes_j.astype(jnp.int32), kcode, dtype=matmul_dtype())
-        qdotr = jnp.einsum("qpsk,qsk->qp", oh, dlut_b, preferred_element_type=jnp.float32)
-        qdotc = probe_dots[:, j][:, None]  # (Q, 1)
-        if metric == "dot":
-            d = -(qdotc + qdotr) + jnp.where(rn_j >= PAD_PENALTY, PAD_PENALTY, 0.0)
-        else:  # l2 (cosine pre-normalized → l2 ordering; reported as l2/2)
-            d = qn2[:, None] - 2.0 * (qdotc + qdotr) + rn_j
-        if has_mask:
-            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
-        vals, off = topk_smallest(d, min(k, pmax))
-        slots = pid[:, None] * pmax + off
-        return vals, slots
+    if use_pallas:
+        dists = ivf_pq_adc_scan_pallas(probe_ids, dlut, codes, rn, probe_dots, qn2)
+    else:
+        dlut_b = dlut.astype(matmul_dtype())
 
-    def body(carry, j):
-        best_v, best_s = carry
-        v, s = probe_step(j)
-        if v.shape[1] < k:
-            pad = k - v.shape[1]
-            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=PAD_PENALTY)
-            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=0)
-        return merge_topk(best_v, best_s, v, s, k), None
+        def probe_step(j):
+            pid = probe_ids[:, j]  # (Q,)
+            codes_j = jnp.take(codes, pid, axis=0)  # (Q, S_pad, pmax)
+            rn_j = jnp.take(rn, pid, axis=0)  # (Q, pmax)
+            oh = jax.nn.one_hot(codes_j.astype(jnp.int32), kcode, dtype=matmul_dtype(), axis=-1)
+            qdotr = jnp.einsum(
+                "qspk,qsk->qp", oh, dlut_b, preferred_element_type=jnp.float32
+            )
+            return qn2[:, None] - 2.0 * (probe_dots[:, j][:, None] + qdotr) + rn_j
 
-    init = (
-        jnp.full((qb, k), PAD_PENALTY, dtype=jnp.float32),
-        jnp.zeros((qb, k), dtype=jnp.int32),
-    )
-    (vals, slots), _ = jax.lax.scan(body, init, jnp.arange(nprobes))
+        dists = jax.lax.map(probe_step, jnp.arange(nprobes)).transpose(1, 0, 2)
+
+    if metric == "dot":
+        dists = dists * 0.5
+    flat = dists.reshape(qb, nprobes * pmax)
+    k_sel = min(k, nprobes * pmax)
+    if exact_sel:
+        vals, pos = topk_smallest(flat, k_sel)
+    else:
+        vals, pos = approx_topk_smallest(flat, k_sel)
+    probe_of = pos // pmax
+    off = pos % pmax
+    slots = jnp.take_along_axis(probe_ids, probe_of, axis=1) * pmax + off
+    if k_sel < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_sel)), constant_values=PAD_PENALTY)
+        slots = jnp.pad(slots, ((0, 0), (0, k - k_sel)))
     return vals, slots
 
 
@@ -696,6 +745,8 @@ class VectorSearcher:
                     qj, self._device["centroids"], self._device["codes"],
                     self._device["rnorms"], self._device["codebooks"], pen,
                     k=k_eff, nprobes=nprobes, metric=self.metric, has_mask=has_mask,
+                    use_pallas=_pallas_available(),
+                    exact_sel=params.approx_mode == "accurate",
                 )
         vals = np.asarray(vals)[:nq]
         slots = np.asarray(slots)[:nq]

@@ -1,25 +1,34 @@
 """Pallas TPU kernel: fused IVF_PQ ADC probe scan.
 
 The XLA formulation of the probed ADC scan (index/vector.py
-`_ivf_pq_search_device`) materializes a gathered code tensor
-(Q, nprobes, pmax, S) in HBM plus a one-hot intermediate. This kernel
-removes both memory round-trips:
+`_ivf_pq_search_device`) materializes a per-query one-hot tensor
+(Q, pmax, S, K) in HBM every probe step — ~1 GB of HBM traffic per
+step at SIFT1M shapes, which makes the PQ scan *slower* than the
+uncompressed IVF_FLAT scan. This kernel keeps everything in VMEM:
 
 * grid = (Q, nprobes); each cell DMAs ONE partition's code block
-  (pmax, S) straight from the global codes array — the partition id
-  comes from a scalar-prefetched probe table feeding the BlockSpec
-  index_map (pltpu.PrefetchScalarGridSpec), so no gather tensor ever
-  exists in HBM.
-* inside the cell the LUT sum  qdotr[p] = Σ_s dlut[s, codes[p, s]]
-  is computed chunk-by-chunk with an iota-compare one-hot contraction
-  (MXU-friendly; no scalar gathers on the VPU), bounded to
-  (pmax, CHUNK, K) of VMEM.
+  (S, pmax) uint8 straight from the global codes array — the partition
+  id comes from a scalar-prefetched probe table feeding the BlockSpec
+  index_map (pltpu.PrefetchScalarGridSpec), so no gathered code tensor
+  ever exists in HBM, and Pallas double-buffers the DMA across cells.
+* the LUT sum  qdotr[p] = Σ_s dlut[s, codes[s, p]]  is computed with a
+  K-step select loop: step k adds  where(codes == k, dlut[:, k], 0)
+  lane-parallel across the whole (S, pmax) tile on the VPU. With
+  4-bit codes (K=16, the Quick-ADC operating point — PAPERS.md) this
+  is 16 vector passes per cell; K=256 works through the same loop.
 * the cell writes the fused distance  |q|² − 2(q·c_p + q·r̃) + |x̃|²
-  directly — one (pmax,) vector per (query, probe) — leaving only the
-  final top-k for XLA.
+  directly — one (pmax,) row per (query, probe) — leaving only the
+  final top-k for XLA. Deletion/prefilter penalties are folded into
+  the rnorms operand by the caller, so the kernel never branches.
 
-Codes' subvector axis is padded to the 128-lane boundary host-side;
-the padded dlut entries are zero so padding contributes nothing.
+Reference behavior matched: lance's ADC scan over probed IVF
+partitions (SURVEY.md §2.9 "Scanner physical plans", §3.2 hot loop).
+
+TPU tiling notes (pallas_guide.md): blocks must have their last two
+dims (mult-of-8, mult-of-128) or equal to the array dims, so pmax is
+padded to 128 and singleton axes are inserted for per-cell rows
+(rnorms (P, 1, pmax), out (Q, NP, 1, pmax)); codes carry subvectors
+on the sublane axis (S is kept a multiple of 8).
 """
 
 from __future__ import annotations
@@ -34,97 +43,115 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .util import round_up
 
-# subvectors processed per one-hot chunk (VMEM: pmax × CHUNK × K bf16)
-_S_CHUNK = 8
+# pmax (lane) alignment required by the kernel's block specs
+PMAX_ALIGN = 128
+# subvector (sublane) alignment
+S_ALIGN = 8
 
 
 def _adc_cell_kernel(
     probe_ids_ref,  # scalar prefetch: (Q*NP,) int32
-    dlut_ref,       # (1, S_pad, K) f32 — this query's dot-LUT
-    codes_ref,      # (1, pmax, S_pad) uint8 — this probe's partition block
-    rnorms_ref,     # (1, pmax) f32
-    qc_ref,         # (1, 1) f32 in SMEM — q·c_p for this (query, probe)
-    qn2_ref,        # (1, 1) f32 in SMEM — |q|²
-    out_ref,        # (1, 1, pmax) f32
+    qc_ref,         # scalar prefetch: (Q*NP,) f32 — q·c_p per (query, probe)
+    qn2_ref,        # scalar prefetch: (Q,) f32 — |q|²
+    dlut_ref,       # (1, NC, S, KC) f32 — this query's dot-LUT, K-chunked
+    codes_ref,      # (1, S, pmax) uint8 — this probe's partition block
+    rnorms_ref,     # (1, 1, pmax) f32 (+penalty, +inf padding)
+    out_ref,        # (1, 1, 1, pmax) f32
 ):
-    pmax = codes_ref.shape[1]
-    s_pad = codes_ref.shape[2]
-    k = dlut_ref.shape[2]
-    codes = codes_ref[0].astype(jnp.int32)  # (pmax, S_pad)
+    qi = pl.program_id(0)
+    j = pl.program_id(1)
+    np_ = pl.num_programs(1)
+    codes = codes_ref[0].astype(jnp.int32)  # (S, PB)
+    s, pmax = codes.shape
+    _, nc, _, kc = dlut_ref.shape
 
-    def chunk_body(ci, acc):
-        s0 = ci * _S_CHUNK
-        c = jax.lax.dynamic_slice(codes, (0, s0), (pmax, _S_CHUNK))  # (pmax, C)
-        lut = jax.lax.dynamic_slice(dlut_ref[0], (s0, 0), (_S_CHUNK, k))  # (C, K)
-        steps = jax.lax.broadcasted_iota(jnp.int32, (pmax, _S_CHUNK, k), 2)
-        onehot = (c[:, :, None] == steps).astype(jnp.bfloat16)  # (pmax, C, K)
-        contrib = jax.lax.dot_general(
-            onehot.reshape(pmax, _S_CHUNK * k),
-            lut.astype(jnp.bfloat16).reshape(_S_CHUNK * k, 1),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (pmax, 1)
-        return acc + contrib[:, 0]
-
-    n_chunks = s_pad // _S_CHUNK
-    qdotr = jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros((pmax,), jnp.float32))
-    qdotx = qc_ref[0, 0] + qdotr
-    out_ref[0, 0, :] = qn2_ref[0, 0] - 2.0 * qdotx + rnorms_ref[0]
+    # one-hot LUT sum, K-chunked: chunk ci covers codes [ci*kc, (ci+1)*kc)
+    qdotr = jnp.zeros((1, pmax), jnp.float32)
+    for ci in range(nc):  # static unroll (nc is tiny)
+        lut = dlut_ref[0, ci]  # (S, KC)
+        steps = jax.lax.broadcasted_iota(jnp.int32, (s, kc, pmax), 1) + ci * kc
+        hit = codes[:, None, :] == steps  # (S, KC, pmax)
+        lut3 = jnp.broadcast_to(lut[:, :, None], (s, kc, pmax))
+        part = jnp.sum(jnp.where(hit, lut3, 0.0), axis=1, keepdims=True)  # (S, 1, pmax)
+        qdotr = qdotr + jnp.sum(part, axis=0)  # (1, pmax)
+    qdotx = qc_ref[qi * np_ + j] + qdotr
+    out_ref[0, 0] = qn2_ref[qi] - 2.0 * qdotx + rnorms_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ivf_pq_adc_scan_pallas(
     probe_ids: jax.Array,  # (Q, NP) int32
-    dlut: jax.Array,       # (Q, S_pad, K) f32 (padded subvectors → zero rows)
-    codes: jax.Array,      # (P, pmax, S_pad) uint8
-    rnorms: jax.Array,     # (P, pmax) f32 (+inf padding slots)
+    dlut: jax.Array,       # (Q, S, K) f32
+    codes: jax.Array,      # (P, S, pmax) uint8, pmax % 128 == 0, S % 8 == 0
+    rnorms: jax.Array,     # (P, pmax) f32 (+inf padding; penalties pre-added)
     qc_dots: jax.Array,    # (Q, NP) f32 — q·c_p per probe
     qn2: jax.Array,        # (Q,) f32
     interpret: bool = False,
 ) -> jax.Array:
     """Fused probe-scan distances → (Q, NP, pmax) f32."""
     q, np_ = probe_ids.shape
-    p, pmax, s_pad = codes.shape
+    p, s, pmax = codes.shape
     k = dlut.shape[2]
-    assert s_pad % _S_CHUNK == 0, "pad subvectors to a multiple of the chunk"
+    if pmax % PMAX_ALIGN:
+        raise ValueError(f"pmax {pmax} must be a multiple of {PMAX_ALIGN}")
+    if s % S_ALIGN:
+        raise ValueError(f"padded subvector count {s} must be a multiple of {S_ALIGN}")
+
+    # chunk the LUT's K axis on a leading dim so the kernel never needs
+    # lane-dim slicing (Mosaic requires 128-aligned lane offsets)
+    kc = k if k <= 128 else 64
+    nc = k // kc
+    dlut_c = dlut.astype(jnp.float32).reshape(q, s, nc, kc).transpose(0, 2, 1, 3)
+
+    # block the slot (lane) axis so the per-cell working set — the
+    # (S, KC, PB) one-hot tile — stays well under the ~16 MB VMEM
+    # budget even for very unbalanced partitions (large pmax)
+    pb = 512 if pmax % 512 == 0 else (256 if pmax % 256 == 0 else 128)
+    nb = pmax // pb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(q, np_),
+        num_scalar_prefetch=3,
+        grid=(q, np_, nb),
         in_specs=[
-            pl.BlockSpec((1, s_pad, k), lambda qi, j, pids: (qi, 0, 0)),
-            pl.BlockSpec((1, pmax, s_pad), lambda qi, j, pids: (pids[qi * np_ + j], 0, 0)),
-            pl.BlockSpec((1, pmax), lambda qi, j, pids: (pids[qi * np_ + j], 0)),
-            pl.BlockSpec((1, 1), lambda qi, j, pids: (qi, j), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda qi, j, pids: (qi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nc, s, kc), lambda qi, j, b, pids, qc, qn: (qi, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, s, pb), lambda qi, j, b, pids, qc, qn: (pids[qi * np_ + j], 0, b)
+            ),
+            pl.BlockSpec(
+                (1, 1, pb), lambda qi, j, b, pids, qc, qn: (pids[qi * np_ + j], 0, b)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, pmax), lambda qi, j, pids: (qi, j, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, pb), lambda qi, j, b, pids, qc, qn: (qi, j, 0, b)
+        ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _adc_cell_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q, np_, pmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((q, np_, 1, pmax), jnp.float32),
         interpret=interpret,
     )(
         probe_ids.reshape(-1).astype(jnp.int32),
-        dlut.astype(jnp.float32),
+        qc_dots.reshape(-1).astype(jnp.float32),
+        qn2.reshape(-1).astype(jnp.float32),
+        dlut_c,
         codes,
-        rnorms.astype(jnp.float32),
-        qc_dots.astype(jnp.float32),
-        qn2.reshape(-1, 1).astype(jnp.float32),
+        rnorms.reshape(p, 1, pmax).astype(jnp.float32),
     )
+    return out.reshape(q, np_, pmax)
 
 
-def pad_codes_for_pallas(
-    codes: np.ndarray, codebooks: np.ndarray
-) -> tuple[np.ndarray, int]:
-    """Pad the subvector axis to the chunk boundary; returns (codes, s_pad)."""
-    s = codes.shape[-1]
-    s_pad = round_up(s, _S_CHUNK)
-    if s_pad != s:
-        pad = [(0, 0)] * (codes.ndim - 1) + [(0, s_pad - s)]
-        codes = np.pad(codes, pad)
-    return codes, s_pad
+def pad_codes_for_pallas(codes_psp: np.ndarray) -> np.ndarray:
+    """Pad a (P, S, pmax) code array to kernel alignment (S→8, pmax→128).
+
+    Padded subvector rows hold code 0 and rely on zero dlut rows;
+    padded pmax slots are masked by +inf rnorms.
+    """
+    p, s, pmax = codes_psp.shape
+    s_pad, pmax_pad = round_up(s, S_ALIGN), round_up(pmax, PMAX_ALIGN)
+    if (s_pad, pmax_pad) != (s, pmax):
+        codes_psp = np.pad(codes_psp, ((0, 0), (0, s_pad - s), (0, pmax_pad - pmax)))
+    return codes_psp
 
 
 def build_dlut_padded(q: np.ndarray, codebooks: np.ndarray, s_pad: int) -> np.ndarray:

@@ -1,0 +1,79 @@
+"""End-to-end verification of the Pallas IVF_PQ path through the PUBLIC API
+on real TPU hardware."""
+import sys, tempfile, time
+sys.path.insert(0, '/root/repo')
+import numpy as np
+import jax
+
+print("backend:", jax.default_backend(), flush=True)
+assert jax.default_backend() == "tpu"
+
+import lancedb_tpu
+from lancedb_tpu.index import IvfPq
+
+rng = np.random.default_rng(7)
+N, DIM = 50_000, 64
+centers = rng.standard_normal((256, DIM)).astype(np.float32)
+x = centers[rng.integers(0, 256, N)] + 0.2 * rng.standard_normal((N, DIM)).astype(np.float32)
+
+db = lancedb_tpu.connect(tempfile.mkdtemp())
+tbl = db.create_table("vecs", data=[
+    {"id": i, "cat": int(i % 3), "vector": x[i].tolist()} for i in range(N)
+])
+
+# 1. default 8-bit IVF_PQ
+tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64))
+q = x[123] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+res = tbl.search(q).limit(5).nprobes(10).to_list()
+print("1. top-5 ids:", [r["id"] for r in res], "dists:", [round(r["_distance"], 3) for r in res], flush=True)
+assert res[0]["id"] == 123, "nearest should be the perturbed source row"
+
+# 2. refine path
+res2 = tbl.search(q).limit(5).nprobes(10).refine_factor(8).to_list()
+print("2. refine top-5 ids:", [r["id"] for r in res2], flush=True)
+assert res2[0]["id"] == 123
+
+# 3. prefilter (has_mask path through pallas: penalty folded into rnorms)
+res3 = tbl.search(q).where("cat = 1").limit(5).nprobes(10).to_list()
+print("3. filtered top-5:", [(r["id"], r["cat"]) for r in res3], flush=True)
+assert all(r["cat"] == 1 for r in res3)
+assert all(r["id"] % 3 == 1 for r in res3)
+
+# 4. 4-bit PQ through public config
+tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64, num_sub_vectors=16, num_bits=4), replace=True)
+res4 = tbl.search(q).limit(5).nprobes(10).to_list()
+print("4. 4-bit top-5 ids:", [r["id"] for r in res4], flush=True)
+assert res4[0]["id"] == 123
+
+# 5. cosine metric PQ (normalization + l2/2 reporting path)
+tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64, distance_type="cosine"), replace=True)
+res5 = tbl.search(q).limit(5).nprobes(10).refine_factor(20).to_list()
+print("5. cosine+refine top-5 ids:", [r["id"] for r in res5], "d:", [round(r["_distance"], 4) for r in res5], flush=True)
+assert res5[0]["id"] == 123 and 0 <= res5[0]["_distance"] < 0.01
+
+# 6. dot metric PQ (the qn2=0 + halving kernel path)
+tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64, distance_type="dot"), replace=True)
+res6 = tbl.search(q).limit(5).nprobes(10).to_list()
+print("6. dot top-5 ids:", [r["id"] for r in res6], "d:", [round(r["_distance"], 2) for r in res6], flush=True)
+# dot distance = -q.x; best should be large-norm rows near q; check monotone order
+d6 = [r["_distance"] for r in res6]
+assert d6 == sorted(d6)
+
+# 7. probe: invalid num_bits through public config
+try:
+    tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64, num_bits=5), replace=True)
+    print("7. ERROR: num_bits=5 accepted!", flush=True)
+except Exception as e:
+    print("7. num_bits=5 rejected:", type(e).__name__, str(e)[:60], flush=True)
+
+# 8. probe: nprobes > num_partitions (clamp path)
+res8 = tbl.search(q).limit(3).nprobes(10_000).to_list()
+print("8. nprobes=10000 ok, top id:", res8[0]["id"], flush=True)
+
+# 9. probe: delete rows then search (deletion mask through pallas)
+tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64), replace=True)
+tbl.delete("id = 123")
+res9 = tbl.search(q).limit(5).nprobes(10).to_list()
+print("9. after delete, top-5:", [r["id"] for r in res9], flush=True)
+assert 123 not in [r["id"] for r in res9]
+print("ALL E2E CHECKS PASSED", flush=True)
