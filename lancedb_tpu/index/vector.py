@@ -41,7 +41,13 @@ from ..io.object_store import ObjectStore
 from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
 from ..ops.kmeans import kmeans_assign, kmeans_fit
 from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
-from ..ops.pq import default_num_sub_vectors, pq_encode, pq_reconstruct, pq_train
+from ..ops.pq import (
+    default_num_sub_vectors,
+    opq_train,
+    pq_encode,
+    pq_reconstruct,
+    pq_train,
+)
 from ..ops.topk import approx_topk_smallest, merge_topk, topk_smallest
 from ..ops.util import matmul_dtype, round_up
 from ..storage.manifest import IndexMeta, new_uuid
@@ -133,6 +139,42 @@ def _partition_layout(
     return order, counts, pmax
 
 
+def _balanced_layout(
+    assign: np.ndarray, centroids: np.ndarray, pad_multiple: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Split oversized k-means partitions into duplicate-centroid blocks.
+
+    Padded dense IVF blocks cost HBM and scan time proportional to the
+    LARGEST partition, so heavy-tailed k-means assignments (several
+    natural clusters merged into one partition) inflate every probe.
+    Rows of a partition with count > cap are split across
+    ceil(count/cap) blocks that share the partition's centroid: probe
+    selection ranks blocks, duplicated centroids rank adjacently, so a
+    query spending n probes on a fat logical partition scans the same
+    rows the reference's single fat partition would (nprobes is
+    block-granular; the searcher rescales, see VectorSearcher.search).
+    Empty partitions get no block. Returns (order, block_centroids,
+    block_counts, pmax).
+    """
+    num_partitions = centroids.shape[0]
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=num_partitions)
+    mean = max(1.0, float(len(assign)) / max(1, (counts > 0).sum()))
+    cap = int(round_up(max(pad_multiple, int(1.25 * mean)), pad_multiple))
+    block_counts, block_pids = [], []
+    for pid in range(num_partitions):
+        c = int(counts[pid])
+        while c > 0:
+            take = min(c, cap)
+            block_counts.append(take)
+            block_pids.append(pid)
+            c -= take
+    block_counts = np.asarray(block_counts, dtype=np.int64)
+    block_pids = np.asarray(block_pids, dtype=np.int32)
+    pmax = int(round_up(max(1, block_counts.max()), pad_multiple))
+    return order, centroids[block_pids], block_counts, pmax
+
+
 def _scatter_padded(
     values: np.ndarray, order: np.ndarray, counts: np.ndarray, pmax: int, fill=0
 ) -> np.ndarray:
@@ -203,16 +245,21 @@ def build_vector_index(
         assign = kmeans_assign(vectors, centroids, metric=train_metric)
         # PQ blocks must be lane-aligned for the Pallas ADC kernel
         pad_multiple = PMAX_ALIGN if index_type == "IVF_PQ" else 8
-        order, counts, pmax = _partition_layout(assign, nparts, pad_multiple=pad_multiple)
+        order, block_centroids, counts, pmax = _balanced_layout(
+            assign, centroids, pad_multiple=pad_multiple
+        )
         rid_padded = _scatter_padded(row_ids.view(np.int64), order, counts, pmax, fill=-1)
-        _save_npy(store, f"{prefix}/centroids.npy", centroids)
+        _save_npy(store, f"{prefix}/centroids.npy", block_centroids)
         _save_npy(store, f"{prefix}/row_ids.npy", rid_padded)
         _save_npy(store, f"{prefix}/counts.npy", counts.astype(np.int32))
-        meta_doc.update(num_partitions=nparts, pmax=pmax)
+        meta_doc.update(
+            num_partitions=len(counts), num_logical_partitions=nparts, pmax=pmax
+        )
 
         if index_type == "IVF_FLAT":
             vec_padded = _scatter_padded(vectors, order, counts, pmax)
             _save_npy(store, f"{prefix}/vectors.npy", vec_padded)
+            meta_doc["precision"] = getattr(config, "precision", "float32")
         elif index_type == "IVF_SQ":
             # int8 scalar quantization of raw vectors: per-dim affine
             lo = vectors.min(axis=0)
@@ -264,16 +311,34 @@ def build_vector_index(
         elif index_type == "IVF_PQ":
             nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
             residuals = vectors - centroids[assign]
-            codebooks = pq_train(
-                residuals,
-                nsub,
-                num_bits=config.num_bits,
-                max_iters=config.max_iterations,
-                sample_rate=config.sample_rate,
-                seed=config.seed,
-            )
-            codes = pq_encode(residuals, codebooks)
+            rotation = None
+            if getattr(config, "opq", False):
+                rotation, codebooks = opq_train(
+                    residuals,
+                    nsub,
+                    num_bits=config.num_bits,
+                    opq_iters=getattr(config, "opq_iters", 8),
+                    max_iters=config.max_iterations,
+                    sample_rate=config.sample_rate,
+                    seed=config.seed,
+                )
+                enc_in = residuals @ rotation.T
+            else:
+                codebooks = pq_train(
+                    residuals,
+                    nsub,
+                    num_bits=config.num_bits,
+                    max_iters=config.max_iterations,
+                    sample_rate=config.sample_rate,
+                    seed=config.seed,
+                )
+                enc_in = residuals
+            codes = pq_encode(enc_in, codebooks)
             recon_res = pq_reconstruct(codes, codebooks)
+            if rotation is not None:
+                recon_res = recon_res @ rotation
+                _save_npy(store, f"{prefix}/rotation.npy", rotation)
+                meta_doc["opq"] = True
             recon = recon_res + centroids[assign]
             rnorms = np.sum(recon.astype(np.float64) ** 2, axis=1).astype(np.float32)
             # codes live as (P, S_pad, pmax) — subvectors on sublanes,
@@ -312,27 +377,55 @@ def build_vector_index(
 # ------------------------------------------------------------------ search
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "use_bf16"))
-def _flat_search_device(q, vectors, norms2, penalty, k: int, metric: str, use_bf16: bool):
-    """Brute-force scan: one matmul + top-k. vectors: (N, D)."""
+@partial(jax.jit, static_argnames=("k", "metric", "mode"))
+def _flat_search_device(q, vectors, norms2, penalty, k: int, metric: str, mode: str):
+    """Brute-force scan. vectors: (N, D). Three precision modes:
+
+    * 'float32'  — exact f32 matmul (HIGHEST) + exact top-k
+    * 'bfloat16' — bf16 matmul + approx top-k (fastest, ~0.97 recall)
+    * 'default'  — TWO-PASS: bf16 coarse scan at MXU rate selects 8·k
+      candidates with the TPU partial-reduce top-k, then an exact f32
+      rerank of just those rows — exact-search results at ~bf16 speed
+      (the TPU-native formulation of the reference's full-precision
+      flat scan)
+    """
     qf = q.astype(jnp.float32)
-    dtype = matmul_dtype() if use_bf16 else jnp.float32
-    prec = None if use_bf16 else jax.lax.Precision.HIGHEST
-    dots = jnp.dot(
-        qf.astype(dtype), vectors.astype(dtype).T,
-        precision=prec, preferred_element_type=jnp.float32,
-    )
+
+    def coarse_dists(dtype, prec):
+        dots = jnp.dot(
+            qf.astype(dtype), vectors.astype(dtype).T,
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        if metric == "dot":
+            d = -dots
+        elif metric == "cosine":
+            qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1, keepdims=True))
+            d = 1.0 - dots / jnp.maximum(qn, 1e-30)  # index pre-normalized
+        else:
+            qn2 = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+            d = jnp.maximum(qn2 - 2.0 * dots + norms2[None, :], 0.0)
+        return d + penalty[None, :]
+
+    if mode == "float32":
+        return topk_smallest(coarse_dists(jnp.float32, jax.lax.Precision.HIGHEST), k)
+    if mode == "bfloat16":
+        return approx_topk_smallest(coarse_dists(matmul_dtype(), None), k)
+    # two-pass: coarse bf16 candidates → exact f32 rerank
+    n = vectors.shape[0]
+    kc = min(max(8 * k, 64), n)
+    _, cand = approx_topk_smallest(coarse_dists(matmul_dtype(), None), kc)
+    xc = jnp.take(vectors, cand, axis=0).astype(jnp.float32)  # (Q, kc, D)
     if metric == "dot":
-        d = -dots
+        d2 = -jnp.einsum("qd,qcd->qc", qf, xc, precision=jax.lax.Precision.HIGHEST)
     elif metric == "cosine":
         qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1, keepdims=True))
-        d = 1.0 - dots / jnp.maximum(qn, 1e-30)  # index vectors pre-normalized
+        dots = jnp.einsum("qd,qcd->qc", qf, xc, precision=jax.lax.Precision.HIGHEST)
+        d2 = 1.0 - dots / jnp.maximum(qn, 1e-30)
     else:
-        qn2 = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
-        d = qn2 - 2.0 * dots + norms2[None, :]
-        d = jnp.maximum(d, 0.0)
-    d = d + penalty[None, :]
-    return topk_smallest(d, k)
+        d2 = jnp.sum(jnp.square(qf[:, None, :] - xc), axis=-1)
+    d2 = d2 + jnp.take(penalty, cand)
+    vals, pos = topk_smallest(d2, k)
+    return vals, jnp.take_along_axis(cand, pos, axis=1)
 
 
 @partial(jax.jit, static_argnames=("nprobes", "metric"))
@@ -358,32 +451,61 @@ def _select_probes(q, centroids, nprobes: int, metric: str):
 def _ivf_flat_search_device(
     q, centroids, vectors, norms2, slot_penalty, k: int, nprobes: int, metric: str, has_mask: bool
 ):
-    """vectors: (P, pmax, D); norms2: (P, pmax) with +inf padding."""
+    """vectors: (P, pmax, D); norms2: (P, pmax) with +inf padding.
+
+    Probes gather in chunks (lax.map) so the transient gathered block
+    tensor stays bounded at (Q, chunk, pmax, D) regardless of nprobes.
+    """
     qb, dim = q.shape
     pmax = vectors.shape[1]
     probe_ids, _ = _select_probes(q, centroids, nprobes, metric)
-    g_vecs = jnp.take(vectors, probe_ids, axis=0)  # (Q, np, pmax, D)
-    g_norm = jnp.take(norms2, probe_ids, axis=0)  # (Q, np, pmax)
     qf = q.astype(jnp.float32)
-    dots = jnp.einsum(
-        "qnpd,qd->qnp",
-        g_vecs.astype(matmul_dtype()),
-        qf.astype(matmul_dtype()),
-        preferred_element_type=jnp.float32,
-    )
-    if metric == "dot":
-        d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
-    elif metric == "cosine":
-        qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1))[:, None, None]
-        d = 1.0 - dots / jnp.maximum(qn, 1e-30)
-        d = d + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    # storage dtype decides scan precision: f32-stored partitions rank
+    # exactly (HIGHEST avoids the MXU's default bf16 input rounding)
+    scan_f32 = vectors.dtype == jnp.float32
+    qs = qf if scan_f32 else qf.astype(matmul_dtype())
+    qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1))[:, None, None]
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+
+    chunk = max(1, min(nprobes, (1 << 28) // max(1, qb * pmax * dim)))
+    n_chunks = -(-nprobes // chunk)
+    pad_probes = n_chunks * chunk - nprobes
+    pids_c = jnp.pad(probe_ids, ((0, 0), (0, pad_probes))).reshape(qb, n_chunks, chunk)
+
+    def scan_chunk(pid):  # pid: (Q, chunk)
+        g_vecs = jnp.take(vectors, pid, axis=0)  # (Q, c, pmax, D)
+        g_norm = jnp.take(norms2, pid, axis=0)  # (Q, c, pmax)
+        dots = jnp.einsum(
+            "qnpd,qd->qnp",
+            g_vecs if scan_f32 else g_vecs.astype(matmul_dtype()),
+            qs,
+            precision=jax.lax.Precision.HIGHEST if scan_f32 else None,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "dot":
+            d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        elif metric == "cosine":
+            d = 1.0 - dots / jnp.maximum(qn, 1e-30)
+            d = d + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:
+            d = qn2 - 2.0 * dots + g_norm
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(centroids.shape[0], pmax), pid, axis=0)
+        return d  # (Q, c, pmax)
+
+    if n_chunks == 1:
+        d = scan_chunk(pids_c[:, 0])
     else:
-        qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
-        d = qn2 - 2.0 * dots + g_norm
-    if has_mask:
-        d = d + jnp.take(slot_penalty.reshape(centroids.shape[0], pmax), probe_ids, axis=0)
+        d = jax.lax.map(scan_chunk, pids_c.transpose(1, 0, 2))  # (nc, Q, c, pmax)
+        d = d.transpose(1, 0, 2, 3).reshape(qb, n_chunks * chunk, pmax)
     d = d.reshape(qb, -1)
+    if pad_probes:
+        # padded probe slots duplicated partition 0 for some queries —
+        # mask them so duplicates can't surface twice
+        probe_valid = jnp.arange(n_chunks * chunk) < nprobes
+        d = jnp.where(jnp.repeat(probe_valid, pmax)[None, :], d, PAD_PENALTY)
     vals, pos = topk_smallest(d, k)
+    probe_ids = pids_c.reshape(qb, -1)
     # local position → global slot = partition * pmax + offset
     probe_of = pos // pmax
     off = pos % pmax
@@ -423,6 +545,7 @@ def _ivf_pq_search_device(
     has_mask: bool,
     use_pallas: bool = False,
     exact_sel: bool = True,
+    rotation=None,
 ):
     """Residual-PQ ADC scan over probed partitions.
 
@@ -441,7 +564,11 @@ def _ivf_pq_search_device(
     kcode = codebooks.shape[1]
     qf = q.astype(jnp.float32)
     probe_ids, probe_dots = _select_probes(q, centroids, nprobes, metric)
-    dlut = _pq_dlut(qf, codebooks, s_pad)  # (Q, S_pad, K)
+    # OPQ: codes quantize ROTATED residuals ŷ, and q·(Rᵀŷ) = (R·q)·ŷ,
+    # so the LUT is built from the rotated query
+    q_lut = qf if rotation is None else jnp.dot(
+        qf, rotation.T, precision=jax.lax.Precision.HIGHEST)
+    dlut = _pq_dlut(q_lut, codebooks, s_pad)  # (Q, S_pad, K)
     qn2 = jnp.sum(jnp.square(qf), axis=-1)  # (Q,)
     if metric == "dot":
         # kernel form qn2 − 2(qc + qdotr) + rn → with qn2=0 and rn =
@@ -612,10 +739,15 @@ class VectorSearcher:
             vecs = np.asarray(_load_npy(store, f"{prefix}/vectors.npy"))
             norms2 = np.sum(vecs.astype(np.float64) ** 2, axis=2).astype(np.float32)
             norms2[~self.row_ids_valid.reshape(self.nparts, self.pmax)] = PAD_PENALTY
-            # bf16 on device: halves HBM footprint + gather traffic; the
-            # f32 norms keep the l2 expansion accurate (ANN ranking is
-            # insensitive to bf16 dots; exact search uses FLAT instead)
-            self._device["vectors"] = jnp.asarray(vecs, dtype=matmul_dtype())
+            # storage dtype per build config: f32 ranks exactly; bf16
+            # halves HBM + gather traffic at ~1-2% recall cost (the f32
+            # norms keep the l2 expansion accurate either way)
+            dtype = (
+                matmul_dtype()
+                if self.params.get("precision") == "bfloat16"
+                else jnp.float32
+            )
+            self._device["vectors"] = jnp.asarray(vecs, dtype=dtype)
             self._device["norms2"] = jnp.asarray(norms2)
         elif self.index_type == "IVF_SQ":
             self._device["codes"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/codes.npy")))
@@ -630,6 +762,10 @@ class VectorSearcher:
             self._device["codebooks"] = jnp.asarray(
                 np.asarray(_load_npy(store, f"{prefix}/codebooks.npy"))
             )
+            if self.params.get("opq"):
+                self._device["rotation"] = jnp.asarray(
+                    np.asarray(_load_npy(store, f"{prefix}/rotation.npy"))
+                )
         elif self.index_type == "IVF_RQ":
             self._device["bits"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/bits.npy")))
             self._device["scales"] = jnp.asarray(np.asarray(_load_npy(store, f"{prefix}/scales.npy")))
@@ -706,7 +842,9 @@ class VectorSearcher:
         pen = jnp.asarray(slot_penalty) if has_mask else jnp.zeros((1,), jnp.float32)
 
         if self.index_type == "FLAT":
-            use_bf16 = params.precision == "bfloat16"
+            mode = params.precision
+            if mode == "default" and params.approx_mode == "accurate":
+                mode = "float32"
             vals, slots = _flat_search_device(
                 qj,
                 self._device["vectors"],
@@ -714,10 +852,15 @@ class VectorSearcher:
                 self._device["penalty"] + (pen if has_mask else 0.0),
                 k=k_eff,
                 metric=self.metric,
-                use_bf16=use_bf16,
+                mode=mode,
             )
         else:
-            nprobes = min(params.nprobes, self.nparts)
+            # nprobes is block-granular: fat logical partitions were split
+            # into duplicate-centroid blocks at build (_balanced_layout),
+            # so rescale the user's per-partition nprobes to blocks
+            logical = self.params.get("num_logical_partitions", self.nparts)
+            scale = self.nparts / max(1, logical)
+            nprobes = min(self.nparts, max(1, int(np.ceil(params.nprobes * scale))))
             if self.index_type == "IVF_FLAT":
                 vals, slots = _ivf_flat_search_device(
                     qj, self._device["centroids"], self._device["vectors"],
@@ -747,6 +890,7 @@ class VectorSearcher:
                     k=k_eff, nprobes=nprobes, metric=self.metric, has_mask=has_mask,
                     use_pallas=_pallas_available(),
                     exact_sel=params.approx_mode == "accurate",
+                    rotation=self._device.get("rotation"),
                 )
         vals = np.asarray(vals)[:nq]
         slots = np.asarray(slots)[:nq]

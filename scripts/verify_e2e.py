@@ -77,3 +77,20 @@ res9 = tbl.search(q).limit(5).nprobes(10).to_list()
 print("9. after delete, top-5:", [r["id"] for r in res9], flush=True)
 assert 123 not in [r["id"] for r in res9]
 print("ALL E2E CHECKS PASSED", flush=True)
+
+# 10. FLAT index default mode = device two-pass (exact results)
+tbl.create_index(vector_column_name="vector", index_type="FLAT", replace=True)
+res10 = tbl.search(q).limit(5).to_list()
+print("10. FLAT 2-pass top-5:", [r["id"] for r in res10], flush=True)
+assert 123 not in [r["id"] for r in res10]  # deleted earlier
+d10 = [r["_distance"] for r in res10]
+assert d10 == sorted(d10)
+
+# 11. OPQ-rotated IVF_PQ through public config
+from lancedb_tpu.index import IvfPq as _IvfPq
+tbl.create_index(vector_column_name="vector",
+                 config=_IvfPq(num_partitions=64, opq=True, opq_iters=3), replace=True)
+res11 = tbl.search(q).limit(5).nprobes(10).refine_factor(8).to_list()
+print("11. OPQ top-5:", [r["id"] for r in res11], flush=True)
+assert all(r["id"] != 123 for r in res11)
+print("EXTENDED CHECKS PASSED", flush=True)

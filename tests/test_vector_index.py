@@ -123,6 +123,33 @@ class TestIvfPq:
         assert r_refined >= r_plain
         assert r_refined > 0.9
 
+    def test_opq_rotation(self, dataset):
+        meta = build_vector_index(
+            dataset, "vector",
+            IvfPq(num_partitions=16, num_sub_vectors=8, opq=True, opq_iters=3),
+        )
+        s = load_searcher(dataset, meta)
+        assert s.params.get("opq") is True
+        assert "rotation" in s._device
+        rot = np.asarray(s._device["rotation"])
+        np.testing.assert_allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-4)
+        truth = exact_topk(QUERIES, 10)
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16))
+        assert recall_at_k(rids, truth, dataset, 10) > 0.4
+        d2, rids2 = s.search(QUERIES, SearchParams(k=10, nprobes=16, refine_factor=10))
+        d3, rids3 = s.refine(dataset, "vector", QUERIES, d2, rids2, 10)
+        assert recall_at_k(rids3, truth, dataset, 10) > 0.9
+
+    def test_4bit(self, dataset):
+        meta = build_vector_index(
+            dataset, "vector", IvfPq(num_partitions=16, num_sub_vectors=16, num_bits=4)
+        )
+        s = load_searcher(dataset, meta)
+        truth = exact_topk(QUERIES, 10)
+        d, rids = s.search(QUERIES, SearchParams(k=10, nprobes=16, refine_factor=10))
+        d, rids = s.refine(dataset, "vector", QUERIES, d, rids, 10)
+        assert recall_at_k(rids, truth, dataset, 10) > 0.9
+
     def test_cosine_pq(self, dataset):
         meta = build_vector_index(
             dataset, "vector", IvfPq(distance_type="cosine", num_partitions=16, num_sub_vectors=8)
