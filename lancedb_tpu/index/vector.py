@@ -39,13 +39,12 @@ from ..arrow import fsl_to_numpy
 from ..errors import InvalidInputError
 from ..io.object_store import ObjectStore
 from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
-from ..ops.kmeans import kmeans_assign, kmeans_fit
+from ..ops.kmeans import assign_residuals_device, kmeans_fit
 from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
 from ..ops.pq import (
     default_num_sub_vectors,
     opq_train,
-    pq_encode,
-    pq_reconstruct,
+    pq_encode_rnorms,
     pq_train,
 )
 from ..ops.topk import approx_topk_smallest, merge_topk, topk_smallest
@@ -96,6 +95,9 @@ class SearchParams:
     # top-k selection; 'normal'/'fast' allow the TPU-native partial-
     # reduce top-k (lax.approx_max_k) inside quantized scans
     approx_mode: str = "normal"
+    # planner override: True forces probed scans even for large batches
+    # where a shared full scan would be faster (None = auto)
+    use_index_for_batch: bool | None = None
 
 
 # --------------------------------------------------------------- save/load
@@ -234,15 +236,29 @@ def build_vector_index(
         if nparts > n:
             raise InvalidInputError(f"num_partitions {nparts} > num_rows {n}")
         train_metric = "l2" if metric == "cosine" else metric
+        # device-resident build: the table uploads ONCE; k-means training,
+        # assignment, residuals, and PQ encode all run on-device, and only
+        # small artifacts (assign/codes/rnorms) come back — host↔device
+        # traffic was the dominant build cost, not compute
+        xd = jnp.asarray(vectors)
         centroids = kmeans_fit(
-            vectors,
+            xd,
             nparts,
             metric=train_metric,
             max_iters=config.max_iterations,
             sample_rate=config.sample_rate,
             seed=config.seed,
         )
-        assign = kmeans_assign(vectors, centroids, metric=train_metric)
+        cents_d = jnp.asarray(centroids)
+        need_res = index_type in ("IVF_PQ", "IVF_RQ")
+        chunk = 1 << 17
+        n_pad = ((n + chunk - 1) // chunk) * chunk if n > chunk else n
+        xd_pad = jnp.pad(xd, ((0, n_pad - n), (0, 0))) if n_pad != n else xd
+        assign_d, residuals_d = assign_residuals_device(
+            xd_pad, cents_d, metric=train_metric,
+            chunk=min(chunk, n_pad), with_residuals=need_res,
+        )
+        assign = np.asarray(assign_d[:n])
         # PQ blocks must be lane-aligned for the Pallas ADC kernel
         pad_multiple = PMAX_ALIGN if index_type == "IVF_PQ" else 8
         order, block_centroids, counts, pmax = _balanced_layout(
@@ -287,7 +303,7 @@ def build_vector_index(
             gauss = rng_r.standard_normal((dim, dim)).astype(np.float32)
             rot, _ = np.linalg.qr(gauss)
             rot = rot.astype(np.float32)
-            residuals = vectors - centroids[assign]
+            residuals = np.asarray(residuals_d[:n])
             u = residuals @ rot.T  # rotated residuals
             signs = u > 0
             scales = np.mean(np.abs(u), axis=1).astype(np.float32)  # per row
@@ -310,11 +326,17 @@ def build_vector_index(
             meta_doc.update(num_bits=1)
         elif index_type == "IVF_PQ":
             nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
-            residuals = vectors - centroids[assign]
+            res_d = residuals_d[:n]
+            # codebook training only needs a sample — one small download
+            train_rows = min(n, config.sample_rate * 256)
+            sel = np.random.default_rng(config.seed + 1).choice(
+                n, size=train_rows, replace=False
+            ) if train_rows < n else np.arange(n)
+            res_sample = np.asarray(res_d[jnp.asarray(sel)])
             rotation = None
             if getattr(config, "opq", False):
                 rotation, codebooks = opq_train(
-                    residuals,
+                    res_sample,
                     nsub,
                     num_bits=config.num_bits,
                     opq_iters=getattr(config, "opq_iters", 8),
@@ -322,25 +344,21 @@ def build_vector_index(
                     sample_rate=config.sample_rate,
                     seed=config.seed,
                 )
-                enc_in = residuals @ rotation.T
+                _save_npy(store, f"{prefix}/rotation.npy", rotation)
+                meta_doc["opq"] = True
             else:
                 codebooks = pq_train(
-                    residuals,
+                    res_sample,
                     nsub,
                     num_bits=config.num_bits,
                     max_iters=config.max_iterations,
                     sample_rate=config.sample_rate,
                     seed=config.seed,
                 )
-                enc_in = residuals
-            codes = pq_encode(enc_in, codebooks)
-            recon_res = pq_reconstruct(codes, codebooks)
-            if rotation is not None:
-                recon_res = recon_res @ rotation
-                _save_npy(store, f"{prefix}/rotation.npy", rotation)
-                meta_doc["opq"] = True
-            recon = recon_res + centroids[assign]
-            rnorms = np.sum(recon.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            # fused encode + reconstruct + |x̂|² on device (one program)
+            codes, rnorms = pq_encode_rnorms(
+                res_d, cents_d, assign_d[:n], codebooks, rotation=rotation
+            )
             # codes live as (P, S_pad, pmax) — subvectors on sublanes,
             # slots on lanes — the layout the Pallas ADC kernel scans
             # without any in-HBM gather (ops/pallas_adc.py). S pads with
@@ -426,6 +444,28 @@ def _flat_search_device(q, vectors, norms2, penalty, k: int, metric: str, mode: 
     d2 = d2 + jnp.take(penalty, cand)
     vals, pos = topk_smallest(d2, k)
     return vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "mode", "has_mask"))
+def _ivf_full_scan_device(
+    q, vectors, norms2, slot_penalty, k: int, metric: str, mode: str, has_mask: bool
+):
+    """Scan an IVF_FLAT index as a flat table (batched-query planner path).
+
+    For large query batches the per-query probed gather reads MORE HBM
+    than one shared pass over the whole padded block array
+    (qb·nprobes·pmax ≥ total slots), so the planner flattens the blocks
+    and runs the two-pass flat scan instead — recall is a superset of
+    any nprobes setting. Padding slots carry +inf norms; an explicit
+    penalty keeps them (and filtered rows) out for dot/cosine too.
+    """
+    nslots = vectors.shape[0] * vectors.shape[1]
+    flat_vecs = vectors.reshape(nslots, -1)
+    flat_norms = norms2.reshape(nslots)
+    pen = jnp.where(flat_norms >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    if has_mask:
+        pen = pen + slot_penalty
+    return _flat_search_device(q, flat_vecs, flat_norms, pen, k=k, metric=metric, mode=mode)
 
 
 @partial(jax.jit, static_argnames=("nprobes", "metric"))
@@ -862,12 +902,23 @@ class VectorSearcher:
             scale = self.nparts / max(1, logical)
             nprobes = min(self.nparts, max(1, int(np.ceil(params.nprobes * scale))))
             if self.index_type == "IVF_FLAT":
-                vals, slots = _ivf_flat_search_device(
-                    qj, self._device["centroids"], self._device["vectors"],
-                    self._device["norms2"], pen,
-                    k=min(k_eff, self.num_slots), nprobes=nprobes,
-                    metric=self.metric, has_mask=has_mask,
-                )
+                # batched-query planner: once the per-query probed gather
+                # would read more rows than the whole table, one shared
+                # two-pass full scan is strictly faster AND exact
+                if qb * nprobes >= self.nparts and params.use_index_for_batch is not True:
+                    vals, slots = _ivf_full_scan_device(
+                        qj, self._device["vectors"], self._device["norms2"], pen,
+                        k=min(k_eff, self.num_slots), metric=self.metric,
+                        mode="float32" if params.approx_mode == "accurate" else "default",
+                        has_mask=has_mask,
+                    )
+                else:
+                    vals, slots = _ivf_flat_search_device(
+                        qj, self._device["centroids"], self._device["vectors"],
+                        self._device["norms2"], pen,
+                        k=min(k_eff, self.num_slots), nprobes=nprobes,
+                        metric=self.metric, has_mask=has_mask,
+                    )
             elif self.index_type == "IVF_RQ":
                 vals, slots = _ivf_rq_search_device(
                     qj, self._device["centroids"], self._device["bits"],

@@ -149,7 +149,11 @@ def kmeans_fit(
     balance than random init at negligible build cost.
     """
     metric = normalize_metric(metric)
-    data = np.asarray(data, dtype=np.float32)
+    # device arrays stay resident (index builds upload the table once and
+    # run every stage on-device); numpy input keeps the old behavior
+    on_device = isinstance(data, jax.Array)
+    if not on_device:
+        data = np.asarray(data, dtype=np.float32)
     n = data.shape[0]
     if n < k:
         raise ValueError(f"need at least k={k} rows to train k-means, got {n}")
@@ -157,28 +161,29 @@ def kmeans_fit(
     max_sample = sample_rate * k
     if n > max_sample:
         sel = rng.choice(n, size=max_sample, replace=False)
-        sample = data[sel]
+        sample = data[jnp.asarray(sel)] if on_device else data[sel]
     else:
         sample = data
     if init == "kmeans++":
         init_pool_size = min(sample.shape[0], max(32 * k, 4 * k))
-        pool = (
-            sample
-            if init_pool_size >= sample.shape[0]
-            else sample[rng.choice(sample.shape[0], size=init_pool_size, replace=False)]
-        )
+        if init_pool_size >= sample.shape[0]:
+            pool = sample
+        else:
+            pool_ids = rng.choice(sample.shape[0], size=init_pool_size, replace=False)
+            pool = sample[jnp.asarray(pool_ids)] if on_device else sample[pool_ids]
+        pool = jnp.asarray(pool, dtype=jnp.float32)
         if metric in ("cosine", "dot"):
-            norms = np.linalg.norm(pool, axis=-1, keepdims=True)
-            pool = pool / np.maximum(norms, 1e-30)
-        init_centroids = kmeanspp_init_device(
-            jnp.asarray(pool), jax.random.PRNGKey(seed), k=k
-        )
+            pool = pool / jnp.maximum(jnp.linalg.norm(pool, axis=-1, keepdims=True), 1e-30)
+        init_centroids = kmeanspp_init_device(pool, jax.random.PRNGKey(seed), k=k)
     else:
         init_ids = rng.choice(sample.shape[0], size=k, replace=False)
-        init_centroids = jnp.asarray(sample[init_ids])
+        init_centroids = jnp.asarray(
+            sample[jnp.asarray(init_ids)] if on_device else sample[init_ids],
+            dtype=jnp.float32,
+        )
     reseed = rng.integers(0, sample.shape[0], size=(max_iters, k), dtype=np.int32)
     cents, _ = kmeans_fit_device(
-        jnp.asarray(sample),
+        jnp.asarray(sample, dtype=jnp.float32),
         init_centroids,
         jnp.asarray(reseed),
         k=k,
@@ -187,6 +192,34 @@ def kmeans_fit(
         tol=tol,
     )
     return np.asarray(cents)
+
+
+@partial(jax.jit, static_argnames=("metric", "chunk", "with_residuals"))
+def assign_residuals_device(
+    x: jax.Array,
+    cents: jax.Array,
+    metric: str = "l2",
+    chunk: int = 1 << 17,
+    with_residuals: bool = True,
+):
+    """Blocked device assign (+ residuals): x stays resident, the (c, K)
+    distance transient is bounded by the chunk size. x must be padded to
+    a chunk multiple by the caller. Returns (assign int32, residuals)."""
+    n, d = x.shape
+    xf = x.astype(jnp.float32)
+    spherical = metric in ("cosine", "dot")
+    if spherical:
+        xf = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-30)
+
+    def one_chunk(xc):
+        a = _assign(xc.astype(matmul_dtype()), jnp.sum(jnp.square(xc), -1), cents, metric)
+        a = a.astype(jnp.int32)
+        if with_residuals:
+            return a, xc - jnp.take(cents, a, axis=0)
+        return a, jnp.zeros((xc.shape[0], 0), jnp.float32)
+
+    assign, res = jax.lax.map(one_chunk, xf.reshape(n // chunk, chunk, d))
+    return assign.reshape(n), res.reshape(n, -1)
 
 
 @partial(jax.jit, static_argnames=("metric",))

@@ -164,6 +164,70 @@ def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray, block_rows: int = 1
     return out
 
 
+@partial(jax.jit, static_argnames=("chunk", "has_rotation"))
+def _encode_rnorms_device(
+    residuals, cents, assign, codebooks, rotation, chunk: int, has_rotation: bool
+):
+    """Fused encode + reconstruct + |x̂|² in one device program, blocked
+    over row chunks (lax.map) so transients stay bounded. Inputs stay
+    resident — no host round trips inside the build loop.
+
+    residuals: (N_pad, D); cents: (P, D); assign: (N_pad,) int32;
+    rotation: (D, D) or (1, 1) placeholder. Returns (codes (N_pad, S)
+    uint8, rnorms (N_pad,) f32) where rnorms = |c_assign + r̂|².
+    """
+    n, d = residuals.shape
+    nsub, kcode, dsub = codebooks.shape
+    cb = codebooks.astype(jnp.float32)
+    cn2 = jnp.sum(jnp.square(cb), axis=-1)  # (S, K)
+
+    def one_chunk(args):
+        res, asg = args  # (c, D), (c,)
+        x = res @ rotation.T if has_rotation else res  # rotated residuals
+        xs = x.reshape(-1, nsub, dsub)  # (c, S, dsub)
+        dots = jnp.einsum(
+            "csd,skd->csk", xs.astype(matmul_dtype()), cb.astype(matmul_dtype()),
+            preferred_element_type=jnp.float32,
+        )
+        codes = jnp.argmin(cn2[None] - 2.0 * dots, axis=-1)  # (c, S)
+        oh = jax.nn.one_hot(codes, kcode, dtype=matmul_dtype())
+        recon = jnp.einsum(
+            "csk,skd->csd", oh, cb.astype(matmul_dtype()),
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, d)
+        if has_rotation:
+            recon = recon @ rotation
+        xhat = recon + jnp.take(cents, asg, axis=0)
+        return codes.astype(jnp.uint8), jnp.sum(jnp.square(xhat), axis=-1)
+
+    res_c = residuals.reshape(n // chunk, chunk, d)
+    asg_c = assign.reshape(n // chunk, chunk)
+    codes, rnorms = jax.lax.map(one_chunk, (res_c, asg_c))
+    return codes.reshape(n, nsub), rnorms.reshape(n)
+
+
+def pq_encode_rnorms(
+    residuals_dev: jax.Array,
+    cents_dev: jax.Array,
+    assign_dev: jax.Array,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None = None,
+    chunk: int = 1 << 17,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Device-resident encode+rnorms for the index build hot path."""
+    n = residuals_dev.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        residuals_dev = jnp.pad(residuals_dev, ((0, n_pad - n), (0, 0)))
+        assign_dev = jnp.pad(assign_dev, (0, n_pad - n))
+    rot = jnp.asarray(rotation) if rotation is not None else jnp.zeros((1, 1), jnp.float32)
+    codes, rnorms = _encode_rnorms_device(
+        residuals_dev, cents_dev, assign_dev.astype(jnp.int32), jnp.asarray(codebooks),
+        rot, chunk=min(chunk, n_pad), has_rotation=rotation is not None,
+    )
+    return np.asarray(codes[:n]), np.asarray(rnorms[:n])
+
+
 def opq_train(
     data: np.ndarray,
     num_sub_vectors: int,
