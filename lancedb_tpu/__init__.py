@@ -17,6 +17,31 @@ Quick start::
     tbl.search([0.1, 0.2]).limit(5).where("id > 0").to_arrow()
 """
 
+def _enable_jax_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt out: LANCEDB_TPU_JAX_CACHE=off).
+
+    TPU compiles of the search/build programs take tens of seconds; the
+    cache makes every process after the first start hot. Only set when
+    the user hasn't configured one already.
+    """
+    import os
+
+    loc = os.environ.get("LANCEDB_TPU_JAX_CACHE")
+    if loc == "off":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = loc or os.path.expanduser("~/.cache/lancedb_tpu/jax-cache")
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - never block import on cache setup
+        pass
+
+
+_enable_jax_compilation_cache()
+
 from .arrow import vector
 from .blob import blob_field
 from .context import contextualize

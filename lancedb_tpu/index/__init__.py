@@ -145,6 +145,17 @@ class LabelList:
 
 
 @dataclass
+class Fm:
+    """Substring-search scalar index (reference `Fm`, index.rs:31-56):
+    resolves ``col LIKE '%needle%'`` (and prefix/suffix/exact LIKEs)
+    from the index alone. Backed by a suffix array over the
+    concatenated column text — same capability as the reference's
+    FM-index, host-side structure chosen for numpy-friendly builds."""
+
+    index_type: str = "FM"
+
+
+@dataclass
 class FTS:
     """BM25 full-text index (reference FtsIndexBuilder + python index.py
     tokenizer params, index.py:111-188)."""
@@ -165,7 +176,8 @@ class FTS:
 
 
 IndexConfig = (
-    IvfFlat | IvfPq | IvfSq | IvfRq | Flat | HnswPq | HnswSq | HnswFlat | BTree | Bitmap | LabelList | FTS
+    IvfFlat | IvfPq | IvfSq | IvfRq | Flat | HnswPq | HnswSq | HnswFlat
+    | BTree | Bitmap | LabelList | Fm | FTS
 )
 
 VECTOR_INDEX_TYPES = {
@@ -178,7 +190,7 @@ VECTOR_INDEX_TYPES = {
     "IVF_HNSW_SQ",
     "IVF_HNSW_FLAT",
 }
-SCALAR_INDEX_TYPES = {"BTREE", "BITMAP", "LABEL_LIST"}
+SCALAR_INDEX_TYPES = {"BTREE", "BITMAP", "LABEL_LIST", "FM"}
 
 
 def default_num_partitions(num_rows: int) -> int:

@@ -95,6 +95,21 @@ def build_scalar_index(dataset, column: str, config, name: str | None = None) ->
         _save_npy(store, f"{prefix}/keys.npy", uniques)
         _save_npy(store, f"{prefix}/offsets.npy", offsets)
         _save_npy(store, f"{prefix}/rowids.npy", flat_rids[order].view(np.int64))
+    elif index_type == "FM":
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            raise InvalidInputError("FM requires a string column")
+        docs = [(s or "").encode("utf-8") for s in col.to_pylist()]
+        # 0x01 separates documents; patterns never contain it, so a
+        # suffix-array match can never span two documents
+        text = b"\x01".join(docs) + b"\x01"
+        tarr = np.frombuffer(text, dtype=np.uint8)
+        sa = _suffix_array(tarr)
+        doc_offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum([len(d) + 1 for d in docs], out=doc_offsets[1:])
+        _save_npy(store, f"{prefix}/text.npy", tarr)
+        _save_npy(store, f"{prefix}/sa.npy", sa)
+        _save_npy(store, f"{prefix}/doc_offsets.npy", doc_offsets)
+        _save_npy(store, f"{prefix}/doc_rowids.npy", rids.view(np.int64))
     else:
         raise InvalidInputError(f"unknown scalar index type {index_type!r}")
 
@@ -110,6 +125,31 @@ def build_scalar_index(dataset, column: str, config, name: str | None = None) ->
         num_indexed_rows=n,
         created_at=time.time(),
     )
+
+
+def _suffix_array(t: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log² n), fully vectorized)."""
+    n = len(t)
+    rank = t.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        # key = (rank[i], rank[i+k]); -1 past the end
+        rank_k = np.full(n, -1, dtype=np.int64)
+        rank_k[: n - k] = rank[k:]
+        order = np.lexsort((rank_k, rank))
+        key_r = rank[order]
+        key_rk = rank_k[order]
+        new_rank = np.zeros(n, dtype=np.int64)
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (key_r[1:] != key_r[:-1]) | (key_rk[1:] != key_rk[:-1])
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        sa = order
+        if rank[order[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
 
 
 def _null_sort_key(vals):
@@ -130,6 +170,11 @@ class ScalarIndexReader:
             self.sorted_values = np.asarray(_load_npy(store, f"{prefix}/sorted_values.npy"))
             self.sorted_rowids = np.asarray(_load_npy(store, f"{prefix}/sorted_rowids.npy")).view(np.uint64)
             self.null_rowids = np.asarray(_load_npy(store, f"{prefix}/null_rowids.npy")).view(np.uint64)
+        elif self.index_type == "FM":
+            self.text = np.asarray(_load_npy(store, f"{prefix}/text.npy")).tobytes()
+            self.sa = np.asarray(_load_npy(store, f"{prefix}/sa.npy"))
+            self.doc_offsets = np.asarray(_load_npy(store, f"{prefix}/doc_offsets.npy"))
+            self.doc_rowids = np.asarray(_load_npy(store, f"{prefix}/doc_rowids.npy")).view(np.uint64)
         else:
             self.keys = np.asarray(_load_npy(store, f"{prefix}/keys.npy"))
             self.offsets = np.asarray(_load_npy(store, f"{prefix}/offsets.npy"))
@@ -158,6 +203,55 @@ class ScalarIndexReader:
             return np.empty(0, dtype=np.uint64)
         return np.unique(np.concatenate(parts))
 
+    def _sa_bounds(self, pat: bytes) -> tuple[int, int]:
+        """[lo, hi) of suffix-array entries whose suffix starts with pat."""
+        text, sa, m = self.text, self.sa, len(pat)
+        lo, hi = 0, len(sa)
+        while lo < hi:  # first suffix >= pat
+            mid = (lo + hi) // 2
+            p = int(sa[mid])
+            if text[p : p + m] < pat:
+                lo = mid + 1
+            else:
+                hi = mid
+        left = lo
+        hi = len(sa)
+        while lo < hi:  # first suffix whose m-prefix > pat
+            mid = (lo + hi) // 2
+            p = int(sa[mid])
+            if text[p : p + m] <= pat:
+                lo = mid + 1
+            else:
+                hi = mid
+        return left, lo
+
+    def lookup_like(self, pattern: str) -> np.ndarray | None:
+        """Resolve a LIKE pattern of shape [%]needle[%] (no '_', no inner
+        '%'); returns sorted row ids, or None if the pattern needs a scan."""
+        if self.index_type != "FM":
+            raise InvalidInputError("lookup_like requires an FM index")
+        if "_" in pattern:
+            return None
+        leading = pattern.startswith("%")
+        trailing = pattern.endswith("%")
+        needle = pattern[1 if leading else 0 : len(pattern) - 1 if trailing else None]
+        if "%" in needle:
+            return None
+        if not needle:
+            return np.sort(np.unique(self.doc_rowids))
+        pat = needle.encode("utf-8")
+        left, right = self._sa_bounds(pat)
+        if left >= right:
+            return np.empty(0, dtype=np.uint64)
+        pos = self.sa[left:right]
+        doc = np.searchsorted(self.doc_offsets, pos, side="right") - 1
+        keep = np.ones(len(pos), dtype=bool)
+        if not leading:  # anchored prefix: match starts at doc start
+            keep &= pos == self.doc_offsets[doc]
+        if not trailing:  # anchored suffix: match ends at doc end
+            keep &= pos + len(pat) == self.doc_offsets[doc + 1] - 1
+        return np.sort(np.unique(self.doc_rowids[doc[keep]]))
+
     def lookup_is_null(self) -> np.ndarray:
         if self.index_type == "BTREE":
             return np.sort(self.null_rowids)
@@ -177,7 +271,7 @@ def try_scalar_prefilter(table, ast: Expr) -> np.ndarray | None:
         if col in readers:
             return readers[col]
         for ix in ds.manifest.indices:
-            if ix.columns == [col] and ix.index_type in ("BTREE", "BITMAP", "LABEL_LIST"):
+            if ix.columns == [col] and ix.index_type in ("BTREE", "BITMAP", "LABEL_LIST", "FM"):
                 covered = {f.id for f in ds.manifest.fragments} == set(ix.fragment_ids)
                 fresh = all(f.num_deleted == 0 for f in ds.manifest.fragments)
                 if covered and fresh:
@@ -201,6 +295,10 @@ def try_scalar_prefilter(table, ast: Expr) -> np.ndarray | None:
                 if r is None:
                     return None
                 v = e.right.value
+                if e.op == "like" and r.index_type == "FM":
+                    return r.lookup_like(str(v))
+                if r.index_type == "FM":
+                    return None
                 if e.op == "eq":
                     return r.lookup_eq(v)
                 if e.op == "in":

@@ -486,7 +486,9 @@ class Table:
 
         if config is None:
             it = index_type.upper()
-            config = {"BTREE": BTree, "BITMAP": Bitmap, "LABEL_LIST": LabelList}.get(it)
+            from .index import Fm
+
+            config = {"BTREE": BTree, "BITMAP": Bitmap, "LABEL_LIST": LabelList, "FM": Fm}.get(it)
             if config is None:
                 raise InvalidInputError(f"unknown scalar index type {index_type!r}")
             config = config()
@@ -752,11 +754,15 @@ class Table:
                 })
                 meta = build_fts_index(ds, ix.columns, cfg, name=ix.name)
             elif ix.index_type in SCALAR_INDEX_TYPES:
-                from .index import BTree as BTreeCfg, Bitmap as BitmapCfg, LabelList as LLCfg
+                from .index import (
+                    BTree as BTreeCfg,
+                    Bitmap as BitmapCfg,
+                    Fm as FmCfg,
+                    LabelList as LLCfg,
+                )
 
-                cfg = {"BTREE": BTreeCfg, "BITMAP": BitmapCfg, "LABEL_LIST": LLCfg}[
-                    ix.index_type
-                ]()
+                cfg = {"BTREE": BTreeCfg, "BITMAP": BitmapCfg, "LABEL_LIST": LLCfg,
+                       "FM": FmCfg}[ix.index_type]()
                 meta = build_scalar_index(ds, ix.columns[0], cfg, name=ix.name)
             else:
                 continue

@@ -81,3 +81,60 @@ class TestScalarIndexes:
         res = table.search(np.zeros(16, np.float32)).where("id BETWEEN 50 AND 59").limit(20).to_arrow()
         ids = res.column("id").to_pylist()
         assert len(ids) == 10 and all(50 <= i <= 59 for i in ids)
+
+
+class TestFmIndex:
+    @pytest.fixture
+    def text_table(self, mem_db):
+        docs = [
+            "the quick brown fox", "jumped over the lazy dog",
+            "pack my box with five dozen jugs", "sphinx of black quartz",
+            "quick silver lining", "foxtrot uniform", "", "boxing day",
+        ]
+        data = pa.table({
+            "id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.random.default_rng(0).standard_normal(len(docs) * 4).astype(np.float32)),
+                4,
+            ),
+        })
+        return mem_db.create_table("txt", data)
+
+    def _reader(self, table):
+        ix = table._dataset.manifest.index_by_name("text_idx")
+        return ScalarIndexReader(table._dataset.store, table._dataset.index_dir(ix.uuid), ix)
+
+    def test_substring(self, text_table):
+        text_table.create_scalar_index("text", index_type="FM")
+        r = self._reader(text_table)
+        hits = r.lookup_like("%ox%")  # fox, box, foxtrot, boxing
+        docs = text_table.to_arrow().column("text").to_pylist()
+        expect = sorted(i for i, d in enumerate(docs) if "ox" in d)
+        got = sorted((hits & np.uint64(0xFFFFFFFF)).astype(int).tolist())
+        assert got == expect
+
+    def test_prefix_suffix_exact(self, text_table):
+        text_table.create_scalar_index("text", index_type="FM")
+        r = self._reader(text_table)
+        assert len(r.lookup_like("quick%")) == 1     # prefix-anchored
+        assert len(r.lookup_like("%dog")) == 1       # suffix-anchored
+        assert len(r.lookup_like("boxing day")) == 1  # exact
+        assert len(r.lookup_like("%zebra%")) == 0
+        assert r.lookup_like("%qu_ck%") is None      # '_' needs a scan
+
+    def test_like_prefilter_equivalence(self, text_table):
+        pred = "text LIKE '%box%'"
+        scan = compute_allowed_rowids(text_table, pred)
+        text_table.create_scalar_index("text", index_type="FM")
+        fast = try_scalar_prefilter(text_table, parse_sql_expr(pred))
+        assert fast is not None
+        np.testing.assert_array_equal(np.sort(fast), scan)
+
+    def test_search_with_fm_prefilter(self, text_table):
+        text_table.create_scalar_index("text", index_type="FM")
+        res = (
+            text_table.search(np.zeros(4, np.float32))
+            .where("text LIKE '%quick%'").limit(10).to_arrow()
+        )
+        assert sorted(res.column("id").to_pylist()) == [0, 4]
