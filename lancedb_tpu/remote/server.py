@@ -153,6 +153,20 @@ class _Handler(BaseHTTPRequestHandler):
     def op_query(self, name):
         body = loads(self._read_body())
         t = self.conn.open_table(name)
+        if body.get("vector") in (None, []) and "full_text_query" not in body:
+            # plain (no-vector) scan: filter/select/limit/offset
+            qb = t.search(None)
+            if body.get("filter"):
+                qb = qb.where(body["filter"])
+            if body.get("columns"):
+                qb = qb.select(body["columns"])
+            if body.get("with_row_id"):
+                qb = qb.with_row_id(True)
+            if body.get("k"):
+                qb = qb.limit(body["k"])
+            if body.get("offset"):
+                qb = qb.offset(body["offset"])
+            return self._respond(200, table_to_ipc(qb.to_arrow()), CONTENT_ARROW)
         if "full_text_query" in body and body.get("vector") in (None, []):
             out = t._execute_fts(
                 body["full_text_query"]["query"],

@@ -1,0 +1,11 @@
+/**
+ * @lancedb-tpu/lancedb — TypeScript client for the lancedb-tpu vector
+ * database (TS parity surface of the reference nodejs/lancedb SDK,
+ * speaking REST + Arrow IPC to the lancedb-tpu query server).
+ */
+
+export { connect, Connection, ConnectionOptions } from "./connection.js";
+export { Table, TableDescription, FieldDescriptor, MergeInsertOptions } from "./table.js";
+export { VectorQuery, FtsQuery, PlainQuery } from "./query.js";
+export { Index, IvfPqOptions, IvfFlatOptions, HnswOptions, FtsOptions, DistanceType } from "./indices.js";
+export { RestClient, ClientConfig, HttpError } from "./client.js";

@@ -1,0 +1,161 @@
+/**
+ * Query builders — fluent surface mirroring the reference TS SDK
+ * (reference nodejs query.ts: QueryBase/VectorQuery with where/limit/
+ * nprobes/refineFactor/select/distanceType, fullTextSearch), executed
+ * against POST /v1/table/{name}/query returning an Arrow IPC stream.
+ */
+
+import { Table as ArrowTable, tableFromIPC } from "apache-arrow";
+import { RestClient } from "./client.js";
+
+interface QueryBody {
+  vector?: number[] | number[][];
+  vector_column?: string;
+  k: number;
+  offset?: number;
+  filter?: string;
+  prefilter?: boolean;
+  nprobes?: number;
+  refine_factor?: number;
+  distance_type?: string;
+  lower_bound?: number;
+  upper_bound?: number;
+  bypass_vector_index?: boolean;
+  fast_search?: boolean;
+  with_row_id?: boolean;
+  columns?: string[];
+  full_text_query?: { query: string; columns?: string[] };
+}
+
+abstract class QueryBase<T extends QueryBase<T>> {
+  protected body: QueryBody = { k: 10 };
+
+  constructor(
+    protected client: RestClient,
+    protected tableName: string,
+  ) {}
+
+  protected abstract self(): T;
+
+  where(predicate: string): T {
+    this.body.filter = predicate;
+    return this.self();
+  }
+
+  /** Apply the filter after (true) or before (false) vector search. */
+  postfilter(): T {
+    this.body.prefilter = false;
+    return this.self();
+  }
+
+  limit(k: number): T {
+    this.body.k = k;
+    return this.self();
+  }
+
+  offset(n: number): T {
+    this.body.offset = n;
+    return this.self();
+  }
+
+  select(columns: string[]): T {
+    this.body.columns = columns;
+    return this.self();
+  }
+
+  withRowId(): T {
+    this.body.with_row_id = true;
+    return this.self();
+  }
+
+  async toArrow(): Promise<ArrowTable> {
+    const ipc = await this.client.postForArrow(
+      `/v1/table/${encodeURIComponent(this.tableName)}/query`,
+      this.body,
+    );
+    return tableFromIPC(ipc);
+  }
+
+  async toArray(): Promise<Record<string, unknown>[]> {
+    const tbl = await this.toArrow();
+    const out: Record<string, unknown>[] = [];
+    for (const row of tbl) {
+      out.push(row!.toJSON() as Record<string, unknown>);
+    }
+    return out;
+  }
+}
+
+export class VectorQuery extends QueryBase<VectorQuery> {
+  protected self(): VectorQuery {
+    return this;
+  }
+
+  constructor(
+    client: RestClient,
+    tableName: string,
+    vector: number[] | number[][],
+  ) {
+    super(client, tableName);
+    this.body.vector = vector;
+  }
+
+  column(name: string): VectorQuery {
+    this.body.vector_column = name;
+    return this;
+  }
+
+  distanceType(metric: string): VectorQuery {
+    this.body.distance_type = metric;
+    return this;
+  }
+
+  nprobes(n: number): VectorQuery {
+    this.body.nprobes = n;
+    return this;
+  }
+
+  refineFactor(rf: number): VectorQuery {
+    this.body.refine_factor = rf;
+    return this;
+  }
+
+  distanceRange(lower?: number, upper?: number): VectorQuery {
+    this.body.lower_bound = lower;
+    this.body.upper_bound = upper;
+    return this;
+  }
+
+  bypassVectorIndex(): VectorQuery {
+    this.body.bypass_vector_index = true;
+    return this;
+  }
+
+  fastSearch(): VectorQuery {
+    this.body.fast_search = true;
+    return this;
+  }
+}
+
+export class FtsQuery extends QueryBase<FtsQuery> {
+  protected self(): FtsQuery {
+    return this;
+  }
+
+  constructor(
+    client: RestClient,
+    tableName: string,
+    query: string,
+    columns?: string[],
+  ) {
+    super(client, tableName);
+    this.body.full_text_query = { query, columns };
+  }
+}
+
+/** Plain (no-vector) scan query. */
+export class PlainQuery extends QueryBase<PlainQuery> {
+  protected self(): PlainQuery {
+    return this;
+  }
+}

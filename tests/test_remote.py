@@ -123,3 +123,61 @@ class TestRemote:
         db = connect_remote("http://127.0.0.1:1", config=cfg)
         with pytest.raises(HttpError):
             db.table_names()
+
+
+class TestRemotePlainScan:
+    def test_plain_query(self, remote_db):
+        remote_db.create_table("t", make_vector_table(60))
+        t = remote_db.open_table("t")
+        res = t.search(None).where("id >= 50").limit(100).to_arrow()
+        assert res.num_rows == 10
+        assert min(res.column("id").to_pylist()) == 50
+
+    def test_plain_query_select_offset(self, remote_db):
+        remote_db.create_table("t", make_vector_table(30))
+        t = remote_db.open_table("t")
+        res = t.search(None).select(["id"]).limit(5).offset(10).to_arrow()
+        assert res.column_names == ["id"]
+        assert res.num_rows == 5
+
+    def test_ts_sdk_wire_sequence(self, remote_db):
+        """The exact HTTP sequence nodejs/__test__/table.test.ts drives,
+        issued from Python — validates the wire protocol the TS SDK
+        compiles against (node is unavailable in this image)."""
+        import json
+        import urllib.request
+
+        base = remote_db._client.base_url
+
+        def post(path, body=None, raw=None, ctype="application/json"):
+            data = raw if raw is not None else json.dumps(body or {}).encode()
+            req = urllib.request.Request(base + path, data=data, method="POST")
+            req.add_header("content-type", ctype)
+            with urllib.request.urlopen(req) as r:
+                payload = r.read()
+                if r.headers.get("content-type", "").startswith("application/json"):
+                    return json.loads(payload or b"{}")
+                return payload
+
+        from lancedb_tpu.remote.protocol import ipc_to_table, table_to_ipc
+
+        data = make_vector_table(50)
+        post("/v1/table/ts/create", raw=table_to_ipc(data),
+             ctype="application/vnd.apache.arrow.stream")
+        desc = post("/v1/table/ts/describe")
+        assert desc["table"] == "ts" and len(desc["schema"]["fields"]) >= 2
+        assert post("/v1/table/ts/count_rows", {"predicate": "id < 5"}) == 5
+        post("/v1/table/ts/create_index",
+             {"index_type": "IVF_PQ", "column": "vector",
+              "num_partitions": 4, "num_sub_vectors": 4, "metric_type": "l2"})
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        q = fsl_to_numpy(data.column("vector"))[7].tolist()
+        out = ipc_to_table(post("/v1/table/ts/query",
+                                {"vector": q, "k": 3, "nprobes": 4, "refine_factor": 5}))
+        assert out.column("id")[0].as_py() == 7
+        plain = ipc_to_table(post("/v1/table/ts/query", {"k": 4, "filter": "id >= 46", "vector": []}))
+        assert plain.num_rows == 4
+        upd = post("/v1/table/ts/update",
+                   {"predicate": "id = 0", "updates": [["label", "'updated'"]]})
+        assert upd["rows_updated"] == 1
