@@ -654,6 +654,37 @@ def _ivf_pq_search_device(
     return vals, slots
 
 
+def _chunked_probe_topk(
+    probe_ids, score_chunk, qb: int, pmax: int, nprobes: int, k: int,
+    bytes_per_slot: int,
+):
+    """Shared skeleton for probed scans: chunk probes via lax.map so the
+    gathered transient stays under ~1 GB, mask padded probe slots, then
+    top-k and map positions to global slot ids."""
+    budget_elems = (1 << 30) // max(1, bytes_per_slot)
+    chunk = max(1, min(nprobes, budget_elems // max(1, qb * pmax)))
+    n_chunks = -(-nprobes // chunk)
+    pad_probes = n_chunks * chunk - nprobes
+    pids_c = jnp.pad(probe_ids, ((0, 0), (0, pad_probes))).reshape(qb, n_chunks, chunk)
+
+    if n_chunks == 1:
+        d = score_chunk(pids_c[:, 0], 0)
+    else:
+        d = jax.lax.map(
+            lambda args: score_chunk(args[0], args[1]),
+            (pids_c.transpose(1, 0, 2), jnp.arange(n_chunks)),
+        )  # (nc, Q, chunk, pmax)
+        d = d.transpose(1, 0, 2, 3).reshape(qb, n_chunks * chunk, pmax)
+    d = d.reshape(qb, -1)
+    if pad_probes:
+        probe_valid = jnp.arange(n_chunks * chunk) < nprobes
+        d = jnp.where(jnp.repeat(probe_valid, pmax)[None, :], d, PAD_PENALTY)
+    vals, pos = topk_smallest(d, k)
+    flat_pids = pids_c.reshape(qb, -1)
+    slots = jnp.take_along_axis(flat_pids, pos // pmax, axis=1) * pmax + pos % pmax
+    return vals, slots
+
+
 @partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
 def _ivf_rq_search_device(
     q, centroids, bits, scales, rnorms, rotation, slot_penalty,
@@ -662,38 +693,45 @@ def _ivf_rq_search_device(
     """1-bit residual scan: q·r̂ = s · (Rq)·sign_bits, a ±1 matvec.
 
     bits: (P, pmax, D/8) uint8 packed little-endian; scales: (P, pmax);
-    rnorms: (P, pmax) = |x̂|² (+inf pad); rotation: (D, D).
+    rnorms: (P, pmax) = |x̂|² (+inf pad); rotation: (D, D). The unpack
+    to ±1 inflates bits 16×, so probes gather in chunks.
     """
     qb = q.shape[0]
     nparts, pmax, _ = bits.shape
+    dim = rotation.shape[0]
     qf = q.astype(jnp.float32)
     probe_ids, probe_dots = _select_probes(q, centroids, nprobes, metric)
     q_rot = jnp.dot(qf, rotation.T, precision=jax.lax.Precision.HIGHEST)  # (Q, D)
-    g_bits = jnp.take(bits, probe_ids, axis=0)  # (Q, np, pmax, D/8)
-    g_scale = jnp.take(scales, probe_ids, axis=0)
-    g_rn = jnp.take(rnorms, probe_ids, axis=0)
-    # unpack to ±1 (little-endian bit order matches np.packbits bitorder)
+    q_rot_b = q_rot.astype(matmul_dtype())
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
     shifts = jnp.arange(8, dtype=jnp.uint8)
-    pm1 = (((g_bits[..., None] >> shifts) & jnp.uint8(1)).astype(matmul_dtype()) * 2.0 - 1.0)
-    pm1 = pm1.reshape(*g_bits.shape[:-1], -1)  # (Q, np, pmax, D)
-    dots_r = jnp.einsum(
-        "qnpd,qd->qnp", pm1, q_rot.astype(matmul_dtype()), preferred_element_type=jnp.float32
+
+    def score_chunk(pid, ci):  # pid (Q, c); ci chunk index into probe_dots
+        g_bits = jnp.take(bits, pid, axis=0)  # (Q, c, pmax, D/8)
+        g_scale = jnp.take(scales, pid, axis=0)
+        g_rn = jnp.take(rnorms, pid, axis=0)
+        # unpack to ±1 (little-endian, matches np.packbits bitorder)
+        pm1 = ((g_bits[..., None] >> shifts) & jnp.uint8(1)).astype(matmul_dtype()) * 2.0 - 1.0
+        pm1 = pm1.reshape(*g_bits.shape[:-1], -1)  # (Q, c, pmax, D)
+        dots_r = jnp.einsum(
+            "qnpd,qd->qnp", pm1, q_rot_b, preferred_element_type=jnp.float32
+        )
+        c = pid.shape[1]
+        pd = jax.lax.dynamic_slice(
+            jnp.pad(probe_dots, ((0, 0), (0, c))), (0, ci * c), (qb, c)
+        )
+        qdotx = pd[:, :, None] + g_scale * dots_r
+        if metric == "dot":
+            d = -qdotx + jnp.where(g_rn >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:
+            d = qn2 - 2.0 * qdotx + g_rn
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
+        return d
+
+    return _chunked_probe_topk(
+        probe_ids, score_chunk, qb, pmax, nprobes, k, bytes_per_slot=2 * dim
     )
-    q_dot_res = g_scale * dots_r  # s · (Rq)·b
-    qdotx = probe_dots[:, :, None] + q_dot_res
-    if metric == "dot":
-        d = -qdotx + jnp.where(g_rn >= PAD_PENALTY, PAD_PENALTY, 0.0)
-    else:
-        qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
-        d = qn2 - 2.0 * qdotx + g_rn
-    if has_mask:
-        d = d + jnp.take(slot_penalty.reshape(nparts, pmax), probe_ids, axis=0)
-    d = d.reshape(qb, -1)
-    vals, pos = topk_smallest(d, k)
-    probe_of = pos // pmax
-    off = pos % pmax
-    slots = jnp.take_along_axis(probe_ids, probe_of, axis=1) * pmax + off
-    return vals, slots
 
 
 @partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
@@ -704,33 +742,34 @@ def _ivf_sq_search_device(
     """SQ scan: dequantize-on-the-fly matvec over probed blocks.
 
     q·x̃ = (q*scale)·codes + q·offset — codes stay uint8 in HBM, cast
-    to bf16 in registers.
+    to bf16 in registers; probes gather in chunks.
     """
     qb = q.shape[0]
     nparts, pmax, dim = codes.shape
     qf = q.astype(jnp.float32)
     probe_ids, _ = _select_probes(q, centroids, nprobes, metric)
-    g_codes = jnp.take(codes, probe_ids, axis=0)  # (Q, np, pmax, D) uint8
-    g_norm = jnp.take(norms2, probe_ids, axis=0)
     q_scaled = (qf * scale[None, :]).astype(matmul_dtype())
-    dots = jnp.einsum(
-        "qnpd,qd->qnp", g_codes.astype(matmul_dtype()), q_scaled,
-        preferred_element_type=jnp.float32,
+    q_off = jnp.dot(qf, offset)[:, None, None]
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+
+    def score_chunk(pid, ci):
+        g_codes = jnp.take(codes, pid, axis=0)  # (Q, c, pmax, D) uint8
+        g_norm = jnp.take(norms2, pid, axis=0)
+        dots = jnp.einsum(
+            "qnpd,qd->qnp", g_codes.astype(matmul_dtype()), q_scaled,
+            preferred_element_type=jnp.float32,
+        ) + q_off
+        if metric == "dot":
+            d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:
+            d = qn2 - 2.0 * dots + g_norm
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
+        return d
+
+    return _chunked_probe_topk(
+        probe_ids, score_chunk, qb, pmax, nprobes, k, bytes_per_slot=3 * dim
     )
-    dots = dots + jnp.dot(qf, offset)[:, None, None]
-    if metric == "dot":
-        d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
-    else:
-        qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
-        d = qn2 - 2.0 * dots + g_norm
-    if has_mask:
-        d = d + jnp.take(slot_penalty.reshape(nparts, pmax), probe_ids, axis=0)
-    d = d.reshape(qb, -1)
-    vals, pos = topk_smallest(d, k)
-    probe_of = pos // pmax
-    off = pos % pmax
-    slots = jnp.take_along_axis(probe_ids, probe_of, axis=1) * pmax + off
-    return vals, slots
 
 
 class VectorSearcher:
