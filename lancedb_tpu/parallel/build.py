@@ -7,15 +7,21 @@ build and the serve shard over the mesh.
 Build pipeline:
   1. coarse centroids — data-parallel k-means (rows sharded, `psum`
      reductions; parallel/search.make_distributed_kmeans_step)
-  2. assignment + residual PQ encode — embarrassingly parallel over
-     row shards (each device encodes its rows with the replicated
-     centroids/codebooks)
-  3. partitioned layout — host-side scatter per shard; partitions are
-     assigned to shards round-robin so each device owns a contiguous
-     slice of the padded partition array (the layout
-     make_sharded_ivf_search expects)
+  2. assignment + residual PQ encode — device-resident single-program
+     stages (ops.kmeans.assign_residuals_device, ops.pq.pq_encode_rnorms);
+     at true multi-host scale each host runs them over its row shard
+  3. balanced padded layout — oversized partitions split into
+     duplicate-centroid blocks (index.vector._balanced_layout), blocks
+     padded to a shard multiple with never-probed dummy blocks, and
+     dealt round-robin so each device owns an equal contiguous slice
 
-Serve: ShardedIvfPqIndex mirrors ShardedFlatIndex with the PQ scan.
+Serve (ShardedIvfPqIndex.search): probe selection is replicated, then
+each shard COMPACTS the probe list to the probes it owns (sort-by-
+ownership + a static per-shard budget ≈ 2·nprobes/shards) so per-shard
+scan work actually scales with the mesh instead of being masked out;
+local top-k results merge via all_gather. The scan itself is the same
+residual-ADC formulation as the single-chip path — the fused Pallas
+kernel on TPU, the XLA one-hot fallback elsewhere.
 """
 
 from __future__ import annotations
@@ -26,11 +32,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.pq import default_num_sub_vectors, pq_encode, pq_reconstruct, pq_train
+from ..index.vector import _balanced_layout, _pallas_available, _scatter_padded
+from ..ops.kmeans import assign_residuals_device
+from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
+from ..ops.pq import default_num_sub_vectors, pq_encode_rnorms, pq_train
 from ..ops.topk import topk_smallest
 from ..ops.util import matmul_dtype, round_up
 from .mesh import QUERY_AXIS, SHARD_AXIS
 from .search import PAD, make_distributed_kmeans_step
+
+# centroid magnitude for never-probed dummy blocks (|c|² ≈ 1e30 keeps
+# the padded block out of every probe list without overflowing f32)
+_DUMMY_CENTROID = np.float32(1.0e15)
 
 
 def distributed_kmeans(
@@ -55,10 +68,8 @@ def distributed_kmeans(
 
 
 class ShardedIvfPqIndex:
-    """Mesh-sharded IVF_PQ: partitions sharded, centroids + codebooks
-    replicated; the scan is the same residual-ADC formulation as the
-    single-chip kernel, with per-device ownership masking and an
-    all_gather top-k merge."""
+    """Mesh-sharded IVF_PQ: blocks sharded, centroids + codebooks
+    replicated; per-shard compacted-probe ADC scan + all_gather merge."""
 
     def __init__(
         self,
@@ -70,58 +81,72 @@ class ShardedIvfPqIndex:
         metric: str = "l2",
         kmeans_iters: int = 25,
         seed: int = 0,
+        num_bits: int = 8,
     ):
         self.mesh = mesh
         self.metric = metric
         n, dim = vectors.shape
         nsub = num_sub_vectors or default_num_sub_vectors(dim)
         shard_n = mesh.shape[SHARD_AXIS]
-        # partitions must divide evenly across shards
-        num_partitions = round_up(num_partitions, shard_n)
 
         # 1. distributed coarse k-means
         centroids = distributed_kmeans(mesh, vectors, num_partitions, kmeans_iters, seed)
-        # 2. assignment + residual PQ (host-orchestrated, device compute)
-        from ..ops.kmeans import kmeans_assign
+        # 2. assignment + residuals + PQ, all device-resident
+        xd = jnp.asarray(vectors)
+        cents_d = jnp.asarray(centroids)
+        chunk = min(1 << 17, int(round_up(n, 8)))
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        xd_pad = jnp.pad(xd, ((0, n_pad - n), (0, 0))) if n_pad != n else xd
+        assign_d, residuals_d = assign_residuals_device(
+            xd_pad, cents_d, metric="l2", chunk=chunk, with_residuals=True
+        )
+        assign = np.asarray(assign_d[:n])
+        res_d = residuals_d[:n]
+        train_rows = min(n, 256 * 256)
+        rng = np.random.default_rng(seed + 1)
+        sel = rng.choice(n, train_rows, replace=False) if train_rows < n else np.arange(n)
+        codebooks = pq_train(np.asarray(res_d[jnp.asarray(sel)]), nsub, num_bits=num_bits, seed=seed)
+        codes, rnorms_flat = pq_encode_rnorms(res_d, cents_d, assign_d[:n], codebooks)
 
-        assign = kmeans_assign(vectors, centroids, metric="l2")
-        residuals = vectors - centroids[assign]
-        codebooks = pq_train(residuals, nsub, seed=seed)
-        codes = pq_encode(residuals, codebooks)
-        recon = pq_reconstruct(codes, codebooks) + centroids[assign]
-        rnorms_flat = np.sum(recon.astype(np.float64) ** 2, axis=1).astype(np.float32)
-        # 3. padded partition layout
-        order = np.argsort(assign, kind="stable")
-        counts = np.bincount(assign, minlength=num_partitions)
-        pmax = int(round_up(max(1, counts.max()), 8))
-        codes_p = np.zeros((num_partitions, pmax, nsub), dtype=np.uint8)
-        rn_p = np.full((num_partitions, pmax), np.float32(3.0e38))
-        rid_p = np.full((num_partitions, pmax), -1, dtype=np.int64)
-        start = 0
-        sorted_codes = codes[order]
-        sorted_rn = rnorms_flat[order]
-        sorted_rid = row_ids[order].view(np.int64)
-        for pid in range(num_partitions):
-            c = counts[pid]
-            if c:
-                codes_p[pid, :c] = sorted_codes[start : start + c]
-                rn_p[pid, :c] = sorted_rn[start : start + c]
-                rid_p[pid, :c] = sorted_rid[start : start + c]
-            start += c
+        # 3. balanced layout, padded to a shard multiple with dummy blocks
+        order, block_cents, counts, pmax = _balanced_layout(
+            assign, centroids, pad_multiple=PMAX_ALIGN
+        )
+        codes_p = _scatter_padded(codes, order, counts, pmax)  # (B, pmax, S)
+        rn_p = _scatter_padded(rnorms_flat, order, counts, pmax, fill=np.float32(PAD))
+        rid_p = _scatter_padded(row_ids.view(np.int64), order, counts, pmax, fill=-1)
+        nblocks = len(counts)
+        pad_blocks = (-nblocks) % shard_n
+        if pad_blocks:
+            codes_p = np.pad(codes_p, ((0, pad_blocks), (0, 0), (0, 0)))
+            rn_p = np.pad(rn_p, ((0, pad_blocks), (0, 0)), constant_values=np.float32(PAD))
+            rid_p = np.pad(rid_p, ((0, pad_blocks), (0, 0)), constant_values=-1)
+            block_cents = np.concatenate(
+                [block_cents, np.full((pad_blocks, dim), _DUMMY_CENTROID, np.float32)]
+            )
+            nblocks += pad_blocks
+        # kernel layout: subvectors on sublanes, slots on lanes
+        s_pad = int(round_up(nsub, S_ALIGN))
+        codes_psp = np.ascontiguousarray(codes_p.transpose(0, 2, 1))
+        if s_pad != nsub:
+            codes_psp = np.pad(codes_psp, ((0, 0), (0, s_pad - nsub), (0, 0)))
+
         self.row_ids = rid_p.reshape(-1).view(np.uint64)
         self.pmax = pmax
-        self.nparts = num_partitions
+        self.nblocks = nblocks
+        self.num_logical_partitions = num_partitions
+        # deal blocks round-robin: block b goes to shard b % shard_n at
+        # local position b // shard_n — spreads centroid-space neighbors
+        # (which queries probe together) across the mesh for load balance.
+        # row_ids stay in ORIGINAL block order: global slot = b·pmax+off.
+        deal = np.concatenate([np.arange(s, nblocks, shard_n) for s in range(shard_n)])
         shard3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
         shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
         repl = NamedSharding(mesh, P())
-        self._centroids = jax.device_put(centroids, repl)
+        self._centroids = jax.device_put(block_cents, repl)
         self._codebooks = jax.device_put(codebooks.astype(np.float32), repl)
-        self._codes = jax.device_put(codes_p, shard3)
-        self._rnorms = jax.device_put(rn_p, shard2)
-        self._slots = jax.device_put(
-            np.arange(num_partitions * pmax, dtype=np.int32).reshape(num_partitions, pmax),
-            shard2,
-        )
+        self._codes = jax.device_put(codes_psp[deal], shard3)
+        self._rnorms = jax.device_put(rn_p[deal], shard2)
         self._steps: dict[tuple[int, int], callable] = {}
 
     def _make_step(self, k: int, nprobes: int):
@@ -129,12 +154,21 @@ class ShardedIvfPqIndex:
         nsub = self._codebooks.shape[0]
         dsub = self._codebooks.shape[2]
         kcode = self._codebooks.shape[1]
+        s_pad = self._codes.shape[1]
         pmax = self.pmax
+        shard_n = mesh.shape[SHARD_AXIS]
+        nblocks_loc = self.nblocks // shard_n
+        # static per-shard probe budget: every shard owns ≈ nprobes/shard_n
+        # of a query's probes (blocks deal round-robin); 2× + slack keeps
+        # the drop probability negligible, and a shard can never usefully
+        # scan more than the blocks it owns
+        budget = min(nprobes, nblocks_loc, 2 * (-(-nprobes // shard_n)) + 4)
+        use_pallas = _pallas_available()
 
-        def step(q, centroids, codebooks, codes, rnorms, slots):
-            def local(q_blk, cents, cbs, codes_loc, rn_loc, slot_loc):
-                p_loc = codes_loc.shape[0]
+        def step(q, centroids, codebooks, codes, rnorms):
+            def local(q_blk, cents, cbs, codes_loc, rn_loc):
                 my_shard = jax.lax.axis_index(SHARD_AXIS)
+                qb = q_blk.shape[0]
                 qf = q_blk.astype(jnp.float32)
                 dots = jnp.dot(
                     qf.astype(matmul_dtype()), cents.astype(matmul_dtype()).T,
@@ -144,44 +178,51 @@ class ShardedIvfPqIndex:
                 cd = jnp.sum(jnp.square(qf), -1, keepdims=True) - 2.0 * dots + cn2[None, :]
                 _, probe_ids = topk_smallest(cd, nprobes)
                 probe_dots = jnp.take_along_axis(dots, probe_ids, axis=1)
-                owner = probe_ids // p_loc
-                local_ids = jnp.where(owner == jax.lax.axis_index(SHARD_AXIS), probe_ids % p_loc, 0)
+                # blocks deal round-robin: block b lives on shard b % shard_n
+                owner = probe_ids % shard_n
                 mine = owner == my_shard
-                qs = qf.reshape(qf.shape[0], nsub, dsub)
+                # compact my probes to the front, keep a static budget
+                comp = jnp.argsort(jnp.logical_not(mine), axis=1, stable=True)[:, :budget]
+                sel_ids = jnp.take_along_axis(probe_ids, comp, axis=1)  # (Q, B)
+                sel_dots = jnp.take_along_axis(probe_dots, comp, axis=1)
+                sel_mine = jnp.take_along_axis(mine, comp, axis=1)
+                local_ids = jnp.where(sel_mine, sel_ids // shard_n, 0).astype(jnp.int32)
+                qs = qf.reshape(qb, nsub, dsub)
                 dlut = jnp.einsum(
-                    "qsd,skd->qsk", qs.astype(matmul_dtype()), cbs.astype(matmul_dtype()),
+                    "qsd,skd->qsk", qs, cbs,
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
-                ).astype(matmul_dtype())
+                )
+                if s_pad != nsub:
+                    dlut = jnp.pad(dlut, ((0, 0), (0, s_pad - nsub), (0, 0)))
                 qn2 = jnp.sum(jnp.square(qf), axis=-1)
 
-                def probe_step(j):
-                    pid = local_ids[:, j]
-                    codes_j = jnp.take(codes_loc, pid, axis=0)
-                    rn_j = jnp.take(rn_loc, pid, axis=0)
-                    slot_j = jnp.take(slot_loc, pid, axis=0)
-                    oh = jax.nn.one_hot(codes_j.astype(jnp.int32), kcode, dtype=matmul_dtype())
-                    qdotr = jnp.einsum("qpsk,qsk->qp", oh, dlut, preferred_element_type=jnp.float32)
-                    d = qn2[:, None] - 2.0 * (probe_dots[:, j][:, None] + qdotr) + rn_j
-                    d = jnp.where(mine[:, j][:, None], d, PAD)
-                    vals, off = topk_smallest(d, min(k, pmax))
-                    return vals, jnp.take_along_axis(slot_j, off, axis=1)
+                if use_pallas:
+                    d = ivf_pq_adc_scan_pallas(
+                        local_ids, dlut, codes_loc, rn_loc, sel_dots, qn2
+                    )  # (Q, B, pmax)
+                else:
+                    dlut_b = dlut.astype(matmul_dtype())
 
-                from ..ops.topk import merge_topk
+                    def probe_step(j):
+                        pid = local_ids[:, j]
+                        codes_j = jnp.take(codes_loc, pid, axis=0)  # (Q, S, pmax)
+                        rn_j = jnp.take(rn_loc, pid, axis=0)
+                        oh = jax.nn.one_hot(
+                            codes_j.astype(jnp.int32), kcode, dtype=matmul_dtype(), axis=-1
+                        )
+                        qdotr = jnp.einsum(
+                            "qspk,qsk->qp", oh, dlut_b, preferred_element_type=jnp.float32
+                        )
+                        return qn2[:, None] - 2.0 * (sel_dots[:, j][:, None] + qdotr) + rn_j
 
-                def body(carry, j):
-                    bv, bs = carry
-                    v, s = probe_step(j)
-                    if v.shape[1] < k:
-                        pad = k - v.shape[1]
-                        v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=PAD)
-                        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=0)
-                    return merge_topk(bv, bs, v, s, k), None
+                    d = jax.lax.map(probe_step, jnp.arange(budget)).transpose(1, 0, 2)
 
-                init = (
-                    jnp.full((q_blk.shape[0], k), PAD, jnp.float32),
-                    jnp.zeros((q_blk.shape[0], k), jnp.int32),
-                )
-                (vals, slots_out), _ = jax.lax.scan(body, init, jnp.arange(nprobes))
+                d = jnp.where(sel_mine[:, :, None], d, PAD)
+                vals, pos = topk_smallest(d.reshape(qb, -1), k)
+                # global slot = block * pmax + offset
+                blk = jnp.take_along_axis(sel_ids, pos // pmax, axis=1)
+                slots_out = blk * pmax + pos % pmax
                 all_v = jax.lax.all_gather(vals, SHARD_AXIS, axis=1, tiled=True)
                 all_s = jax.lax.all_gather(slots_out, SHARD_AXIS, axis=1, tiled=True)
                 mv, mp = topk_smallest(all_v, k)
@@ -192,11 +233,11 @@ class ShardedIvfPqIndex:
                 mesh=mesh,
                 in_specs=(
                     P(QUERY_AXIS), P(), P(),
-                    P(SHARD_AXIS, None, None), P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                    P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
                 ),
                 out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
                 check_vma=False,
-            )(q, centroids, codebooks, codes, rnorms, slots)
+            )(q, centroids, codebooks, codes, rnorms)
 
         return jax.jit(step)
 
@@ -207,16 +248,27 @@ class ShardedIvfPqIndex:
         pad_q = (-nq) % max(qpar, 1)
         if pad_q:
             q = np.pad(q, ((0, pad_q), (0, 0)))
-        key = (k, nprobes)
+        # nprobes is block-granular (duplicate-centroid splitting)
+        npb = min(
+            self.nblocks,
+            max(1, int(np.ceil(nprobes * self.nblocks / self.num_logical_partitions))),
+        )
+        key = (k, npb)
         if key not in self._steps:
-            self._steps[key] = self._make_step(k, nprobes)
+            self._steps[key] = self._make_step(k, npb)
         qj = jax.device_put(q, NamedSharding(self.mesh, P(QUERY_AXIS, None)))
         vals, slots = self._steps[key](
-            qj, self._centroids, self._codebooks, self._codes, self._rnorms, self._slots
+            qj, self._centroids, self._codebooks, self._codes, self._rnorms
         )
         vals = np.asarray(vals)[:nq]
         slots = np.asarray(slots)[:nq]
-        rids = self.row_ids[slots]
+        rids = self.row_ids[self._deal_to_flat(slots)]
         invalid = vals >= np.float32(3.0e38) / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
         return np.where(invalid, np.inf, vals), rids
+
+    def _deal_to_flat(self, slots: np.ndarray) -> np.ndarray:
+        """Global slot ids already index (block, offset) in dealt order —
+        row_ids was scattered in block order, so this is the identity.
+        Kept as a seam for layouts where shards reorder blocks."""
+        return slots

@@ -163,3 +163,30 @@ class TestShardedIvfPq:
         cents = distributed_kmeans(mesh, x, k=8, iters=25)
         d = np_l2(cents, centers)
         assert (np.sort(d.min(axis=1))[:6] < 2.0).all()  # most centers recovered
+
+
+class TestProbeCompaction:
+    def test_budget_compaction_recall(self, mem_db):
+        """The static per-shard probe budget (owned-probe compaction)
+        must not measurably hurt recall vs probing everything."""
+        from lancedb_tpu.parallel import ShardedIvfPqIndex, make_mesh
+
+        mesh = make_mesh(8)
+        n, dim = 4096, 32
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((64, dim)).astype(np.float32)
+        x = centers[rng.integers(0, 64, n)] + 0.2 * rng.standard_normal((n, dim)).astype(np.float32)
+        rowids = np.arange(n, dtype=np.uint64)
+        idx = ShardedIvfPqIndex(mesh, x, rowids, num_partitions=64, num_sub_vectors=8)
+        q = x[rng.integers(0, n, 16)] + 0.05 * rng.standard_normal((16, dim)).astype(np.float32)
+        truth = np.argsort(np_l2(q, x), axis=1)[:, :10]
+
+        def recall_at(nprobes):
+            _, ids = idx.search(q, k=10, nprobes=nprobes)
+            return np.mean([
+                len(set(ids[i].tolist()) & set(truth[i].tolist())) / 10 for i in range(16)
+            ])
+
+        r16 = recall_at(16)   # budget-compacted (16 probes over 8 shards)
+        r64 = recall_at(64)   # probe everything
+        assert r64 - r16 < 0.1, (r16, r64)
