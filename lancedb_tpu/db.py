@@ -125,14 +125,28 @@ class LanceDBConnection(DBConnection):
             else:
                 raise InvalidInputError("schema must be a pyarrow.Schema or LanceModel")
 
+        if data is None and schema is None:
+            raise InvalidInputError("either data or schema is required")
+
+        embed_data = None
         if embedding_functions:
             from .embeddings.registry import EmbeddingFunctionRegistry
 
             registry = EmbeddingFunctionRegistry.get_instance()
+            if schema is None:
+                schema = to_arrow_table(data).schema
+            # add missing vector columns sized by each provider, then
+            # route the initial data through Table.add so source text
+            # embeds exactly like later appends (reference WithEmbeddings)
+            for d in embedding_functions:
+                if d.vector_column not in schema.names:
+                    fn = registry.get(d.function_name).create(**(d.config or {}))
+                    schema = schema.append(
+                        pa.field(d.vector_column, pa.list_(pa.float32(), fn.ndims()))
+                    )
             schema = registry.attach_metadata(schema, embedding_functions)
+            embed_data, data = data, None
 
-        if data is None and schema is None:
-            raise InvalidInputError("either data or schema is required")
         tbl = to_arrow_table(data, schema=schema) if data is not None else None
         if schema is None:
             schema = tbl.schema
@@ -155,10 +169,8 @@ class LanceDBConnection(DBConnection):
         except TableAlreadyExistsError:
             raise TableAlreadyExistsError(name) from None
         table = Table(self, name, ds)
-        if tbl is not None and table._embedding_functions:
-            # data was written before embedding config existed on the
-            # instance; backfill vectors if the column is missing values
-            pass
+        if embed_data is not None:
+            table.add(embed_data)
         return table
 
     def open_table(

@@ -127,15 +127,12 @@ def _network_stub(name: str, hint: str):
     return _Stub
 
 
+# providers with real REST implementations live in rest_providers.py
+# (openai, cohere, gemini-text, voyageai, jinaai, ollama); the rest need
+# local model weights that are not baked into this image
 for _name, _hint in [
-    ("openai", "api.openai.com"),
-    ("cohere", "api.cohere.ai"),
-    ("gemini-text", "generativelanguage.googleapis.com"),
-    ("bedrock-text", "AWS Bedrock"),
-    ("voyageai", "api.voyageai.com"),
-    ("jina", "api.jina.ai"),
+    ("bedrock-text", "AWS Bedrock (SigV4)"),
     ("watsonx", "IBM watsonx.ai"),
-    ("ollama", "a local ollama server"),
     ("instructor", "hkunlp/instructor weights"),
     ("open-clip", "open_clip weights"),
     ("colpali", "vidore/colpali weights"),

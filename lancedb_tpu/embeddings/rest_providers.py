@@ -1,0 +1,193 @@
+"""REST-backed embedding providers.
+
+Real request implementations for the hosted-API providers the
+reference ships (reference python embeddings/: openai, cohere, gemini,
+voyageai, jinaai, ollama, watsonx — each a TextEmbeddingFunction over
+an HTTPS JSON endpoint with retry). Stdlib urllib only — no vendor
+SDKs. Every provider takes ``base_url`` so tests (and air-gapped
+deployments) can point at a mock server, exactly the reference's
+ci/mock_openai.py pattern; API keys resolve from standard env vars at
+call time, so constructing a provider offline is fine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+from typing import ClassVar
+
+import numpy as np
+
+from ..errors import InvalidInputError
+from .base import TextEmbeddingFunction
+from .registry import EmbeddingFunctionRegistry
+
+registry = EmbeddingFunctionRegistry.get_instance()
+
+
+class RestEmbeddingFunction(TextEmbeddingFunction):
+    """Shared JSON-over-HTTPS plumbing. Subclasses define the wire shape."""
+
+    default_base_url: ClassVar[str] = ""
+    api_key_env: ClassVar[str] = ""
+    default_model: ClassVar[str] = ""
+    default_ndims: ClassVar[int] = 0
+    # hosted APIs cap batch sizes; chunk requests
+    max_batch: ClassVar[int] = 128
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.model = kwargs.get("model") or kwargs.get("name") or self.default_model
+        self.base_url = (kwargs.get("base_url") or self.default_base_url).rstrip("/")
+        self._api_key = kwargs.get("api_key")
+        self._ndims = kwargs.get("ndims") or self.default_ndims
+
+    def _key(self) -> str:
+        key = self._api_key or os.environ.get(self.api_key_env, "")
+        if not key and self.api_key_env:
+            raise InvalidInputError(
+                f"{type(self).__name__} needs an API key: pass api_key= or set "
+                f"${self.api_key_env}"
+            )
+        return key
+
+    def ndims(self) -> int:
+        if not self._ndims:
+            self._ndims = int(self.generate_embeddings(["probe"]).shape[1])
+        return self._ndims
+
+    def _post(self, path: str, body: dict, headers: dict | None = None) -> dict:
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=json.dumps(body).encode(),
+            method="POST",
+            headers={"content-type": "application/json", **(headers or {})},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    def generate_embeddings(self, texts: list[str]) -> np.ndarray:
+        out = []
+        for start in range(0, len(texts), self.max_batch):
+            out.append(self._embed_batch(texts[start : start + self.max_batch]))
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    def _embed_batch(self, texts: list[str]) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+
+@registry.register("openai")
+class OpenAIEmbedding(RestEmbeddingFunction):
+    """POST {base}/v1/embeddings (reference embeddings/openai.py)."""
+
+    default_base_url = "https://api.openai.com"
+    api_key_env = "OPENAI_API_KEY"
+    default_model = "text-embedding-3-small"
+    default_ndims = 1536
+
+    def _embed_batch(self, texts):
+        r = self._post(
+            "/v1/embeddings",
+            {"model": self.model, "input": texts},
+            {"authorization": f"Bearer {self._key()}"},
+        )
+        data = sorted(r["data"], key=lambda d: d["index"])
+        return np.asarray([d["embedding"] for d in data], dtype=np.float32)
+
+
+@registry.register("cohere")
+class CohereEmbedding(RestEmbeddingFunction):
+    """POST {base}/v2/embed (reference embeddings/cohere.py)."""
+
+    default_base_url = "https://api.cohere.com"
+    api_key_env = "COHERE_API_KEY"
+    default_model = "embed-v4.0"
+    max_batch = 96
+
+    def _embed_batch(self, texts):
+        r = self._post(
+            "/v2/embed",
+            {
+                "model": self.model,
+                "texts": texts,
+                "input_type": "search_document",
+                "embedding_types": ["float"],
+            },
+            {"authorization": f"Bearer {self._key()}"},
+        )
+        embs = r["embeddings"]["float"] if isinstance(r["embeddings"], dict) else r["embeddings"]
+        return np.asarray(embs, dtype=np.float32)
+
+
+@registry.register("gemini-text")
+class GeminiEmbedding(RestEmbeddingFunction):
+    """POST {base}/v1beta/models/{model}:batchEmbedContents."""
+
+    default_base_url = "https://generativelanguage.googleapis.com"
+    api_key_env = "GOOGLE_API_KEY"
+    default_model = "text-embedding-004"
+    default_ndims = 768
+    max_batch = 100
+
+    def _embed_batch(self, texts):
+        model = f"models/{self.model}"
+        r = self._post(
+            f"/v1beta/{model}:batchEmbedContents?key={self._key()}",
+            {
+                "requests": [
+                    {"model": model, "content": {"parts": [{"text": t}]}} for t in texts
+                ]
+            },
+        )
+        return np.asarray([e["values"] for e in r["embeddings"]], dtype=np.float32)
+
+
+@registry.register("voyageai")
+class VoyageAIEmbedding(RestEmbeddingFunction):
+    """POST {base}/v1/embeddings (reference embeddings/voyageai.py)."""
+
+    default_base_url = "https://api.voyageai.com"
+    api_key_env = "VOYAGE_API_KEY"
+    default_model = "voyage-3"
+    max_batch = 128
+
+    def _embed_batch(self, texts):
+        r = self._post(
+            "/v1/embeddings",
+            {"model": self.model, "input": texts},
+            {"authorization": f"Bearer {self._key()}"},
+        )
+        data = sorted(r["data"], key=lambda d: d["index"])
+        return np.asarray([d["embedding"] for d in data], dtype=np.float32)
+
+
+@registry.register("jinaai")
+class JinaEmbedding(RestEmbeddingFunction):
+    """POST {base}/v1/embeddings (reference embeddings/jinaai.py)."""
+
+    default_base_url = "https://api.jina.ai"
+    api_key_env = "JINA_API_KEY"
+    default_model = "jina-embeddings-v3"
+
+    def _embed_batch(self, texts):
+        r = self._post(
+            "/v1/embeddings",
+            {"model": self.model, "input": texts},
+            {"authorization": f"Bearer {self._key()}"},
+        )
+        data = sorted(r["data"], key=lambda d: d["index"])
+        return np.asarray([d["embedding"] for d in data], dtype=np.float32)
+
+
+@registry.register("ollama")
+class OllamaEmbedding(RestEmbeddingFunction):
+    """POST {base}/api/embed — local Ollama daemon, no API key."""
+
+    default_base_url = "http://localhost:11434"
+    api_key_env = ""
+    default_model = "nomic-embed-text"
+
+    def _embed_batch(self, texts):
+        r = self._post("/api/embed", {"model": self.model, "input": texts})
+        return np.asarray(r["embeddings"], dtype=np.float32)

@@ -446,18 +446,26 @@ def _flat_search_device(q, vectors, norms2, penalty, k: int, metric: str, mode: 
     return vals, jnp.take_along_axis(cand, pos, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "mode", "has_mask"))
+@partial(jax.jit, static_argnames=("k", "metric", "has_mask"))
 def _ivf_full_scan_device(
-    q, vectors, norms2, slot_penalty, k: int, metric: str, mode: str, has_mask: bool
+    q, vectors, norms2, slot_penalty, k: int, metric: str, has_mask: bool
 ):
     """Scan an IVF_FLAT index as a flat table (batched-query planner path).
 
     For large query batches the per-query probed gather reads MORE HBM
     than one shared pass over the whole padded block array
     (qb·nprobes·pmax ≥ total slots), so the planner flattens the blocks
-    and runs the two-pass flat scan instead — recall is a superset of
-    any nprobes setting. Padding slots carry +inf norms; an explicit
-    penalty keeps them (and filtered rows) out for dot/cosine too.
+    and runs a flat scan instead — recall is a superset of any nprobes
+    setting. Padding slots carry +inf norms; an explicit penalty keeps
+    them (and filtered rows) out for dot/cosine too.
+
+    IMPORTANT: the scan runs in exact-f32 mode, never the two-pass
+    approx mode. The block layout sorts rows by partition, so a query's
+    true neighbors sit in ADJACENT slots — adversarial for
+    lax.approx_max_k's tile-wise partial reduction, which keeps roughly
+    one winner per tile (measured: 0.93 recall vs 1.0 exact). The
+    two-pass trick stays for FLAT indexes, whose rows keep insertion
+    order.
     """
     nslots = vectors.shape[0] * vectors.shape[1]
     flat_vecs = vectors.reshape(nslots, -1)
@@ -465,7 +473,9 @@ def _ivf_full_scan_device(
     pen = jnp.where(flat_norms >= PAD_PENALTY, PAD_PENALTY, 0.0)
     if has_mask:
         pen = pen + slot_penalty
-    return _flat_search_device(q, flat_vecs, flat_norms, pen, k=k, metric=metric, mode=mode)
+    return _flat_search_device(
+        q, flat_vecs, flat_norms, pen, k=k, metric=metric, mode="float32"
+    )
 
 
 @partial(jax.jit, static_argnames=("nprobes", "metric"))
@@ -948,7 +958,6 @@ class VectorSearcher:
                     vals, slots = _ivf_full_scan_device(
                         qj, self._device["vectors"], self._device["norms2"], pen,
                         k=min(k_eff, self.num_slots), metric=self.metric,
-                        mode="float32" if params.approx_mode == "accurate" else "default",
                         has_mask=has_mask,
                     )
                 else:

@@ -499,7 +499,18 @@ class LanceQueryBuilder:
                 vec, text = None, query
             return LanceHybridQueryBuilder(table, text, vec, vector_column_name, fts_columns)
         if isinstance(query, str):
-            if query_type in ("auto", "fts"):
+            if query_type == "auto":
+                # reference query.py:931-968: a string query embeds through
+                # the table's embedding function when one is registered and
+                # no FTS index exists; otherwise it is full-text search
+                has_fts = any(
+                    ix.index_type == "FTS" for ix in table._dataset.manifest.indices
+                )
+                if not has_fts and table.embedding_functions:
+                    vec = table._embed_query(query, vector_column_name)
+                    return LanceVectorQueryBuilder(table, vec, vector_column_name)
+                return LanceFtsQueryBuilder(table, query, fts_columns)
+            if query_type == "fts":
                 return LanceFtsQueryBuilder(table, query, fts_columns)
             if query_type == "vector":
                 # embed text through the table's embedding function

@@ -1,0 +1,126 @@
+"""REST embedding providers against a localhost mock — the reference's
+ci/mock_openai.py pattern: providers point base_url at a stdlib HTTP
+server returning deterministic embeddings, so the full request/response
+shaping is exercised without network egress."""
+
+import hashlib
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from lancedb_tpu.embeddings import get_registry
+
+DIM = 8
+
+
+def _vec(text: str) -> list[float]:
+    h = np.frombuffer(hashlib.sha256(text.encode()).digest()[: DIM * 4], dtype=np.uint32)
+    return (h / np.uint32(0xFFFFFFFF)).astype(float).tolist()
+
+
+class _MockApi(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["content-length"])))
+        path = self.path.split("?")[0]
+        if path == "/v1/embeddings":  # openai / voyage / jina shape
+            if "authorization" not in self.headers:
+                return self._json(401, {"error": "missing auth"})
+            data = [
+                {"index": i, "embedding": _vec(t)} for i, t in enumerate(body["input"])
+            ]
+            return self._json(200, {"data": data})
+        if path == "/v2/embed":  # cohere shape
+            return self._json(
+                200, {"embeddings": {"float": [_vec(t) for t in body["texts"]]}}
+            )
+        if path.startswith("/v1beta/models/"):  # gemini shape
+            embs = [
+                {"values": _vec(r["content"]["parts"][0]["text"])}
+                for r in body["requests"]
+            ]
+            return self._json(200, {"embeddings": embs})
+        if path == "/api/embed":  # ollama shape
+            return self._json(200, {"embeddings": [_vec(t) for t in body["input"]]})
+        return self._json(404, {"error": path})
+
+    def _json(self, code, obj):
+        payload = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("content-type", "application/json")
+        self.send_header("content-length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+@pytest.fixture(scope="module")
+def mock_api():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _MockApi)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        ("openai", {"api_key": "k"}),
+        ("voyageai", {"api_key": "k"}),
+        ("jinaai", {"api_key": "k"}),
+        ("cohere", {"api_key": "k"}),
+        ("gemini-text", {"api_key": "k"}),
+        ("ollama", {}),
+    ],
+)
+def test_provider_roundtrip(mock_api, name, kwargs):
+    fn = get_registry().get(name).create(base_url=mock_api, ndims=DIM, **kwargs)
+    embs = fn.compute_source_embeddings(["hello", "world"])
+    assert embs.shape == (2, DIM)
+    np.testing.assert_allclose(embs[0], _vec("hello"), rtol=1e-6)
+    q = fn.compute_query_embeddings("hello")
+    np.testing.assert_allclose(q[0], embs[0], rtol=1e-6)
+    assert fn.ndims() == DIM
+
+
+def test_missing_api_key_message(mock_api, monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    fn = get_registry().get("openai").create(base_url=mock_api, ndims=DIM)
+    with pytest.raises(Exception, match="OPENAI_API_KEY"):
+        fn.compute_source_embeddings(["x"])
+
+
+def test_batching_chunks_requests(mock_api):
+    fn = get_registry().get("openai").create(base_url=mock_api, api_key="k", ndims=DIM)
+    texts = [f"t{i}" for i in range(301)]  # > 2 x max_batch(128)
+    embs = fn.compute_source_embeddings(texts)
+    assert embs.shape == (301, DIM)
+    np.testing.assert_allclose(embs[300], _vec("t300"), rtol=1e-6)
+
+
+def test_table_auto_embedding(mock_api, mem_db):
+    """End-to-end: a table with an embedding definition embeds source
+    text on add and text queries at search (reference WithEmbeddings)."""
+    from lancedb_tpu.embeddings import EmbeddingDefinition
+
+    t = mem_db.create_table(
+        "docs",
+        [{"text": "alpha"}, {"text": "bravo"}, {"text": "charlie"}],
+        embedding_functions=[
+            EmbeddingDefinition(
+                source_column="text",
+                vector_column="vector",
+                function_name="openai",
+                config={"base_url": mock_api, "api_key": "k", "ndims": DIM},
+            )
+        ],
+    )
+    assert t.count_rows() == 3
+    hits = t.search("bravo").limit(1).to_list()
+    assert hits[0]["text"] == "bravo"
+    assert hits[0]["_distance"] < 1e-5
