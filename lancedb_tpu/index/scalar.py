@@ -103,7 +103,11 @@ def build_scalar_index(dataset, column: str, config, name: str | None = None) ->
         # suffix-array match can never span two documents
         text = b"\x01".join(docs) + b"\x01"
         tarr = np.frombuffer(text, dtype=np.uint8)
-        sa = _suffix_array(tarr)
+        from ..native import suffix_array_native
+
+        sa = suffix_array_native(text)
+        if sa is None:  # no native toolchain: vectorized numpy fallback
+            sa = _suffix_array(tarr)
         doc_offsets = np.zeros(len(docs) + 1, dtype=np.int64)
         np.cumsum([len(d) + 1 for d in docs], out=doc_offsets[1:])
         _save_npy(store, f"{prefix}/text.npy", tarr)

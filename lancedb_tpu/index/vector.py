@@ -47,7 +47,7 @@ from ..ops.pq import (
     pq_encode_rnorms,
     pq_train,
 )
-from ..ops.topk import approx_topk_smallest, merge_topk, topk_smallest
+from ..ops.topk import approx_topk_smallest, topk_smallest
 from ..ops.util import matmul_dtype, round_up
 from ..storage.manifest import IndexMeta, new_uuid
 from . import default_num_partitions

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 lancedb_native.cpp -o liblancedb_native.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -319,6 +320,96 @@ void ldb_hash_join(const char* src_blob, const int64_t* src_offsets, int64_t n_s
     auto it = index.find(key);
     out_match[i] = it == index.end() ? -1 : it->second;
   }
+}
+
+// ------------------------------------------------------- suffix array
+// FM substring index construction (index/scalar.py): prefix doubling
+// with radix sort — O(n log n), ~20x the numpy doubling loop. Ranks fit
+// int32 (text blobs are capped far below 2^31 by the caller).
+
+void ldb_suffix_array(const uint8_t* text, int64_t n, int32_t* out_sa) {
+  if (n <= 0) return;
+  std::vector<int32_t> sa(n), rank(n), tmp(n), cnt;
+  for (int64_t i = 0; i < n; i++) {
+    sa[i] = (int32_t)i;
+    rank[i] = text[i];
+  }
+  auto radix_pass = [&](std::vector<int32_t>& src, std::vector<int32_t>& dst,
+                        auto key, int32_t kmax) {
+    cnt.assign((size_t)kmax + 2, 0);
+    for (int64_t i = 0; i < n; i++) cnt[(size_t)key(src[i]) + 1]++;
+    for (size_t i = 1; i < cnt.size(); i++) cnt[i] += cnt[i - 1];
+    for (int64_t i = 0; i < n; i++) dst[cnt[(size_t)key(src[i])]++] = src[i];
+  };
+  std::vector<int32_t> order(n), order2(n);
+  // initial sort by first byte
+  radix_pass(sa, order, [&](int32_t i) { return rank[i] + 1; }, 257);
+  // assign initial ranks
+  tmp[order[0]] = 0;
+  for (int64_t i = 1; i < n; i++) {
+    tmp[order[i]] = tmp[order[i - 1]] + (text[order[i]] != text[order[i - 1]] ? 1 : 0);
+  }
+  rank.swap(tmp);
+  for (int64_t k = 1; k < n; k <<= 1) {
+    auto rank_at = [&](int64_t i) -> int32_t {
+      return i + k < n ? rank[i + k] + 1 : 0;
+    };
+    int32_t rmax = 0;
+    for (int64_t i = 0; i < n; i++) rmax = std::max(rmax, rank[i]);
+    // radix: second key then first key (stable)
+    radix_pass(order, order2, [&](int32_t i) { return rank_at(i); }, rmax + 1);
+    radix_pass(order2, order, [&](int32_t i) { return rank[i] + 1; }, rmax + 1);
+    tmp[order[0]] = 0;
+    bool done = true;
+    for (int64_t i = 1; i < n; i++) {
+      int32_t a = order[i], b = order[i - 1];
+      int inc = (rank[a] != rank[b] || rank_at(a) != rank_at(b)) ? 1 : 0;
+      tmp[a] = tmp[b] + inc;
+      done &= inc;
+    }
+    rank.swap(tmp);
+    if (done) break;
+  }
+  memcpy(out_sa, order.data(), (size_t)n * sizeof(int32_t));
+}
+
+// ------------------------------------------------- varint posting codec
+// delta + LEB128 varint encode/decode for sorted int64 posting lists
+// (FTS/scalar index persistence; reference posting blocks, SURVEY §2.9).
+
+int64_t ldb_varint_encode(const int64_t* values, int64_t n, uint8_t* out) {
+  uint8_t* p = out;
+  int64_t prev = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t delta = (uint64_t)(values[i] - prev);
+    prev = values[i];
+    while (delta >= 0x80) {
+      *p++ = (uint8_t)(delta | 0x80);
+      delta >>= 7;
+    }
+    *p++ = (uint8_t)delta;
+  }
+  return (int64_t)(p - out);
+}
+
+int64_t ldb_varint_decode(const uint8_t* data, int64_t nbytes, int64_t n,
+                          int64_t* out) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + nbytes;
+  int64_t prev = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t v = 0;
+    int shift = 0;
+    while (p < end) {
+      uint8_t b = *p++;
+      v |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    prev += (int64_t)v;
+    out[i] = prev;
+  }
+  return (int64_t)(p - data);
 }
 
 }  // extern "C"

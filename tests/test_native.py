@@ -99,3 +99,51 @@ def test_hash_join():
 
 def test_hash_join_empty():
     assert hash_join_native([], [b"a"]).tolist() == [-1]
+
+
+class TestSuffixArrayNative:
+    def test_matches_numpy(self):
+        from lancedb_tpu.native import suffix_array_native
+        from lancedb_tpu.index.scalar import _suffix_array
+
+        if suffix_array_native(b"x") is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(0)
+        for trial in range(4):
+            n = int(rng.integers(5, 4000))
+            text = bytes(rng.integers(1, 255, n, dtype=np.uint8))
+            a = suffix_array_native(text)
+            b = _suffix_array(np.frombuffer(text, dtype=np.uint8))
+            np.testing.assert_array_equal(a, b)
+
+    def test_known_string(self):
+        from lancedb_tpu.native import suffix_array_native
+
+        sa = suffix_array_native(b"banana")
+        if sa is None:
+            pytest.skip("native library unavailable")
+        # suffixes sorted: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+        np.testing.assert_array_equal(sa, [5, 3, 1, 0, 4, 2])
+
+
+class TestVarintNative:
+    def test_roundtrip(self):
+        from lancedb_tpu.native import varint_decode_native, varint_encode_native
+
+        vals = np.sort(np.random.default_rng(1).integers(0, 1 << 40, 5000))
+        enc = varint_encode_native(vals)
+        if enc is None:
+            pytest.skip("native library unavailable")
+        assert len(enc) < vals.nbytes  # actually compresses sorted ids
+        out = varint_decode_native(enc, len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+    def test_empty_and_single(self):
+        from lancedb_tpu.native import varint_decode_native, varint_encode_native
+
+        enc = varint_encode_native(np.array([], dtype=np.int64))
+        if enc is None:
+            pytest.skip("native library unavailable")
+        assert varint_decode_native(enc, 0).shape == (0,)
+        enc1 = varint_encode_native(np.array([12345678901234], dtype=np.int64))
+        np.testing.assert_array_equal(varint_decode_native(enc1, 1), [12345678901234])
