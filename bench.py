@@ -225,9 +225,27 @@ def main() -> None:
                 (fd["centroids"], fd["vectors"], fd["norms2"], zero_pen),
                 16, f"IVF_FLAT np={nprobes}", queries_per_batch=128,
             )
-            rec = searcher_recall(s, SearchParams(k=TOP_K, nprobes=nprobes))
+            # force the probed path so recall matches the timed kernel
+            # (the planner would otherwise full-scan at this batch size)
+            rec = searcher_recall(
+                s, SearchParams(k=TOP_K, nprobes=nprobes, use_index_for_batch=True)
+            )
             details[f"ivf_flat_np{nprobes}"] = {"qps": round(qps, 1), "recall": round(rec, 4)}
             log(f"IVF_FLAT nprobes={nprobes}: {qps:.0f} qps recall@10={rec:.4f}")
+
+        # planner full-scan path (what IVF_FLAT actually serves at this
+        # batch size): exact results over the padded blocks
+        from lancedb_tpu.index.vector import _ivf_full_scan_device
+
+        qps = timed_loop(
+            lambda q, v, n, p: _ivf_full_scan_device(
+                q, v, n, p, k=TOP_K, metric="l2", has_mask=False
+            )[0],
+            (fd["vectors"], fd["norms2"], zero_pen),
+            16, "IVF_FLAT planner full-scan", queries_per_batch=128,
+        )
+        rec = searcher_recall(s, SearchParams(k=TOP_K, nprobes=64))
+        details["ivf_flat_planner_fullscan"] = {"qps": round(qps, 1), "recall": round(rec, 4)}
 
         # --- IVF_PQ (4-bit x32 is the TPU-native operating point)
         for tag, nbits, nsub in (("4bit", 4, 32), ("8bit", 8, 16)):
