@@ -286,6 +286,50 @@ def main() -> None:
         sp.search(q0, SearchParams(k=TOP_K, nprobes=20))
         details["host_dispatch_latency_s"] = round(time.perf_counter() - t0, 3)
 
+        # ---- extended configs (BENCH_EXTENDED=1): BASELINE.json #4 ----
+        import os as _os
+
+        if _os.environ.get("BENCH_EXTENDED"):
+            log("extended: 500k x 768-d cosine IVF_PQ + SQL prefilter ...")
+            n_e, d_e = 500_000, 768
+            xe = rng.standard_normal((n_e, d_e)).astype(np.float32)
+            xe /= np.linalg.norm(xe, axis=1, keepdims=True)
+            cats = rng.integers(0, 10, n_e)
+            tbl_e = pa.table({
+                "id": pa.array(np.arange(n_e, dtype=np.int64)),
+                "cat": pa.array(cats),
+                "vector": pa.FixedSizeListArray.from_arrays(pa.array(xe.ravel()), d_e),
+            })
+            ds_e = Dataset.create(MemoryStore(), "bench_ext.lance", tbl_e.schema, tbl_e)
+            t0 = time.perf_counter()
+            meta_e = build_vector_index(
+                ds_e, "vector",
+                IvfPq(num_partitions=512, num_sub_vectors=192, num_bits=4,
+                      distance_type="cosine"),
+            )
+            details["ext_cosine_pq_build_seconds"] = round(time.perf_counter() - t0, 1)
+            se = load_searcher(ds_e, meta_e)
+            qe = xe[rng.integers(0, n_e, 64)] + 0.02 * rng.standard_normal((64, d_e)).astype(np.float32)
+            # filtered search through the full query layer (prefilter mask)
+            from lancedb_tpu.db import LanceDBConnection
+
+            t0 = time.perf_counter()
+            d, rid = se.search(qe, SearchParams(k=TOP_K, nprobes=20))
+            details["ext_cosine_pq_unfiltered_batch64_s"] = round(time.perf_counter() - t0, 3)
+            pen = se.slot_penalty(
+                np.sort(
+                    ds_e.to_table(columns=["id"], predicate="cat = 3", with_row_id=True)
+                    .column("_rowid").to_numpy().astype(np.uint64)
+                ),
+                None,
+            )
+            t0 = time.perf_counter()
+            d2, rid2 = se.search(qe, SearchParams(k=TOP_K, nprobes=20), slot_penalty=pen)
+            details["ext_cosine_pq_prefilter_batch64_s"] = round(time.perf_counter() - t0, 3)
+            hit_cats = cats[(rid2[np.isfinite(d2)] & np.uint64(0xFFFFFFFF)).astype(np.int64)]
+            details["ext_prefilter_correct"] = bool((hit_cats == 3).all())
+            log(f"extended cosine+prefilter: all-cat3={details['ext_prefilter_correct']}")
+
         if pq4_rec >= 0.95:
             headline = {
                 "metric": "IVF_PQ4bit np=20 QPS at refined recall@10>=0.95 (1M x 128)",

@@ -360,13 +360,77 @@ class MirroringStore(ObjectStore):
         return self.primary.local_path(path)
 
 
+class FsspecStore(ObjectStore):
+    """Cloud object storage through fsspec (s3://, gs://, az://, oss://).
+
+    The reference reaches S3/GCS/Azure/OSS through the Rust
+    `object_store` crate (Cargo.toml:120-147); here any fsspec
+    filesystem provides the same backends. `storage_options` pass
+    through to the filesystem constructor (credentials, endpoints —
+    reference connection.rs:860-877). `put_if_absent` is emulated with
+    an existence check + write: S3-class stores lack an atomic
+    create-if-absent primitive, so concurrent committers should layer
+    an external lock table exactly as the reference's DynamoDB commit
+    handler does (SURVEY.md §2.7).
+    """
+
+    def __init__(self, protocol: str, storage_options: dict | None = None):
+        import fsspec
+
+        try:
+            self.fs = fsspec.filesystem(protocol, **(storage_options or {}))
+        except (ImportError, ValueError) as e:
+            raise InvalidInputError(
+                f"object-store scheme '{protocol}://' needs the fsspec "
+                f"implementation for {protocol!r} installed: {e}"
+            ) from e
+        self.scheme = protocol
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.fs.cat_file(path)
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        return self.fs.cat_file(path, start=start, end=start + length)
+
+    def size(self, path: str) -> int:
+        return self.fs.size(path)
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(path)
+
+    def list(self, prefix: str) -> Iterator[str]:
+        try:
+            for p in self.fs.ls(prefix, detail=False):
+                yield p
+        except FileNotFoundError:
+            return
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self.fs.pipe_file(path, data)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        if self.fs.exists(path):
+            return False
+        self.fs.pipe_file(path, data)
+        return True
+
+    def delete(self, path: str) -> None:
+        try:
+            self.fs.rm_file(path)
+        except FileNotFoundError:
+            pass
+
+    def rename_prefix(self, old: str, new: str) -> None:
+        self.fs.mv(old, new, recursive=True)
+
+
 def resolve_uri(uri: str, storage_options: dict | None = None) -> tuple[ObjectStore, str]:
     """Map a database/table URI to (store, root_path).
 
     URI routing mirrors reference connection.rs:1040-1063:
       * ``memory://``  → MemoryStore
       * ``db://``      → remote database (handled by the caller, not here)
-      * ``s3://`` etc. → unsupported in this zero-egress environment
+      * ``s3://`` etc. → FsspecStore (needs the protocol's fsspec impl)
       * anything else  → LocalStore directory
     """
     if uri.startswith("memory://"):
@@ -374,12 +438,9 @@ def resolve_uri(uri: str, storage_options: dict | None = None) -> tuple[ObjectSt
         return MemoryStore.for_uri(name), name
     if uri.startswith("file://"):
         return LocalStore(), uri[len("file://") :]
-    for scheme in ("s3://", "gs://", "az://", "oss://"):
-        if uri.startswith(scheme):
-            raise InvalidInputError(
-                f"object-store scheme '{scheme}' is not available in this build; "
-                "use a local path or memory://"
-            )
+    for scheme in ("s3", "gs", "az", "oss", "abfs", "gcs"):
+        if uri.startswith(scheme + "://"):
+            return FsspecStore(scheme, storage_options), uri[len(scheme) + 3 :]
     if uri.startswith("db://"):
         raise InvalidInputError("db:// URIs must be opened through the remote client")
     return LocalStore(), os.path.abspath(uri)

@@ -230,3 +230,49 @@ def test_overwrite(store_root):
     # old version still readable
     old = Dataset.open(store, root, version=1)
     assert old.schema.names == ["a", "b"]
+
+
+class TestFsspecStore:
+    """FsspecStore conformance via fsspec's built-in memory filesystem
+    (the same adapter serves s3/gs/az when their impls are installed)."""
+
+    @pytest.fixture
+    def fstore(self):
+        from lancedb_tpu.io.object_store import FsspecStore
+
+        s = FsspecStore("memory")
+        s.fs.store.clear()
+        return s
+
+    def test_roundtrip_and_ranges(self, fstore):
+        fstore.write_bytes("/a/b.bin", b"hello world")
+        assert fstore.read_bytes("/a/b.bin") == b"hello world"
+        assert fstore.read_range("/a/b.bin", 6, 5) == b"world"
+        assert fstore.size("/a/b.bin") == 11
+        assert fstore.exists("/a/b.bin") and not fstore.exists("/a/c.bin")
+
+    def test_put_if_absent_commit_primitive(self, fstore):
+        assert fstore.put_if_absent("/m/1.json", b"v1") is True
+        assert fstore.put_if_absent("/m/1.json", b"v2") is False
+        assert fstore.read_bytes("/m/1.json") == b"v1"
+
+    def test_list_and_delete(self, fstore):
+        for i in range(3):
+            fstore.write_bytes(f"/d/f{i}", b"x")
+        assert len(list(fstore.list("/d"))) == 3
+        fstore.delete("/d/f0")
+        fstore.delete("/d/f0")  # idempotent
+        assert len(list(fstore.list("/d"))) == 2
+
+    def test_full_dataset_lifecycle_over_fsspec(self, fstore):
+        """Dataset MVCC (create/append/delete/time-travel) on an fsspec
+        filesystem — the commit path a cloud bucket would serve."""
+        tbl = simple_table(20)
+        ds = Dataset.create(fstore, "/db/t.lance", tbl.schema, tbl)
+        v1 = ds.version
+        ds.append(simple_table(5, start=100))
+        assert ds.count_rows() == 25
+        ds.delete("a >= 100")
+        assert ds.count_rows() == 20
+        old = Dataset.open(fstore, "/db/t.lance", version=v1)
+        assert old.count_rows() == 20
