@@ -41,6 +41,7 @@ from ..io.object_store import ObjectStore
 from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
 from ..ops.kmeans import assign_residuals_device, kmeans_fit
 from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
+from ..ops.pallas_scan import ivf_flat_scan_pallas
 from ..ops.pq import (
     default_num_sub_vectors,
     opq_train,
@@ -497,19 +498,49 @@ def _select_probes(q, centroids, nprobes: int, metric: str):
     return probe_ids, probe_dots
 
 
-@partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
+@partial(
+    jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask", "use_pallas")
+)
 def _ivf_flat_search_device(
-    q, centroids, vectors, norms2, slot_penalty, k: int, nprobes: int, metric: str, has_mask: bool
+    q, centroids, vectors, norms2, slot_penalty, k: int, nprobes: int, metric: str,
+    has_mask: bool, use_pallas: bool = False,
 ):
     """vectors: (P, pmax, D); norms2: (P, pmax) with +inf padding.
 
-    Probes gather in chunks (lax.map) so the transient gathered block
-    tensor stays bounded at (Q, chunk, pmax, D) regardless of nprobes.
+    On TPU (use_pallas) each probed block DMAs straight from HBM inside
+    the fused Pallas scan (ops/pallas_scan.py) — no gathered tensor.
+    The XLA fallback gathers probes in chunks (lax.map) so the
+    transient stays bounded at (Q, chunk, pmax, D) regardless of
+    nprobes.
     """
     qb, dim = q.shape
     pmax = vectors.shape[1]
     probe_ids, _ = _select_probes(q, centroids, nprobes, metric)
     qf = q.astype(jnp.float32)
+
+    if use_pallas:
+        if metric == "l2":
+            alpha = jnp.full((qb,), -2.0, jnp.float32)
+            gamma = jnp.sum(jnp.square(qf), axis=-1)
+            norms_in = norms2
+        else:
+            pad_pen = jnp.where(norms2 >= PAD_PENALTY, PAD_PENALTY, 0.0)
+            if metric == "cosine":  # index vectors pre-normalized
+                qn = jnp.maximum(
+                    jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1)), 1e-30
+                )
+                alpha = -1.0 / qn
+                gamma = jnp.ones((qb,), jnp.float32)
+            else:  # dot
+                alpha = jnp.full((qb,), -1.0, jnp.float32)
+                gamma = jnp.zeros((qb,), jnp.float32)
+            norms_in = pad_pen
+        if has_mask:
+            norms_in = norms_in + slot_penalty.reshape(norms2.shape)
+        d = ivf_flat_scan_pallas(probe_ids, qf, vectors, norms_in, alpha, gamma)
+        vals, pos = topk_smallest(d.reshape(qb, -1), k)
+        slots = jnp.take_along_axis(probe_ids, pos // pmax, axis=1) * pmax + pos % pmax
+        return vals, slots
     # storage dtype decides scan precision: f32-stored partitions rank
     # exactly (HIGHEST avoids the MXU's default bf16 input rounding)
     scan_f32 = vectors.dtype == jnp.float32
@@ -966,6 +997,7 @@ class VectorSearcher:
                         self._device["norms2"], pen,
                         k=min(k_eff, self.num_slots), nprobes=nprobes,
                         metric=self.metric, has_mask=has_mask,
+                        use_pallas=_pallas_available() and self.dim % 128 == 0,
                     )
             elif self.index_type == "IVF_RQ":
                 vals, slots = _ivf_rq_search_device(
