@@ -220,7 +220,8 @@ def main() -> None:
             npb = min(blocks, max(1, int(np.ceil(nprobes * blocks / logical))))
             qps = timed_loop(
                 lambda q, c, v, n, p: _ivf_flat_search_device(
-                    q, c, v, n, p, k=TOP_K, nprobes=npb, metric="l2", has_mask=False
+                    q, c, v, n, p, k=TOP_K, nprobes=npb, metric="l2",
+                    has_mask=False, use_pallas=True,
                 )[0],
                 (fd["centroids"], fd["vectors"], fd["norms2"], zero_pen),
                 16, f"IVF_FLAT np={nprobes}", queries_per_batch=128,

@@ -982,10 +982,14 @@ class VectorSearcher:
             scale = self.nparts / max(1, logical)
             nprobes = min(self.nparts, max(1, int(np.ceil(params.nprobes * scale))))
             if self.index_type == "IVF_FLAT":
-                # batched-query planner: once the per-query probed gather
-                # would read more rows than the whole table, one shared
-                # two-pass full scan is strictly faster AND exact
-                if qb * nprobes >= self.nparts and params.use_index_for_batch is not True:
+                # batched-query planner: once the per-query probed reads
+                # oversubscribe the table ~2.5x, one shared exact full
+                # scan is faster (crossover measured with the fused
+                # Pallas probed scan; it is also exact)
+                if (
+                    qb * nprobes >= 2.5 * self.nparts
+                    and params.use_index_for_batch is not True
+                ):
                     vals, slots = _ivf_full_scan_device(
                         qj, self._device["vectors"], self._device["norms2"], pen,
                         k=min(k_eff, self.num_slots), metric=self.metric,
