@@ -221,7 +221,7 @@ def main() -> None:
             qps = timed_loop(
                 lambda q, c, v, n, p: _ivf_flat_search_device(
                     q, c, v, n, p, k=TOP_K, nprobes=npb, metric="l2",
-                    has_mask=False, use_pallas=True,
+                    has_mask=False,
                 )[0],
                 (fd["centroids"], fd["vectors"], fd["norms2"], zero_pen),
                 16, f"IVF_FLAT np={nprobes}", queries_per_batch=128,
@@ -265,7 +265,7 @@ def main() -> None:
             qps = timed_loop(
                 lambda q, c, cd, rn, cb, p: _ivf_pq_search_device(
                     q, c, cd, rn, cb, p, k=TOP_K, nprobes=npb, metric="l2",
-                    has_mask=False, use_pallas=True, exact_sel=False,
+                    has_mask=False, exact_sel=False,
                 )[0],
                 (pd["centroids"], pd["codes"], pd["rnorms"], pd["codebooks"], zero_pen),
                 16, f"IVF_PQ {tag} np=20", queries_per_batch=128,

@@ -1001,7 +1001,11 @@ class VectorSearcher:
                         self._device["norms2"], pen,
                         k=min(k_eff, self.num_slots), nprobes=nprobes,
                         metric=self.metric, has_mask=has_mask,
-                        use_pallas=_pallas_available() and self.dim % 128 == 0,
+                        # the fused kernel loses to the XLA chunked gather
+                        # at realistic shapes when called with a 687MB f32
+                        # operand (suspected custom-call layout copy);
+                        # keep it opt-out until that is understood
+                        use_pallas=False,
                     )
             elif self.index_type == "IVF_RQ":
                 vals, slots = _ivf_rq_search_device(
