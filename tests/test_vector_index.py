@@ -210,3 +210,18 @@ class TestIvfRq:
 
     def test_via_table_api(self, dataset):
         pass  # covered by table-level tests for other families
+
+
+def test_planner_full_scan_matches_probed(dataset):
+    """The batched-query planner's shared full scan must return exactly
+    what exhaustive probing returns (regression: approx top-k over the
+    partition-sorted layout once lost adjacent true neighbors)."""
+    meta = build_vector_index(dataset, "vector", IvfFlat(num_partitions=16))
+    s = load_searcher(dataset, meta)
+    probed_d, probed_r = s.search(
+        QUERIES, SearchParams(k=10, nprobes=s.nparts, use_index_for_batch=True)
+    )
+    # force the planner path: batch x nprobes >= 2.5 x blocks
+    auto_d, auto_r = s.search(QUERIES, SearchParams(k=10, nprobes=s.nparts))
+    np.testing.assert_array_equal(probed_r, auto_r)
+    np.testing.assert_allclose(probed_d, auto_d, rtol=1e-4, atol=1e-4)
