@@ -1001,10 +1001,12 @@ class VectorSearcher:
                         self._device["norms2"], pen,
                         k=min(k_eff, self.num_slots), nprobes=nprobes,
                         metric=self.metric, has_mask=has_mask,
-                        # the fused kernel loses to the XLA chunked gather
-                        # at realistic shapes when called with a 687MB f32
-                        # operand (suspected custom-call layout copy);
-                        # keep it opt-out until that is understood
+                        # measured at 1402x1224x128 f32 (scripts/
+                        # flatscan_ab.py): the fused kernel's bare scan
+                        # (17.4ms) already trails the ENTIRE XLA chunked
+                        # pipeline (16.5ms) — per-cell overhead dominates
+                        # at one probe per grid cell. Keep XLA until the
+                        # kernel batches probes per cell.
                         use_pallas=False,
                     )
             elif self.index_type == "IVF_RQ":
