@@ -191,8 +191,7 @@ class Evaluator:
         fns = {
             "eq": pc.equal, "ne": pc.not_equal, "lt": pc.less, "le": pc.less_equal,
             "gt": pc.greater, "ge": pc.greater_equal, "add": pc.add, "sub": pc.subtract,
-            "mul": pc.multiply, "div": pc.divide, "mod": lambda a, b: pc.bit_wise_and(a, b)
-            if False else _mod(a, b),
+            "mul": pc.multiply, "div": pc.divide, "mod": _mod,
         }
         return fns[op](left, right)
 
@@ -205,12 +204,17 @@ class Evaluator:
 
 
 def _mod(a, b):
-    try:
-        return pc.mod(a, b)  # pyarrow >= 21
-    except AttributeError:
-        fa = pc.cast(a, pa.float64())
-        fb = pc.cast(b, pa.float64())
-        return pc.subtract(fa, pc.multiply(pc.floor(pc.divide(fa, fb)), fb))
+    """SQL % is truncated remainder (sign of the dividend), matching
+    DataFusion/PostgreSQL: -7 % 3 = -1, not Python's floored 2."""
+    def _is_int(x):
+        t = x.type if hasattr(x, "type") else None
+        return t is not None and (pa.types.is_integer(t))
+
+    int_in = _is_int(a) and _is_int(b)
+    fa = pc.cast(a, pa.float64())
+    fb = pc.cast(b, pa.float64())
+    out = pc.subtract(fa, pc.multiply(pc.trunc(pc.divide(fa, fb)), fb))
+    return pc.cast(out, pa.int64()) if int_in else out
 
 
 def evaluate_predicate_mask(

@@ -135,6 +135,11 @@ class ColumnFtsIndex:
         if not tokens:
             return scores
         groups = self.term_ids(tokens, fuzziness, max_expansions)
+        if operator == Operator.AND and any(not tids for tids in groups):
+            # A required term with no postings is an unsatisfiable clause:
+            # 'quick AND zzzz' matches nothing (tantivy/lance semantics).
+            # Stopwords never reach here — the tokenizer drops them.
+            return scores
         match_count = np.zeros(self.num_docs, dtype=np.int32) if operator == Operator.AND else None
         norm = K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))
         n_groups_with_terms = 0

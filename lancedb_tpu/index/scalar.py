@@ -23,16 +23,42 @@ from ..storage.manifest import IndexMeta, new_uuid
 
 
 def _save_npy(store, path, arr):
+    """Persist an array. Numeric arrays go out as .npy; object/string
+    key arrays (BITMAP/LABEL_LIST uniques, BTREE sorted string values)
+    are serialized as Arrow IPC so no index artifact ever needs
+    ``allow_pickle`` — a pickled .npy from an untrusted object store
+    would be arbitrary code execution on load."""
+    arr = np.asarray(arr)
+    if arr.dtype == object or arr.dtype.kind in "US":
+        tbl = pa.table({"v": pa.array(arr.tolist())})
+        sink = io.BytesIO()
+        with pa.ipc.new_file(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        store.write_bytes(path, sink.getvalue())
+        return
     buf = io.BytesIO()
-    np.save(buf, arr)
+    np.save(buf, arr, allow_pickle=False)
     store.write_bytes(path, buf.getvalue())
+
+
+_NPY_MAGIC = b"\x93NUMPY"
 
 
 def _load_npy(store, path):
     local = store.local_path(path)
     if local is not None:
-        return np.load(local, mmap_mode="r", allow_pickle=True)
-    return np.load(io.BytesIO(store.read_bytes(path)), allow_pickle=True)
+        with open(local, "rb") as f:
+            magic = f.read(6)
+        if magic == _NPY_MAGIC:
+            return np.load(local, mmap_mode="r", allow_pickle=False)
+        with open(local, "rb") as f:
+            data = f.read()
+    else:
+        data = store.read_bytes(path)
+    if data[:6] == _NPY_MAGIC:
+        return np.load(io.BytesIO(data), allow_pickle=False)
+    tbl = pa.ipc.open_file(pa.BufferReader(data)).read_all()
+    return np.asarray(tbl.column("v").to_pylist(), dtype=object)
 
 
 def build_scalar_index(dataset, column: str, config, name: str | None = None) -> IndexMeta:
@@ -58,8 +84,8 @@ def build_scalar_index(dataset, column: str, config, name: str | None = None) ->
     if index_type == "BTREE":
         vals = col.to_numpy(zero_copy_only=False)
         null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
-        order = np.argsort(np.where(null_mask, _null_sort_key(vals), vals), kind="stable")
-        order = order[~null_mask[order]]  # nulls excluded from the sorted run
+        nn_idx = np.flatnonzero(~null_mask)  # nulls excluded from the sorted run
+        order = nn_idx[np.argsort(vals[nn_idx], kind="stable")]
         _save_npy(store, f"{prefix}/sorted_values.npy", np.asarray(vals)[order])
         _save_npy(store, f"{prefix}/sorted_rowids.npy", rids[order].view(np.int64))
         _save_npy(store, f"{prefix}/null_rowids.npy", rids[null_mask].view(np.int64))
@@ -154,14 +180,6 @@ def _suffix_array(t: np.ndarray) -> np.ndarray:
             break
         k *= 2
     return sa.astype(np.int64)
-
-
-def _null_sort_key(vals):
-    # stand-in key for nulls so argsort doesn't choke on None
-    try:
-        return np.zeros_like(vals)
-    except Exception:
-        return np.zeros(len(vals), dtype=object)
 
 
 class ScalarIndexReader:

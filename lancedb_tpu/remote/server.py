@@ -40,6 +40,7 @@ from .protocol import (
 class _Handler(BaseHTTPRequestHandler):
     server_version = "lancedb-tpu-server/0.1"
     conn: LanceDBConnection = None  # injected by make_server
+    api_key: str | None = None  # injected by make_server
 
     # silence default stderr logging
     def log_message(self, fmt, *args):  # noqa: D102
@@ -71,6 +72,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self, method: str):
         try:
+            if self.api_key is not None:
+                import hmac
+
+                presented = self.headers.get("x-api-key") or ""
+                if not hmac.compare_digest(presented, self.api_key):
+                    return self._error(401, "invalid or missing x-api-key")
             path = self.path.split("?")[0].rstrip("/")
             if path == "/v1/table" and method == "GET":
                 return self._list_tables()
@@ -352,9 +359,22 @@ class _Handler(BaseHTTPRequestHandler):
 class QueryServer:
     """A lancedb-tpu server over one database directory."""
 
-    def __init__(self, uri: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        uri: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        api_key: str | None = None,
+    ):
+        if api_key is None and host not in ("127.0.0.1", "localhost", "::1"):
+            raise ValueError(
+                "QueryServer exposes mutating endpoints (drop/delete/update/"
+                "restore); binding to a non-loopback host requires api_key="
+            )
         self._conn = LanceDBConnection(uri)
-        handler = type("BoundHandler", (_Handler,), {"conn": self._conn})
+        handler = type(
+            "BoundHandler", (_Handler,), {"conn": self._conn, "api_key": api_key}
+        )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
 
@@ -391,8 +411,17 @@ def main():  # pragma: no cover - CLI entry
     ap.add_argument("uri", help="database directory")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument(
+        "--api-key",
+        default=None,
+        help="require this x-api-key on every request "
+        "(mandatory for non-loopback hosts; env LANCEDB_TPU_API_KEY)",
+    )
     args = ap.parse_args()
-    server = QueryServer(args.uri, args.host, args.port)
+    import os
+
+    api_key = args.api_key or os.environ.get("LANCEDB_TPU_API_KEY")
+    server = QueryServer(args.uri, args.host, args.port, api_key=api_key)
     print(f"serving {args.uri} at {server.url} port={server.port}", flush=True)
     server._httpd.serve_forever()
 

@@ -195,12 +195,19 @@ class Dataset:
 
     @staticmethod
     def _latest_version(store: ObjectStore, root: str, branch: str = MAIN_BRANCH) -> int:
-        # fast path: branch head cache
+        """Newest version on `branch`.
+
+        Fast path: the branch-head cache (written after every commit, so
+        it may lag by a crashed committer but never leads). One LIST
+        finds versions newer than the cached head; only those manifests
+        (usually zero) are read, plus one read to validate the head —
+        O(1) GETs per open instead of O(versions).
+        """
         head = None
         try:
             raw = store.read_bytes(f"{root}/{REFS_DIR}/branches/{branch}.json")
-            head = json.loads(raw)["version"]
-        except FileNotFoundError:
+            head = int(json.loads(raw)["version"])
+        except (FileNotFoundError, KeyError, ValueError, TypeError):
             pass
         versions = sorted(
             version_from_path(p)
@@ -209,22 +216,24 @@ class Dataset:
         )
         if not versions:
             raise VersionNotFoundError("(no versions)")
-        if branch == MAIN_BRANCH and head is None:
-            # pre-branches table: newest manifest on main
-            candidates = versions
-        else:
-            candidates = versions
-        # scan down from the newest for a manifest on this branch, starting
-        # at the cached head if it is still valid
-        best = None
-        for v in reversed(candidates):
+        if head is not None:
+            # check manifests committed after the cached head (version
+            # numbers are global across branches, so filter by branch)
+            for v in reversed([v for v in versions if v > head]):
+                m = Dataset._read_manifest(store, root, v)
+                if m.branch == branch:
+                    return v
+            try:
+                if Dataset._read_manifest(store, root, head).branch == branch:
+                    return head
+            except VersionNotFoundError:
+                pass  # stale/corrupt head cache → full scan
+        # slow path: newest-down scan over every manifest
+        for v in reversed(versions):
             m = Dataset._read_manifest(store, root, v)
             if m.branch == branch:
-                best = v
-                break
-        if best is None:
-            raise BranchNotFoundError(branch)
-        return best
+                return v
+        raise BranchNotFoundError(branch)
 
     # ----------------------------------------------------------- commit
 
