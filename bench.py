@@ -262,10 +262,13 @@ def main() -> None:
             logical = sp.params.get("num_logical_partitions", blocks)
             pd = sp._device
             npb = min(blocks, max(1, int(np.ceil(20 * blocks / logical))))
+            from lancedb_tpu.index.vector import _pallas_available
+
             qps = timed_loop(
                 lambda q, c, cd, rn, cb, p: _ivf_pq_search_device(
                     q, c, cd, rn, cb, p, k=TOP_K, nprobes=npb, metric="l2",
                     has_mask=False, exact_sel=False,
+                    use_pallas=_pallas_available(),
                 )[0],
                 (pd["centroids"], pd["codes"], pd["rnorms"], pd["codebooks"], zero_pen),
                 16, f"IVF_PQ {tag} np=20", queries_per_batch=128,

@@ -661,7 +661,13 @@ def _ivf_pq_search_device(
     if has_mask:
         rn = rn + slot_penalty.reshape(nparts, pmax)
 
-    if use_pallas:
+    # Kernel choice is codebook-size dependent (measured, v5e, SIFT1M
+    # shapes, scripts/probe_pq8.py): K=16 (4-bit) the XLA one-hot einsum
+    # rides the MXU at 16.7k qps vs 8.9-11.6k for the fused kernels;
+    # K=256 (8-bit) the Pallas lane-gather kernel does 17.6k qps vs 756
+    # for the XLA einsum (the (Q,S,pmax,256) one-hot transient thrashes
+    # HBM). Route: Pallas only when the codebook outgrows the MXU sweep.
+    if use_pallas and kcode > 64:
         dists = ivf_pq_adc_scan_pallas(probe_ids, dlut, codes, rn, probe_dots, qn2)
     else:
         dlut_b = dlut.astype(matmul_dtype())

@@ -11,11 +11,16 @@ uncompressed IVF_FLAT scan. This kernel keeps everything in VMEM:
   id comes from a scalar-prefetched probe table feeding the BlockSpec
   index_map (pltpu.PrefetchScalarGridSpec), so no gathered code tensor
   ever exists in HBM, and Pallas double-buffers the DMA across cells.
-* the LUT sum  qdotr[p] = Σ_s dlut[s, codes[s, p]]  is computed with a
-  K-step select loop: step k adds  where(codes == k, dlut[:, k], 0)
-  lane-parallel across the whole (S, pmax) tile on the VPU. With
-  4-bit codes (K=16, the Quick-ADC operating point — PAPERS.md) this
-  is 16 vector passes per cell; K=256 works through the same loop.
+* the LUT sum  qdotr[p] = Σ_s dlut[s, codes[s, p]]  runs as an
+  in-VMEM lane gather: Mosaic's `tpu.dynamic_gather` does a true
+  per-lane table lookup within one 128-lane vreg row
+  (take_along_axis(x, idx, axis=1) with x.shape == idx.shape ==
+  (S, 128)). The LUT is laid out as NT = ceil(K/128) tables of
+  (S, 128); K ≤ 128 (the 4-bit Quick-ADC point) is ONE gather per
+  128-slot chunk, K = 256 is two gathers merged by the code's high
+  bit. This replaced a K-step compare-select sweep (O(S·K) VPU ops
+  per slot) with O(S) gathers — measured 30× on the 8-bit path and
+  1.2× on 4-bit at SIFT1M shapes (scripts/ab_adc8.py).
 * the cell writes the fused distance  |q|² − 2(q·c_p + q·r̃) + |x̃|²
   directly — one (pmax,) row per (query, probe) — leaving only the
   final top-k for XLA. Deletion/prefilter penalties are folded into
@@ -49,11 +54,19 @@ PMAX_ALIGN = 128
 S_ALIGN = 8
 
 
-def _adc_cell_kernel(
+LANE = 128  # vreg lane width: dynamic_gather operates within one row
+
+# codebook size at/below which the one-hot select sweep beats the lane
+# gather (measured on v5e at SIFT1M shapes: K=16 select 7.4 ms/batch vs
+# gather 11.0 ms; K=256 gather 7.6 ms vs select 169 ms)
+SELECT_MAX_K = 64
+
+
+def _adc_cell_kernel_gather(
     probe_ids_ref,  # scalar prefetch: (Q*NP,) int32
     qc_ref,         # scalar prefetch: (Q*NP,) f32 — q·c_p per (query, probe)
     qn2_ref,        # scalar prefetch: (Q,) f32 — |q|²
-    dlut_ref,       # (1, NC, S, KC) f32 — this query's dot-LUT, K-chunked
+    dlut_ref,       # (1, NT, S, 128) f32 — this query's dot-LUT as lane tables
     codes_ref,      # (1, S, pmax) uint8 — this probe's partition block
     rnorms_ref,     # (1, 1, pmax) f32 (+penalty, +inf padding)
     out_ref,        # (1, 1, 1, pmax) f32
@@ -63,17 +76,48 @@ def _adc_cell_kernel(
     np_ = pl.num_programs(1)
     codes = codes_ref[0].astype(jnp.int32)  # (S, PB)
     s, pmax = codes.shape
-    _, nc, _, kc = dlut_ref.shape
+    _, nt, _, _ = dlut_ref.shape
 
-    # one-hot LUT sum, K-chunked: chunk ci covers codes [ci*kc, (ci+1)*kc)
-    qdotr = jnp.zeros((1, pmax), jnp.float32)
-    for ci in range(nc):  # static unroll (nc is tiny)
-        lut = dlut_ref[0, ci]  # (S, KC)
-        steps = jax.lax.broadcasted_iota(jnp.int32, (s, kc, pmax), 1) + ci * kc
-        hit = codes[:, None, :] == steps  # (S, KC, pmax)
-        lut3 = jnp.broadcast_to(lut[:, :, None], (s, kc, pmax))
-        part = jnp.sum(jnp.where(hit, lut3, 0.0), axis=1, keepdims=True)  # (S, 1, pmax)
-        qdotr = qdotr + jnp.sum(part, axis=0)  # (1, pmax)
+    # per-lane LUT gather, one 128-lane chunk at a time (static unroll)
+    qdotx = qc_ref[qi * np_ + j]
+    base = qn2_ref[qi] - 2.0 * qdotx
+    for c in range(pmax // LANE):
+        cj = codes[:, c * LANE : (c + 1) * LANE]  # (S, 128)
+        if nt == 1:
+            g = jnp.take_along_axis(dlut_ref[0, 0], cj, axis=1)
+        else:
+            cm = jax.lax.bitwise_and(cj, LANE - 1)
+            g = jnp.take_along_axis(dlut_ref[0, 0], cm, axis=1)
+            for t in range(1, nt):
+                gt = jnp.take_along_axis(dlut_ref[0, t], cm, axis=1)
+                g = jnp.where(jax.lax.shift_right_logical(cj, 7) == t, gt, g)
+        qdotr = jnp.sum(g, axis=0)  # (128,)
+        out_ref[0, 0, 0, c * LANE : (c + 1) * LANE] = (
+            base - 2.0 * qdotr + rnorms_ref[0, 0, c * LANE : (c + 1) * LANE]
+        )
+
+
+def _adc_cell_kernel_select(
+    probe_ids_ref,  # scalar prefetch: (Q*NP,) int32
+    qc_ref,         # scalar prefetch: (Q*NP,) f32
+    qn2_ref,        # scalar prefetch: (Q,) f32
+    dlut_ref,       # (1, S, K) f32 — this query's dot-LUT (K ≤ SELECT_MAX_K)
+    codes_ref,      # (1, S, pmax) uint8
+    rnorms_ref,     # (1, 1, pmax) f32
+    out_ref,        # (1, 1, 1, pmax) f32
+):
+    qi = pl.program_id(0)
+    j = pl.program_id(1)
+    np_ = pl.num_programs(1)
+    codes = codes_ref[0].astype(jnp.int32)  # (S, PB)
+    s, pmax = codes.shape
+    k = dlut_ref.shape[2]
+
+    # one-hot select sweep: step c adds where(codes == c, dlut[:, c], 0)
+    steps = jax.lax.broadcasted_iota(jnp.int32, (s, k, pmax), 1)
+    hit = codes[:, None, :] == steps  # (S, K, PB)
+    lut3 = jnp.broadcast_to(dlut_ref[0][:, :, None], (s, k, pmax))
+    qdotr = jnp.sum(jnp.where(hit, lut3, 0.0), axis=(0, 1))[None, :]  # (1, PB)
     qdotx = qc_ref[qi * np_ + j] + qdotr
     out_ref[0, 0] = qn2_ref[qi] - 2.0 * qdotx + rnorms_ref[0]
 
@@ -97,23 +141,37 @@ def ivf_pq_adc_scan_pallas(
     if s % S_ALIGN:
         raise ValueError(f"padded subvector count {s} must be a multiple of {S_ALIGN}")
 
-    # chunk the LUT's K axis on a leading dim so the kernel never needs
-    # lane-dim slicing (Mosaic requires 128-aligned lane offsets)
-    kc = k if k <= 128 else 64
-    nc = k // kc
-    dlut_c = dlut.astype(jnp.float32).reshape(q, s, nc, kc).transpose(0, 2, 1, 3)
+    if k <= SELECT_MAX_K:
+        # small codebooks (4-bit): K-step one-hot select sweep
+        kernel = _adc_cell_kernel_select
+        dlut_in = dlut.astype(jnp.float32)
+        dlut_spec_shape = (1, s, k)
+    else:
+        # big codebooks (8-bit): lay the LUT out as NT tables of
+        # (S, 128) lanes — dynamic_gather looks up within one 128-lane
+        # row, so K ≤ 128 pads to one table and K = 256 splits into two
+        # selected by the code's high bit
+        nt = max(1, -(-k // LANE))
+        dlut_in = dlut.astype(jnp.float32)
+        if k < nt * LANE:
+            dlut_in = jnp.pad(dlut_in, ((0, 0), (0, 0), (0, nt * LANE - k)))
+        dlut_in = dlut_in.reshape(q, s, nt, LANE).transpose(0, 2, 1, 3)
+        kernel = _adc_cell_kernel_gather
+        dlut_spec_shape = (1, nt, s, LANE)
 
-    # block the slot (lane) axis so the per-cell working set — the
-    # (S, KC, PB) one-hot tile — stays well under the ~16 MB VMEM
-    # budget even for very unbalanced partitions (large pmax)
+    # block the slot (lane) axis so the per-cell working set stays well
+    # under the ~16 MB VMEM budget even for very unbalanced partitions
     pb = 512 if pmax % 512 == 0 else (256 if pmax % 256 == 0 else 128)
     nb = pmax // pb
 
+    ndl = len(dlut_spec_shape) - 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(q, np_, nb),
         in_specs=[
-            pl.BlockSpec((1, nc, s, kc), lambda qi, j, b, pids, qc, qn: (qi, 0, 0, 0)),
+            pl.BlockSpec(
+                dlut_spec_shape, lambda qi, j, b, pids, qc, qn: (qi,) + (0,) * ndl
+            ),
             pl.BlockSpec(
                 (1, s, pb), lambda qi, j, b, pids, qc, qn: (pids[qi * np_ + j], 0, b)
             ),
@@ -126,7 +184,7 @@ def ivf_pq_adc_scan_pallas(
         ),
     )
     out = pl.pallas_call(
-        _adc_cell_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q, np_, 1, pmax), jnp.float32),
         interpret=interpret,
@@ -134,7 +192,7 @@ def ivf_pq_adc_scan_pallas(
         probe_ids.reshape(-1).astype(jnp.int32),
         qc_dots.reshape(-1).astype(jnp.float32),
         qn2.reshape(-1).astype(jnp.float32),
-        dlut_c,
+        dlut_in,
         codes,
         rnorms.reshape(p, 1, pmax).astype(jnp.float32),
     )
