@@ -45,6 +45,19 @@ class DBConnection:
         for n in self.table_names():
             self.drop_table(n)
 
+    def sql(self, query: str):
+        """Execute a SQL SELECT over this database's tables.
+
+        Supports projection/aggregation/GROUP BY/HAVING/ORDER BY/LIMIT,
+        sub-selects, and the ``fts(table, 'query' [, k])`` table
+        function — the surface the reference provides through DataFusion
+        (reference rust/lancedb/src/table/datafusion.rs:37-44, udtf
+        fts.rs:16-51). Returns a pyarrow Table.
+        """
+        from .sql import execute_select
+
+        return execute_select(query, self.open_table)
+
     # deprecated alias kept for reference-parity
     def drop_database(self) -> None:
         self.drop_all_tables()

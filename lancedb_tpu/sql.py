@@ -1,0 +1,585 @@
+"""SQL SELECT engine over lancedb-tpu tables.
+
+The reference executes full SQL through DataFusion: `BaseTable` is a
+DataFusion `TableProvider` with filter pushdown (reference
+rust/lancedb/src/table/datafusion.rs:37-44) and full-text search is
+reachable from SQL through the `fts(table, query)` table function
+(reference rust/lancedb/src/table/datafusion/udtf/fts.rs:16-51). This
+module implements that surface natively:
+
+  SELECT [DISTINCT] items FROM source [WHERE p] [GROUP BY e,..]
+  [HAVING p] [ORDER BY e [ASC|DESC],..] [LIMIT n] [OFFSET m]
+
+* `source` is a table name, `fts(table, 'query' [, k])`, or a
+  parenthesised sub-select.
+* Aggregates: COUNT(*) / COUNT(x) / COUNT(DISTINCT x) / SUM / AVG /
+  MIN / MAX, freely nested in scalar expressions.
+* WHERE over a base table is pushed down into the storage scan (and
+  from there into scalar indexes via the existing prefilter path);
+  projection pushdown reads only referenced columns.
+
+Row-wise expression evaluation reuses filters/eval.py (pyarrow
+compute); grouping/aggregation runs on pyarrow group_by kernels. This
+is a host-side engine by design — the reference's DataFusion layer is
+also CPU-side; the device is for vector/FTS scans, which enter SQL
+through fts() and (via query builders) the search APIs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .errors import InvalidInputError, SqlParseError
+from .filters.eval import evaluate_expression, evaluate_predicate_mask
+from .filters.sql import (
+    Between,
+    BinaryOp,
+    Cast,
+    Column,
+    Expr,
+    FunctionCall,
+    Literal,
+    UnaryOp,
+    _Parser,
+)
+
+AGG_NAMES = {"count", "sum", "avg", "min", "max"}
+# clause-boundary words (not reserved in the expression grammar, so the
+# statement parser stops expression parsing when it sees one)
+_CLAUSE_WORDS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "BY", "ASC", "DESC", "DISTINCT", "SELECT", "UNION",
+}
+
+
+@dataclass(frozen=True)
+class Star(Expr):
+    def sql(self) -> str:
+        return "*"
+
+
+@dataclass(frozen=True)
+class Aggregate(Expr):
+    func: str          # count | count_distinct | count_all | sum | avg | min | max
+    arg: Expr | None   # None for count(*)
+
+    def sql(self) -> str:
+        if self.func == "count_all":
+            return "COUNT(*)"
+        if self.func == "count_distinct":
+            return f"COUNT(DISTINCT {self.arg.sql()})"
+        return f"{self.func.upper()}({self.arg.sql()})"
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: str | None
+
+    @property
+    def name(self) -> str:
+        if self.alias:
+            return self.alias
+        if isinstance(self.expr, Column):
+            return self.expr.name
+        return self.expr.sql().lower()
+
+
+@dataclass
+class TableSource:
+    kind: str                       # 'table' | 'fts' | 'subquery'
+    name: str | None = None         # table name
+    fts_query: Expr | None = None   # fts() args
+    fts_k: Expr | None = None
+    subquery: "SelectStatement | None" = None
+
+
+@dataclass
+class SelectStatement:
+    items: list[SelectItem]
+    source: TableSource
+    where: Expr | None = None
+    group_by: list[Expr] = field(default_factory=list)
+    having: Expr | None = None
+    order_by: list[tuple[Expr, bool]] = field(default_factory=list)  # (expr, desc)
+    limit: int | None = None
+    offset: int = 0
+    distinct: bool = False
+
+
+class _SelectParser(_Parser):
+    """Statement-level parser; expressions delegate to the filter grammar."""
+
+    def _at_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind in ("ident", "kw") and t.text.upper() in words
+
+    def _eat_word(self, word: str) -> bool:
+        if self._at_word(word):
+            self.next()
+            return True
+        return False
+
+    def parse_primary(self) -> Expr:
+        # aggregates (incl. COUNT(*) / COUNT(DISTINCT x)) before the
+        # generic function-call rule
+        t = self.peek()
+        if t.kind == "ident" and t.text.lower() in AGG_NAMES:
+            if self.toks[self.i + 1].kind == "lparen":
+                fname = t.text.lower()
+                self.next()
+                self.next()  # lparen
+                if fname == "count" and self.peek().kind == "op" and self.peek().text == "*":
+                    self.next()
+                    self.expect("rparen")
+                    return Aggregate("count_all", None)
+                distinct = False
+                if fname == "count" and self._at_word("DISTINCT"):
+                    self.next()
+                    distinct = True
+                arg = self.parse_or()
+                self.expect("rparen")
+                return Aggregate("count_distinct" if distinct else fname, arg)
+        return super().parse_primary()
+
+    def parse_expr_list(self) -> list[Expr]:
+        out = [self.parse_or()]
+        while self.peek().kind == "comma":
+            self.next()
+            out.append(self.parse_or())
+        return out
+
+    def parse_select(self) -> SelectStatement:
+        if not self._eat_word("SELECT"):
+            raise SqlParseError("expected SELECT")
+        distinct = bool(self._eat_word("DISTINCT"))
+        items: list[SelectItem] = []
+        while True:
+            if self.peek().kind == "op" and self.peek().text == "*":
+                self.next()
+                items.append(SelectItem(Star(), None))
+            else:
+                e = self.parse_or()
+                alias = None
+                if self.accept_kw("AS"):
+                    alias = self.expect("ident").text
+                elif self.peek().kind == "ident" and not self._at_word(*_CLAUSE_WORDS):
+                    alias = self.next().text
+                items.append(SelectItem(e, alias))
+            if self.peek().kind == "comma":
+                self.next()
+                continue
+            break
+        if not self._eat_word("FROM"):
+            raise SqlParseError("expected FROM")
+        source = self._parse_source()
+        where = self.parse_or() if self._eat_word("WHERE") else None
+        group_by: list[Expr] = []
+        if self._eat_word("GROUP"):
+            if not self._eat_word("BY"):
+                raise SqlParseError("expected BY after GROUP")
+            group_by = self.parse_expr_list()
+        having = self.parse_or() if self._eat_word("HAVING") else None
+        order_by: list[tuple[Expr, bool]] = []
+        if self._eat_word("ORDER"):
+            if not self._eat_word("BY"):
+                raise SqlParseError("expected BY after ORDER")
+            while True:
+                e = self.parse_or()
+                desc = False
+                if self._eat_word("DESC"):
+                    desc = True
+                else:
+                    self._eat_word("ASC")
+                order_by.append((e, desc))
+                if self.peek().kind == "comma":
+                    self.next()
+                    continue
+                break
+        limit = None
+        offset = 0
+        if self._eat_word("LIMIT"):
+            limit = int(self.expect("number").text)
+        if self._eat_word("OFFSET"):
+            offset = int(self.expect("number").text)
+        return SelectStatement(
+            items=items, source=source, where=where, group_by=group_by,
+            having=having, order_by=order_by, limit=limit, offset=offset,
+            distinct=distinct,
+        )
+
+    def _parse_source(self) -> TableSource:
+        t = self.peek()
+        if t.kind == "lparen":
+            self.next()
+            sub = self.parse_select()
+            self.expect("rparen")
+            if self.accept_kw("AS"):
+                self.expect("ident")
+            elif self.peek().kind == "ident" and not self._at_word(*_CLAUSE_WORDS):
+                self.next()
+            return TableSource(kind="subquery", subquery=sub)
+        name = self.expect("ident").text
+        if name.lower() == "fts" and self.peek().kind == "lparen":
+            self.next()
+            tbl = self.next()
+            if tbl.kind not in ("ident", "string"):
+                raise SqlParseError("fts() first argument must be a table name")
+            self.expect("comma")
+            q = self.parse_or()
+            k = None
+            if self.peek().kind == "comma":
+                self.next()
+                k = self.parse_or()
+            self.expect("rparen")
+            return TableSource(kind="fts", name=tbl.text, fts_query=q, fts_k=k)
+        return TableSource(kind="table", name=name)
+
+
+def parse_select(sql: str) -> SelectStatement:
+    p = _SelectParser(sql)
+    stmt = p.parse_select()
+    if p.peek().kind != "eof":
+        t = p.peek()
+        raise SqlParseError(f"unexpected trailing token {t.text!r} at {t.pos}")
+    return stmt
+
+
+# --------------------------------------------------------------- analysis
+
+def _walk(e: Expr):
+    yield e
+    if isinstance(e, BinaryOp):
+        yield from _walk(e.left)
+        yield from _walk(e.right)
+    elif isinstance(e, UnaryOp):
+        yield from _walk(e.operand)
+    elif isinstance(e, Between):
+        yield from _walk(e.operand)
+        yield from _walk(e.low)
+        yield from _walk(e.high)
+    elif isinstance(e, FunctionCall):
+        for a in e.args:
+            yield from _walk(a)
+    elif isinstance(e, Cast):
+        yield from _walk(e.operand)
+    elif isinstance(e, Aggregate) and e.arg is not None:
+        yield from _walk(e.arg)
+
+
+def _columns_of(exprs) -> set[str]:
+    out: set[str] = set()
+    for e in exprs:
+        if e is None:
+            continue
+        for n in _walk(e):
+            if isinstance(n, Column):
+                out.add(n.name.split(".")[0])
+    return out
+
+
+def _find_aggs(exprs) -> list[Aggregate]:
+    found: dict[str, Aggregate] = {}
+    for e in exprs:
+        if e is None:
+            continue
+        for n in _walk(e):
+            if isinstance(n, Aggregate):
+                found.setdefault(n.sql(), n)
+    return list(found.values())
+
+
+def _replace(e: Expr, table: dict[str, Expr]) -> Expr:
+    """Rewrite: any sub-expression whose .sql() is in `table` becomes the
+    mapped expression (used to bind aggregates / group keys to columns)."""
+    key = e.sql()
+    if key in table:
+        return table[key]
+    if isinstance(e, BinaryOp):
+        return BinaryOp(e.op, _replace(e.left, table), _replace(e.right, table))
+    if isinstance(e, UnaryOp):
+        return UnaryOp(e.op, _replace(e.operand, table))
+    if isinstance(e, Between):
+        return Between(
+            _replace(e.operand, table), _replace(e.low, table),
+            _replace(e.high, table), e.negated,
+        )
+    if isinstance(e, FunctionCall):
+        return FunctionCall(e.name, tuple(_replace(a, table) for a in e.args))
+    if isinstance(e, Cast):
+        return Cast(_replace(e.operand, table), e.type_name)
+    return e
+
+
+# --------------------------------------------------------------- execution
+
+_PA_AGG = {
+    "count": "count",
+    "count_distinct": "count_distinct",
+    "count_all": "count_all",
+    "sum": "sum",
+    "avg": "mean",
+    "min": "min",
+    "max": "max",
+}
+
+
+def execute_select(
+    sql_or_stmt: str | SelectStatement,
+    open_table: Callable[[str], Any],
+) -> pa.Table:
+    """Run a SELECT. `open_table(name)` resolves table names."""
+    stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
+
+    data = _load_source(stmt, open_table)
+
+    all_exprs = (
+        [it.expr for it in stmt.items]
+        + stmt.group_by
+        + [stmt.having]
+        + [e for e, _ in stmt.order_by]
+    )
+    aggs = _find_aggs(all_exprs)
+    grouped = bool(stmt.group_by) or bool(aggs)
+
+    if grouped:
+        out = _execute_grouped(stmt, data, aggs)
+    else:
+        out = _execute_plain(stmt, data)
+
+    if stmt.offset:
+        out = out.slice(stmt.offset)
+    if stmt.limit is not None:
+        out = out.slice(0, stmt.limit)
+    return out
+
+
+def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
+    src = stmt.source
+    has_star = any(isinstance(it.expr, Star) for it in stmt.items)
+    needed = None
+    if not has_star:
+        needed = sorted(
+            _columns_of(
+                [it.expr for it in stmt.items]
+                + stmt.group_by
+                + [stmt.having, stmt.where]
+                + [e for e, _ in stmt.order_by]
+            )
+        )
+    if src.kind == "table":
+        tbl = open_table(src.name)
+        qb = tbl.search(None)
+        if stmt.where is not None:
+            qb = qb.where(stmt.where.sql())  # pushdown (incl. scalar indexes)
+        if needed is not None:
+            cols = [c for c in needed if c in tbl.schema.names]
+            if cols:
+                qb = qb.select(cols)
+        return qb.to_arrow()
+    if src.kind == "fts":
+        tbl = open_table(src.name)
+        qv = src.fts_query
+        if not isinstance(qv, Literal) or not isinstance(qv.value, str):
+            raise InvalidInputError("fts() query must be a string literal")
+        query: Any = qv.value
+        if query.lstrip().startswith("{"):
+            # reference udtf/fts.rs accepts a JSON-encoded structured
+            # query; map it onto the FTS query AST
+            query = _fts_query_from_json(query)
+        k = tbl.count_rows()
+        if src.fts_k is not None:
+            if not isinstance(src.fts_k, Literal):
+                raise InvalidInputError("fts() k must be an integer literal")
+            k = int(src.fts_k.value)
+        out = tbl._execute_fts(query, k=k, filter=stmt.where.sql() if stmt.where else None)
+        return out
+    if src.kind == "subquery":
+        data = execute_select(src.subquery, open_table)
+        if stmt.where is not None:
+            mask = evaluate_predicate_mask(data, stmt.where)
+            data = data.filter(pa.array(mask))
+        return data
+    raise AssertionError(src.kind)
+
+
+def _fts_query_from_json(text: str):
+    import json
+
+    from .query_fts import BooleanQuery, BoostQuery, MatchQuery, PhraseQuery
+
+    def build(doc):
+        if "match" in doc:
+            m = doc["match"]
+            return MatchQuery(
+                m["query"], m.get("column"),
+                operator=m.get("operator", "OR"),
+                fuzziness=m.get("fuzziness", 0),
+            )
+        if "phrase" in doc:
+            p = doc["phrase"]
+            return PhraseQuery(p["query"], p.get("column"), slop=p.get("slop", 0))
+        if "boost" in doc:
+            b = doc["boost"]
+            return BoostQuery(
+                build(b["positive"]), build(b["negative"]),
+                negative_boost=b.get("negative_boost", 0.5),
+            )
+        if "boolean" in doc:
+            b = doc["boolean"]
+            clauses = []
+            for occur in ("should", "must", "must_not"):
+                for sub in b.get(occur, []):
+                    clauses.append((occur.replace("_", " ").upper(), build(sub)))
+            return BooleanQuery(clauses)
+        raise InvalidInputError(f"unsupported fts JSON query: {list(doc)}")
+
+    return build(json.loads(text))
+
+
+def _execute_plain(stmt: SelectStatement, data: pa.Table) -> pa.Table:
+    out_cols: dict[str, pa.Array] = {}
+    for it in stmt.items:
+        if isinstance(it.expr, Star):
+            for name in data.column_names:
+                out_cols[name] = data.column(name)
+        else:
+            out_cols[it.name] = _as_array(evaluate_expression(data, it.expr), data.num_rows)
+    out = pa.table(out_cols)
+    if stmt.distinct:
+        # DISTINCT precedes ORDER BY; afterwards sort keys must be
+        # output columns (standard SQL restriction for DISTINCT)
+        out = out.group_by(out.column_names).aggregate([])
+        if stmt.order_by:
+            out = _apply_order(stmt, out, env=out)
+        return out
+    if stmt.order_by:
+        out = _apply_order(stmt, out, env=data)
+    return out
+
+
+def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate]) -> pa.Table:
+    for it in stmt.items:
+        if isinstance(it.expr, Star):
+            raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
+
+    # pre-group columns: group keys + aggregate inputs
+    pre: dict[str, pa.Array] = {}
+    binding: dict[str, Expr] = {}  # expr.sql() -> Column placeholder
+    key_names: list[str] = []
+    for i, ge in enumerate(stmt.group_by):
+        name = f"__gk{i}"
+        pre[name] = _as_array(evaluate_expression(data, ge), data.num_rows)
+        binding[ge.sql()] = Column(name)
+        key_names.append(name)
+    agg_specs: list[tuple] = []
+    n_count_all = 0
+    for j, ag in enumerate(aggs):
+        pa_fn = _PA_AGG[ag.func]
+        if ag.func == "count_all":
+            if n_count_all == 0:
+                agg_specs.append(([], "count_all"))
+                n_count_all = 1
+            binding[ag.sql()] = Column("count_all")
+        else:
+            name = f"__ain{j}"
+            pre[name] = _as_array(evaluate_expression(data, ag.arg), data.num_rows)
+            agg_specs.append((name, pa_fn))
+            binding[ag.sql()] = Column(f"{name}_{pa_fn}")
+
+    pre_tbl = pa.table(pre) if pre else pa.table({"__one": pa.array([1] * data.num_rows)})
+
+    if key_names:
+        env = pre_tbl.group_by(key_names).aggregate(agg_specs)
+    else:
+        # single implicit group
+        env_cols: dict[str, pa.Array] = {}
+        for spec in agg_specs:
+            col, fn = spec
+            if fn == "count_all":
+                env_cols["count_all"] = pa.array([data.num_rows], type=pa.int64())
+                continue
+            arr = pre_tbl.column(col)
+            if fn == "count":
+                val = pc.count(arr).as_py()
+            elif fn == "count_distinct":
+                val = pc.count_distinct(arr).as_py()
+            elif fn == "mean":
+                val = pc.mean(arr).as_py()
+            else:
+                val = getattr(pc, fn)(arr).as_py()
+            env_cols[f"{col}_{fn}"] = pa.array([val])
+        env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
+
+    # group keys with nulls: pyarrow group_by keeps null groups (SQL too)
+    if stmt.having is not None:
+        mask = evaluate_predicate_mask(env, _replace(stmt.having, binding))
+        env = env.filter(pa.array(mask))
+
+    out_cols: dict[str, pa.Array] = {}
+    for it in stmt.items:
+        bound = _replace(it.expr, binding)
+        for n in _walk(bound):
+            if isinstance(n, Aggregate):
+                raise InvalidInputError(
+                    f"aggregate {n.sql()} not resolvable (is it missing from GROUP BY context?)"
+                )
+            if isinstance(n, Column) and not n.name.startswith("__") and n.name not in env.column_names:
+                raise InvalidInputError(
+                    f"column {n.name!r} must appear in GROUP BY or inside an aggregate"
+                )
+        out_cols[it.name] = _as_array(evaluate_expression(env, bound), env.num_rows)
+    out = pa.table(out_cols)
+    if stmt.distinct:
+        out = out.group_by(out.column_names).aggregate([])
+        if stmt.order_by:
+            out = _apply_order(stmt, out, env=out)
+        return out
+    if stmt.order_by:
+        out = _apply_order(stmt, out, env=env, binding=binding)
+    return out
+
+
+def _apply_order(
+    stmt: SelectStatement, out: pa.Table, env: pa.Table, binding: dict[str, Expr] | None = None
+) -> pa.Table:
+    sort_cols = []
+    aux: dict[str, pa.Array] = {}
+    alias_map = {it.name: it.expr for it in stmt.items if not isinstance(it.expr, Star)}
+    for idx, (e, desc) in enumerate(stmt.order_by):
+        direction = "descending" if desc else "ascending"
+        # alias or projected column reference → sort the output column
+        if isinstance(e, Column) and e.name in out.column_names:
+            sort_cols.append((e.name, direction))
+            continue
+        if isinstance(e, Column) and e.name in alias_map:
+            sort_cols.append((e.name, direction))
+            continue
+        be = _replace(e, binding) if binding else e
+        arr = _as_array(evaluate_expression(env, be), env.num_rows)
+        name = f"__ord{idx}"
+        aux[name] = arr
+        sort_cols.append((name, direction))
+    if aux:
+        if out.num_rows != env.num_rows:
+            raise InvalidInputError("ORDER BY expression must be computable on the result")
+        combined = out
+        for n, a in aux.items():
+            combined = combined.append_column(n, a)
+        idxs = pc.sort_indices(combined, sort_keys=sort_cols)
+        return out.take(idxs)
+    return out.sort_by(sort_cols)
+
+
+def _as_array(v, num_rows: int) -> pa.Array:
+    if isinstance(v, pa.ChunkedArray):
+        return v.combine_chunks()
+    if isinstance(v, pa.Array):
+        return v
+    if isinstance(v, pa.Scalar):
+        return pa.array([v.as_py()] * num_rows, type=v.type)
+    return pa.array([v] * num_rows)
