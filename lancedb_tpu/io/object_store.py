@@ -113,7 +113,12 @@ class LocalStore(ObjectStore):
     def write_bytes(self, path: str, data: bytes) -> None:
         p = self._abs(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp.%d" % os.getpid()
+        # tmp name must be unique per WRITER, not per process: two
+        # threads replacing the same path would otherwise share a tmp
+        # file and one os.replace() races the other into FileNotFoundError
+        import uuid as _uuid
+
+        tmp = p + ".tmp.%s" % _uuid.uuid4().hex
         with open(tmp, "wb") as f:
             f.write(data)
             f.flush()
@@ -360,6 +365,61 @@ class MirroringStore(ObjectStore):
         return self.primary.local_path(path)
 
 
+class LockTableCommitHandler:
+    """External lock-table commit handler for stores without an atomic
+    create-if-absent primitive (the reference's DynamoDB commit handler:
+    reference rust/lancedb/src/io/object_store.rs:4, SURVEY.md §2.7).
+
+    Serializes manifest creates through an auxiliary store that DOES
+    have an atomic `put_if_absent` (local filesystem, memory, or a real
+    lock service): acquire `<lock_root>/<sha1(path)>.lock`, then
+    check-and-write the manifest, then release. Stale locks (older than
+    `ttl_seconds`, e.g. a crashed committer) are broken.
+    """
+
+    def __init__(self, lock_store: "ObjectStore", lock_root: str, ttl_seconds: float = 30.0):
+        self.lock_store = lock_store
+        self.lock_root = lock_root.rstrip("/")
+        self.ttl = ttl_seconds
+
+    def _lock_key(self, path: str) -> str:
+        import hashlib
+
+        return f"{self.lock_root}/{hashlib.sha1(path.encode()).hexdigest()}.lock"
+
+    def put_if_absent(self, store: "ObjectStore", path: str, data: bytes) -> bool:
+        import json as _json
+        import time as _time
+        import uuid as _uuid
+
+        key = self._lock_key(path)
+        token = _uuid.uuid4().hex
+        deadline = _time.time() + max(self.ttl * 2, 10.0)
+        while True:
+            doc = _json.dumps({"owner": token, "ts": _time.time(), "path": path})
+            if self.lock_store.put_if_absent(key, doc.encode()):
+                break
+            try:
+                held = _json.loads(self.lock_store.read_bytes(key))
+                if _time.time() - float(held.get("ts", 0)) > self.ttl:
+                    self.lock_store.delete(key)  # break a stale lock
+                    continue
+            except FileNotFoundError:
+                continue  # released between put and read → retry at once
+            except Exception:
+                pass
+            if _time.time() > deadline:
+                raise TimeoutError(f"could not acquire commit lock for {path}")
+            _time.sleep(0.02)
+        try:
+            if store.exists(path):
+                return False
+            store.write_bytes(path, data)
+            return True
+        finally:
+            self.lock_store.delete(key)
+
+
 class FsspecStore(ObjectStore):
     """Cloud object storage through fsspec (s3://, gs://, az://, oss://).
 
@@ -367,18 +427,35 @@ class FsspecStore(ObjectStore):
     `object_store` crate (Cargo.toml:120-147); here any fsspec
     filesystem provides the same backends. `storage_options` pass
     through to the filesystem constructor (credentials, endpoints —
-    reference connection.rs:860-877). `put_if_absent` is emulated with
-    an existence check + write: S3-class stores lack an atomic
-    create-if-absent primitive, so concurrent committers should layer
-    an external lock table exactly as the reference's DynamoDB commit
-    handler does (SURVEY.md §2.7).
+    reference connection.rs:860-877).
+
+    `put_if_absent` (the manifest-commit primitive) is atomic when
+    either (a) the backend supports conditional creates — fsspec
+    `pipe_file(..., mode="create")` maps to S3 `If-None-Match: *` /
+    GCS generation-0 preconditions — or (b) a `commit_handler` is
+    configured (storage_options key ``lock_table_uri`` or
+    ``commit_handler``), mirroring the reference's DynamoDB handler.
+    Without both it falls back to check-then-write, which is safe only
+    for a single writer.
     """
 
-    def __init__(self, protocol: str, storage_options: dict | None = None):
+    def __init__(
+        self,
+        protocol: str,
+        storage_options: dict | None = None,
+        commit_handler: LockTableCommitHandler | None = None,
+    ):
         import fsspec
 
+        storage_options = dict(storage_options or {})
+        commit_handler = storage_options.pop("commit_handler", commit_handler)
+        lock_uri = storage_options.pop("lock_table_uri", None)
+        if commit_handler is None and lock_uri is not None:
+            lock_store, lock_root = resolve_uri(str(lock_uri))
+            commit_handler = LockTableCommitHandler(lock_store, lock_root)
+        self.commit_handler = commit_handler
         try:
-            self.fs = fsspec.filesystem(protocol, **(storage_options or {}))
+            self.fs = fsspec.filesystem(protocol, **storage_options)
         except (ImportError, ValueError) as e:
             raise InvalidInputError(
                 f"object-store scheme '{protocol}://' needs the fsspec "
@@ -409,6 +486,18 @@ class FsspecStore(ObjectStore):
         self.fs.pipe_file(path, data)
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        if self.commit_handler is not None:
+            return self.commit_handler.put_if_absent(self, path, data)
+        # conditional create: S3 If-None-Match:* / GCS generation-0
+        try:
+            self.fs.pipe_file(path, data, mode="create")
+            return True
+        except FileExistsError:
+            return False
+        except (TypeError, ValueError, NotImplementedError):
+            pass  # backend lacks conditional create — degrade below
+        # single-writer fallback: check-then-write (NOT atomic; configure
+        # lock_table_uri for concurrent committers on such backends)
         if self.fs.exists(path):
             return False
         self.fs.pipe_file(path, data)
