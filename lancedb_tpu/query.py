@@ -455,12 +455,48 @@ class LanceQueryBuilder:
         self._req.with_row_id = flag
         return self
 
+    _order_by = None
+
+    def order_by(self, *columns) -> "LanceQueryBuilder":
+        """Sort output rows (reference QueryRequest.order_by,
+        query.rs:818-887 — available on EVERY query surface): each item
+        a column name or (name, 'asc'|'desc') pair. On search builders
+        the sort applies to the k results (e.g. re-order an ANN result
+        set by a metadata column)."""
+        out = []
+        for c in columns:
+            if isinstance(c, str):
+                out.append((c, "ascending"))
+            else:
+                name, direction = c
+                out.append(
+                    (name, "descending" if str(direction).lower().startswith("desc") else "ascending")
+                )
+        self._order_by = out
+        return self
+
+    def _sorted(self, out: pa.Table) -> pa.Table:
+        return out.sort_by(self._order_by) if self._order_by else out
+
     # -- outputs --
     def to_arrow(self) -> pa.Table:
         raise NotImplementedError
 
-    def to_batches(self, max_batch_length: int = 1024) -> Iterable[pa.RecordBatch]:
-        return self.to_arrow().to_batches(max_chunksize=max_batch_length)
+    def to_batches(
+        self, max_batch_length: int = 1024, timeout: float | None = None
+    ) -> Iterable[pa.RecordBatch]:
+        """Stream results as RecordBatches of at most `max_batch_length`
+        rows (reference QueryExecutionOptions, query.rs:626-648).
+        Search builders produce k-bounded results, so they materialize
+        then re-chunk; the plain-scan builder overrides this with a
+        fragment-streaming implementation."""
+        import time as _time
+
+        start = _time.monotonic()
+        for b in self.to_arrow().to_batches(max_chunksize=max_batch_length):
+            if timeout is not None and _time.monotonic() - start > timeout:
+                raise TimeoutError(f"query exceeded timeout={timeout}s")
+            yield b
 
     def to_pandas(self):
         return self.to_arrow().to_pandas()
@@ -594,7 +630,7 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
             out = out.slice(0, self._req.k)
             if needs_rowid and ROW_ID_COL in out.column_names:
                 out = out.drop_columns([ROW_ID_COL])
-        return out
+        return self._sorted(out)
 
     def explain_plan(self, verbose: bool = False) -> str:
         return explain_vector_plan(self._table, self._req)
@@ -611,20 +647,6 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
     """Plain scan (no search) — filters/projection/limit only."""
 
     _use_lsm = False
-    _order_by = None
-
-    def order_by(self, *columns) -> "LanceEmptyQueryBuilder":
-        """Sort scan output (reference QueryRequest.order_by): each item a
-        column name or (name, 'asc'|'desc') pair."""
-        out = []
-        for c in columns:
-            if isinstance(c, str):
-                out.append((c, "ascending"))
-            else:
-                name, direction = c
-                out.append((name, "descending" if str(direction).lower().startswith("desc") else "ascending"))
-        self._order_by = out
-        return self
 
     def use_lsm(self, flag: bool = True) -> "LanceEmptyQueryBuilder":
         """Merge WAL rows over the base table (reference QueryRequest
@@ -700,6 +722,40 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
             base = base.slice(0, limit)
         return base
 
+    def to_batches(
+        self, max_batch_length: int = 1024, timeout: float | None = None
+    ) -> Iterable[pa.RecordBatch]:
+        """True streaming scan: one fragment resident at a time, so an
+        unlimited scan of a huge table runs in bounded host memory.
+        Sorted/LSM scans need the whole result and fall back to the
+        materializing base implementation."""
+        if self._order_by or self._use_lsm:
+            yield from super().to_batches(max_batch_length, timeout)
+            return
+        import time as _time
+
+        start = _time.monotonic()
+        ds = self._table._dataset
+        cols = _selected_columns(self._table, self._req)
+        limit = self._req.k if getattr(self, "_limit_set", False) else None
+        dyn = self._req.select if isinstance(self._req.select, dict) else None
+        for batch in ds.scan_batches(
+            columns=cols,
+            predicate=self._req.filter,
+            limit=limit,
+            offset=self._req.offset,
+            with_row_id=self._req.with_row_id,
+            max_batch_length=max_batch_length,
+        ):
+            if timeout is not None and _time.monotonic() - start > timeout:
+                raise TimeoutError(f"query exceeded timeout={timeout}s")
+            if dyn is not None:
+                tb = pa.Table.from_batches([batch])
+                batch = pa.table(
+                    {a: evaluate_expression(tb, e) for a, e in dyn.items()}
+                ).combine_chunks().to_batches()[0]
+            yield batch
+
     def explain_plan(self, verbose: bool = False) -> str:
         return (
             f"ProjectionExec: columns={self._req.select or 'all'}\n"
@@ -735,7 +791,7 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
             out = reranker.rerank_fts(str(self._query), out).slice(0, self._req.k)
             if not self._req.with_row_id and ROW_ID_COL in out.column_names:
                 out = out.drop_columns([ROW_ID_COL])
-        return out
+        return self._sorted(out)
 
     def explain_plan(self, verbose: bool = False) -> str:
         return (
@@ -811,4 +867,4 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         if self._req.select is not None and not isinstance(self._req.select, dict):
             keep = [c for c in fused.column_names if c in set(self._req.select) | {DIST_COL, SCORE_COL, RELEVANCE_COL, ROW_ID_COL}]
             fused = fused.select(keep)
-        return fused
+        return self._sorted(fused)

@@ -478,6 +478,38 @@ class Dataset:
             out = out.slice(0, limit)
         return out
 
+    def scan_batches(
+        self,
+        columns: list[str] | None = None,
+        predicate: str | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+        with_row_id: bool = False,
+        max_batch_length: int = 1024,
+    ) -> Iterator[pa.RecordBatch]:
+        """Stream the scan as bounded RecordBatches: one fragment is
+        resident at a time, so a full-table scan runs in O(fragment +
+        max_batch_length) memory (reference QueryExecutionOptions
+        max_batch_length, query.rs:626-648)."""
+        remaining = limit
+        to_skip = offset
+        for _, tbl in self.scan_fragments(columns, predicate, with_row_id):
+            if to_skip:
+                if tbl.num_rows <= to_skip:
+                    to_skip -= tbl.num_rows
+                    continue
+                tbl = tbl.slice(to_skip)
+                to_skip = 0
+            if remaining is not None:
+                if remaining <= 0:
+                    return
+                if tbl.num_rows > remaining:
+                    tbl = tbl.slice(0, remaining)
+                remaining -= tbl.num_rows
+            for batch in tbl.to_batches(max_chunksize=max_batch_length):
+                if batch.num_rows:
+                    yield batch
+
     def _empty_projection(self, columns: list[str] | None, with_row_id: bool) -> pa.Table:
         fields = []
         for f in self.schema:
