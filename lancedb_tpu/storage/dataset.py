@@ -727,29 +727,55 @@ class Dataset:
         matched_ast = parse_sql_expr(matched_condition) if matched_condition else None
         delete_ast = parse_sql_expr(delete_condition) if delete_condition else None
 
-        def _key_bytes(tbl: pa.Table) -> list[bytes]:
-            cols = [tbl.column(c).to_pylist() for c in on]
-            return [
-                "\x1f".join(repr(c[i]) for c in cols).encode()
-                for i in range(tbl.num_rows)
-            ]
+        n_src = source.num_rows
+        src_key_cols = [source.column(c).combine_chunks() for c in on]
 
-        src_key_bytes = _key_bytes(source)
+        def _match_indices(tgt: pa.Table) -> np.ndarray:
+            """For each target row: matching source row index, or -1.
 
-        def _match_indices(tgt_keys: list[bytes]) -> np.ndarray:
-            """For each target row, matching source row index or -1 —
-            native C++ hash join when available."""
-            from ..native import hash_join_native
-
-            out = hash_join_native(src_key_bytes, tgt_keys)
-            if out is not None:
-                return out
-            index = {k: i for i, k in enumerate(src_key_bytes)}
-            return np.asarray([index.get(k, -1) for k in tgt_keys], dtype=np.int64)
+            Arrow-native equi-join keys: concat source+target values per
+            key column, dictionary-encode once (Arrow's hash kernel —
+            value equality, so float keys are exact and -0.0 == 0.0,
+            unlike the repr-string keys this replaced), fold multi-column
+            codes with np.unique, then match through a dense lookup
+            array. No per-row Python. NULL keys never match (SQL).
+            """
+            n_tgt = tgt.num_rows
+            per_col = np.empty((len(on), n_src + n_tgt), dtype=np.int64)
+            null_any = np.zeros(n_src + n_tgt, dtype=bool)
+            for ci, c in enumerate(on):
+                t_arr = tgt.column(c)
+                if isinstance(t_arr, pa.ChunkedArray):
+                    t_arr = t_arr.combine_chunks()
+                both = pa.concat_arrays([src_key_cols[ci], t_arr])
+                if pa.types.is_floating(both.type):
+                    # dictionary_encode hashes bit patterns; SQL equality
+                    # needs -0.0 == 0.0, and x + 0.0 canonicalizes -0.0
+                    both = pc.add(both, pa.scalar(0.0, both.type))
+                enc = both.dictionary_encode()
+                idx = pc.fill_null(enc.indices, -1)
+                codes = np.asarray(idx, dtype=np.int64)
+                null_any |= codes < 0
+                per_col[ci] = codes
+            if len(on) == 1:
+                final = per_col[0]
+            else:
+                _, final = np.unique(per_col.T, axis=0, return_inverse=True)
+                final = final.astype(np.int64)
+            src_codes, tgt_codes = final[:n_src], final[n_src:]
+            src_valid = ~null_any[:n_src]
+            tgt_valid = ~null_any[n_src:]
+            size = int(final.max()) + 1 if len(final) else 0
+            lookup = np.full(size, -1, dtype=np.int64)
+            lookup[src_codes[src_valid]] = np.nonzero(src_valid)[0]
+            match = np.full(n_tgt, -1, dtype=np.int64)
+            if size:
+                match[tgt_valid] = lookup[tgt_codes[tgt_valid]]
+            return match
 
         def build(current: Manifest) -> Manifest:
             draft = current.child("merge_insert", on=on)
-            matched_src_rows: set[int] = set()
+            matched_src_rows = np.zeros(n_src, dtype=bool)
             appends: list[pa.Table] = []
             new_frags: list[FragmentMeta] = []
             n_updated = n_deleted = 0
@@ -758,9 +784,9 @@ class Dataset:
                 tbl = reader.read_all()
                 keep = deletion_mask(self.store, self.root, meta)
                 alive = keep if keep is not None else np.ones(tbl.num_rows, dtype=bool)
-                match = _match_indices(_key_bytes(tbl))
+                match = _match_indices(tbl)
                 matched = alive & (match >= 0)
-                matched_src_rows.update(match[matched].tolist())
+                matched_src_rows[match[matched]] = True
                 to_delete_mask = np.zeros(tbl.num_rows, dtype=bool)
                 if when_matched_update_all and matched.any():
                     upd = matched.copy()
@@ -811,8 +837,8 @@ class Dataset:
                     new_frags.append(meta)
             n_inserted = 0
             if when_not_matched_insert_all:
-                unmatched = [i for i in range(source.num_rows) if i not in matched_src_rows]
-                if unmatched:
+                unmatched = np.nonzero(~matched_src_rows)[0]
+                if len(unmatched):
                     appends.append(source.take(pa.array(unmatched)))
                     n_inserted = len(unmatched)
             draft.fragments = new_frags
