@@ -61,13 +61,29 @@ class ClientConfig:
     retry_config: RetryConfig = field(default_factory=RetryConfig)
     timeout_config: TimeoutConfig = field(default_factory=TimeoutConfig)
     extra_headers: dict[str, str] = field(default_factory=dict)
+    # callable returning per-request headers (reference remote/client.rs
+    # header providers — rotating OAuth tokens etc.)
+    header_provider: Any | None = None
+    # inserts larger than this stream through the multipart endpoints
+    # (reference insert batching, client.rs:50 — 8 GiB there)
+    max_insert_bytes: int = 256 * 1024 * 1024
 
 
 class RestClient:
-    def __init__(self, base_url: str, api_key: str | None = None, config: ClientConfig | None = None):
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str | None = None,
+        config: ClientConfig | None = None,
+        transport: Any | None = None,
+    ):
+        """`transport` swaps the HTTP send layer for tests — the
+        reference's MockSender (remote/client.rs:930-1050): a callable
+        (method, url, headers, body) -> (status, body_bytes)."""
         self.base_url = base_url.rstrip("/")
         self.api_key = api_key
         self.config = config or ClientConfig()
+        self.transport = transport
 
     def request(
         self,
@@ -87,13 +103,32 @@ class RestClient:
         request_id = _uuid.uuid4().hex
         last_err: Exception | None = None
         for attempt in range(rc.retries + 1):
-            req = urllib.request.Request(url, data=body, method=method)
-            req.add_header("user-agent", self.config.user_agent)
-            req.add_header(REQUEST_ID_HEADER, request_id)
-            req.add_header("content-type", content_type)
+            headers = {
+                "user-agent": self.config.user_agent,
+                REQUEST_ID_HEADER: request_id,
+                "content-type": content_type,
+            }
             if self.api_key:
-                req.add_header("x-api-key", self.api_key)
-            for k, v in self.config.extra_headers.items():
+                headers["x-api-key"] = self.api_key
+            headers.update(self.config.extra_headers)
+            if self.config.header_provider is not None:
+                headers.update(self.config.header_provider())
+            if self.transport is not None:
+                status, payload = self.transport(method, url, headers, body)
+                if status < 400:
+                    return status, payload, {}
+                if status in rc.statuses and attempt < rc.retries:
+                    time.sleep(rc.backoff_factor * (2**attempt))
+                    last_err = HttpError(f"status {status}", status_code=status)
+                    continue
+                message = payload.decode(errors="replace")
+                try:
+                    message = loads(payload).get("error", message)
+                except Exception:
+                    pass
+                raise HttpError(message, status_code=status, request_id=request_id)
+            req = urllib.request.Request(url, data=body, method=method)
+            for k, v in headers.items():
                 req.add_header(k, v)
             try:
                 with urllib.request.urlopen(req, timeout=self.config.timeout_config.read_timeout) as resp:
@@ -162,15 +197,31 @@ class RemoteTable:
         ]
         return pa.schema(fields)
 
+    # client-side read pin: the server is stateless per request, so
+    # checkout() records the version/branch here and every read sends it
+    # (reference RemoteTable passes the read version with each request)
+    _read_version = None
+    _read_branch = None
+
+    def _read_params(self) -> dict:
+        out = {}
+        if self._read_version is not None:
+            out["version"] = self._read_version
+        if self._read_branch is not None:
+            out["branch"] = self._read_branch
+        return out
+
     def describe(self) -> dict:
-        return self._c.post_json(self._p("describe"))
+        return self._c.post_json(self._p("describe"), self._read_params() or None)
 
     @property
     def version(self) -> int:
         return self.describe()["version"]
 
     def count_rows(self, filter: str | None = None) -> int:
-        return self._c.post_json(self._p("count_rows"), {"predicate": filter})
+        return self._c.post_json(
+            self._p("count_rows"), {"predicate": filter, **self._read_params()}
+        )
 
     def stats(self) -> dict:
         return self.describe()["stats"]
@@ -182,7 +233,7 @@ class RemoteTable:
         return RemoteQueryBuilder(self, query, vector_column_name, query_type, fts_columns)
 
     def _query(self, body: dict) -> pa.Table:
-        return self._c.post_arrow_out(self._p("query"), body)
+        return self._c.post_arrow_out(self._p("query"), {**self._read_params(), **body})
 
     def explain_plan(self, vector, k: int = 10) -> str:
         return self._c.post_json(
@@ -198,7 +249,37 @@ class RemoteTable:
     def add(self, data, mode: str = "append") -> None:
         from ..arrow import to_arrow_table
 
-        self._c.post_arrow_in(self._p("insert"), to_arrow_table(data), params={"mode": mode})
+        tbl = to_arrow_table(data)
+        if tbl.nbytes > self._c.config.max_insert_bytes:
+            return self._add_multipart(tbl, mode)
+        params = {"mode": mode}
+        if self._read_branch:
+            params["branch"] = self._read_branch
+        self._c.post_arrow_in(self._p("insert"), tbl, params=params)
+
+    def _add_multipart(self, tbl: pa.Table, mode: str) -> None:
+        """Stream a large insert as bounded parts committed atomically at
+        complete (reference remote/table.rs multipart_write endpoints)."""
+        uid = self._c.post_json(self._p("multipart/create"))["id"]
+        try:
+            budget = max(1, self._c.config.max_insert_bytes)
+            rows_per_part = max(1, int(tbl.num_rows * budget / max(tbl.nbytes, 1)))
+            part = 0
+            for start in range(0, tbl.num_rows, rows_per_part):
+                chunk = tbl.slice(start, rows_per_part)
+                self._c.post_arrow_in(
+                    self._p("multipart/put"), chunk,
+                    params={"id": uid, "part": str(part)},
+                )
+                part += 1
+            self._c.post_json(
+                self._p("multipart/complete"), params={"id": uid, "mode": mode}
+            )
+        except Exception:
+            try:
+                self._c.post_json(self._p("multipart/abort"), params={"id": uid})
+            finally:
+                raise
 
     def update(self, where: str | None = None, values: dict | None = None, *, values_sql: dict | None = None) -> dict:
         updates = []
@@ -209,10 +290,15 @@ class RemoteTable:
                 updates.append([col, repr(val)])
         for col, expr in (values_sql or {}).items():
             updates.append([col, expr])
-        return self._c.post_json(self._p("update"), {"predicate": where, "updates": updates})
+        return self._c.post_json(
+            self._p("update"),
+            {"predicate": where, "updates": updates, **self._read_params()},
+        )
 
     def delete(self, predicate: str) -> int:
-        return self._c.post_json(self._p("delete"), {"predicate": predicate})["deleted_rows"]
+        return self._c.post_json(
+            self._p("delete"), {"predicate": predicate, **self._read_params()}
+        )["deleted_rows"]
 
     def merge_insert(self, on: str | list[str]):
         from ..table import MergeInsertBuilder
@@ -242,6 +328,8 @@ class RemoteTable:
                     params["when_matched_update_all_filt"] = self._update_condition
                 if self._delete_condition:
                     params["when_not_matched_by_source_delete_filt"] = self._delete_condition
+                if outer._read_branch:
+                    params["branch"] = outer._read_branch
                 return outer._c.post_arrow_in(
                     outer._p("merge_insert"), to_arrow_table(new_data), params=params
                 )
@@ -292,13 +380,56 @@ class RemoteTable:
         return self._c.post_json(self._p("version/list"))["versions"]
 
     def checkout(self, version: int) -> None:
-        self._c.post_json(self._p("checkout"), {"version": version})
+        self._read_version = version
+
+    def checkout_latest(self) -> None:
+        self._read_version = None
+
+    def checkout_branch(self, name: str) -> None:
+        self._read_branch = name if name != "main" else None
+        self._read_version = None
 
     def restore(self, version: int | None = None) -> None:
-        self._c.post_json(self._p("restore"), {"version": version})
+        self._c.post_json(
+            self._p("restore"), {"version": version or self._read_version}
+        )
+        self._read_version = None
 
     def optimize(self) -> dict:
         return self._c.post_json(self._p("optimize"))
+
+    # ---- branches (reference remote/table.rs branches/*) ----
+    def list_branches(self) -> dict:
+        return self._c.post_json(self._p("branches/list"))["branches"]
+
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        self._c.post_json(
+            self._p("branches/create"), {"branch": name, "version": version}
+        )
+
+    def delete_branch(self, name: str) -> None:
+        self._c.post_json(self._p("branches/delete"), {"branch": name})
+
+    def diff_branch(self, name: str) -> dict:
+        return self._c.post_json(self._p("branches/diff"), {"branch": name})
+
+    def merge_branch(self, name: str) -> dict:
+        body = {"branch": name}
+        if self._read_branch:
+            body["base_branch"] = self._read_branch
+        return self._c.post_json(self._p("branches/merge"), body)
+
+    # ---- schema evolution (reference remote/table.rs add/alter/drop) ----
+    def add_columns(self, transforms: dict[str, str]) -> None:
+        self._c.post_json(
+            self._p("add_columns"), {"new_columns": list(transforms.items())}
+        )
+
+    def alter_columns(self, *alterations: dict) -> None:
+        self._c.post_json(self._p("alter_columns"), {"alterations": list(alterations)})
+
+    def drop_columns(self, columns: list[str]) -> None:
+        self._c.post_json(self._p("drop_columns"), {"columns": list(columns)})
 
     @property
     def tags(self):

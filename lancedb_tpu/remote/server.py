@@ -97,6 +97,19 @@ class _Handler(BaseHTTPRequestHandler):
             traceback.print_exc()
             return self._error(500, f"{type(e).__name__}: {e}")
 
+    def _open(self, name, body=None):
+        """Open a table honoring per-request time-travel params (the
+        server is stateless across requests, so reads at a version/tag/
+        branch pass them per request — reference remote/table.rs passes
+        version with each read)."""
+        body = body or {}
+        return self.conn.open_table(
+            name,
+            version=body.get("version"),
+            tag=body.get("tag"),
+            branch=body.get("branch"),
+        )
+
     # ---------------------------------------------------------- tables
     def _list_tables(self):
         import urllib.parse
@@ -128,7 +141,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond(200, dumps({}))
 
     def op_describe(self, name):
-        t = self.conn.open_table(name)
+        body = loads(self._read_body()) if self.headers.get("content-length") else {}
+        t = self._open(name, body)
         self._respond(
             200,
             dumps(
@@ -143,7 +157,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def op_count_rows(self, name):
         body = loads(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name, body)
         self._respond(200, dumps(t.count_rows(body.get("predicate"))))
 
     def op_insert(self, name):
@@ -152,14 +166,14 @@ class _Handler(BaseHTTPRequestHandler):
         q = urllib.parse.urlparse(self.path).query
         params = dict(urllib.parse.parse_qsl(q))
         data = ipc_to_table(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name, {"branch": params.get("branch")})
         t.add(data, mode=params.get("mode", "append"))
         self._respond(200, dumps({"version": t.version}))
 
     # ----------------------------------------------------------- queries
     def op_query(self, name):
         body = loads(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name, body)
         if body.get("vector") in (None, []) and "full_text_query" not in body:
             # plain (no-vector) scan: filter/select/limit/offset
             qb = t.search(None)
@@ -238,14 +252,14 @@ class _Handler(BaseHTTPRequestHandler):
     # --------------------------------------------------------- mutation
     def op_update(self, name):
         body = loads(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name, {"branch": body.get("branch")})
         updates = {c: e for c, e in body.get("updates", [])}
         stats = t.update(where=body.get("predicate"), values_sql=updates)
         self._respond(200, dumps(stats))
 
     def op_delete(self, name):
         body = loads(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name, {"branch": body.get("branch")})
         n = t.delete(body["predicate"])
         self._respond(200, dumps({"deleted_rows": n, "version": t.version}))
 
@@ -255,7 +269,7 @@ class _Handler(BaseHTTPRequestHandler):
         q = urllib.parse.urlparse(self.path).query
         params = dict(urllib.parse.parse_qsl(q))
         data = ipc_to_table(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name, {"branch": params.get("branch")})
         on = params.get("on", "").split(",")
         b = t.merge_insert(on)
         if params.get("when_matched_update_all") == "true":
@@ -355,6 +369,103 @@ class _Handler(BaseHTTPRequestHandler):
         t = self.conn.open_table(name)
         self._respond(200, dumps(t.optimize()))
 
+    # ---------------------------------------------------------- branches
+    def op_branches_list(self, name):
+        t = self.conn.open_table(name)
+        self._respond(200, dumps({"branches": t.list_branches()}))
+
+    def op_branches_create(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.create_branch(body["branch"], body.get("version"))
+        self._respond(200, dumps({}))
+
+    def op_branches_delete(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.delete_branch(body["branch"])
+        self._respond(200, dumps({}))
+
+    def op_branches_diff(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        self._respond(200, dumps(t.diff_branch(body["branch"])))
+
+    def op_branches_merge(self, name):
+        body = loads(self._read_body())
+        # "branch" is the merge SOURCE; the checkout base rides separately
+        t = self._open(name, {"branch": body.get("base_branch")})
+        self._respond(200, dumps(t.merge_branch(body["branch"])))
+
+    # --------------------------------------------------- schema evolution
+    def op_add_columns(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.add_columns(dict(body["new_columns"]))
+        self._respond(200, dumps({"version": t.version}))
+
+    def op_alter_columns(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.alter_columns(*body["alterations"])
+        self._respond(200, dumps({"version": t.version}))
+
+    def op_drop_columns(self, name):
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        t.drop_columns(body["columns"])
+        self._respond(200, dumps({"version": t.version}))
+
+    # ---------------------------------------------------------- multipart
+    # reference remote/table.rs multipart_write/{create,complete,abort}:
+    # large inserts stream as bounded parts, committed atomically at
+    # complete. Parts buffer server-side keyed by upload id.
+    _uploads: dict = {}
+    _uploads_lock = threading.Lock()
+
+    def op_multipart_create(self, name):
+        uid = _uuid.uuid4().hex
+        with self._uploads_lock:
+            self._uploads[uid] = {}
+        self._respond(200, dumps({"id": uid}))
+
+    def op_multipart_put(self, name):
+        import urllib.parse
+
+        q = urllib.parse.urlparse(self.path).query
+        params = dict(urllib.parse.parse_qsl(q))
+        uid, part = params["id"], int(params["part"])
+        data = ipc_to_table(self._read_body())
+        with self._uploads_lock:
+            if uid not in self._uploads:
+                return self._error(404, f"unknown upload {uid}")
+            self._uploads[uid][part] = data
+        self._respond(200, dumps({}))
+
+    def op_multipart_complete(self, name):
+        import urllib.parse
+
+        q = urllib.parse.urlparse(self.path).query
+        params = dict(urllib.parse.parse_qsl(q))
+        uid = params["id"]
+        with self._uploads_lock:
+            parts = self._uploads.pop(uid, None)
+        if parts is None:
+            return self._error(404, f"unknown upload {uid}")
+        data = pa.concat_tables([parts[k] for k in sorted(parts)])
+        t = self.conn.open_table(name)
+        t.add(data, mode=params.get("mode", "append"))
+        self._respond(200, dumps({"version": t.version, "rows": data.num_rows}))
+
+    def op_multipart_abort(self, name):
+        import urllib.parse
+
+        q = urllib.parse.urlparse(self.path).query
+        params = dict(urllib.parse.parse_qsl(q))
+        with self._uploads_lock:
+            self._uploads.pop(params["id"], None)
+        self._respond(200, dumps({}))
+
 
 class QueryServer:
     """A lancedb-tpu server over one database directory."""
@@ -373,7 +484,15 @@ class QueryServer:
             )
         self._conn = LanceDBConnection(uri)
         handler = type(
-            "BoundHandler", (_Handler,), {"conn": self._conn, "api_key": api_key}
+            "BoundHandler",
+            (_Handler,),
+            {
+                "conn": self._conn,
+                "api_key": api_key,
+                # per-server multipart upload buffers
+                "_uploads": {},
+                "_uploads_lock": threading.Lock(),
+            },
         )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None

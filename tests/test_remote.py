@@ -181,3 +181,153 @@ class TestRemotePlainScan:
         upd = post("/v1/table/ts/update",
                    {"predicate": "id = 0", "updates": [["label", "'updated'"]]})
         assert upd["rows_updated"] == 1
+
+
+class TestRemoteParity:
+    """Versions/branches/schema-evolution/multipart over the wire
+    (reference remote/table.rs:177-2589 endpoint semantics)."""
+
+    def test_time_travel_reads(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        v1 = t.version
+        t.add(make_vector_table(5, seed=1))
+        assert t.count_rows() == 15
+        t.checkout(v1)
+        assert t.count_rows() == 10  # read pinned at v1
+        assert t.version == v1
+        t.checkout_latest()
+        assert t.count_rows() == 15
+
+    def test_restore(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        v1 = t.version
+        t.add(make_vector_table(5, seed=1))
+        t.restore(v1)
+        assert t.count_rows() == 10
+        versions = t.list_versions()
+        assert len(versions) >= 3  # create, add, restore
+
+    def test_tags_roundtrip(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        t.tags.create("v1.0")
+        tags = t.tags.list()
+        assert "v1.0" in tags
+        t.tags.delete("v1.0")
+        assert "v1.0" not in t.tags.list()
+
+    def test_branches_over_the_wire(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        t.create_branch("dev")
+        assert "dev" in t.list_branches()
+        t.checkout_branch("dev")
+        t.add(make_vector_table(5, seed=2))
+        assert t.count_rows() == 15
+        t.checkout_branch("main")
+        assert t.count_rows() == 10
+        diff = t.diff_branch("dev")
+        assert diff  # non-empty diff doc
+        merged = t.merge_branch("dev")
+        assert merged
+        assert t.count_rows() == 15
+        t.delete_branch("dev")
+        assert "dev" not in t.list_branches()
+
+    def test_schema_evolution(self, remote_db):
+        remote_db.create_table("t", make_vector_table(10))
+        t = remote_db.open_table("t")
+        t.add_columns({"double_price": "price * 2"})
+        assert "double_price" in t.schema.names
+        t.alter_columns({"path": "double_price", "rename": "p2"})
+        assert "p2" in t.schema.names
+        t.drop_columns(["p2"])
+        assert "p2" not in t.schema.names
+
+    def test_multipart_insert(self, tmp_path):
+        from lancedb_tpu.remote import QueryServer, connect_remote
+        from lancedb_tpu.remote.client import ClientConfig
+
+        with QueryServer(str(tmp_path / "db")) as server:
+            cfg = ClientConfig(max_insert_bytes=4096)  # force multipart
+            db = connect_remote(server.url, config=cfg)
+            db.create_table("t", make_vector_table(10))
+            t = db.open_table("t")
+            t.add(make_vector_table(500, seed=9))  # ≫ 4096 bytes
+            assert t.count_rows() == 510
+
+
+class TestMockTransport:
+    """Canned-response harness — the reference's MockSender
+    (remote/client.rs:930-1050): test client behavior with no server."""
+
+    def _client(self, handler):
+        from lancedb_tpu.remote.client import RestClient
+
+        return RestClient("http://fake", transport=handler)
+
+    def test_canned_response(self):
+        import json
+
+        def handler(method, url, headers, body):
+            assert "/v1/table" in url
+            return 200, json.dumps({"tables": ["a", "b"]}).encode()
+
+        c = self._client(handler)
+        assert c.get_json("/v1/table")["tables"] == ["a", "b"]
+
+    def test_retry_on_503_then_success(self):
+        import json
+
+        calls = []
+
+        def handler(method, url, headers, body):
+            calls.append(1)
+            if len(calls) < 3:
+                return 503, b'{"error": "overloaded"}'
+            return 200, json.dumps({"ok": True}).encode()
+
+        from lancedb_tpu.remote.client import ClientConfig, RetryConfig
+
+        from lancedb_tpu.remote.client import RestClient
+
+        c = RestClient(
+            "http://fake",
+            config=ClientConfig(retry_config=RetryConfig(retries=3, backoff_factor=0.0)),
+            transport=handler,
+        )
+        assert c.post_json("/x")["ok"] is True
+        assert len(calls) == 3
+
+    def test_no_retry_on_400(self):
+        calls = []
+
+        def handler(method, url, headers, body):
+            calls.append(1)
+            return 400, b'{"error": "bad request"}'
+
+        c = self._client(handler)
+        with pytest.raises(HttpError) as e:
+            c.post_json("/x")
+        assert e.value.status_code == 400
+        assert len(calls) == 1
+
+    def test_header_provider_and_request_id(self):
+        seen = {}
+
+        def handler(method, url, headers, body):
+            seen.update(headers)
+            return 200, b"{}"
+
+        from lancedb_tpu.remote.client import ClientConfig, RestClient
+
+        c = RestClient(
+            "http://fake",
+            config=ClientConfig(header_provider=lambda: {"authorization": "Bearer tok"}),
+            transport=handler,
+        )
+        c.post_json("/x")
+        assert seen["authorization"] == "Bearer tok"
+        assert "x-request-id" in {k.lower() for k in seen}
