@@ -90,9 +90,19 @@ class PermutationBuilder:
         return self
 
     # ---- other knobs ----
-    def shuffle(self, seed: int = 42, clump_size: int | None = None) -> "PermutationBuilder":
+    def shuffle(
+        self,
+        seed: int = 42,
+        clump_size: int | None = None,
+        memory_budget_bytes: int = 100 << 20,
+    ) -> "PermutationBuilder":
+        """Seeded shuffle within each split. Runs under `memory_budget_
+        bytes` (default 100 MiB — reference builder.rs:30): datasets
+        bigger than the budget radix-spill to disk and the output is
+        identical for every budget (data/shuffle.py)."""
         self._shuffle_seed = seed
         self._shuffle_clump = clump_size
+        self._shuffle_budget = memory_budget_bytes
         return self
 
     def filter(self, predicate: str) -> "PermutationBuilder":
@@ -123,35 +133,38 @@ class PermutationBuilder:
         keep = split_ids >= 0
         row_ids, split_ids = row_ids[keep], split_ids[keep]
 
-        # order rows by split then (optionally) shuffle within split
+        # order rows by split then (optionally) shuffle within split —
+        # the shuffle runs under a memory budget with disk spill
+        # (reference shuffle.rs:32-81) and streams out in chunks
         order = np.argsort(split_ids, kind="stable")
         row_ids, split_ids = row_ids[order], split_ids[order]
-        if self._shuffle_seed is not None:
-            rng = np.random.default_rng(self._shuffle_seed)
-            for s in np.unique(split_ids):
-                sel = np.nonzero(split_ids == s)[0]
-                clump = self._shuffle_clump or 1
-                if clump <= 1:
-                    perm = rng.permutation(len(sel))
-                else:
-                    nclumps = -(-len(sel) // clump)
-                    clump_order = rng.permutation(nclumps)
-                    perm = np.concatenate(
-                        [np.arange(c * clump, min((c + 1) * clump, len(sel))) for c in clump_order]
-                    )
-                row_ids[sel] = row_ids[sel[perm]]
-
-        perm_table = pa.table(
-            {
-                ROW_ID_COL: pa.array(row_ids, type=pa.uint64()),
-                SPLIT_COL: pa.array(split_ids.astype(np.int32)),
-            }
-        )
         conn = self._table._conn
         name = self._dest or f"_perm_{self._table.name}_{abs(hash((spec.kind, spec.seed, self._shuffle_seed, self._filter))) % 10**8}"
         if name in conn.table_names():
             conn.drop_table(name)
-        dest = conn.create_table(name, perm_table)
+
+        def chunk_table(rids, sids):
+            return pa.table(
+                {
+                    ROW_ID_COL: pa.array(rids, type=pa.uint64()),
+                    SPLIT_COL: pa.array(sids.astype(np.int32)),
+                }
+            )
+
+        if self._shuffle_seed is not None:
+            from .shuffle import external_shuffle
+
+            budget = getattr(self, "_shuffle_budget", 100 << 20)
+            dest = None
+            for rids, sids in external_shuffle(
+                row_ids, split_ids, self._shuffle_seed, self._shuffle_clump, budget
+            ):
+                if dest is None:
+                    dest = conn.create_table(name, chunk_table(rids, sids))
+                else:
+                    dest.add(chunk_table(rids, sids))
+        else:
+            dest = conn.create_table(name, chunk_table(row_ids, split_ids))
         return Permutation(dest, self._table)
 
     def _assign_splits(self, spec: _SplitSpec, base: pa.Table, row_ids: np.ndarray) -> np.ndarray:
