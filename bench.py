@@ -211,6 +211,8 @@ def main() -> None:
         ivf_build_s = time.perf_counter() - t0
         details["ivf_flat_build_seconds"] = round(ivf_build_s, 1)
         log(f"IVF_FLAT build {ivf_build_s:.1f}s (includes one-time kernel compiles)")
+        from lancedb_tpu.index.vector import _pallas_available
+
         s = load_searcher(ds, meta_ivf)
         blocks = s.nparts
         logical = s.params.get("num_logical_partitions", blocks)
@@ -221,7 +223,7 @@ def main() -> None:
             qps = timed_loop(
                 lambda q, c, v, n, p: _ivf_flat_search_device(
                     q, c, v, n, p, k=TOP_K, nprobes=npb, metric="l2",
-                    has_mask=False,
+                    has_mask=False, use_pallas=_pallas_available(),
                 )[0],
                 (fd["centroids"], fd["vectors"], fd["norms2"], zero_pen),
                 16, f"IVF_FLAT np={nprobes}", queries_per_batch=128,

@@ -41,7 +41,7 @@ from ..io.object_store import ObjectStore
 from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
 from ..ops.kmeans import assign_residuals_device, kmeans_fit
 from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
-from ..ops.pallas_scan import ivf_flat_scan_pallas
+from ..ops.pallas_group_scan import ivf_flat_grouped_scan_pallas
 from ..ops.pq import (
     default_num_sub_vectors,
     opq_train,
@@ -537,7 +537,13 @@ def _ivf_flat_search_device(
             norms_in = pad_pen
         if has_mask:
             norms_in = norms_in + slot_penalty.reshape(norms2.shape)
-        d = ivf_flat_scan_pallas(probe_ids, qf, vectors, norms_in, alpha, gamma)
+        # query-grouped fused scan (ops/pallas_group_scan.py): pairs are
+        # grouped by partition so each probed block DMAs ~once per batch
+        # and the per-group compute is an MXU matmul. Measured (v5e,
+        # 1402x1224x128, batch 128, np=28, scripts/ab_groupscan.py):
+        # 6.2 ms vs 8.1 ms XLA chunked gather and 14.9 ms for the old
+        # one-pair-per-cell kernel; scan+exact-top-k 5.6 ms end to end.
+        d = ivf_flat_grouped_scan_pallas(probe_ids, qf, vectors, norms_in, alpha, gamma)
         vals, pos = topk_smallest(d.reshape(qb, -1), k)
         slots = jnp.take_along_axis(probe_ids, pos // pmax, axis=1) * pmax + pos % pmax
         return vals, slots
@@ -988,13 +994,18 @@ class VectorSearcher:
             scale = self.nparts / max(1, logical)
             nprobes = min(self.nparts, max(1, int(np.ceil(params.nprobes * scale))))
             if self.index_type == "IVF_FLAT":
-                # batched-query planner: once the per-query probed reads
-                # oversubscribe the table ~2.5x, one shared exact full
-                # scan is faster (crossover measured with the fused
-                # Pallas probed scan; it is also exact)
+                # batched-query planner. With the query-grouped fused
+                # scan (ops/pallas_group_scan.py) probed pairs dedupe to
+                # at most ONE read of each probed partition, so the
+                # probed path beats the shared full scan at every
+                # measured point (np=20: 24.6k vs 5.5k qps; np=64:
+                # 13.8k vs 5.5k — v5e, 1M x 128, batch 128). The full-
+                # scan crossover only applies to the XLA chunked-gather
+                # fallback, whose probed reads scale with qb*nprobes.
                 if (
                     qb * nprobes >= 2.5 * self.nparts
                     and params.use_index_for_batch is not True
+                    and not _pallas_available()
                 ):
                     vals, slots = _ivf_full_scan_device(
                         qj, self._device["vectors"], self._device["norms2"], pen,
@@ -1007,13 +1018,7 @@ class VectorSearcher:
                         self._device["norms2"], pen,
                         k=min(k_eff, self.num_slots), nprobes=nprobes,
                         metric=self.metric, has_mask=has_mask,
-                        # measured at 1402x1224x128 f32 (scripts/
-                        # flatscan_ab.py): the fused kernel's bare scan
-                        # (17.4ms) already trails the ENTIRE XLA chunked
-                        # pipeline (16.5ms) — per-cell overhead dominates
-                        # at one probe per grid cell. Keep XLA until the
-                        # kernel batches probes per cell.
-                        use_pallas=False,
+                        use_pallas=_pallas_available(),
                     )
             elif self.index_type == "IVF_RQ":
                 vals, slots = _ivf_rq_search_device(
