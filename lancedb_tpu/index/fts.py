@@ -54,6 +54,62 @@ def _load_npy(store, path):
     return np.load(io.BytesIO(store.read_bytes(path)))
 
 
+_VINT_MAGIC = b"LVI1"
+
+
+def _save_ints(store, path, arr):
+    """Persist an integer array delta+LEB128 compressed (the native
+    varint posting codec — reference posting blocks, SURVEY §2.9).
+    Sorted runs (CSR doc ids, offsets) encode to ~1-2 bytes/value vs 8
+    for raw .npy; falls back to .npy when the native lib is absent."""
+    from ..native import varint_encode_native
+
+    flat = np.asarray(arr, dtype=np.int64).ravel()
+    data = varint_encode_native(flat)
+    if data is None:
+        _save_npy(store, path, np.asarray(arr))
+        return
+    store.write_bytes(
+        path + ".vint",
+        _VINT_MAGIC + np.uint64(len(flat)).tobytes() + data,
+    )
+
+
+def _py_varint_decode(data: bytes, count: int) -> np.ndarray:
+    out = np.empty(count, dtype=np.int64)
+    prev = 0
+    pos = 0
+    for i in range(count):
+        v = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        prev = (prev + v) & 0xFFFFFFFFFFFFFFFF
+        out[i] = np.int64(np.uint64(prev))
+    return out
+
+
+def _load_ints(store, path):
+    from ..native import varint_decode_native
+
+    vpath = path + ".vint"
+    if store.exists(vpath):
+        raw = store.read_bytes(vpath)
+        assert raw[:4] == _VINT_MAGIC, f"bad vint header in {vpath}"
+        count = int(np.frombuffer(raw[4:12], dtype=np.uint64)[0])
+        payload = raw[12:]
+        out = varint_decode_native(payload, count)
+        if out is None:
+            out = _py_varint_decode(payload, count)
+        return out
+    return _load_npy(store, path)
+
+
 class ColumnFtsIndex:
     """In-memory searchable inverted index for one text column."""
 
@@ -85,6 +141,82 @@ class ColumnFtsIndex:
         # sorted view for rowid → doc index mapping
         self._sorted_order = np.argsort(doc_rowids)
         self._sorted_rowids = doc_rowids[self._sorted_order]
+        self._term_ub: np.ndarray | None = None  # lazy MaxScore bounds
+
+    def term_upper_bounds(self) -> np.ndarray:
+        """Per-term BM25 score upper bound (exact max over the term's
+        postings) — the MaxScore pruning table. Computed once per load
+        in one vectorized pass over all postings."""
+        if self._term_ub is None:
+            norm = K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))
+            tfs = self.postings_tf.astype(np.float32)
+            contrib = tfs * (K1 + 1.0) / (tfs + norm[self.postings_docs])
+            n_terms = len(self.df)
+            starts = np.asarray(self.postings_offsets[:-1])
+            segmax = np.zeros(n_terms, dtype=np.float32)
+            nonempty = np.asarray(self.df) > 0
+            if contrib.size:
+                red = np.maximum.reduceat(contrib, np.minimum(starts, contrib.size - 1))
+                segmax = np.where(nonempty, red, 0.0).astype(np.float32)
+            idf = np.log(
+                1.0 + (self.num_docs - self.df + 0.5) / (self.df + 0.5)
+            ).astype(np.float32)
+            self._term_ub = idf * segmax
+        return self._term_ub
+
+    def score_match_topk(self, query: str, k: int) -> np.ndarray:
+        """OR-match scoring with MaxScore term pruning (Turtle & Flood):
+        terms are scored fully in descending upper-bound order until the
+        remaining terms cannot lift an unseen doc into the top-k; the
+        remaining (high-df, low-impact) terms then score only candidate
+        docs. Exact for the top-k set and their scores; other docs may
+        hold partial scores, all provably below the kth candidate.
+        Reference behavior: lance/tantivy's block-wise top-k pruning
+        (SURVEY §2.9 FTS)."""
+        tokens = self.tokenizer.tokenize(query)
+        scores = np.zeros(self.num_docs, dtype=np.float32)
+        if not tokens:
+            return scores
+        tids = sorted({t for t in (self.vocab.get(tok) for tok in tokens) if t is not None})
+        if not tids:
+            return scores
+        ub = self.term_upper_bounds()
+        order = sorted(tids, key=lambda t: -float(ub[t]))
+        suffix = np.cumsum([float(ub[t]) for t in order][::-1])[::-1]
+        norm = K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))
+
+        touched: list[np.ndarray] = []
+        theta = 0.0
+        i = 0
+        for i, t in enumerate(order):
+            if i > 0 and len(touched) and suffix[i] < theta:
+                break  # remaining terms cannot put a NEW doc into top-k
+            docs, tfs = self.postings(t)
+            contrib = self.idf(t) * tfs * (K1 + 1.0) / (tfs + norm[docs])
+            np.add.at(scores, docs, contrib.astype(np.float32))
+            touched.append(np.asarray(docs))
+            tdocs = np.unique(np.concatenate(touched)) if len(touched) > 1 else touched[0]
+            ts = scores[tdocs]
+            if len(ts) >= k:
+                theta = float(np.partition(ts, len(ts) - k)[len(ts) - k])
+        else:
+            return scores  # every term fully scored — nothing pruned
+        # non-essential phase: remaining terms touch only candidates
+        rem_terms = order[i:]
+        rem_ub = suffix[i]
+        tdocs = np.unique(np.concatenate(touched))
+        cand = tdocs[scores[tdocs] + rem_ub >= theta]
+        in_cand = np.zeros(self.num_docs, dtype=bool)
+        in_cand[cand] = True
+        for t in rem_terms:
+            docs, tfs = self.postings(t)
+            m = in_cand[docs]
+            if not m.any():
+                continue
+            d2, tf2 = docs[m], tfs[m]
+            contrib = self.idf(t) * tf2 * (K1 + 1.0) / (tf2 + norm[d2])
+            np.add.at(scores, d2, contrib.astype(np.float32))
+        return scores
 
     # ---- term machinery ------------------------------------------------
     def term_ids(self, tokens: list[str], fuzziness: int = 0, max_expansions: int = 50) -> list[list[int]]:
@@ -203,31 +335,31 @@ class ColumnFtsIndex:
             f"{prefix}/vocab.json",
             json.dumps(sorted(self.vocab, key=self.vocab.get)).encode(),
         )
-        _save_npy(store, f"{prefix}/df.npy", self.df)
-        _save_npy(store, f"{prefix}/postings_offsets.npy", self.postings_offsets)
-        _save_npy(store, f"{prefix}/postings_docs.npy", self.postings_docs)
-        _save_npy(store, f"{prefix}/postings_tf.npy", self.postings_tf)
-        _save_npy(store, f"{prefix}/doc_lens.npy", self.doc_lens)
-        _save_npy(store, f"{prefix}/doc_rowids.npy", self.doc_rowids.view(np.int64))
+        _save_ints(store, f"{prefix}/df.npy", self.df)
+        _save_ints(store, f"{prefix}/postings_offsets.npy", self.postings_offsets)
+        _save_ints(store, f"{prefix}/postings_docs.npy", self.postings_docs)
+        _save_ints(store, f"{prefix}/postings_tf.npy", self.postings_tf)
+        _save_ints(store, f"{prefix}/doc_lens.npy", self.doc_lens)
+        _save_ints(store, f"{prefix}/doc_rowids.npy", self.doc_rowids.view(np.int64))
         if self.pos_offsets is not None:
-            _save_npy(store, f"{prefix}/pos_offsets.npy", self.pos_offsets)
-            _save_npy(store, f"{prefix}/positions.npy", self.positions)
+            _save_ints(store, f"{prefix}/pos_offsets.npy", self.pos_offsets)
+            _save_ints(store, f"{prefix}/positions.npy", self.positions)
 
     @staticmethod
     def load(store, prefix: str, tokenizer: Tokenizer, with_position: bool) -> "ColumnFtsIndex":
         vocab_list = json.loads(store.read_bytes(f"{prefix}/vocab.json"))
         pos_offsets = positions = None
         if with_position:
-            pos_offsets = np.asarray(_load_npy(store, f"{prefix}/pos_offsets.npy"))
-            positions = np.asarray(_load_npy(store, f"{prefix}/positions.npy"))
+            pos_offsets = np.asarray(_load_ints(store, f"{prefix}/pos_offsets.npy"))
+            positions = np.asarray(_load_ints(store, f"{prefix}/positions.npy"))
         return ColumnFtsIndex(
             vocab={t: i for i, t in enumerate(vocab_list)},
-            df=np.asarray(_load_npy(store, f"{prefix}/df.npy")),
-            postings_offsets=np.asarray(_load_npy(store, f"{prefix}/postings_offsets.npy")),
-            postings_docs=np.asarray(_load_npy(store, f"{prefix}/postings_docs.npy")),
-            postings_tf=np.asarray(_load_npy(store, f"{prefix}/postings_tf.npy")),
-            doc_lens=np.asarray(_load_npy(store, f"{prefix}/doc_lens.npy")),
-            doc_rowids=np.asarray(_load_npy(store, f"{prefix}/doc_rowids.npy")).view(np.uint64),
+            df=np.asarray(_load_ints(store, f"{prefix}/df.npy")),
+            postings_offsets=np.asarray(_load_ints(store, f"{prefix}/postings_offsets.npy")),
+            postings_docs=np.asarray(_load_ints(store, f"{prefix}/postings_docs.npy")),
+            postings_tf=np.asarray(_load_ints(store, f"{prefix}/postings_tf.npy")),
+            doc_lens=np.asarray(_load_ints(store, f"{prefix}/doc_lens.npy")),
+            doc_rowids=np.asarray(_load_ints(store, f"{prefix}/doc_rowids.npy")).view(np.uint64),
             tokenizer=tokenizer,
             pos_offsets=pos_offsets,
             positions=positions,
@@ -541,7 +673,24 @@ def execute_fts_query(
         )
     fts = table._get_fts_index(fts_meta)
     node = parse_string_query(query, columns or fts.columns) if isinstance(query, str) else query
-    scores, col_ix = fts.evaluate(node)
+    # MaxScore pruned top-k for plain OR matches on big unfiltered
+    # corpora: exact top-k, skips full scoring of low-impact terms
+    use_pruned = (
+        isinstance(node, MatchQuery)
+        and node.operator == Operator.OR
+        and node.fuzziness == 0
+        and filter is None
+        and node.boost == 1.0
+    )
+    if use_pruned:
+        col = node.column or fts.default_column()
+        col_ix = fts._col(col)
+        if col_ix.num_docs >= 65536:
+            scores = col_ix.score_match_topk(node.query, k + offset)
+        else:
+            use_pruned = False
+    if not use_pruned:
+        scores, col_ix = fts.evaluate(node)
 
     # mask deleted + prefiltered docs
     allowed = None
@@ -560,7 +709,13 @@ def execute_fts_query(
         ok = np.isin(col_ix.doc_rowids, allowed)
         scores = np.where(ok, scores, 0.0)
 
-    top = np.argsort(-scores, kind="stable")[: k + offset]
+    # O(N) partial selection instead of a full argsort
+    kk = min(k + offset, len(scores))
+    if kk < len(scores):
+        part = np.argpartition(-scores, kk - 1)[:kk] if kk else np.empty(0, np.int64)
+        top = part[np.argsort(-scores[part], kind="stable")]
+    else:
+        top = np.argsort(-scores, kind="stable")[:kk]
     top = top[scores[top] > 0]
     top = top[offset:]
     rowids = col_ix.doc_rowids[top]

@@ -144,9 +144,135 @@ def _ascii_fold(text: str) -> str:
     return unicodedata.normalize("NFKD", text).encode("ascii", "ignore").decode()
 
 
+def _accent_fold(text: str) -> str:
+    """Strip combining marks but KEEP non-latin scripts (the ascii fold
+    would delete CJK outright) — used by the unicode tokenizer."""
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", text)
+        if unicodedata.category(c) != "Mn"
+    )
+
+
+def _is_cjk(c: str) -> bool:
+    o = ord(c)
+    return (
+        0x4E00 <= o <= 0x9FFF      # CJK unified
+        or 0x3400 <= o <= 0x4DBF   # CJK ext A
+        or 0x3040 <= o <= 0x30FF   # hiragana + katakana
+        or 0xAC00 <= o <= 0xD7AF   # hangul syllables
+        or 0xF900 <= o <= 0xFAFF   # CJK compat
+    )
+
+
+_UNI_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _unicode_tokens(text: str) -> list[str]:
+    """ICU-style segmentation: unicode word boundaries; CJK runs split
+    into single-character tokens (Lucene CJK behavior — reference
+    tokenizers icu/jieba are dictionary-backed, this is the
+    dictionary-free equivalent)."""
+    out: list[str] = []
+    for run in _UNI_WORD_RE.findall(text):
+        seg = ""
+        for c in run:
+            if _is_cjk(c):
+                if seg:
+                    out.append(seg)
+                    seg = ""
+                out.append(c)
+            else:
+                seg += c
+        if seg:
+            out.append(seg)
+    return out
+
+
+# ---- multi-language stemming + stop words ----------------------------
+# Simplified snowball-style suffix strippers (ordered longest-first,
+# stripped only when the remaining stem keeps >= 3 chars). The reference
+# delegates to tantivy's full snowball stemmers; these cover the same
+# language parameter with lighter rules.
+_SUFFIX_RULES: dict[str, list[tuple[str, str]]] = {
+    "french": [
+        ("issements", ""), ("issement", ""), ("atrices", ""), ("atrice", ""),
+        ("ations", ""), ("ation", ""), ("ateurs", ""), ("ateur", ""),
+        ("ements", ""), ("ement", ""), ("euses", "eu"), ("euse", "eu"),
+        ("ances", ""), ("ance", ""), ("ences", "ent"), ("ence", "ent"),
+        ("ités", ""), ("ité", ""), ("ives", "if"), ("ive", "if"),
+        ("eaux", "eau"), ("aux", "al"), ("ées", ""), ("ée", ""),
+        ("ts", "t"), ("es", ""), ("s", ""), ("e", ""),
+    ],
+    "german": [
+        ("ungen", ""), ("ung", ""), ("heiten", ""), ("heit", ""),
+        ("keiten", ""), ("keit", ""), ("isch", ""), ("lich", ""),
+        ("erin", ""), ("ern", ""), ("em", ""), ("en", ""), ("er", ""),
+        ("es", ""), ("e", ""), ("s", ""),
+    ],
+    "spanish": [
+        ("amientos", ""), ("amiento", ""), ("aciones", ""), ("ación", ""),
+        ("adores", ""), ("adora", ""), ("ador", ""), ("idades", ""),
+        ("idad", ""), ("mente", ""), ("anzas", ""), ("anza", ""),
+        ("ismos", ""), ("ismo", ""), ("ivas", "iv"), ("iva", "iv"),
+        ("es", ""), ("os", "o"), ("as", "a"), ("s", ""),
+    ],
+    "italian": [
+        ("azioni", ""), ("azione", ""), ("amenti", ""), ("amento", ""),
+        ("mente", ""), ("atori", ""), ("atore", ""), ("ibili", ""),
+        ("ibile", ""), ("anze", ""), ("anza", ""), ("iche", "ic"),
+        ("ica", "ic"), ("i", ""), ("e", ""), ("o", ""), ("a", ""),
+    ],
+    "portuguese": [
+        ("amentos", ""), ("amento", ""), ("adores", ""), ("ador", ""),
+        ("aço~es", ""), ("ações", ""), ("ação", ""), ("idades", ""),
+        ("idade", ""), ("mente", ""), ("ismos", ""), ("ismo", ""),
+        ("es", ""), ("os", "o"), ("as", "a"), ("s", ""),
+    ],
+}
+
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il je la le les leur
+    lui ma mais me même mes moi mon ne nos notre nous on ou par pas pour qu
+    que qui sa se ses son sur ta te tes toi ton tu un une vos votre vous""".split()
+)
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle als also am an auch auf aus bei bin bis bist da damit das
+    dass dein der den des dem die dies dir du ein eine einem einen einer es
+    für hat hatte ich ihr im in ist ja kann mein mit nach nicht noch nun nur
+    oder sein sich sie sind so über um und uns vom von vor war was wie wir
+    zu zum zur""".split()
+)
+SPANISH_STOP_WORDS = frozenset(
+    """al algo ante como con de del desde donde durante el ella ellas ellos
+    en entre era es esa ese eso esta este esto fue ha hay la las le les lo
+    los muy más mi mis no nos o otra otro para pero por que se sin sobre su
+    sus también te tu tus un una uno y ya yo""".split()
+)
+
+_STOP_WORDS: dict[str, frozenset] = {
+    "english": ENGLISH_STOP_WORDS,
+    "french": FRENCH_STOP_WORDS,
+    "german": GERMAN_STOP_WORDS,
+    "spanish": SPANISH_STOP_WORDS,
+}
+
+
+def _stem_word(w: str, language: str) -> str:
+    lang = language.lower()
+    if lang == "english":
+        return _porter_stem(w)
+    rules = _SUFFIX_RULES.get(lang)
+    if rules is None:
+        return w
+    for suf, rep in rules:
+        if w.endswith(suf) and len(w) - len(suf) + len(rep) >= 3:
+            return w[: -len(suf)] + rep
+    return w
+
+
 @dataclass
 class Tokenizer:
-    base: str = "simple"  # simple | whitespace | raw | ngram
+    base: str = "simple"  # simple | whitespace | raw | ngram | unicode
     lower_case: bool = True
     stem: bool = True
     remove_stop_words: bool = True
@@ -160,26 +286,31 @@ class Tokenizer:
     def tokenize(self, text: str | None) -> list[str]:
         if not text:
             return []
-        if self.ascii_folding:
-            text = _ascii_fold(text)
-        if self.base == "raw":
-            toks = [text.strip()] if text.strip() else []
-        elif self.base == "whitespace":
-            toks = _WS_RE.findall(text)
-        elif self.base == "ngram":
-            return self._ngrams(text)
-        else:  # simple
-            toks = _WORD_RE.findall(text)
+        if self.base == "unicode":
+            # accent folding keeps non-latin scripts alive
+            toks = _unicode_tokens(_accent_fold(text) if self.ascii_folding else text)
+        else:
+            if self.ascii_folding:
+                text = _ascii_fold(text)
+            if self.base == "raw":
+                toks = [text.strip()] if text.strip() else []
+            elif self.base == "whitespace":
+                toks = _WS_RE.findall(text)
+            elif self.base == "ngram":
+                return self._ngrams(text)
+            else:  # simple
+                toks = _WORD_RE.findall(text)
+        stops = _STOP_WORDS.get(self.language.lower(), frozenset())
         out = []
         for t in toks:
             if self.lower_case:
                 t = t.lower()
             if self.max_token_length and len(t) > self.max_token_length:
                 continue
-            if self.remove_stop_words and self.language.lower() == "english" and t in ENGLISH_STOP_WORDS:
+            if self.remove_stop_words and t in stops:
                 continue
-            if self.stem and self.language.lower() == "english":
-                t = _porter_stem(t)
+            if self.stem:
+                t = _stem_word(t, self.language)
             if t:
                 out.append(t)
         return out
