@@ -175,8 +175,20 @@ class FTS:
     index_type: str = "FTS"
 
 
+@dataclass
+class Auto:
+    """Pick the most useful index from the column's type and stats
+    (reference ``Index::Auto``, table/create_index.rs:186-213): vector
+    columns get IVF_PQ with suggested sub-vectors; numeric/temporal/
+    string/boolean columns get BTREE; anything else is an error."""
+
+    distance_type: str = "l2"
+
+    index_type: str = "AUTO"
+
+
 IndexConfig = (
-    IvfFlat | IvfPq | IvfSq | IvfRq | Flat | HnswPq | HnswSq | HnswFlat
+    Auto | IvfFlat | IvfPq | IvfSq | IvfRq | Flat | HnswPq | HnswSq | HnswFlat
     | BTree | Bitmap | LabelList | Fm | FTS
 )
 

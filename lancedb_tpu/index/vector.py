@@ -327,6 +327,10 @@ def build_vector_index(
             meta_doc.update(num_bits=1)
         elif index_type == "IVF_PQ":
             nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
+            if config.num_sub_vectors is None and config.num_bits == 4 and nsub % 2:
+                # 4-bit packs two codes per byte: nsub must be even
+                # (reference create_index.rs:94-100)
+                nsub += 1
             res_d = residuals_d[:n]
             # codebook training only needs a sample — one small download
             train_rows = min(n, config.sample_rate * 256)

@@ -17,6 +17,7 @@ from typing import Any, Literal
 import numpy as np
 import pyarrow as pa
 
+from .arrow import is_vector_type as _is_vector_type
 from .arrow import to_arrow_table, vector_column_name
 from .errors import IndexNotFoundError, InvalidInputError
 from .index import (
@@ -39,6 +40,21 @@ from .query import (
     LanceVectorQueryBuilder,
 )
 from .storage.dataset import Dataset
+
+
+def _supported_btree_type(t: pa.DataType) -> bool:
+    """Types Index::Auto maps to BTREE (reference utils/mod.rs:228-242)."""
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_time(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_fixed_size_binary(t)
+    )
 
 
 class Tags:
@@ -405,6 +421,25 @@ class Table:
         from .index.vector import build_vector_index
 
         column = vector_column_name or self._default_vector_column()
+        if (config is not None and config.index_type == "AUTO") or (
+            config is None and index_type.upper() == "AUTO"
+        ):
+            # Index::Auto resolution (reference table/create_index.rs:186-213):
+            # vector column -> IVF_PQ defaults, btree-supported scalar -> BTREE.
+            if config is not None:
+                metric = config.distance_type
+            config = None
+            field_type = self.schema.field(column).type
+            if _is_vector_type(field_type) or is_multivector_type(field_type):
+                index_type = "IVF_PQ"
+            elif _supported_btree_type(field_type):
+                self.create_scalar_index(column, index_type="BTREE", replace=replace)
+                return
+            else:
+                raise InvalidInputError(
+                    f"there are no indices supported for the field {column!r} "
+                    f"with the data type {field_type}"
+                )
         if column in self.schema.names and is_multivector_type(self.schema.field(column).type):
             meta = build_multivector_index(self._dataset, column, config, name=name or f"{column}_idx")
             self._dataset.add_index(meta, replace=replace)

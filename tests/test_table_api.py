@@ -241,6 +241,30 @@ class TestIndexManagement:
         t.drop_index(idx[0]["name"])
         assert t.list_indices() == []
 
+    def test_auto_resolves_vector_to_ivf_pq(self, mem_db, sample_table_data):
+        t = mem_db.create_table("t", sample_table_data)
+        t.create_index(index_type="AUTO", num_partitions=4)
+        idx = t.list_indices()
+        assert len(idx) == 1 and idx[0]["index_type"] == "IVF_PQ"
+
+    def test_auto_resolves_scalar_to_btree(self, mem_db, sample_table_data):
+        from lancedb_tpu.index import Auto
+
+        t = mem_db.create_table("t", sample_table_data)
+        t.create_index(vector_column_name="id", config=Auto())
+        idx = t.list_indices()
+        assert len(idx) == 1 and idx[0]["index_type"] == "BTREE"
+
+    def test_auto_rejects_unindexable_type(self, mem_db):
+        t = mem_db.create_table(
+            "t",
+            pa.table({"v": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.zeros(32, np.float32)), 8),
+                "b": pa.array([b"x"] * 4, pa.binary())}),
+        )
+        with pytest.raises(InvalidInputError):
+            t.create_index(vector_column_name="b", index_type="AUTO")
+
     def test_wait_and_prewarm(self, mem_db, sample_table_data):
         t = mem_db.create_table("t", sample_table_data)
         t.create_index(index_type="IVF_FLAT", num_partitions=4, name="vi")
