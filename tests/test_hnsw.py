@@ -112,3 +112,35 @@ class TestHnsw:
         s = load_searcher(dataset, meta)
         d, rids = s.search(QUERIES, SearchParams(k=5, ef=100))
         assert (d >= -1e-5).all() and (d <= 2.0 + 1e-5).all()
+
+
+class TestKnnGraphPrimitive:
+    """The batched-build core: exact kNN ids vs brute force."""
+
+    def test_knn_graph_exact_l2(self):
+        from lancedb_tpu.index.hnsw import _knn_graph
+
+        rng = np.random.default_rng(5)
+        v = rng.standard_normal((500, 16)).astype(np.float32)
+        ids = _knn_graph(v, 8, "l2")
+        d = ((v[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        truth = np.argsort(d, axis=1)[:, :8]
+        # distance sets must match exactly (ties may permute ids)
+        got = np.sort(np.take_along_axis(d, ids, axis=1), axis=1)
+        want = np.sort(np.take_along_axis(d, truth, axis=1), axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        assert (ids != np.arange(500)[:, None]).all()  # self excluded
+
+    def test_knn_graph_dot(self):
+        from lancedb_tpu.index.hnsw import _knn_graph
+
+        rng = np.random.default_rng(6)
+        v = rng.standard_normal((300, 8)).astype(np.float32)
+        ids = _knn_graph(v, 4, "dot")
+        d = -(v @ v.T)
+        np.fill_diagonal(d, np.inf)
+        truth = np.argsort(d, axis=1)[:, :4]
+        got = np.sort(np.take_along_axis(d, ids, axis=1), axis=1)
+        want = np.sort(np.take_along_axis(d, truth, axis=1), axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
