@@ -153,10 +153,16 @@ class LanceDBConnection(DBConnection):
             # embeds exactly like later appends (reference WithEmbeddings)
             for d in embedding_functions:
                 if d.vector_column not in schema.names:
+                    from .embeddings.multimodal import MultiVectorEmbeddingFunction
+
                     fn = registry.get(d.function_name).create(**(d.config or {}))
-                    schema = schema.append(
-                        pa.field(d.vector_column, pa.list_(pa.float32(), fn.ndims()))
+                    inner = pa.list_(pa.float32(), fn.ndims())
+                    col_type = (
+                        pa.list_(inner)  # multivector bags (colpali family)
+                        if isinstance(fn, MultiVectorEmbeddingFunction)
+                        else inner
                     )
+                    schema = schema.append(pa.field(d.vector_column, col_type))
             schema = registry.attach_metadata(schema, embedding_functions)
             embed_data, data = data, None
 

@@ -5,9 +5,19 @@ from .registry import (
     get_registry,
 )
 
+
+def __getattr__(name):
+    if name == "MultiVectorEmbeddingFunction":
+        from .multimodal import MultiVectorEmbeddingFunction
+
+        return MultiVectorEmbeddingFunction
+    raise AttributeError(name)
+
+
 __all__ = [
     "EmbeddingFunction",
     "TextEmbeddingFunction",
+    "MultiVectorEmbeddingFunction",
     "EmbeddingDefinition",
     "EmbeddingFunctionRegistry",
     "get_registry",

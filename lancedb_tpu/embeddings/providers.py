@@ -108,34 +108,7 @@ class TransformersEmbedding(TextEmbeddingFunction):
         return emb.numpy()
 
 
-def _network_stub(name: str, hint: str):
-    @registry.register(name)
-    class _Stub(TextEmbeddingFunction):  # pragma: no cover - gated
-        def __init__(self, **kwargs):
-            raise RuntimeError(
-                f"embedding provider {name!r} requires network access to {hint}, "
-                "which is unavailable in this environment"
-            )
-
-        def ndims(self) -> int:
-            raise NotImplementedError
-
-        def generate_embeddings(self, texts):
-            raise NotImplementedError
-
-    _Stub.__name__ = f"{name.title().replace('-', '')}Embedding"
-    return _Stub
-
-
-# providers with real REST implementations live in rest_providers.py
-# (openai, cohere, gemini-text, voyageai, jinaai, ollama); the rest need
-# local model weights that are not baked into this image
-for _name, _hint in [
-    ("bedrock-text", "AWS Bedrock (SigV4)"),
-    ("watsonx", "IBM watsonx.ai"),
-    ("instructor", "hkunlp/instructor weights"),
-    ("open-clip", "open_clip weights"),
-    ("colpali", "vidore/colpali weights"),
-    ("imagebind", "imagebind weights"),
-]:
-    _network_stub(_name, _hint)
+# hosted REST providers live in rest_providers.py (openai, cohere,
+# gemini-text, voyageai, jinaai, ollama, bedrock-text, watsonx);
+# multimodal/multi-vector local-model providers in multimodal.py
+# (colpali, open-clip, siglip, gte-text, instructor, imagebind)

@@ -38,7 +38,7 @@ class EmbeddingFunctionRegistry:
     def get_instance(cls) -> "EmbeddingFunctionRegistry":
         if cls._instance is None:
             cls._instance = cls()
-            from . import providers, rest_providers  # noqa: F401  (self-registration)
+            from . import multimodal, providers, rest_providers  # noqa: F401  (self-registration)
         return cls._instance
 
     # --- registration ----------------------------------------------------

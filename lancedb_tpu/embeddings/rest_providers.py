@@ -191,3 +191,138 @@ class OllamaEmbedding(RestEmbeddingFunction):
     def _embed_batch(self, texts):
         r = self._post("/api/embed", {"model": self.model, "input": texts})
         return np.asarray(r["embeddings"], dtype=np.float32)
+
+
+@registry.register("bedrock-text")
+class BedrockTextEmbedding(RestEmbeddingFunction):
+    """AWS Bedrock text embeddings (reference embeddings/bedrock.py:19-226).
+
+    The reference binds boto3; here the InvokeModel REST endpoint is
+    signed with stdlib SigV4 (no SDK). Supports the Titan and Cohere
+    model families the reference lists."""
+
+    api_key_env = "AWS_ACCESS_KEY_ID"
+    default_model = "amazon.titan-embed-text-v1"
+    default_ndims = 1536
+    max_batch = 96
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.region = kwargs.get("region") or os.environ.get("AWS_DEFAULT_REGION", "us-east-1")
+        if not self.base_url:
+            self.base_url = f"https://bedrock-runtime.{self.region}.amazonaws.com"
+        self.source_input_type = kwargs.get("source_input_type", "search_document")
+
+    # --- SigV4 (rfc-style canonical request; stdlib only) -----------------
+    def _sigv4_headers(self, method: str, path: str, body: bytes) -> dict:
+        import datetime
+        import hashlib
+        import hmac
+        from urllib.parse import urlparse
+
+        access = os.environ.get("AWS_ACCESS_KEY_ID", self._api_key or "")
+        secret = os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        token = os.environ.get("AWS_SESSION_TOKEN")
+        host = urlparse(self.base_url).netloc
+        now = datetime.datetime.now(datetime.timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+        payload_hash = hashlib.sha256(body).hexdigest()
+        headers = {"host": host, "x-amz-date": amz_date, "x-amz-content-sha256": payload_hash}
+        if token:
+            headers["x-amz-security-token"] = token
+        signed = ";".join(sorted(headers))
+        canonical = "\n".join(
+            [method, path, "", *(f"{k}:{headers[k]}" for k in sorted(headers)), "", signed, payload_hash]
+        )
+        scope = f"{datestamp}/{self.region}/bedrock/aws4_request"
+        to_sign = "\n".join(
+            ["AWS4-HMAC-SHA256", amz_date, scope, hashlib.sha256(canonical.encode()).hexdigest()]
+        )
+
+        def _hmac(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        k = _hmac(_hmac(_hmac(_hmac(b"AWS4" + secret.encode(), datestamp), self.region), "bedrock"), "aws4_request")
+        sig = hmac.new(k, to_sign.encode(), hashlib.sha256).hexdigest()
+        headers["authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={access}/{scope}, SignedHeaders={signed}, Signature={sig}"
+        )
+        return headers
+
+    def _invoke(self, body: dict) -> dict:
+        from urllib.parse import quote
+
+        path = f"/model/{quote(self.model, safe='')}/invoke"
+        payload = json.dumps(body).encode()
+        headers = self._sigv4_headers("POST", path, payload)
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=payload,
+            method="POST",
+            headers={"content-type": "application/json", "accept": "application/json", **headers},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    def _embed_batch(self, texts):
+        if self.model.startswith("cohere."):
+            r = self._invoke({"texts": list(texts), "input_type": self.source_input_type})
+            return np.asarray(r["embeddings"], dtype=np.float32)
+        # titan models embed one text per invocation (reference bedrock.py:99-120)
+        return np.asarray([self._invoke({"inputText": t})["embedding"] for t in texts], dtype=np.float32)
+
+
+@registry.register("watsonx")
+class WatsonxEmbedding(RestEmbeddingFunction):
+    """IBM watsonx.ai embeddings (reference embeddings/watsonx.py:44-176).
+
+    The reference binds ibm-watsonx-ai; here the two REST legs are
+    inlined: IAM apikey→token exchange, then /ml/v1/text/embeddings
+    with model_id + project_id/space_id (exactly one required)."""
+
+    api_key_env = "WATSONX_API_KEY"
+    default_base_url = "https://us-south.ml.cloud.ibm.com"
+    default_model = "ibm/slate-125m-english-rtrvr"
+    max_batch = 100
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.project_id = kwargs.get("project_id") or os.environ.get("WATSONX_PROJECT_ID")
+        self.space_id = kwargs.get("space_id")
+        if self.project_id and self.space_id:
+            raise InvalidInputError("provide either project_id or space_id, not both")
+        if not self.project_id and not self.space_id:
+            raise InvalidInputError("watsonx needs project_id= or space_id=")
+        self.iam_url = kwargs.get("iam_url", "https://iam.cloud.ibm.com")
+        self.version = kwargs.get("version", "2024-05-02")
+        self._token: str | None = None
+
+    def _bearer(self) -> str:
+        if self._token is None:
+            data = (
+                "grant_type=urn%3Aibm%3Aparams%3Aoauth%3Agrant-type%3Aapikey"
+                f"&apikey={self._key()}"
+            ).encode()
+            req = urllib.request.Request(
+                f"{self.iam_url}/identity/token",
+                data=data,
+                method="POST",
+                headers={"content-type": "application/x-www-form-urlencoded"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                self._token = json.loads(resp.read())["access_token"]
+        return self._token
+
+    def _embed_batch(self, texts):
+        body = {"inputs": list(texts), "model_id": self.model}
+        if self.project_id:
+            body["project_id"] = self.project_id
+        else:
+            body["space_id"] = self.space_id
+        r = self._post(
+            f"/ml/v1/text/embeddings?version={self.version}",
+            body,
+            {"authorization": f"Bearer {self._bearer()}"},
+        )
+        return np.asarray([row["embedding"] for row in r["results"]], dtype=np.float32)

@@ -567,6 +567,9 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
         super().__init__(table)
         if isinstance(query, (list, tuple)) and query and isinstance(query[0], (list, tuple, np.ndarray)):
             vecs = [np.asarray(q, dtype=np.float32) for q in query]
+        elif isinstance(query, np.ndarray) and query.ndim == 2:
+            # 2D array = batch of query vectors (or a multivector token bag)
+            vecs = [np.asarray(row, dtype=np.float32) for row in query]
         else:
             vecs = [np.asarray(query, dtype=np.float32)]
         self._req.query_vectors = vecs

@@ -869,10 +869,21 @@ class Table:
             if src not in tbl.schema.names:
                 continue
             texts = tbl.column(src).to_pylist()
-            vecs = np.asarray(fn.compute_source_embeddings(texts), dtype=np.float32)
-            arr = pa.FixedSizeListArray.from_arrays(
-                pa.array(vecs.ravel(), type=pa.float32()), vecs.shape[1]
-            )
+            embedded = fn.compute_source_embeddings(texts)
+            if isinstance(embedded, list) and embedded and np.asarray(embedded[0]).ndim == 2:
+                # multi-vector provider (colpali family): ragged bags of
+                # (n_vectors, dim) -> list<fixed_size_list<float32, dim>>
+                dim = int(np.asarray(embedded[0]).shape[1])
+                inner = pa.list_(pa.float32(), dim)
+                arr = pa.array(
+                    [np.asarray(bag, dtype=np.float32).tolist() for bag in embedded],
+                    type=pa.list_(inner),
+                )
+            else:
+                vecs = np.asarray(embedded, dtype=np.float32)
+                arr = pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), type=pa.float32()), vecs.shape[1]
+                )
             if field_idx >= 0:
                 tbl = tbl.set_column(field_idx, tbl.schema.field(field_idx).name, arr)
             else:

@@ -26,7 +26,11 @@ class _MockApi(BaseHTTPRequestHandler):
         pass
 
     def do_POST(self):
-        body = json.loads(self.rfile.read(int(self.headers["content-length"])))
+        raw = self.rfile.read(int(self.headers["content-length"]))
+        try:
+            body = json.loads(raw)
+        except ValueError:  # form-encoded (watsonx IAM token exchange)
+            body = {}
         path = self.path.split("?")[0]
         if path == "/v1/embeddings":  # openai / voyage / jina shape
             if "authorization" not in self.headers:
@@ -47,6 +51,23 @@ class _MockApi(BaseHTTPRequestHandler):
             return self._json(200, {"embeddings": embs})
         if path == "/api/embed":  # ollama shape
             return self._json(200, {"embeddings": [_vec(t) for t in body["input"]]})
+        if path.startswith("/model/") and path.endswith("/invoke"):  # bedrock
+            auth = self.headers.get("authorization", "")
+            if "AWS4-HMAC-SHA256" not in auth or "Signature=" not in auth:
+                return self._json(403, {"error": "bad sigv4"})
+            if "texts" in body:  # cohere-on-bedrock shape
+                return self._json(200, {"embeddings": [_vec(t) for t in body["texts"]]})
+            return self._json(200, {"embedding": _vec(body["inputText"])})
+        if path == "/identity/token":  # watsonx IAM exchange
+            return self._json(200, {"access_token": "tok-123"})
+        if path == "/ml/v1/text/embeddings":  # watsonx shape
+            if self.headers.get("authorization") != "Bearer tok-123":
+                return self._json(401, {"error": "bad token"})
+            if "project_id" not in body and "space_id" not in body:
+                return self._json(400, {"error": "missing project"})
+            return self._json(
+                200, {"results": [{"embedding": _vec(t)} for t in body["inputs"]]}
+            )
         return self._json(404, {"error": path})
 
     def _json(self, code, obj):
@@ -86,6 +107,44 @@ def test_provider_roundtrip(mock_api, name, kwargs):
     q = fn.compute_query_embeddings("hello")
     np.testing.assert_allclose(q[0], embs[0], rtol=1e-6)
     assert fn.ndims() == DIM
+
+
+def test_bedrock_titan_and_cohere(mock_api, monkeypatch):
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIATEST")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    fn = get_registry().get("bedrock-text").create(base_url=mock_api, ndims=DIM)
+    embs = fn.compute_source_embeddings(["hello", "world"])
+    assert embs.shape == (2, DIM)
+    np.testing.assert_allclose(embs[0], _vec("hello"), rtol=1e-6)
+    fn2 = (
+        get_registry()
+        .get("bedrock-text")
+        .create(base_url=mock_api, model="cohere.embed-english-v3", ndims=DIM)
+    )
+    embs2 = fn2.compute_source_embeddings(["hello"])
+    np.testing.assert_allclose(embs2[0], _vec("hello"), rtol=1e-6)
+
+
+def test_watsonx_token_exchange(mock_api):
+    fn = (
+        get_registry()
+        .get("watsonx")
+        .create(base_url=mock_api, iam_url=mock_api, api_key="k", project_id="p1", ndims=DIM)
+    )
+    embs = fn.compute_source_embeddings(["hello", "world"])
+    assert embs.shape == (2, DIM)
+    np.testing.assert_allclose(embs[1], _vec("world"), rtol=1e-6)
+
+
+def test_watsonx_requires_project_or_space(mock_api):
+    from lancedb_tpu.errors import InvalidInputError
+
+    with pytest.raises(InvalidInputError):
+        get_registry().get("watsonx").create(base_url=mock_api, api_key="k")
+    with pytest.raises(InvalidInputError):
+        get_registry().get("watsonx").create(
+            base_url=mock_api, api_key="k", project_id="a", space_id="b"
+        )
 
 
 def test_missing_api_key_message(mock_api, monkeypatch):
