@@ -48,6 +48,7 @@ from .context import contextualize
 from .db import AsyncConnection, DBConnection, LanceDBConnection, connect, connect_async
 from .errors import LanceDBError
 from .namespace import LanceNamespaceConnection, connect_namespace
+from .namespace_rest import NamespaceServer, RestNamespace, connect_namespace_client
 from .session import Session
 from .query import (
     DEFAULT_TOP_K,
@@ -74,6 +75,9 @@ __all__ = [
     "connect",
     "connect_async",
     "connect_namespace",
+    "connect_namespace_client",
+    "NamespaceServer",
+    "RestNamespace",
     "LanceNamespaceConnection",
     "Session",
     "blob_field",

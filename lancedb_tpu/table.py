@@ -171,12 +171,19 @@ class Table:
                     self._invalidate_caches()
         return self._Table__dataset
 
+    # optional write listener (namespace read-freshness: a namespace-
+    # opened table bumps its freshness baseline on every mutation —
+    # reference database/read_freshness.rs TableFreshness::bump)
+    _on_write = None
+
     def _invalidate_caches(self) -> None:
         self._searchers.clear()
         self._fts_indexes.clear()
         session = getattr(self._conn, "session", None)
         if session is not None:
             session.invalidate(self._Table__dataset.root)
+        if self._on_write is not None:
+            self._on_write()
 
     def _background_refresh(self) -> None:
         """Called by the connection's BackgroundRefresher (Eventual

@@ -78,3 +78,89 @@ class TestNamespaceTables:
         assert "dual-table" in ns.list_tables()
         assert "dual-table" not in ns.list_namespaces()
         assert "dual" not in ns.list_tables()
+
+
+class TestRestNamespaceProtocol:
+    """REST catalog protocol client+server (reference lance-namespace
+    consumed by database/namespace.rs; read_freshness.rs headers)."""
+
+    @pytest.fixture()
+    def served(self, tmp_path):
+        from lancedb_tpu import NamespaceServer, connect_namespace_client
+
+        with NamespaceServer(str(tmp_path / "db"), api_key="sekrit") as srv:
+            yield connect_namespace_client(srv.address, api_key="sekrit"), srv
+
+    def test_namespace_crud_over_rest(self, served):
+        ns, _ = served
+        ns.create_namespace(["prod"])
+        ns.create_namespace(["prod", "search"], properties={"team": "ml"})
+        assert ns.namespace_exists(["prod", "search"])
+        assert ns.list_namespaces(["prod"]) == ["search"]
+        assert ns.describe_namespace(["prod", "search"])["properties"] == {"team": "ml"}
+        ns.drop_namespace(["prod", "search"])
+        assert not ns.namespace_exists(["prod", "search"])
+
+    def test_table_lifecycle_data_plane_direct(self, served):
+        ns, _ = served
+        ns.create_namespace(["prod"])
+        t = ns.create_table(
+            ["prod", "items"],
+            [{"id": i, "vector": [float(i)] * 4} for i in range(32)],
+        )
+        assert t.count_rows() == 32
+        assert ns.table_exists(["prod", "items"])
+        assert ns.list_tables(["prod"]) == ["items"]
+        # data plane: writes go straight at storage, not through the catalog
+        t.add([{"id": 100, "vector": [99.0] * 4}])
+        t2 = ns.open_table(["prod", "items"])
+        assert t2.count_rows() == 33
+        res = t2.search([99.0] * 4).limit(1).to_list()
+        assert res[0]["id"] == 100
+        ns.rename_table(["prod", "items"], ["prod", "items2"])
+        assert ns.list_tables(["prod"]) == ["items2"]
+        ns.drop_table(["prod", "items2"])
+        assert not ns.table_exists(["prod", "items2"])
+
+    def test_auth_required(self, served, tmp_path):
+        from lancedb_tpu import connect_namespace_client
+        from lancedb_tpu.errors import HttpError
+        from lancedb_tpu.remote.client import ClientConfig, RetryConfig
+
+        _, srv = served
+        bad = connect_namespace_client(
+            srv.address, api_key="wrong",
+            config=ClientConfig(retry_config=RetryConfig(retries=0)),
+        )
+        with pytest.raises(HttpError):
+            bad.list_namespaces()
+
+    def test_min_timestamp_pierces_stale_cache(self, tmp_path):
+        """A second handle's describe served from the TTL cache misses a
+        write until the writer-side baseline (bumped by Table._on_write)
+        raises the freshness floor — reference read_freshness.rs flow."""
+        from lancedb_tpu import NamespaceServer, connect_namespace_client
+
+        with NamespaceServer(str(tmp_path / "db"), describe_cache_ttl=3600.0) as srv:
+            writer = connect_namespace_client(srv.address)
+            reader = connect_namespace_client(srv.address)
+            writer.create_table(["t1"], [{"id": 1, "vector": [0.0] * 4}])
+            v1 = reader.describe_table(["t1"])["version"]
+            wt = writer.open_table(["t1"])
+            wt.add([{"id": 2, "vector": [1.0] * 4}])  # bumps writer baseline
+            # reader has no baseline: still sees the cached (stale) version
+            assert reader.describe_table(["t1"])["version"] == v1
+            # writer's next describe carries the bumped floor -> refresh
+            assert writer.describe_table(["t1"])["version"] > v1
+            # reader with interval=0 demands now-fresh metadata
+            strict = connect_namespace_client(srv.address, read_consistency_interval=0.0)
+            assert strict.describe_table(["t1"])["version"] > v1
+
+    def test_compute_min_timestamp_rule(self):
+        from lancedb_tpu.namespace_rest import compute_min_timestamp
+
+        assert compute_min_timestamp(None, None, 100.0) is None
+        assert compute_min_timestamp(90.0, None, 100.0) == 90.0
+        assert compute_min_timestamp(None, 30.0, 100.0) == 70.0
+        assert compute_min_timestamp(90.0, 30.0, 100.0) == 90.0
+        assert compute_min_timestamp(50.0, 30.0, 100.0) == 70.0
