@@ -323,16 +323,39 @@ class Table:
     def _lsm(self):
         from .lsm import LsmStore
 
-        return LsmStore(self._dataset)
+        # cached so the ShardWriter cache survives across merge_insert
+        # calls (reference's per-table writer cache, merge/lsm.rs:322-334)
+        cached = self.__dict__.get("_lsm_store")
+        ds = self._dataset
+        if cached is None or cached._ds is not ds:
+            cached = self.__dict__["_lsm_store"] = LsmStore(ds)
+        return cached
 
     def set_lsm_write_spec(
-        self, mode: str = "unsharded", key_columns: list[str] | str = (), num_shards: int = 1
+        self,
+        mode: str = "unsharded",
+        key_columns: list[str] | str = (),
+        num_shards: int = 1,
+        *,
+        maintained_indexes: list[str] | None = None,
+        writer_config: dict | None = None,
     ) -> None:
-        """Install the LSM sharding spec (reference table.rs:379-530)."""
+        """Install the LSM sharding spec (reference table.rs:379-530);
+        ``maintained_indexes=None`` snapshots every current index
+        (merge/lsm.rs:134-176)."""
         from .lsm import LsmSpec
 
         keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
-        self._lsm.set_spec(LsmSpec(mode, keys, num_shards))
+        self._lsm.set_spec(
+            LsmSpec(
+                mode, keys, num_shards,
+                maintained_indexes=maintained_indexes, writer_config=writer_config,
+            )
+        )
+
+    def close_lsm_writers(self) -> None:
+        """Drain cached shard writers (reference close_lsm_writers)."""
+        self._lsm.close_writers()
 
     def describe_lsm_spec(self) -> dict | None:
         spec = self._lsm.get_spec()
@@ -342,7 +365,15 @@ class Table:
         self._lsm.drop_spec(force=force)
 
     def flush_lsm(self) -> dict:
+        lsm = self._lsm
         out = self._lsm.flush()
+        # maintain the spec's index selection over the folded rows —
+        # the reference MemWAL keeps maintained indexes fresh on flush
+        spec = lsm.get_spec()
+        if out.get("rows_flushed") and spec and spec.maintained_indexes:
+            out["indexes_refreshed"] = self._reindex_stale(
+                only=set(spec.maintained_indexes)
+            )
         self._invalidate_caches()
         return out
 
@@ -771,9 +802,10 @@ class Table:
         self._invalidate_caches()
         return {"compaction": compact, "prune": prune, "indices_rebuilt": rebuilt}
 
-    def _reindex_stale(self, retrain: bool = False) -> int:
+    def _reindex_stale(self, retrain: bool = False, only: set | None = None) -> int:
         """Rebuild indexes whose fragment coverage went stale (the delta
-        merge of reference optimize index)."""
+        merge of reference optimize index). ``only`` restricts to the
+        named indexes (LSM maintained-index selection)."""
         from .index.fts import build_fts_index
         from .index.scalar import build_scalar_index
         from .index.vector import build_vector_index
@@ -783,6 +815,8 @@ class Table:
         live = {f.id for f in ds.manifest.fragments}
         rebuilt = 0
         for ix in list(ds.manifest.indices):
+            if only is not None and ix.name not in only:
+                continue
             if set(ix.fragment_ids) == live:
                 continue
             rebuilt += 1

@@ -29,7 +29,11 @@ class TestLsmSpec:
     def test_install_describe_drop(self, table):
         table.set_lsm_write_spec("bucket", key_columns=["id"], num_shards=4)
         spec = table.describe_lsm_spec()
-        assert spec == {"mode": "bucket", "key_columns": ["id"], "num_shards": 4}
+        assert spec["mode"] == "bucket"
+        assert spec["key_columns"] == ["id"]
+        assert spec["num_shards"] == 4
+        assert spec["maintained_indexes"] == []  # snapshot of (no) indices
+        assert spec["writer_config"]["max_entry_rows"] > 0
         table.drop_lsm_spec()
         assert table.describe_lsm_spec() is None
 
@@ -115,3 +119,83 @@ class TestLsmMaintenance:
         with pytest.raises(InvalidInputError):
             table.drop_lsm_spec()
         table.drop_lsm_spec(force=True)
+
+
+class TestGenerations:
+    """MemWAL generation lifecycle (reference merge/lsm.rs + lance
+    MemWAL): seal barriers, writer cache, maintained indexes."""
+
+    def test_seal_advances_generation(self, table):
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        lsm = table._lsm
+        upsert(table, [{"id": 1, "val": "a", "n": 0}])
+        w = lsm.writer(0)
+        assert w.generation == 0
+        sealed = w.seal()
+        assert sealed == 0 and w.generation == 1
+        upsert(table, [{"id": 2, "val": "b", "n": 0}])
+        gens = table.lsm_stats()["shards"][0]["generations"]
+        assert gens == [0, 1]
+
+    def test_flush_targets_sealed_watermark_only(self, table):
+        """Rows written after the checkpoint's seal survive the flush
+        (land in the next generation) — the convergence guarantee."""
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        lsm = table._lsm
+        upsert(table, [{"id": 100, "val": "old-gen", "n": 0}])
+        watermark = lsm.seal_all()
+        upsert(table, [{"id": 101, "val": "new-gen", "n": 0}])
+        out = lsm.flush(max_generation=watermark)
+        assert out["rows_flushed"] == 1
+        assert table.count_rows("id = 100") == 1  # folded
+        assert table.count_rows("id = 101") == 0  # still in WAL
+        assert table.lsm_stats()["total_wal_rows"] == 1
+
+    def test_concurrent_seal_single_winner(self, table):
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        lsm = table._lsm
+        upsert(table, [{"id": 1, "val": "x", "n": 0}])
+        w = lsm.writer(0)
+        g1 = w.seal()
+        # a second sealer of the same generation is a no-op (marker exists)
+        from lancedb_tpu.lsm import ShardWriter
+
+        w2 = ShardWriter(lsm._store, lsm._shard_dir(0))
+        assert w2.generation == g1 + 1  # discovered the seal
+
+    def test_writer_cache_persists_across_upserts(self, table):
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        upsert(table, [{"id": 1, "val": "a", "n": 0}])
+        upsert(table, [{"id": 2, "val": "b", "n": 0}])
+        manifests = table._lsm.writer_manifests()
+        assert manifests[0]["entries_written"] == 2
+        assert manifests[0]["rows_written"] == 2
+        table.close_lsm_writers()
+        assert table._lsm.writer_manifests() == {}
+
+    def test_maintained_indexes_validated_and_refreshed(self, mem_db):
+        t = mem_db.create_table("t", make_vector_table(200, dim=16))
+        t.create_index(index_type="IVF_FLAT", num_partitions=4, name="vi")
+        with pytest.raises(InvalidInputError):
+            t.set_lsm_write_spec("unsharded", key_columns=["id"],
+                                 maintained_indexes=["ghost"])
+        t.set_lsm_write_spec("unsharded", key_columns=["id"])
+        assert t.describe_lsm_spec()["maintained_indexes"] == ["vi"]
+        rows = make_vector_table(5, dim=16, seed=9).to_pylist()
+        for i, r in enumerate(rows):
+            r["id"] = 1000 + i
+        (t.merge_insert("id").when_matched_update_all()
+           .when_not_matched_insert_all().use_lsm().execute(rows))
+        out = t.flush_lsm()
+        assert out["rows_flushed"] == 5
+        assert out["indexes_refreshed"] == 1
+        assert t.index_stats("vi")["num_unindexed_rows"] == 0
+
+    def test_latest_wins_across_generations(self, table):
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        lsm = table._lsm
+        upsert(table, [{"id": 7, "val": "gen0", "n": 0}])
+        lsm.seal_all()
+        upsert(table, [{"id": 7, "val": "gen1", "n": 0}])
+        rows = table.query().use_lsm().where("id = 7").to_arrow().to_pylist()
+        assert rows == [{"id": 7, "val": "gen1", "n": 0}]
