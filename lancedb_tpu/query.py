@@ -109,7 +109,9 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     # ---- prefilter -------------------------------------------------------
     allowed: np.ndarray | None = None
     if req.filter is not None and req.prefilter:
-        allowed = compute_allowed_rowids(table, req.filter)
+        with _op_timer("PrefilterExec") as t:
+            allowed = compute_allowed_rowids(table, req.filter)
+            t.set_rows(len(allowed))
         if len(allowed) == 0:
             return _empty_result(table, req, multi)
 
@@ -137,28 +139,34 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
                 d, r = searcher.refine(ds, column, queries, d, r, k_search)
             return d, r
 
-        dists, rowids = run(req.minimum_nprobes)
-        # adaptive expansion (reference minimum/maximum_nprobes,
-        # query.rs:1215-1283): when filters starve the probed partitions,
-        # retry once at maximum_nprobes before falling back
-        max_np = req.maximum_nprobes or req.minimum_nprobes
-        if max_np > req.minimum_nprobes:
-            underfull = (rowids == _INVALID_ROWID).sum(axis=1) > 0
-            if underfull.any():
-                dists, rowids = run(max_np)
+        with _op_timer("ANNSubIndexExec") as t:
+            dists, rowids = run(req.minimum_nprobes)
+            # adaptive expansion (reference minimum/maximum_nprobes,
+            # query.rs:1215-1283): when filters starve the probed partitions,
+            # retry once at maximum_nprobes before falling back
+            max_np = req.maximum_nprobes or req.minimum_nprobes
+            if max_np > req.minimum_nprobes:
+                underfull = (rowids == _INVALID_ROWID).sum(axis=1) > 0
+                if underfull.any():
+                    dists, rowids = run(max_np)
+            t.set_rows(int((rowids != _INVALID_ROWID).sum()))
         # delta fragments not covered by the index → brute force + merge
         if not req.fast_search:
             covered = set(index_meta.fragment_ids)
             delta = [f for f in ds.manifest.fragments if f.id not in covered]
             if delta:
-                d2, r2 = _brute_force_fragments(
-                    ds, column, queries, k_search, metric, req, allowed, frags=delta
-                )
+                with _op_timer("KnnFlatExec") as t:
+                    d2, r2 = _brute_force_fragments(
+                        ds, column, queries, k_search, metric, req, allowed, frags=delta
+                    )
+                    t.set_rows(int((r2 != _INVALID_ROWID).sum()))
                 dists, rowids = _merge_host(dists, rowids, d2, r2, k_search)
     else:
-        dists, rowids = _brute_force_fragments(
-            ds, column, queries, k_search, metric, req, allowed, frags=ds.manifest.fragments
-        )
+        with _op_timer("KnnFlatExec") as t:
+            dists, rowids = _brute_force_fragments(
+                ds, column, queries, k_search, metric, req, allowed, frags=ds.manifest.fragments
+            )
+            t.set_rows(int((rowids != _INVALID_ROWID).sum()))
 
     # ---- distance range / postfilter ------------------------------------
     if req.lower_bound is not None:
@@ -173,10 +181,14 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     recorder().increment_counter(
         "lancedb.queries", labels={"table": table.name, "kind": "vector"}
     )
-    out = _hydrate_results(table, req, queries, dists, rowids, multi)
+    with _op_timer("TakeExec") as t:
+        out = _hydrate_results(table, req, queries, dists, rowids, multi)
+        t.set_rows(out.num_rows)
     if req.filter is not None and not req.prefilter and out.num_rows:
-        mask = evaluate_predicate_mask(out, req.filter)
-        out = out.filter(pa.array(mask))
+        with _op_timer("FilterExec") as t:
+            mask = evaluate_predicate_mask(out, req.filter)
+            out = out.filter(pa.array(mask))
+            t.set_rows(out.num_rows)
     if req.offset:
         per_query_offset = req.offset
         if multi:
@@ -355,6 +367,42 @@ def _empty_result(table, req, multi) -> pa.Table:
 # ===================================================================== plans
 
 
+# ---- per-operator plan metrics (reference analyze_plan renders
+# DataFusion operator metrics — query.rs:756; ours collects the same
+# shape from the execution stages via a contextvar so plain queries pay
+# nothing) -----------------------------------------------------------------
+import contextvars
+
+_PLAN_METRICS: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "plan_metrics", default=None
+)
+
+
+class _op_timer:
+    """Times one operator when an analyze run is active; no-op otherwise."""
+
+    def __init__(self, op: str):
+        self.op = op
+        self._sink = _PLAN_METRICS.get()
+        self.rows = None
+
+    def __enter__(self):
+        if self._sink is not None:
+            self._t0 = time.perf_counter()
+        return self
+
+    def set_rows(self, n: int) -> None:
+        self.rows = int(n)
+
+    def __exit__(self, *exc):
+        if self._sink is not None:
+            rec = self._sink.setdefault(self.op, {"elapsed_s": 0.0, "invocations": 0})
+            rec["elapsed_s"] += time.perf_counter() - self._t0
+            rec["invocations"] += 1
+            if self.rows is not None:
+                rec["output_rows"] = rec.get("output_rows", 0) + self.rows
+
+
 def explain_vector_plan(table, req: VectorQueryRequest) -> str:
     """Textual physical plan (reference explain_plan, query.rs:741)."""
     ds = table._dataset
@@ -390,23 +438,37 @@ def explain_vector_plan(table, req: VectorQueryRequest) -> str:
 
 
 def analyze_vector_plan(table, req: VectorQueryRequest) -> str:
-    """Execute + report metrics (reference analyze_plan, query.rs:756)."""
+    """Execute + report per-operator metrics (reference analyze_plan,
+    query.rs:756 — DataFusion-style `metrics=[...]` per plan line)."""
     from .io.object_store import IoStats, IoTrackingStore
 
     ds = table._dataset
     stats = IoStats()
     orig_store = ds.store
     ds.store = IoTrackingStore(orig_store, stats)
+    op_metrics: dict = {}
+    token = _PLAN_METRICS.set(op_metrics)
     try:
         t0 = time.perf_counter()
         out = execute_vector_query(table, req)
         elapsed = time.perf_counter() - t0
     finally:
+        _PLAN_METRICS.reset(token)
         ds.store = orig_store
     snap = stats.snapshot()
-    plan = explain_vector_plan(table, req)
+    plan_lines = []
+    for line in explain_vector_plan(table, req).splitlines():
+        op = line.strip().split(":", 1)[0]
+        rec = op_metrics.get(op)
+        if rec is not None:
+            parts = [f"output_rows={rec.get('output_rows', 0)}",
+                     f"elapsed_compute={rec['elapsed_s'] * 1e3:.3f}ms"]
+            if rec["invocations"] > 1:
+                parts.append(f"invocations={rec['invocations']}")
+            line = f"{line}, metrics=[{', '.join(parts)}]"
+        plan_lines.append(line)
     return (
-        f"{plan}\n"
+        "\n".join(plan_lines) + "\n"
         f"-- metrics --\n"
         f"elapsed_ms={elapsed * 1e3:.3f} output_rows={out.num_rows} "
         f"iops={snap['read_iops']} bytes_read={snap['read_bytes']}"

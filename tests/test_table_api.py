@@ -228,6 +228,22 @@ class TestQuery:
         analyzed = t.search(q).limit(5).analyze_plan()
         assert "elapsed_ms" in analyzed
 
+    def test_analyze_per_operator_metrics(self, mem_db, sample_table_data):
+        """analyze_plan annotates each executed operator with
+        output_rows + elapsed_compute (reference analyze_plan renders
+        DataFusion operator metrics, query.rs:756)."""
+        t = mem_db.create_table("t", sample_table_data)
+        t.create_index(index_type="IVF_FLAT", num_partitions=4)
+        q = np.zeros(16, np.float32)
+        analyzed = t.search(q).where("id < 100").limit(5).analyze_plan()
+        for op in ("ANNSubIndexExec", "PrefilterExec", "TakeExec"):
+            line = next(l for l in analyzed.splitlines() if op in l)
+            assert "metrics=[output_rows=" in line and "elapsed_compute=" in line
+        pre = next(l for l in analyzed.splitlines() if "PrefilterExec" in l)
+        assert "output_rows=100" in pre  # id < 100 allows exactly 100 rows
+        # plain queries pay nothing: no metrics annotations in explain
+        assert "metrics=[" not in t.search(q).limit(5).explain_plan()
+
 
 class TestIndexManagement:
     def test_list_and_stats(self, mem_db, sample_table_data):
