@@ -260,7 +260,8 @@ class LanceDBConnection(DBConnection):
 
 
 class AsyncConnection:
-    """Async facade (reference AsyncConnection)."""
+    """Async facade (reference AsyncConnection). Blocking work runs on
+    the shared bounded lancedb-aio executor (aio.py)."""
 
     def __init__(self, inner: LanceDBConnection):
         self._c = inner
@@ -269,25 +270,30 @@ class AsyncConnection:
     def uri(self) -> str:
         return self._c.uri
 
+    async def _run(self, fn, *args, **kw):
+        from .aio import _run
+
+        return await _run(fn, *args, **kw)
+
     async def table_names(self, **kw) -> list[str]:
-        return await asyncio.to_thread(self._c.table_names, **kw)
+        return await self._run(self._c.table_names, **kw)
 
     async def create_table(self, name: str, data=None, schema=None, **kw) -> AsyncTable:
-        t = await asyncio.to_thread(lambda: self._c.create_table(name, data, schema, **kw))
+        t = await self._run(lambda: self._c.create_table(name, data, schema, **kw))
         return AsyncTable(t)
 
     async def open_table(self, name: str, **kw) -> AsyncTable:
-        t = await asyncio.to_thread(lambda: self._c.open_table(name, **kw))
+        t = await self._run(lambda: self._c.open_table(name, **kw))
         return AsyncTable(t)
 
     async def drop_table(self, name: str, ignore_missing: bool = False) -> None:
-        await asyncio.to_thread(self._c.drop_table, name, ignore_missing)
+        await self._run(self._c.drop_table, name, ignore_missing)
 
     async def rename_table(self, old: str, new: str) -> None:
-        await asyncio.to_thread(self._c.rename_table, old, new)
+        await self._run(self._c.rename_table, old, new)
 
     async def drop_all_tables(self) -> None:
-        await asyncio.to_thread(self._c.drop_all_tables)
+        await self._run(self._c.drop_all_tables)
 
 
 def connect(

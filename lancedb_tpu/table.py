@@ -955,8 +955,11 @@ def _config_from_params(index_type: str, params: dict):
 
 
 class AsyncTable:
-    """Async facade over Table (reference AsyncTable, table.py:4511) —
-    blocking work runs in a thread so the event loop stays free."""
+    """Async facade over Table (reference AsyncTable, table.py:4511).
+
+    Blocking work runs on the shared bounded lancedb-aio executor (not
+    the unbounded default pool); queries return async builders whose
+    ``to_batches`` streams with backpressure (aio.py module docs)."""
 
     def __init__(self, table: Table):
         self._t = table
@@ -966,9 +969,27 @@ class AsyncTable:
         return self._t.name
 
     async def _run(self, fn, *args, **kwargs):
-        import asyncio
+        from .aio import _run
 
-        return await asyncio.to_thread(fn, *args, **kwargs)
+        return await _run(fn, *args, **kwargs)
+
+    # ---- async query builders (reference AsyncTable.query/search) -------
+    def query(self):
+        from .aio import AsyncQueryBase
+
+        return AsyncQueryBase(self._t.query())
+
+    def search(self, query: Any = None, vector_column_name: str | None = None,
+               query_type: str = "auto", fts_columns: list[str] | None = None):
+        from .aio import AsyncFTSQuery, AsyncHybridQuery, AsyncQueryBase, AsyncVectorQuery
+
+        b = self._t.search(query, vector_column_name, query_type, fts_columns)
+        wrap = {
+            "LanceVectorQueryBuilder": AsyncVectorQuery,
+            "LanceFtsQueryBuilder": AsyncFTSQuery,
+            "LanceHybridQueryBuilder": AsyncHybridQuery,
+        }.get(type(b).__name__, AsyncQueryBase)
+        return wrap(b)
 
     async def schema(self) -> pa.Schema:
         return await self._run(lambda: self._t.schema)
@@ -1018,3 +1039,52 @@ class AsyncTable:
 
     async def optimize(self, **kw) -> dict:
         return await self._run(lambda: self._t.optimize(**kw))
+
+    # ---- remaining BaseTable surface (reference AsyncTable parity) ------
+    async def create_scalar_index(self, column: str, **kw) -> None:
+        return await self._run(lambda: self._t.create_scalar_index(column, **kw))
+
+    async def create_fts_index(self, field_names, **kw) -> None:
+        return await self._run(lambda: self._t.create_fts_index(field_names, **kw))
+
+    async def drop_index(self, name: str) -> None:
+        return await self._run(self._t.drop_index, name)
+
+    async def index_stats(self, name: str) -> dict:
+        return await self._run(self._t.index_stats, name)
+
+    async def stats(self) -> dict:
+        return await self._run(self._t.stats)
+
+    async def merge_insert(self, on, data, *, when_matched_update_all: bool = True,
+                           when_not_matched_insert_all: bool = True) -> dict:
+        def run():
+            b = self._t.merge_insert(on)
+            if when_matched_update_all:
+                b.when_matched_update_all()
+            if when_not_matched_insert_all:
+                b.when_not_matched_insert_all()
+            return b.execute(data)
+
+        return await self._run(run)
+
+    async def restore(self, version: int | None = None) -> None:
+        return await self._run(lambda: self._t.restore(version))
+
+    async def list_versions(self) -> list[dict]:
+        return await self._run(self._t.list_versions)
+
+    async def add_columns(self, transforms: dict) -> None:
+        return await self._run(self._t.add_columns, transforms)
+
+    async def alter_columns(self, *alterations) -> None:
+        return await self._run(lambda: self._t.alter_columns(*alterations))
+
+    async def drop_columns(self, columns) -> None:
+        return await self._run(self._t.drop_columns, columns)
+
+    async def wait_for_index(self, names, timeout: float = 30.0) -> None:
+        return await self._run(lambda: self._t.wait_for_index(names, timeout=timeout))
+
+    async def uses_v2_manifest_paths(self) -> bool:  # parity shim
+        return True
