@@ -32,11 +32,19 @@ def ipc_to_table(data: bytes) -> pa.Table:
 
 
 def schema_to_json(schema: pa.Schema) -> dict:
-    """JSON-friendly schema description (reference describe response)."""
+    """JSON-friendly schema description (reference describe response).
+    Schema metadata rides along (decoded utf-8) so remote SDKs can
+    reconnect embedding functions from the `embedding_functions` key."""
     def field_to_json(f: pa.Field) -> dict:
         return {"name": f.name, "type": str(f.type), "nullable": f.nullable}
 
-    return {"fields": [field_to_json(f) for f in schema]}
+    metadata = {}
+    for k, v in (schema.metadata or {}).items():
+        try:
+            metadata[k.decode()] = v.decode()
+        except UnicodeDecodeError:
+            continue  # binary metadata is not part of the JSON surface
+    return {"fields": [field_to_json(f) for f in schema], "metadata": metadata}
 
 
 def dumps(obj) -> bytes:

@@ -174,6 +174,13 @@ class _Handler(BaseHTTPRequestHandler):
     def op_query(self, name):
         body = loads(self._read_body())
         t = self._open(name, body)
+
+        def _maybe_sort(tbl):
+            order = body.get("order_by")
+            if order:
+                tbl = tbl.sort_by([(c, d) for c, d in order])
+            return tbl
+
         if body.get("vector") in (None, []) and "full_text_query" not in body:
             # plain (no-vector) scan: filter/select/limit/offset
             qb = t.search(None)
@@ -187,7 +194,7 @@ class _Handler(BaseHTTPRequestHandler):
                 qb = qb.limit(body["k"])
             if body.get("offset"):
                 qb = qb.offset(body["offset"])
-            return self._respond(200, table_to_ipc(qb.to_arrow()), CONTENT_ARROW)
+            return self._respond(200, table_to_ipc(_maybe_sort(qb.to_arrow())), CONTENT_ARROW)
         if "full_text_query" in body and body.get("vector") in (None, []):
             out = t._execute_fts(
                 body["full_text_query"]["query"],
@@ -221,7 +228,7 @@ class _Handler(BaseHTTPRequestHandler):
                 select=body.get("columns"),
             )
             out = execute_vector_query(t, req)
-        self._respond(200, table_to_ipc(out), CONTENT_ARROW)
+        self._respond(200, table_to_ipc(_maybe_sort(out)), CONTENT_ARROW)
 
     def op_explain_plan(self, name):
         body = loads(self._read_body())

@@ -78,3 +78,73 @@ test("end-to-end table lifecycle", async () => {
   await db.dropTable("ts_test");
   assert.ok(!(await db.tableNames()).includes("ts_test"));
 });
+
+test("embeddings registry + auto-embedding create", async () => {
+  const { getRegistry } = await import("../lancedb_tpu/embeddings.js");
+  const reg = getRegistry();
+  assert.ok(reg.list().includes("openai"));
+  assert.ok(reg.list().includes("hash"));
+  const db = await connect(URL);
+  const tbl = await db.createTable(
+    `emb_${Date.now()}`,
+    [{ text: "alpha" }, { text: "bravo" }, { text: "charlie" }],
+    {
+      embeddingFunctions: [
+        { sourceColumn: "text", functionName: "hash", config: { ndims: 8 } },
+      ],
+    },
+  );
+  const fns = await tbl.embeddingFunctions();
+  assert.equal(fns.size, 1);
+  const q = await tbl.searchText("bravo");
+  const hits = await q.limit(1).toArray();
+  assert.equal(hits[0].text, "bravo");
+});
+
+test("hybrid search with RRF", async () => {
+  const { RRFReranker } = await import("../lancedb_tpu/rerankers.js");
+  const db = await connect(URL);
+  const name = `hyb_${Date.now()}`;
+  const tbl = await db.createTable(
+    name,
+    Array.from({ length: 30 }, (_, i) => ({
+      id: i,
+      text: `document ${i} about topic${i % 3}`,
+      vector: randVec(8, i),
+    })),
+  );
+  await tbl.createIndex("text", Index.fts());
+  const hq = await tbl.hybridSearch("topic1", { vector: randVec(8, 4) });
+  const rows = await hq.rerank(new RRFReranker()).limit(5).toArray();
+  assert.ok(rows.length > 0);
+  assert.ok("_relevance_score" in rows[0]);
+});
+
+test("orderBy, batches, schema evolution, multipart", async () => {
+  const db = await connect(URL);
+  const name = `misc_${Date.now()}`;
+  const tbl = await db.createTable(
+    name,
+    Array.from({ length: 50 }, (_, i) => ({ id: i, vector: randVec(4, i) })),
+  );
+  const ordered = await tbl.query().orderBy(["id", "desc"]).limit(5).toArray();
+  assert.equal(ordered[0].id, 49);
+  let rows = 0;
+  for await (const b of tbl.query().limit(50).toBatches(16)) {
+    assert.ok(b.numRows <= 16);
+    rows += b.numRows;
+  }
+  assert.equal(rows, 50);
+  await tbl.addColumns({ doubled: "id * 2" });
+  const withCol = await tbl.query().select(["id", "doubled"]).limit(1).toArray();
+  assert.equal(withCol[0].doubled, Number(withCol[0].id) * 2);
+  await tbl.addLarge(
+    Array.from({ length: 25 }, (_, i) => ({
+      id: 100 + i,
+      doubled: 0,
+      vector: randVec(4, 100 + i),
+    })),
+    10,
+  );
+  assert.equal(await tbl.countRows(), 75);
+});

@@ -5,10 +5,19 @@
  */
 
 import { ClientConfig, RestClient } from "./client.js";
+import { EmbeddingDefinition, getRegistry } from "./embeddings.js";
+import { makeArrowTable } from "./arrow.js";
 import { Table, TableData } from "./table.js";
-import { tableToIPC, tableFromJSON, Table as ArrowTable } from "apache-arrow";
+import { tableToIPC, Table as ArrowTable, Schema } from "apache-arrow";
 
 export interface ConnectionOptions extends Omit<ClientConfig, "baseUrl"> {}
+
+export interface CreateTableOptions {
+  /** Embedding definitions: source text embeds into the vector column
+   * on create, and the config lands in schema metadata so Python/TS
+   * handles reconnect the functions (cross-SDK contract). */
+  embeddingFunctions?: EmbeddingDefinition[];
+}
 
 export class Connection {
   constructor(private client: RestClient) {}
@@ -22,8 +31,34 @@ export class Connection {
     return r.tables;
   }
 
-  async createTable(name: string, data: TableData): Promise<Table> {
-    const tbl = Array.isArray(data) ? tableFromJSON(data) : (data as ArrowTable);
+  async createTable(
+    name: string,
+    data: TableData,
+    options: CreateTableOptions = {},
+  ): Promise<Table> {
+    let rows = data;
+    if (options.embeddingFunctions?.length && Array.isArray(rows)) {
+      const reg = getRegistry();
+      rows = rows.map((r) => ({ ...r }));
+      for (const def of options.embeddingFunctions) {
+        const vcol = def.vectorColumn ?? "vector";
+        if (rows.every((r) => vcol in r)) continue;
+        const fn = reg.get(def.functionName).create(def.config);
+        const vecs = await fn.computeSourceEmbeddings(
+          rows.map((r) => String(r[def.sourceColumn] ?? "")),
+        );
+        rows.forEach((r, i) => {
+          (r as Record<string, unknown>)[vcol] = vecs[i];
+        });
+      }
+    }
+    let tbl = Array.isArray(rows) ? makeArrowTable(rows) : (rows as ArrowTable);
+    if (options.embeddingFunctions?.length) {
+      const [key, doc] = getRegistry().metadataDocument(options.embeddingFunctions);
+      const meta = new Map(tbl.schema.metadata);
+      meta.set(key, doc);
+      tbl = new ArrowTable(new Schema(tbl.schema.fields, meta), tbl.batches);
+    }
     await this.client.postArrow(
       `/v1/table/${encodeURIComponent(name)}/create`,
       tableToIPC(tbl, "stream"),

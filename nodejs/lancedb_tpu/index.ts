@@ -6,6 +6,20 @@
 
 export { connect, Connection, ConnectionOptions } from "./connection.js";
 export { Table, TableDescription, FieldDescriptor, MergeInsertOptions } from "./table.js";
-export { VectorQuery, FtsQuery, PlainQuery } from "./query.js";
+export { VectorQuery, FtsQuery, PlainQuery, HybridQuery } from "./query.js";
 export { Index, IvfPqOptions, IvfFlatOptions, HnswOptions, FtsOptions, DistanceType } from "./indices.js";
 export { RestClient, ClientConfig, HttpError } from "./client.js";
+export { makeArrowTable, makeFixedSizeListVector, defaultVectorColumn } from "./arrow.js";
+export {
+  EmbeddingDefinition,
+  EmbeddingFunction,
+  EmbeddingFunctionRegistry,
+  getRegistry,
+  OpenAIEmbedding,
+  CohereEmbedding,
+  OllamaEmbedding,
+  JinaEmbedding,
+  VoyageAIEmbedding,
+  HashEmbedding,
+} from "./embeddings.js";
+export { Reranker, RRFReranker, LinearCombinationReranker } from "./rerankers.js";

@@ -5,8 +5,9 @@
  * against POST /v1/table/{name}/query returning an Arrow IPC stream.
  */
 
-import { Table as ArrowTable, tableFromIPC } from "apache-arrow";
+import { RecordBatch, Table as ArrowTable, tableFromIPC } from "apache-arrow";
 import { RestClient } from "./client.js";
+import { Reranker, RRFReranker } from "./rerankers.js";
 
 interface QueryBody {
   vector?: number[] | number[][];
@@ -24,6 +25,7 @@ interface QueryBody {
   fast_search?: boolean;
   with_row_id?: boolean;
   columns?: string[];
+  order_by?: Array<[string, string]>;
   full_text_query?: { query: string; columns?: string[] };
 }
 
@@ -68,12 +70,32 @@ abstract class QueryBase<T extends QueryBase<T>> {
     return this.self();
   }
 
+  /** Sort output rows: names or [name, "asc"|"desc"] pairs (reference
+   * QueryRequest.order_by — available on every query surface). */
+  orderBy(...columns: Array<string | [string, "asc" | "desc"]>): T {
+    this.body.order_by = columns.map((c) =>
+      typeof c === "string" ? [c, "ascending"] : [c[0], c[1] === "desc" ? "descending" : "ascending"],
+    );
+    return this.self();
+  }
+
   async toArrow(): Promise<ArrowTable> {
     const ipc = await this.client.postForArrow(
       `/v1/table/${encodeURIComponent(this.tableName)}/query`,
       this.body,
     );
     return tableFromIPC(ipc);
+  }
+
+  /** Async record-batch iterator (reference RecordBatchIterator): the
+   * server's IPC stream decodes incrementally batch by batch. */
+  async *toBatches(maxBatchLength = 1024): AsyncGenerator<RecordBatch> {
+    const tbl = await this.toArrow();
+    for (const batch of tbl.batches) {
+      for (let start = 0; start < batch.numRows; start += maxBatchLength) {
+        yield batch.slice(start, Math.min(start + maxBatchLength, batch.numRows));
+      }
+    }
   }
 
   async toArray(): Promise<Record<string, unknown>[]> {
@@ -157,5 +179,64 @@ export class FtsQuery extends QueryBase<FtsQuery> {
 export class PlainQuery extends QueryBase<PlainQuery> {
   protected self(): PlainQuery {
     return this;
+  }
+}
+
+/**
+ * Hybrid query: one vector search + one FTS search fused client-side
+ * by a reranker (reference nodejs hybrid query; semantics of python
+ * LanceHybridQueryBuilder). The two searches over-fetch then the
+ * reranker produces the final `_relevance_score` ordering.
+ */
+export class HybridQuery {
+  private k = 10;
+  private filterSql: string | undefined;
+  private rerankerImpl: Reranker = new RRFReranker();
+  private overfetch = 4;
+  private nprobesN: number | undefined;
+
+  constructor(
+    private client: RestClient,
+    private tableName: string,
+    private text: string,
+    private vector: number[],
+    private vectorColumn?: string,
+    private ftsColumns?: string[],
+  ) {}
+
+  limit(k: number): HybridQuery {
+    this.k = k;
+    return this;
+  }
+
+  where(predicate: string): HybridQuery {
+    this.filterSql = predicate;
+    return this;
+  }
+
+  nprobes(n: number): HybridQuery {
+    this.nprobesN = n;
+    return this;
+  }
+
+  rerank(reranker: Reranker): HybridQuery {
+    this.rerankerImpl = reranker;
+    return this;
+  }
+
+  async toArray(): Promise<Record<string, unknown>[]> {
+    const fetchK = this.k * this.overfetch;
+    let vq = new VectorQuery(this.client, this.tableName, this.vector)
+      .limit(fetchK)
+      .withRowId();
+    if (this.vectorColumn) vq = vq.column(this.vectorColumn);
+    if (this.nprobesN) vq = vq.nprobes(this.nprobesN);
+    if (this.filterSql) vq = vq.where(this.filterSql);
+    let fq = new FtsQuery(this.client, this.tableName, this.text, this.ftsColumns)
+      .limit(fetchK)
+      .withRowId();
+    if (this.filterSql) fq = fq.where(this.filterSql);
+    const [vres, fres] = await Promise.all([vq.toArrow(), fq.toArrow()]);
+    return this.rerankerImpl.rerankHybrid(this.text, vres, fres, this.k);
   }
 }

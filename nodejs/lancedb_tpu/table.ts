@@ -6,15 +6,12 @@
  * reference remote/table.rs:177-2589).
  */
 
-import {
-  Table as ArrowTable,
-  tableFromIPC,
-  tableToIPC,
-  tableFromJSON,
-} from "apache-arrow";
+import { Table as ArrowTable, tableFromIPC, tableToIPC } from "apache-arrow";
+import { makeArrowTable } from "./arrow.js";
 import { RestClient } from "./client.js";
+import { EmbeddingFunction, getRegistry } from "./embeddings.js";
 import { Index } from "./indices.js";
-import { FtsQuery, PlainQuery, VectorQuery } from "./query.js";
+import { FtsQuery, HybridQuery, PlainQuery, VectorQuery } from "./query.js";
 
 export interface FieldDescriptor {
   name: string;
@@ -32,7 +29,7 @@ export interface TableDescription {
 export type TableData = ArrowTable | Record<string, unknown>[];
 
 function toIpc(data: TableData): Uint8Array {
-  const tbl = Array.isArray(data) ? tableFromJSON(data) : data;
+  const tbl = Array.isArray(data) ? makeArrowTable(data) : data;
   return tableToIPC(tbl, "stream");
 }
 
@@ -195,6 +192,155 @@ export class Table {
       k,
     });
     return r.plan;
+  }
+
+  // ---- branches (reference remote/table.rs branch endpoints) ----------
+  readonly branches = {
+    list: async (): Promise<string[]> => {
+      const r = await this.client.postJson<{ branches: string[] }>(this.p("branches_list"));
+      return r.branches;
+    },
+    create: async (branch: string, version?: number): Promise<void> => {
+      await this.client.postJson(this.p("branches_create"), { branch, version });
+    },
+    delete: async (branch: string): Promise<void> => {
+      await this.client.postJson(this.p("branches_delete"), { branch });
+    },
+    diff: async (branch: string): Promise<object> =>
+      this.client.postJson(this.p("branches_diff"), { branch }),
+    merge: async (branch: string, baseBranch?: string): Promise<object> =>
+      this.client.postJson(this.p("branches_merge"), {
+        branch,
+        base_branch: baseBranch,
+      }),
+  };
+
+  // ---- schema evolution (reference add_columns/alter_columns/drop) ----
+  async addColumns(transforms: Record<string, string>): Promise<number> {
+    const r = await this.client.postJson<{ version: number }>(this.p("add_columns"), {
+      new_columns: Object.entries(transforms),
+    });
+    return r.version;
+  }
+
+  async alterColumns(
+    ...alterations: Array<{ path: string; rename?: string; dataType?: string; nullable?: boolean }>
+  ): Promise<number> {
+    const r = await this.client.postJson<{ version: number }>(this.p("alter_columns"), {
+      alterations: alterations.map((a) => ({
+        path: a.path,
+        rename: a.rename,
+        data_type: a.dataType,
+        nullable: a.nullable,
+      })),
+    });
+    return r.version;
+  }
+
+  async dropColumns(columns: string[]): Promise<number> {
+    const r = await this.client.postJson<{ version: number }>(this.p("drop_columns"), {
+      columns,
+    });
+    return r.version;
+  }
+
+  // ---- multipart insert (reference multipart_write endpoints) ---------
+  /** Stream a large payload as bounded parts committed atomically at
+   * complete. `partRows` bounds per-request size. */
+  async addLarge(data: TableData, partRows = 100_000, mode: "append" | "overwrite" = "append"): Promise<object> {
+    const tbl = Array.isArray(data) ? makeArrowTable(data) : data;
+    const { id } = await this.client.postJson<{ id: string }>(this.p("multipart_create"));
+    try {
+      let part = 0;
+      for (let start = 0; start < tbl.numRows; start += partRows) {
+        const slice = tbl.slice(start, Math.min(start + partRows, tbl.numRows));
+        await this.client.postArrow(
+          `${this.p("multipart_put")}?id=${id}&part=${part}`,
+          tableToIPC(slice, "stream"),
+        );
+        part += 1;
+      }
+      return await this.client.postJson(
+        `${this.p("multipart_complete")}?id=${id}&mode=${mode}`,
+      );
+    } catch (e) {
+      await this.client.postJson(`${this.p("multipart_abort")}?id=${id}`).catch(() => {});
+      throw e;
+    }
+  }
+
+  // ---- embeddings (cross-SDK schema-metadata contract) -----------------
+  /** Live embedding functions reconnected from the table's schema
+   * metadata (python embeddings/registry.py attach_metadata). */
+  async embeddingFunctions(): Promise<
+    Map<string, { fn: EmbeddingFunction; sourceColumn: string }>
+  > {
+    const desc = (await this.describe()) as TableDescription & {
+      schema: { metadata?: Record<string, string> };
+    };
+    const raw = desc.schema.metadata?.embedding_functions;
+    if (!raw) return new Map();
+    return getRegistry().parseMetadata(raw);
+  }
+
+  /** Add rows, computing missing vector columns through the table's
+   * embedding functions (reference WithEmbeddings add path). */
+  async addWithEmbeddings(rows: Record<string, unknown>[], mode: "append" | "overwrite" = "append"): Promise<void> {
+    const fns = await this.embeddingFunctions();
+    const enriched = rows.map((r) => ({ ...r }));
+    for (const [vectorColumn, { fn, sourceColumn }] of fns) {
+      if (enriched.every((r) => vectorColumn in r)) continue;
+      const texts = enriched.map((r) => String(r[sourceColumn] ?? ""));
+      const vecs = await fn.computeSourceEmbeddings(texts);
+      enriched.forEach((r, i) => {
+        r[vectorColumn] = vecs[i];
+      });
+    }
+    await this.add(enriched, mode);
+  }
+
+  /** Embed a text query through the table's embedding function and run
+   * a vector search on the given (or sole) embedded column. */
+  async searchText(text: string, vectorColumn?: string): Promise<VectorQuery> {
+    const fns = await this.embeddingFunctions();
+    const entry = vectorColumn
+      ? fns.get(vectorColumn)
+      : fns.size === 1
+        ? [...fns.values()][0]
+        : undefined;
+    if (!entry) {
+      throw new Error(
+        "no embedding function registered for this table; pass a vector instead",
+      );
+    }
+    const vec = await entry.fn.computeQueryEmbeddings(text);
+    const q = new VectorQuery(this.client, this.name, vec);
+    return vectorColumn ? q.column(vectorColumn) : q;
+  }
+
+  /** Hybrid (vector + FTS) search fused by a reranker. The text embeds
+   * through the table's embedding function unless a vector is given. */
+  async hybridSearch(
+    text: string,
+    options: { vector?: number[]; vectorColumn?: string; ftsColumns?: string[] } = {},
+  ): Promise<HybridQuery> {
+    let vector = options.vector;
+    if (!vector) {
+      const fns = await this.embeddingFunctions();
+      const entry = options.vectorColumn
+        ? fns.get(options.vectorColumn)
+        : [...fns.values()][0];
+      if (!entry) throw new Error("hybrid search needs options.vector or an embedding function");
+      vector = await entry.fn.computeQueryEmbeddings(text);
+    }
+    return new HybridQuery(
+      this.client,
+      this.name,
+      text,
+      vector,
+      options.vectorColumn,
+      options.ftsColumns,
+    );
   }
 }
 

@@ -181,6 +181,56 @@ class TestRemotePlainScan:
         upd = post("/v1/table/ts/update",
                    {"predicate": "id = 0", "updates": [["label", "'updated'"]]})
         assert upd["rows_updated"] == 1
+        # order_by on the wire (TS QueryBase.orderBy)
+        ordered = ipc_to_table(post(
+            "/v1/table/ts/query",
+            {"k": 5, "vector": [], "order_by": [["id", "descending"]]},
+        ))
+        ids = ordered.column("id").to_pylist()
+        assert ids == sorted(ids, reverse=True)
+
+    def test_describe_carries_schema_metadata(self, remote_db, tmp_path):
+        """TS embeddingFunctions() reads the Python-written
+        embedding_functions schema metadata out of describe."""
+        import json
+
+        from lancedb_tpu.embeddings import EmbeddingDefinition
+
+        remote_db.create_table("docs", [{"text": "alpha"}, {"text": "bravo"}])
+        # recreate locally with embedding metadata through the server's dir
+        t = remote_db.open_table("docs")
+        desc = t.describe()
+        assert "metadata" in desc["schema"]
+
+    def test_embedding_metadata_roundtrip_over_wire(self, tmp_path):
+        """A table created with embedding definitions exposes the config
+        through describe — the TS SDK's reconnect contract."""
+        import json
+
+        from lancedb_tpu.embeddings import EmbeddingDefinition
+        from lancedb_tpu.remote.server import QueryServer
+        import lancedb_tpu as ldb
+
+        root = str(tmp_path / "db2")
+        db = ldb.connect(root)
+        db.create_table(
+            "docs",
+            [{"text": "alpha"}, {"text": "bravo"}],
+            embedding_functions=[
+                EmbeddingDefinition(
+                    source_column="text", vector_column="vector",
+                    function_name="hash", config={"ndims": 8},
+                )
+            ],
+        )
+        with QueryServer(root) as server:
+            rdb = connect_remote(server.url)
+            desc = rdb.open_table("docs").describe()
+            meta = desc["schema"]["metadata"]
+            doc = json.loads(meta["embedding_functions"])
+            assert doc[0]["name"] == "hash"
+            assert doc[0]["vector_column"] == "vector"
+            assert doc[0]["model"] == {"ndims": 8}
 
 
 class TestRemoteParity:
