@@ -336,9 +336,24 @@ class Dataset:
             draft = current.child("append", rows=data.num_rows)
             if not written:
                 fid = current.max_fragment_id
-                for chunk in chunks:
-                    fid += 1
-                    written.append(write_fragment(self.store, self.root, chunk, fid))
+                if len(chunks) > 1:
+                    # parallel fragment writes (reference writer
+                    # parallelism, add_data.rs): files are uuid-named and
+                    # ids renumber on rebase, so concurrent puts are safe
+                    # and ordering is preserved by executor.map
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as ex:
+                        written.extend(
+                            ex.map(
+                                lambda ic: write_fragment(self.store, self.root, ic[1], ic[0]),
+                                enumerate(chunks, fid + 1),
+                            )
+                        )
+                else:
+                    for chunk in chunks:
+                        fid += 1
+                        written.append(write_fragment(self.store, self.root, chunk, fid))
             else:
                 # rebase: renumber fragment ids without rewriting files
                 fid = current.max_fragment_id

@@ -276,3 +276,29 @@ class TestFsspecStore:
         assert ds.count_rows() == 20
         old = Dataset.open(fstore, "/db/t.lance", version=v1)
         assert old.count_rows() == 20
+
+
+class TestParallelFragmentWrites:
+    def test_multi_fragment_append_order_preserved(self, tmp_path):
+        """Appends larger than max_rows_per_fragment write fragments in
+        parallel; row order and ids must match a serial write."""
+        import numpy as np
+        import pyarrow as pa
+
+        from lancedb_tpu.io.object_store import LocalStore
+        from lancedb_tpu.storage.dataset import Dataset
+
+        n = 10_000
+        tbl = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+        store = LocalStore(str(tmp_path))
+        ds = Dataset.create(store, "t.lance", tbl.schema, None)
+        ds.append(tbl, max_rows_per_fragment=1000)
+        assert len(ds.manifest.fragments) == 10
+        assert [f.physical_rows for f in ds.manifest.fragments] == [1000] * 10
+        out = ds.to_table(columns=["id"])
+        assert out.column("id").to_pylist() == list(range(n))
+        # fragment ids are dense and ordered
+        assert [f.id for f in ds.manifest.fragments] == sorted(
+            f.id for f in ds.manifest.fragments
+        )
+        assert len({f.id for f in ds.manifest.fragments}) == 10
