@@ -156,9 +156,27 @@ def main() -> None:
         return vals, jnp.take_along_axis(cand, pos, axis=1)
 
     details["tpu_flat_exact_qps"] = round(timed_loop(flat_exact, (xj, xn2), 32, "flat exact f32"), 1)
-    details["tpu_flat_bf16_qps"] = round(timed_loop(flat_bf16, (xj, xn2), 64, "flat bf16+approx-topk"), 1)
+    bf16_qps = timed_loop(flat_bf16, (xj, xn2), 64, "flat bf16+approx-topk")
+    details["tpu_flat_bf16_qps"] = round(bf16_qps, 1)
     flat_qps = timed_loop(lambda q, a, b: flat_2pass(q, a, b)[0], (xj, xn2), 64, "flat 2-pass")
     details["tpu_flat_2pass_qps"] = round(flat_qps, 1)
+    # roofline: the defensible efficiency number (the CPU-multiple is
+    # machine-dependent and flatters the TPU). At batch 256 the bf16
+    # scan is MXU-bound (the matrix read amortizes across the batch), so
+    # report BOTH utilizations against v5e peaks (~819 GB/s HBM,
+    # ~197 TFLOPs bf16) — the max is how close to speed-of-light we run.
+    batch_s = N_QUERIES / bf16_qps
+    gbps = (N_ROWS * DIM * 2) / batch_s / 1e9
+    tflops = (2.0 * N_ROWS * DIM * N_QUERIES) / batch_s / 1e12
+    hbm_pct = 100 * gbps / 819.0
+    mxu_pct = 100 * tflops / 197.0
+    details["bf16_scan_achieved_gbps"] = round(gbps, 1)
+    details["bf16_scan_achieved_tflops"] = round(tflops, 1)
+    details["bf16_scan_roofline_pct"] = round(max(hbm_pct, mxu_pct), 1)
+    log(
+        f"bf16 flat scan: {gbps:.0f} GB/s ({hbm_pct:.0f}% HBM) | "
+        f"{tflops:.0f} TFLOPs ({mxu_pct:.0f}% MXU) -> {max(hbm_pct, mxu_pct):.0f}% of v5e roofline"
+    )
 
     @jax.jit
     def flat_ids(q, xj, xn2):

@@ -53,6 +53,7 @@ AGG_NAMES = {"count", "sum", "avg", "min", "max"}
 _CLAUSE_WORDS = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
     "BY", "ASC", "DESC", "DISTINCT", "SELECT", "UNION",
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "ON",
 }
 
 
@@ -96,12 +97,24 @@ class TableSource:
     fts_query: Expr | None = None   # fts() args
     fts_k: Expr | None = None
     subquery: "SelectStatement | None" = None
+    alias: str | None = None
+
+
+@dataclass
+class Join:
+    """One JOIN clause (reference: DataFusion joins over registered
+    TableProviders — table/datafusion.rs). Equality keys only."""
+
+    source: TableSource
+    how: str                        # 'inner' | 'left outer' | 'right outer' | 'full outer'
+    on: list[tuple[Expr, Expr]]     # AND-ed equality pairs
 
 
 @dataclass
 class SelectStatement:
     items: list[SelectItem]
     source: TableSource
+    joins: list["Join"] = field(default_factory=list)
     where: Expr | None = None
     group_by: list[Expr] = field(default_factory=list)
     having: Expr | None = None
@@ -177,6 +190,31 @@ class _SelectParser(_Parser):
         if not self._eat_word("FROM"):
             raise SqlParseError("expected FROM")
         source = self._parse_source()
+        joins: list[Join] = []
+        while True:
+            how = None
+            if self._eat_word("INNER"):
+                how = "inner"
+            elif self._eat_word("LEFT"):
+                self._eat_word("OUTER")
+                how = "left outer"
+            elif self._eat_word("RIGHT"):
+                self._eat_word("OUTER")
+                how = "right outer"
+            elif self._eat_word("FULL"):
+                self._eat_word("OUTER")
+                how = "full outer"
+            if how is not None:
+                if not self._eat_word("JOIN"):
+                    raise SqlParseError("expected JOIN")
+            elif self._eat_word("JOIN"):
+                how = "inner"
+            else:
+                break
+            right = self._parse_source()
+            if not self._eat_word("ON"):
+                raise SqlParseError("expected ON after JOIN")
+            joins.append(Join(source=right, how=how, on=_eq_pairs(self.parse_or())))
         where = self.parse_or() if self._eat_word("WHERE") else None
         group_by: list[Expr] = []
         if self._eat_word("GROUP"):
@@ -207,7 +245,7 @@ class _SelectParser(_Parser):
         if self._eat_word("OFFSET"):
             offset = int(self.expect("number").text)
         return SelectStatement(
-            items=items, source=source, where=where, group_by=group_by,
+            items=items, source=source, joins=joins, where=where, group_by=group_by,
             having=having, order_by=order_by, limit=limit, offset=offset,
             distinct=distinct,
         )
@@ -218,11 +256,12 @@ class _SelectParser(_Parser):
             self.next()
             sub = self.parse_select()
             self.expect("rparen")
+            alias = None
             if self.accept_kw("AS"):
-                self.expect("ident")
+                alias = self.expect("ident").text
             elif self.peek().kind == "ident" and not self._at_word(*_CLAUSE_WORDS):
-                self.next()
-            return TableSource(kind="subquery", subquery=sub)
+                alias = self.next().text
+            return TableSource(kind="subquery", subquery=sub, alias=alias)
         name = self.expect("ident").text
         if name.lower() == "fts" and self.peek().kind == "lparen":
             self.next()
@@ -236,8 +275,26 @@ class _SelectParser(_Parser):
                 self.next()
                 k = self.parse_or()
             self.expect("rparen")
-            return TableSource(kind="fts", name=tbl.text, fts_query=q, fts_k=k)
-        return TableSource(kind="table", name=name)
+            src = TableSource(kind="fts", name=tbl.text, fts_query=q, fts_k=k)
+        else:
+            src = TableSource(kind="table", name=name)
+        if self.accept_kw("AS"):
+            src.alias = self.expect("ident").text
+        elif self.peek().kind == "ident" and not self._at_word(*_CLAUSE_WORDS):
+            src.alias = self.next().text
+        return src
+
+
+def _eq_pairs(cond: Expr) -> list[tuple[Expr, Expr]]:
+    """Flatten an ON condition into equality pairs (AND-ed `a.x = b.y`)."""
+    if isinstance(cond, BinaryOp) and cond.op == "and":
+        return _eq_pairs(cond.left) + _eq_pairs(cond.right)
+    if isinstance(cond, BinaryOp) and cond.op == "eq" and isinstance(cond.left, Column) and isinstance(cond.right, Column):
+        return [(cond.left, cond.right)]
+    raise SqlParseError(
+        "JOIN ... ON supports AND-ed column equalities (a.x = b.y); got "
+        f"{cond.sql()!r}"
+    )
 
 
 def parse_select(sql: str) -> SelectStatement:
@@ -312,6 +369,8 @@ def _replace(e: Expr, table: dict[str, Expr]) -> Expr:
         return FunctionCall(e.name, tuple(_replace(a, table) for a in e.args))
     if isinstance(e, Cast):
         return Cast(_replace(e.operand, table), e.type_name)
+    if isinstance(e, Aggregate) and e.arg is not None:
+        return Aggregate(e.func, _replace(e.arg, table))
     return e
 
 
@@ -335,7 +394,10 @@ def execute_select(
     """Run a SELECT. `open_table(name)` resolves table names."""
     stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
 
-    data = _load_source(stmt, open_table)
+    if stmt.joins:
+        data, stmt = _load_joined(stmt, open_table)
+    else:
+        data = _load_source(stmt, open_table)
 
     all_exprs = (
         [it.expr for it in stmt.items]
@@ -356,6 +418,95 @@ def execute_select(
     if stmt.limit is not None:
         out = out.slice(0, stmt.limit)
     return out
+
+
+def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectStatement]:
+    """Execute the FROM ... JOIN chain with Arrow hash joins; returns the
+    joined table and the statement with qualified column references
+    rewritten to the joined table's (possibly suffixed) column names.
+
+    Reference behavior: DataFusion joins over TableProviders
+    (table/datafusion.rs). Equality keys only; colliding non-key right
+    columns are suffixed `_<alias>` (qualify them in SQL to address)."""
+
+    def load(src: TableSource) -> pa.Table:
+        if src.kind == "table":
+            return open_table(src.name).search(None).limit(None).to_arrow()
+        if src.kind == "subquery":
+            return execute_select(src.subquery, open_table)
+        raise InvalidInputError("fts() sources cannot be joined directly; wrap in a subquery")
+
+    def side_of(col: Column) -> tuple[str | None, str]:
+        if "." in col.name:
+            q, c = col.name.split(".", 1)
+            return q, c
+        return None, col.name
+
+    data = load(stmt.source)
+    env: dict[str, Expr] = {}
+
+    def register(alias: str | None, names, suffix: str = ""):
+        if alias is None:
+            return
+        for c in names:
+            env[Column(f"{alias}.{c}").sql()] = Column(f"{c}{suffix}")
+
+    base_alias = stmt.source.alias or stmt.source.name
+    register(base_alias, data.schema.names)
+    for j in stmt.joins:
+        right = load(j.source)
+        ralias = j.source.alias or j.source.name
+        lkeys, rkeys = [], []
+        for a, b in j.on:
+            qa, ca = side_of(a)
+            qb, cb = side_of(b)
+            # orient the pair: the side qualified by the right alias is
+            # the right key; anything else resolves against the left
+            if qb == ralias or (qa == base_alias and qb is None):
+                lq, lc, rc = qa, ca, cb
+            elif qa == ralias:
+                lq, lc, rc = qb, cb, ca
+            else:
+                lq, lc, rc = qa, ca, cb
+            left_ref = env.get(Column(f"{lq}.{lc}").sql()) if lq else None
+            lkeys.append(left_ref.name if isinstance(left_ref, Column) else lc)
+            rkeys.append(rc)
+        collide = (set(right.schema.names) - set(rkeys)) & set(data.schema.names)
+        suffix = f"_{ralias}" if collide else ""
+        data = data.join(
+            right, keys=lkeys, right_keys=rkeys, join_type=j.how,
+            right_suffix=suffix or None,
+        )
+        register(
+            ralias,
+            right.schema.names,
+        )
+        if suffix:
+            for c in collide:
+                env[Column(f"{ralias}.{c}").sql()] = Column(f"{c}{suffix}")
+        # join keys coalesce into the left name
+        for lc, rc in zip(lkeys, rkeys):
+            env[Column(f"{ralias}.{rc}").sql()] = Column(lc)
+
+    def rw(e):
+        return _replace(e, env) if e is not None else None
+
+    new_stmt = SelectStatement(
+        items=[SelectItem(rw(it.expr), it.alias) for it in stmt.items],
+        source=stmt.source,
+        joins=[],
+        where=None,
+        group_by=[rw(e) for e in stmt.group_by],
+        having=rw(stmt.having),
+        order_by=[(rw(e), d) for e, d in stmt.order_by],
+        limit=stmt.limit,
+        offset=stmt.offset,
+        distinct=stmt.distinct,
+    )
+    if stmt.where is not None:
+        mask = evaluate_predicate_mask(data, rw(stmt.where))
+        data = data.filter(pa.array(mask))
+    return data, new_stmt
 
 
 def _load_source(stmt: SelectStatement, open_table) -> pa.Table:

@@ -202,3 +202,73 @@ def test_where_pushdown_uses_scalar_index(db, monkeypatch):
     # regardless, verify the result is correct
     out = db.sql("SELECT COUNT(*) AS n FROM sales WHERE id BETWEEN 10 AND 19")
     assert out.column("n").to_pylist() == [10]
+
+
+class TestJoins:
+    """SQL JOINs over tables (reference: DataFusion joins over
+    TableProviders, table/datafusion.rs)."""
+
+    @pytest.fixture
+    def jdb(self, mem_db):
+        mem_db.create_table(
+            "orders",
+            [{"oid": i, "cust": i % 3, "amount": float(i * 10)} for i in range(9)],
+        )
+        mem_db.create_table(
+            "customers",
+            [{"cid": c, "name": f"cust{c}", "tier": "gold" if c == 0 else "basic"}
+             for c in range(3)],
+        )
+        return mem_db
+
+    def test_inner_join_with_filter_and_order(self, jdb):
+        out = jdb.sql(
+            "SELECT o.oid, c.name, o.amount FROM orders o "
+            "JOIN customers c ON o.cust = c.cid "
+            "WHERE o.amount > 20 ORDER BY o.oid"
+        ).to_pylist()
+        assert out[0] == {"oid": 3, "name": "cust0", "amount": 30.0}
+        assert len(out) == 6  # oid 3..8
+
+    def test_left_join_aggregate(self, jdb):
+        out = jdb.sql(
+            "SELECT c.tier, SUM(o.amount) AS total FROM orders o "
+            "LEFT JOIN customers c ON o.cust = c.cid "
+            "GROUP BY c.tier ORDER BY total DESC"
+        ).to_pylist()
+        assert out == [
+            {"tier": "basic", "total": 270.0},
+            {"tier": "gold", "total": 90.0},
+        ]
+
+    def test_multi_join(self, jdb):
+        jdb.create_table("regions", [{"cid": c, "region": f"r{c}"} for c in range(3)])
+        out = jdb.sql(
+            "SELECT o.oid, c.name, r.region FROM orders o "
+            "JOIN customers c ON o.cust = c.cid "
+            "JOIN regions r ON o.cust = r.cid ORDER BY o.oid LIMIT 3"
+        ).to_pylist()
+        assert out[0] == {"oid": 0, "name": "cust0", "region": "r0"}
+
+    def test_column_collision_suffixed(self, jdb):
+        jdb.create_table("aux", [{"cid": c, "name": f"aux{c}"} for c in range(3)])
+        out = jdb.sql(
+            "SELECT c.name, a.name FROM customers c JOIN aux a ON c.cid = a.cid "
+            "ORDER BY c.cid"
+        ).to_pylist()
+        assert out[0] == {"name": "cust0", "name_a": "aux0"}
+
+    def test_join_subquery(self, jdb):
+        out = jdb.sql(
+            "SELECT o.oid, big.name FROM orders o "
+            "JOIN (SELECT cid, name FROM customers WHERE cid < 2) AS big "
+            "ON o.cust = big.cid ORDER BY o.oid"
+        ).to_pylist()
+        assert all(r["name"] in ("cust0", "cust1") for r in out)
+        assert len(out) == 6  # cust 2's orders drop out
+
+    def test_non_equality_on_rejected(self, jdb):
+        from lancedb_tpu.errors import SqlParseError
+
+        with pytest.raises(SqlParseError, match="equalit"):
+            jdb.sql("SELECT * FROM orders o JOIN customers c ON o.cust > c.cid")
