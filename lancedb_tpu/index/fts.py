@@ -164,6 +164,36 @@ class ColumnFtsIndex:
             self._term_ub = idf * segmax
         return self._term_ub
 
+    def topk_match_native(
+        self, query: str, k: int, dead: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Exact BM25 top-k via the native DAAT MaxScore scorer
+        (native/lancedb_native.cpp ldb_bm25_maxscore_topk): no dense
+        score array, dead docs (deletes / dead fragments) skipped
+        inside the cursor loop. None when the native lib is absent."""
+        from ..native import bm25_maxscore_topk_native
+
+        tokens = self.tokenizer.tokenize(query)
+        tids = sorted({t for t in (self.vocab.get(tok) for tok in tokens) if t is not None})
+        if not tids:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        idf = np.array([self.idf(t) for t in tids], dtype=np.float32)
+        norm = self._doc_norm()
+        return bm25_maxscore_topk_native(
+            self.postings_docs, self.postings_tf, self.postings_offsets,
+            np.asarray(tids, dtype=np.int32), idf, norm, k, K1, dead,
+        )
+
+    def _doc_norm(self) -> np.ndarray:
+        """BM25 length norm per doc, cached (K1*(1-B+B*len/avgdl))."""
+        norm = getattr(self, "_doc_norm_cache", None)
+        if norm is None:
+            norm = (K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))).astype(
+                np.float32
+            )
+            self._doc_norm_cache = norm
+        return norm
+
     def score_match_topk(self, query: str, k: int) -> np.ndarray:
         """OR-match scoring with MaxScore term pruning (Turtle & Flood):
         terms are scored fully in descending upper-bound order until the
@@ -682,44 +712,51 @@ def execute_fts_query(
         and filter is None
         and node.boost == 1.0
     )
+    native_hits = None
     if use_pruned:
         col = node.column or fts.default_column()
         col_ix = fts._col(col)
         if col_ix.num_docs >= 65536:
-            scores = col_ix.score_match_topk(node.query, k + offset)
+            dead_mask = _dead_doc_mask(ds, fts_meta, col_ix)
+            native_hits = col_ix.topk_match_native(node.query, k + offset, dead_mask)
+            if native_hits is None:
+                scores = col_ix.score_match_topk(node.query, k + offset)
         else:
             use_pruned = False
     if not use_pruned:
         scores, col_ix = fts.evaluate(node)
 
-    # mask deleted + prefiltered docs
-    allowed = None
-    if filter is not None and prefilter:
-        t = ds.to_table(columns=[], predicate=filter, with_row_id=True)
-        allowed = np.sort(t.column("_rowid").to_numpy().astype(np.uint64))
-    live_frags = {f.id for f in ds.manifest.fragments}
-    frag_of = (col_ix.doc_rowids >> np.uint64(32)).astype(np.int64)
-    dead = ~np.isin(frag_of, np.fromiter(live_frags, dtype=np.int64)) if live_frags else None
-    if dead is not None:
-        scores = np.where(dead, 0.0, scores)
-    deleted_mask = _deleted_doc_mask(ds, fts_meta, col_ix)
-    if deleted_mask is not None:
-        scores = np.where(deleted_mask, 0.0, scores)
-    if allowed is not None:
-        ok = np.isin(col_ix.doc_rowids, allowed)
-        scores = np.where(ok, scores, 0.0)
-
-    # O(N) partial selection instead of a full argsort
-    kk = min(k + offset, len(scores))
-    if kk < len(scores):
-        part = np.argpartition(-scores, kk - 1)[:kk] if kk else np.empty(0, np.int64)
-        top = part[np.argsort(-scores[part], kind="stable")]
+    if native_hits is not None:
+        # the native DAAT scorer already skipped dead docs and returned
+        # exact descending top-(k+offset)
+        top, hit_scores = native_hits
+        top = top[hit_scores > 0][offset:]
+        hit_scores = hit_scores[hit_scores > 0][offset:]
+        rowids = col_ix.doc_rowids[top]
     else:
-        top = np.argsort(-scores, kind="stable")[:kk]
-    top = top[scores[top] > 0]
-    top = top[offset:]
-    rowids = col_ix.doc_rowids[top]
-    hit_scores = scores[top]
+        # mask deleted + prefiltered docs
+        allowed = None
+        if filter is not None and prefilter:
+            t = ds.to_table(columns=[], predicate=filter, with_row_id=True)
+            allowed = np.sort(t.column("_rowid").to_numpy().astype(np.uint64))
+        dead_mask = _dead_doc_mask(ds, fts_meta, col_ix)
+        if dead_mask is not None:
+            scores = np.where(dead_mask, 0.0, scores)
+        if allowed is not None:
+            ok = np.isin(col_ix.doc_rowids, allowed)
+            scores = np.where(ok, scores, 0.0)
+
+        # O(N) partial selection instead of a full argsort
+        kk = min(k + offset, len(scores))
+        if kk < len(scores):
+            part = np.argpartition(-scores, kk - 1)[:kk] if kk else np.empty(0, np.int64)
+            top = part[np.argsort(-scores[part], kind="stable")]
+        else:
+            top = np.argsort(-scores, kind="stable")[:kk]
+        top = top[scores[top] > 0]
+        top = top[offset:]
+        rowids = col_ix.doc_rowids[top]
+        hit_scores = scores[top]
 
     cols = list(select) if isinstance(select, (list, tuple)) else None
     data = ds.take_rows(rowids, columns=cols)
@@ -737,6 +774,22 @@ def execute_fts_query(
         mask = evaluate_predicate_mask(data, filter)
         data = data.filter(pa.array(mask))
     return data
+
+
+def _dead_doc_mask(ds, fts_meta, col_ix) -> np.ndarray | None:
+    """Docs the index still carries but reads must skip: rows of
+    vanished fragments plus rows deleted in live fragments."""
+    live_frags = {f.id for f in ds.manifest.fragments}
+    frag_of = (col_ix.doc_rowids >> np.uint64(32)).astype(np.int64)
+    out = None
+    if live_frags:
+        gone = ~np.isin(frag_of, np.fromiter(live_frags, dtype=np.int64))
+        if gone.any():
+            out = gone
+    deleted = _deleted_doc_mask(ds, fts_meta, col_ix)
+    if deleted is not None:
+        out = deleted if out is None else (out | deleted)
+    return out
 
 
 def _deleted_doc_mask(ds, fts_meta, col_ix) -> np.ndarray | None:

@@ -522,6 +522,10 @@ def _ivf_flat_search_device(
     probe_ids, _ = _select_probes(q, centroids, nprobes, metric)
     qf = q.astype(jnp.float32)
 
+    # the fused scan needs lane-aligned dims; other shapes take the
+    # XLA chunked-gather fallback below
+    if use_pallas and not (dim % 128 == 0 and pmax % 8 == 0):
+        use_pallas = False
     if use_pallas:
         if metric == "l2":
             alpha = jnp.full((qb,), -2.0, jnp.float32)
@@ -677,7 +681,9 @@ def _ivf_pq_search_device(
     # K=256 (8-bit) the Pallas lane-gather kernel does 17.6k qps vs 756
     # for the XLA einsum (the (Q,S,pmax,256) one-hot transient thrashes
     # HBM). Route: Pallas only when the codebook outgrows the MXU sweep.
-    if use_pallas and kcode > 64:
+    # the fused ADC kernel needs lane/sublane-aligned layouts
+    pallas_ok = pmax % 128 == 0 and s_pad % 8 == 0
+    if use_pallas and kcode > 64 and pallas_ok:
         dists = ivf_pq_adc_scan_pallas(probe_ids, dlut, codes, rn, probe_dots, qn2)
     else:
         dlut_b = dlut.astype(matmul_dtype())
@@ -1006,10 +1012,15 @@ class VectorSearcher:
                 # 13.8k vs 5.5k — v5e, 1M x 128, batch 128). The full-
                 # scan crossover only applies to the XLA chunked-gather
                 # fallback, whose probed reads scale with qb*nprobes.
+                fused_ok = (
+                    _pallas_available()
+                    and self._device["vectors"].shape[2] % 128 == 0
+                    and self._device["vectors"].shape[1] % 8 == 0
+                )
                 if (
                     qb * nprobes >= 2.5 * self.nparts
                     and params.use_index_for_batch is not True
-                    and not _pallas_available()
+                    and not fused_ok
                 ):
                     vals, slots = _ivf_full_scan_device(
                         qj, self._device["vectors"], self._device["norms2"], pen,

@@ -412,4 +412,132 @@ int64_t ldb_varint_decode(const uint8_t* data, int64_t nbytes, int64_t n,
   return (int64_t)(p - data);
 }
 
+// ------------------------------------------------- BM25 DAAT MaxScore
+//
+// Document-at-a-time MaxScore top-k (Turtle & Flood): terms sort by
+// ascending score upper bound; only the "essential" suffix drives the
+// document cursor, the low-impact prefix is probed by forward binary
+// search and skipped entirely once theta proves it can't matter. Exact
+// top-k without materializing a dense score array — the serving-path
+// replacement for the numpy scorer in index/fts.py score_match_topk
+// (reference behavior: tantivy/lance block-wise top-k, SURVEY §2.9).
+//
+// postings_docs/postings_tf: the index's global CSR arrays (int64).
+// dead: optional per-doc skip bitmap (deleted rows / dead fragments).
+// Returns the number of results written (<= k), docs/scores sorted by
+// descending score.
+int64_t ldb_bm25_maxscore_topk(
+    const int64_t* postings_docs, const int64_t* postings_tf,
+    const int64_t* postings_offsets, const int32_t* qterms,
+    const float* qidf, int32_t n_q, const float* doc_norm,
+    const uint8_t* dead, int64_t num_docs, int32_t k, float k1,
+    int64_t* out_docs, float* out_scores) {
+  if (n_q <= 0 || k <= 0) return 0;
+  struct Cursor {
+    const int64_t* docs;
+    const int64_t* tfs;
+    int64_t len;
+    int64_t pos;
+    float idf;
+    float ub;
+  };
+  std::vector<Cursor> cur;
+  cur.reserve(n_q);
+  for (int32_t i = 0; i < n_q; i++) {
+    int64_t s = postings_offsets[qterms[i]];
+    int64_t e = postings_offsets[qterms[i] + 1];
+    if (e <= s) continue;
+    Cursor c{postings_docs + s, postings_tf + s, e - s, 0, qidf[i], 0.0f};
+    // exact upper bound: max contribution over this term's postings
+    float best = 0.0f;
+    for (int64_t j = s; j < e; j++) {
+      float tf = (float)postings_tf[j];
+      float v = tf * (k1 + 1.0f) / (tf + doc_norm[postings_docs[j]]);
+      if (v > best) best = v;
+    }
+    c.ub = c.idf * best;
+    cur.push_back(c);
+  }
+  if (cur.empty()) return 0;
+  std::sort(cur.begin(), cur.end(),
+            [](const Cursor& a, const Cursor& b) { return a.ub < b.ub; });
+  int n = (int)cur.size();
+  std::vector<float> prefix(n);  // prefix[i] = sum of ub[0..i]
+  float acc = 0.0f;
+  for (int i = 0; i < n; i++) {
+    acc += cur[i].ub;
+    prefix[i] = acc;
+  }
+
+  // min-heap of (score, doc) holding the running top-k
+  typedef std::pair<float, int64_t> Hit;
+  std::vector<Hit> heap;
+  heap.reserve(k + 1);
+  auto cmp = [](const Hit& a, const Hit& b) { return a.first > b.first; };
+  float theta = -1.0f;  // kth best so far (scores are > 0)
+
+  int ess = 0;  // first essential term index
+  auto update_ess = [&]() {
+    while (ess < n - 1 && prefix[ess] <= theta) ess++;
+  };
+
+  auto contrib = [&](const Cursor& c, int64_t at) -> float {
+    float tf = (float)c.tfs[at];
+    return c.idf * tf * (k1 + 1.0f) / (tf + doc_norm[c.docs[at]]);
+  };
+
+  while (true) {
+    // next doc = min current doc among essential cursors
+    int64_t d = INT64_MAX;
+    for (int i = ess; i < n; i++) {
+      if (cur[i].pos < cur[i].len && cur[i].docs[cur[i].pos] < d)
+        d = cur[i].docs[cur[i].pos];
+    }
+    if (d == INT64_MAX) break;
+    bool skip = dead != nullptr && dead[d];
+    float score = 0.0f;
+    for (int i = ess; i < n; i++) {
+      Cursor& c = cur[i];
+      if (c.pos < c.len && c.docs[c.pos] == d) {
+        if (!skip) score += contrib(c, c.pos);
+        c.pos++;
+      }
+    }
+    if (!skip) {
+      // probe non-essential terms while they can still lift d over theta
+      for (int j = ess - 1; j >= 0; j--) {
+        if (score + prefix[j] <= theta) {
+          score = -1.0f;  // provably below the kth best
+          break;
+        }
+        Cursor& c = cur[j];
+        const int64_t* lo =
+            std::lower_bound(c.docs + c.pos, c.docs + c.len, d);
+        c.pos = lo - c.docs;  // forward-only: doc ids ascend
+        if (c.pos < c.len && c.docs[c.pos] == d) score += contrib(c, c.pos);
+      }
+      if (score > theta) {
+        heap.push_back({score, d});
+        std::push_heap(heap.begin(), heap.end(), cmp);
+        if ((int)heap.size() > k) {
+          std::pop_heap(heap.begin(), heap.end(), cmp);
+          heap.pop_back();
+        }
+        if ((int)heap.size() == k) {
+          theta = heap.front().first;
+          update_ess();
+        }
+      }
+    }
+  }
+  std::sort(heap.begin(), heap.end(),
+            [](const Hit& a, const Hit& b) { return a.first > b.first; });
+  int64_t m = (int64_t)heap.size();
+  for (int64_t i = 0; i < m; i++) {
+    out_scores[i] = heap[i].first;
+    out_docs[i] = heap[i].second;
+  }
+  return m;
+}
+
 }  // extern "C"

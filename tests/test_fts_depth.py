@@ -5,7 +5,11 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from lancedb_tpu.index import FTS
+from lancedb_tpu.index.fts import build_fts_index, load_fts_index
 from lancedb_tpu.index.tokenizer import Tokenizer
+from lancedb_tpu.io.object_store import MemoryStore
+from lancedb_tpu.storage.dataset import Dataset
 
 
 # ------------------------------------------------------------- tokenizers
@@ -135,3 +139,76 @@ def test_maxscore_engaged_e2e(tmp_db):
     assert out.num_rows == 5
     scores = out.column("_score").to_pylist()
     assert scores == sorted(scores, reverse=True)
+
+
+class TestNativeDaatMaxScore:
+    """Native BM25 DAAT MaxScore (ldb_bm25_maxscore_topk) vs the numpy
+    dense scorer: exact score parity and dead-doc skipping."""
+
+    @pytest.fixture(scope="class")
+    def big_index(self):
+        rng = np.random.default_rng(0)
+        words = [f"w{i}" for i in range(2000)]
+        zipf = rng.zipf(1.3, size=(70_000, 10)) % 2000
+        texts = [" ".join(words[j] for j in row) for row in zipf]
+        tbl = pa.table({
+            "id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+        ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+        meta = build_fts_index(ds, ["text"], FTS(with_position=False))
+        ds.add_index(meta)
+        return ds, meta, load_fts_index(ds, meta)
+
+    def test_parity_with_numpy_scorer(self, big_index):
+        from lancedb_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = big_index
+        col = idx._col("text")
+        for q in ("w1 w17 w301 w4", "w0", "w1999 w1 w1"):
+            docs, s = col.topk_match_native(q, 10)
+            dense = col.score_match_topk(q, 10)
+            part = np.argpartition(-dense, 9)[:10]
+            np_top = part[np.argsort(-dense[part], kind="stable")]
+            np.testing.assert_allclose(s, dense[np_top], rtol=1e-4)
+
+    def test_dead_mask_skips_docs(self, big_index):
+        from lancedb_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = big_index
+        col = idx._col("text")
+        docs, s = col.topk_match_native("w1 w4", 5)
+        dead = np.zeros(col.num_docs, dtype=np.uint8)
+        dead[docs] = 1  # kill the current top-5
+        docs2, s2 = col.topk_match_native("w1 w4", 5, dead)
+        assert set(docs2.tolist()).isdisjoint(set(docs.tolist()))
+        assert (s2 <= s[0] + 1e-6).all()
+
+    def test_unknown_terms_empty(self, big_index):
+        _, _, idx = big_index
+        col = idx._col("text")
+        out = col.topk_match_native("zzzz qqqq", 5)
+        if out is not None:
+            docs, s = out
+            assert len(docs) == 0
+
+    def test_pruned_query_path_end_to_end(self, big_index):
+        """_execute_fts routes big OR queries through the native scorer
+        (or numpy MaxScore) — results must match full dense evaluation."""
+        ds, meta, idx = big_index
+        from lancedb_tpu.index.fts import execute_fts_query
+
+        class FakeTable:
+            _dataset = ds
+
+            def _get_fts_index(self, m):
+                return idx
+
+        out = execute_fts_query(FakeTable(), "w1 w17 w301", k=5)
+        assert out.num_rows == 5
+        scores = out.column("_score").to_pylist()
+        assert scores == sorted(scores, reverse=True)
