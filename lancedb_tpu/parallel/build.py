@@ -115,26 +115,63 @@ class ShardedIvfPqIndex:
         codes_p = _scatter_padded(codes, order, counts, pmax)  # (B, pmax, S)
         rn_p = _scatter_padded(rnorms_flat, order, counts, pmax, fill=np.float32(PAD))
         rid_p = _scatter_padded(row_ids.view(np.int64), order, counts, pmax, fill=-1)
-        nblocks = len(counts)
+        # kernel layout: subvectors on sublanes, slots on lanes
+        s_pad = int(round_up(nsub, S_ALIGN))
+        codes_psp = np.ascontiguousarray(codes_p.transpose(0, 2, 1))
+        if s_pad != nsub:
+            codes_psp = np.pad(codes_psp, ((0, 0), (0, s_pad - nsub), (0, 0)))
+        self._place(codes_psp, rn_p, rid_p, block_cents, codebooks, pmax, num_partitions)
+
+    @classmethod
+    def from_dataset(cls, mesh, dataset, index_meta) -> "ShardedIvfPqIndex":
+        """Serve a PERSISTED single-chip IVF_PQ index across the mesh:
+        load the balanced-block artifacts build_vector_index wrote
+        (index/vector.py — codes (P,S_pad,pmax), rnorms, centroids,
+        row_ids) and shard them round-robin. Build once, serve on N
+        chips; no retraining."""
+        from ..index.vector import _load_npy
+
+        if index_meta.index_type != "IVF_PQ":
+            raise ValueError(f"from_dataset serves IVF_PQ; got {index_meta.index_type}")
+        if index_meta.params.get("opq"):
+            raise ValueError("sharded serving of OPQ-rotated indexes is not wired yet")
+        store = dataset.store
+        prefix = dataset.index_dir(index_meta.uuid)
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.metric = index_meta.params["metric"]
+        codes_psp = np.asarray(_load_npy(store, f"{prefix}/codes.npy"))
+        rn_p = np.asarray(_load_npy(store, f"{prefix}/rnorms.npy"))
+        rid_p = np.asarray(_load_npy(store, f"{prefix}/row_ids.npy"))
+        block_cents = np.asarray(_load_npy(store, f"{prefix}/centroids.npy"))
+        codebooks = np.asarray(_load_npy(store, f"{prefix}/codebooks.npy"))
+        self._place(
+            codes_psp, rn_p, rid_p, block_cents, codebooks,
+            index_meta.params["pmax"],
+            index_meta.params.get("num_logical_partitions", codes_psp.shape[0]),
+        )
+        return self
+
+    def _place(self, codes_psp, rn_p, rid_p, block_cents, codebooks, pmax, num_logical):
+        """Shard-pad + round-robin deal + device placement."""
+        mesh = self.mesh
+        shard_n = mesh.shape[SHARD_AXIS]
+        nblocks = codes_psp.shape[0]
+        dim = block_cents.shape[1]
         pad_blocks = (-nblocks) % shard_n
         if pad_blocks:
-            codes_p = np.pad(codes_p, ((0, pad_blocks), (0, 0), (0, 0)))
+            codes_psp = np.pad(codes_psp, ((0, pad_blocks), (0, 0), (0, 0)))
             rn_p = np.pad(rn_p, ((0, pad_blocks), (0, 0)), constant_values=np.float32(PAD))
             rid_p = np.pad(rid_p, ((0, pad_blocks), (0, 0)), constant_values=-1)
             block_cents = np.concatenate(
                 [block_cents, np.full((pad_blocks, dim), _DUMMY_CENTROID, np.float32)]
             )
             nblocks += pad_blocks
-        # kernel layout: subvectors on sublanes, slots on lanes
-        s_pad = int(round_up(nsub, S_ALIGN))
-        codes_psp = np.ascontiguousarray(codes_p.transpose(0, 2, 1))
-        if s_pad != nsub:
-            codes_psp = np.pad(codes_psp, ((0, 0), (0, s_pad - nsub), (0, 0)))
 
-        self.row_ids = rid_p.reshape(-1).view(np.uint64)
+        self.row_ids = np.ascontiguousarray(rid_p).reshape(-1).view(np.uint64)
         self.pmax = pmax
         self.nblocks = nblocks
-        self.num_logical_partitions = num_partitions
+        self.num_logical_partitions = num_logical
         # deal blocks round-robin: block b goes to shard b % shard_n at
         # local position b // shard_n — spreads centroid-space neighbors
         # (which queries probe together) across the mesh for load balance.

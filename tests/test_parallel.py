@@ -190,3 +190,70 @@ class TestProbeCompaction:
         r16 = recall_at(16)   # budget-compacted (16 probes over 8 shards)
         r64 = recall_at(64)   # probe everything
         assert r64 - r16 < 0.1, (r16, r64)
+
+
+class TestServePersistedIndex:
+    """Build once on one chip, serve across the mesh: from_dataset loads
+    the persisted IVF_PQ artifacts and must match the single-device
+    searcher's results."""
+
+    def test_from_dataset_matches_single_device(self, mem_db):
+        import pyarrow as pa
+
+        from lancedb_tpu.index import IvfPq
+        from lancedb_tpu.index.vector import (
+            SearchParams,
+            build_vector_index,
+            load_searcher,
+        )
+        from lancedb_tpu.parallel.build import ShardedIvfPqIndex
+        from lancedb_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        n, dim = 4000, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        tbl = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim),
+        })
+        from lancedb_tpu.io.object_store import MemoryStore
+        from lancedb_tpu.storage.dataset import Dataset
+
+        ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+        meta = build_vector_index(
+            ds, "vector", IvfPq(num_partitions=16, num_sub_vectors=4)
+        )
+        ds.add_index(meta)
+        single = load_searcher(ds, meta)
+        mesh = make_mesh()
+        sharded = ShardedIvfPqIndex.from_dataset(mesh, ds, meta)
+        q = rng.standard_normal((8, dim)).astype(np.float32)
+        d1, r1 = single.search(q, SearchParams(k=10, nprobes=16))
+        d2, r2 = sharded.search(q, k=10, nprobes=16)
+        # same candidates at full probing (distances equal up to fp noise)
+        for qi in range(8):
+            np.testing.assert_allclose(
+                np.sort(d2[qi]), np.sort(d1[qi]), rtol=1e-3, atol=1e-3
+            )
+            assert len(set(r1[qi]) & set(r2[qi])) >= 9
+
+    def test_from_dataset_rejects_non_pq(self, mem_db):
+        import pyarrow as pa
+
+        from lancedb_tpu.index import IvfFlat
+        from lancedb_tpu.index.vector import build_vector_index
+        from lancedb_tpu.io.object_store import MemoryStore
+        from lancedb_tpu.parallel.build import ShardedIvfPqIndex
+        from lancedb_tpu.parallel.mesh import make_mesh
+        from lancedb_tpu.storage.dataset import Dataset
+
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((500, 16)).astype(np.float32)
+        tbl = pa.table({
+            "id": pa.array(np.arange(500, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), 16),
+        })
+        ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+        meta = build_vector_index(ds, "vector", IvfFlat(num_partitions=4))
+        with pytest.raises(ValueError, match="IVF_PQ"):
+            ShardedIvfPqIndex.from_dataset(make_mesh(), ds, meta)
