@@ -367,6 +367,70 @@ class Dataset:
         self._commit_with_rebase(build)
         self._readers.clear()
 
+    def append_stream(
+        self,
+        batches,
+        max_rows_per_fragment: int = DEFAULT_FRAGMENT_ROWS,
+        on_batch=None,
+    ) -> int:
+        """Stream an unbounded batch source into fragments in BOUNDED
+        host memory, committing ONCE at the end (reference add_data.rs
+        streaming inserts; our written-once fragments make commit
+        retries rescan-free — ids renumber on rebase, files stay).
+
+        ``batches`` is any iterable of RecordBatch/Table chunks (e.g. a
+        ``pa.RecordBatchReader``). Returns the number of rows written.
+        """
+        self._check_writable()
+        written: list[FragmentMeta] = []
+        buffer: list[pa.Table] = []
+        buffered = 0
+        total = 0
+        next_tmp_id = self.manifest.max_fragment_id
+
+        def flush():
+            nonlocal buffered, next_tmp_id
+            if not buffered:
+                return
+            chunk = pa.concat_tables(buffer)
+            buffer.clear()
+            buffered = 0
+            next_tmp_id += 1
+            written.append(write_fragment(self.store, self.root, chunk, next_tmp_id))
+            if on_batch is not None:
+                on_batch({"stage": "fragment", "rows": chunk.num_rows})
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
+            tbl = self._align_to_schema(tbl)
+            total += tbl.num_rows
+            # slice so one oversized batch still flushes at the bound
+            pos = 0
+            while pos < tbl.num_rows:
+                take = min(tbl.num_rows - pos, max_rows_per_fragment - buffered)
+                buffer.append(tbl.slice(pos, take))
+                buffered += take
+                pos += take
+                if buffered >= max_rows_per_fragment:
+                    flush()
+        flush()
+        if not written:
+            return 0
+
+        def build(current: Manifest) -> Manifest:
+            draft = current.child("append", rows=total)
+            fid = current.max_fragment_id
+            for frag in written:
+                fid += 1
+                frag.id = fid
+            draft.fragments.extend(written)
+            draft.max_fragment_id = max(draft.max_fragment_id, written[-1].id)
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+        return total
+
     def overwrite(self, data: pa.Table, schema: pa.Schema | None = None) -> None:
         self._check_writable()
         schema = schema or data.schema

@@ -250,6 +250,27 @@ class Table:
         (reference table/write_progress.rs callbacks)."""
         from .blob import blob_columns, encode_blobs
 
+        # streaming ingest: a RecordBatchReader (or batch generator)
+        # appends fragment-by-fragment in bounded memory, one commit
+        # (reference add_data.rs streaming inserts)
+        import types
+
+        if mode == "append" and isinstance(data, (pa.RecordBatchReader, types.GeneratorType)):
+            if not self._embedding_functions and not blob_columns(self.schema):
+                rows = self._dataset.append_stream(
+                    data, on_batch=on_progress
+                )
+                self._invalidate_caches()
+                return
+            # embedding/blob tables need per-chunk transformation: wrap
+            data = (
+                pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                for b in data
+            )
+            for chunk in data:
+                self.add(chunk, mode="append", on_progress=on_progress)
+            return
+
         bcols = blob_columns(self.schema) if mode == "append" else []
         if bcols:
             # align against an ingest view of the schema where blob

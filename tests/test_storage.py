@@ -302,3 +302,66 @@ class TestParallelFragmentWrites:
             f.id for f in ds.manifest.fragments
         )
         assert len({f.id for f in ds.manifest.fragments}) == 10
+
+
+class TestStreamingIngest:
+    """append_stream: unbounded batch sources land in bounded memory
+    with one atomic commit (reference add_data.rs streaming inserts)."""
+
+    def test_reader_streams_in_bounded_fragments(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from lancedb_tpu.io.object_store import LocalStore
+        from lancedb_tpu.storage.dataset import Dataset
+
+        schema = pa.schema([("id", pa.int64())])
+        store = LocalStore(str(tmp_path))
+        ds = Dataset.create(store, "t.lance", schema, None)
+
+        def gen():
+            for i in range(0, 5000, 137):  # ragged batches
+                n = min(137, 5000 - i)
+                yield pa.record_batch([pa.array(np.arange(i, i + n))], schema=schema)
+
+        reader = pa.RecordBatchReader.from_batches(schema, gen())
+        rows = ds.append_stream(reader, max_rows_per_fragment=1000)
+        assert rows == 5000
+        assert ds.count_rows() == 5000
+        frags = ds.manifest.fragments
+        assert len(frags) == 5
+        assert all(f.physical_rows == 1000 for f in frags)
+        # single commit: one version past the create
+        assert len(ds.list_versions()) == 2
+        out = ds.to_table(columns=["id"]).column("id").to_pylist()
+        assert out == list(range(5000))
+
+    def test_table_add_routes_readers(self, mem_db):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema([
+            ("id", pa.int64()),
+            ("vector", pa.list_(pa.float32(), 4)),
+        ])
+        t = mem_db.create_table("t", schema=schema)
+        rng = np.random.default_rng(0)
+
+        def gen():
+            for i in range(4):
+                vecs = rng.standard_normal((50, 4)).astype(np.float32)
+                yield pa.record_batch([
+                    pa.array(np.arange(i * 50, i * 50 + 50)),
+                    pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), 4),
+                ], schema=schema)
+
+        t.add(pa.RecordBatchReader.from_batches(schema, gen()))
+        assert t.count_rows() == 200
+
+    def test_generator_input(self, mem_db):
+        import pyarrow as pa
+
+        schema = pa.schema([("id", pa.int64())])
+        t = mem_db.create_table("t", schema=schema)
+        t.add(pa.record_batch([pa.array([i])], schema=schema) for i in range(5))
+        assert t.count_rows() == 5
