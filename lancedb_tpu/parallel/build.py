@@ -133,8 +133,6 @@ class ShardedIvfPqIndex:
 
         if index_meta.index_type != "IVF_PQ":
             raise ValueError(f"from_dataset serves IVF_PQ; got {index_meta.index_type}")
-        if index_meta.params.get("opq"):
-            raise ValueError("sharded serving of OPQ-rotated indexes is not wired yet")
         store = dataset.store
         prefix = dataset.index_dir(index_meta.uuid)
         self = cls.__new__(cls)
@@ -145,14 +143,21 @@ class ShardedIvfPqIndex:
         rid_p = np.asarray(_load_npy(store, f"{prefix}/row_ids.npy"))
         block_cents = np.asarray(_load_npy(store, f"{prefix}/centroids.npy"))
         codebooks = np.asarray(_load_npy(store, f"{prefix}/codebooks.npy"))
+        rotation = (
+            np.asarray(_load_npy(store, f"{prefix}/rotation.npy"))
+            if index_meta.params.get("opq")
+            else None
+        )
         self._place(
             codes_psp, rn_p, rid_p, block_cents, codebooks,
             index_meta.params["pmax"],
             index_meta.params.get("num_logical_partitions", codes_psp.shape[0]),
+            rotation=rotation,
         )
         return self
 
-    def _place(self, codes_psp, rn_p, rid_p, block_cents, codebooks, pmax, num_logical):
+    def _place(self, codes_psp, rn_p, rid_p, block_cents, codebooks, pmax, num_logical,
+               rotation=None):
         """Shard-pad + round-robin deal + device placement."""
         mesh = self.mesh
         shard_n = mesh.shape[SHARD_AXIS]
@@ -184,6 +189,9 @@ class ShardedIvfPqIndex:
         self._codebooks = jax.device_put(codebooks.astype(np.float32), repl)
         self._codes = jax.device_put(codes_psp[deal], shard3)
         self._rnorms = jax.device_put(rn_p[deal], shard2)
+        # OPQ: codes quantize ROTATED residuals; the per-query LUT builds
+        # from R·q (host-side small matmul in search())
+        self._rotation = None if rotation is None else np.asarray(rotation, np.float32)
         self._steps: dict[tuple[int, int], callable] = {}
 
     def _make_step(self, k: int, nprobes: int):
@@ -202,8 +210,8 @@ class ShardedIvfPqIndex:
         budget = min(nprobes, nblocks_loc, 2 * (-(-nprobes // shard_n)) + 4)
         use_pallas = _pallas_available()
 
-        def step(q, centroids, codebooks, codes, rnorms):
-            def local(q_blk, cents, cbs, codes_loc, rn_loc):
+        def step(q, q_lut, centroids, codebooks, codes, rnorms):
+            def local(q_blk, q_lut_blk, cents, cbs, codes_loc, rn_loc):
                 my_shard = jax.lax.axis_index(SHARD_AXIS)
                 qb = q_blk.shape[0]
                 qf = q_blk.astype(jnp.float32)
@@ -224,7 +232,7 @@ class ShardedIvfPqIndex:
                 sel_dots = jnp.take_along_axis(probe_dots, comp, axis=1)
                 sel_mine = jnp.take_along_axis(mine, comp, axis=1)
                 local_ids = jnp.where(sel_mine, sel_ids // shard_n, 0).astype(jnp.int32)
-                qs = qf.reshape(qb, nsub, dsub)
+                qs = q_lut_blk.astype(jnp.float32).reshape(qb, nsub, dsub)
                 dlut = jnp.einsum(
                     "qsd,skd->qsk", qs, cbs,
                     precision=jax.lax.Precision.HIGHEST,
@@ -269,12 +277,12 @@ class ShardedIvfPqIndex:
                 local,
                 mesh=mesh,
                 in_specs=(
-                    P(QUERY_AXIS), P(), P(),
+                    P(QUERY_AXIS), P(QUERY_AXIS), P(), P(),
                     P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
                 ),
                 out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
                 check_vma=False,
-            )(q, centroids, codebooks, codes, rnorms)
+            )(q, q_lut, centroids, codebooks, codes, rnorms)
 
         return jax.jit(step)
 
@@ -293,9 +301,12 @@ class ShardedIvfPqIndex:
         key = (k, npb)
         if key not in self._steps:
             self._steps[key] = self._make_step(k, npb)
-        qj = jax.device_put(q, NamedSharding(self.mesh, P(QUERY_AXIS, None)))
+        qspec = NamedSharding(self.mesh, P(QUERY_AXIS, None))
+        qj = jax.device_put(q, qspec)
+        q_lut = q if self._rotation is None else q @ self._rotation.T
+        qlj = jax.device_put(np.ascontiguousarray(q_lut), qspec)
         vals, slots = self._steps[key](
-            qj, self._centroids, self._codebooks, self._codes, self._rnorms
+            qj, qlj, self._centroids, self._codebooks, self._codes, self._rnorms
         )
         vals = np.asarray(vals)[:nq]
         slots = np.asarray(slots)[:nq]

@@ -257,3 +257,41 @@ class TestServePersistedIndex:
         meta = build_vector_index(ds, "vector", IvfFlat(num_partitions=4))
         with pytest.raises(ValueError, match="IVF_PQ"):
             ShardedIvfPqIndex.from_dataset(make_mesh(), ds, meta)
+
+    def test_from_dataset_opq(self, mem_db):
+        """OPQ-rotated indexes serve sharded: the LUT builds from R·q."""
+        import pyarrow as pa
+
+        from lancedb_tpu.index import IvfPq
+        from lancedb_tpu.index.vector import (
+            SearchParams,
+            build_vector_index,
+            load_searcher,
+        )
+        from lancedb_tpu.io.object_store import MemoryStore
+        from lancedb_tpu.parallel.build import ShardedIvfPqIndex
+        from lancedb_tpu.parallel.mesh import make_mesh
+        from lancedb_tpu.storage.dataset import Dataset
+
+        rng = np.random.default_rng(5)
+        n, dim = 2000, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        tbl = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim),
+        })
+        ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+        meta = build_vector_index(
+            ds, "vector", IvfPq(num_partitions=8, num_sub_vectors=4, opq=True)
+        )
+        ds.add_index(meta)
+        single = load_searcher(ds, meta)
+        sharded = ShardedIvfPqIndex.from_dataset(make_mesh(), ds, meta)
+        assert sharded._rotation is not None
+        q = rng.standard_normal((8, dim)).astype(np.float32)
+        d1, r1 = single.search(q, SearchParams(k=10, nprobes=8))
+        d2, r2 = sharded.search(q, k=10, nprobes=8)
+        for qi in range(8):
+            np.testing.assert_allclose(
+                np.sort(d2[qi]), np.sort(d1[qi]), rtol=1e-3, atol=1e-3
+            )
