@@ -31,6 +31,57 @@ def is_vector_type(t: pa.DataType) -> bool:
     )
 
 
+def sanitize_vectors(
+    table: pa.Table, on_bad_vectors: str = "error", fill_value: float = 0.0
+) -> pa.Table:
+    """Handle bad vectors — null entries or non-finite elements — per
+    the reference's on_bad_vectors modes (python table.py:331-376):
+    'error' raises, 'drop' removes the rows, 'fill' replaces the vector
+    with fill_value, 'null' nulls the entry."""
+    if on_bad_vectors not in ("error", "drop", "fill", "null"):
+        raise InvalidInputError(
+            f"on_bad_vectors must be error|drop|fill|null, got {on_bad_vectors!r}"
+        )
+    drop_mask = None
+    for i, field in enumerate(table.schema):
+        if not is_vector_type(field.type) or not pa.types.is_floating(field.type.value_type):
+            continue
+        col = table.column(i).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], type=field.type)
+        dim = field.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        mat = np.asarray(flat, dtype=np.float64).reshape(-1, dim)
+        bad = ~np.isfinite(mat).all(axis=1)
+        if col.null_count:
+            bad |= np.asarray(col.is_null())
+        if not bad.any():
+            continue
+        if on_bad_vectors == "error":
+            raise InvalidInputError(
+                f"{int(bad.sum())} bad vector(s) in column {field.name!r} "
+                "(null or non-finite); pass on_bad_vectors='drop'|'fill'|'null'"
+            )
+        if on_bad_vectors == "drop":
+            drop_mask = bad if drop_mask is None else (drop_mask | bad)
+            continue
+        if on_bad_vectors == "fill":
+            mat = mat.copy()
+            mat[bad] = float(fill_value)
+            fixed = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel().astype(flat.dtype)), dim
+            )
+        else:  # null
+            mat = np.nan_to_num(mat, nan=0.0, posinf=0.0, neginf=0.0)
+            fixed = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel().astype(flat.dtype)), dim, mask=pa.array(bad)
+            )
+        table = table.set_column(i, field.name, fixed.cast(field.type))
+    if drop_mask is not None:
+        table = table.filter(pa.array(~drop_mask))
+    return table
+
+
 def infer_vector_columns(table: pa.Table) -> pa.Table:
     """Promote uniform-length numeric list columns to FixedSizeList."""
     out = table

@@ -167,6 +167,10 @@ class LanceDBConnection(DBConnection):
             embed_data, data = data, None
 
         tbl = to_arrow_table(data, schema=schema) if data is not None else None
+        if tbl is not None:
+            from .arrow import sanitize_vectors
+
+            tbl = sanitize_vectors(tbl, on_bad_vectors, unused.get("fill_value", 0.0))
         if schema is None:
             schema = tbl.schema
         root = self._table_root(name)

@@ -244,6 +244,8 @@ class Table:
         data: Any,
         mode: Literal["append", "overwrite"] = "append",
         *,
+        on_bad_vectors: str = "error",
+        fill_value: float = 0.0,
         on_progress=None,
     ) -> None:
         """on_progress: optional callback(dict) per written batch
@@ -287,6 +289,9 @@ class Table:
         else:
             tbl = to_arrow_table(data, schema=self.schema if mode == "append" else None)
         tbl = self._apply_embeddings(tbl)
+        from .arrow import sanitize_vectors
+
+        tbl = sanitize_vectors(tbl, on_bad_vectors, fill_value)
         if on_progress is not None:
             on_progress({"stage": "start", "rows": tbl.num_rows, "bytes": tbl.nbytes})
         if mode == "append":

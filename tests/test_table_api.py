@@ -407,3 +407,37 @@ class TestParityExtras:
         assert t.count_rows() == 15
         # idempotent second merge
         assert t.merge_branch("feature")["fragments_merged"] == 0
+
+
+class TestOnBadVectors:
+    """on_bad_vectors modes (reference table.py:331-376: error/drop/
+    fill/null over null or non-finite vectors)."""
+
+    def _data(self):
+        return [
+            {"id": 0, "vector": [1.0, 2.0, 3.0, 4.0]},
+            {"id": 1, "vector": [float("nan"), 2.0, 3.0, 4.0]},
+            {"id": 2, "vector": [5.0, 6.0, 7.0, 8.0]},
+        ]
+
+    def test_error_default(self, mem_db):
+        with pytest.raises(InvalidInputError, match="bad vector"):
+            mem_db.create_table("t", self._data())
+
+    def test_drop(self, mem_db):
+        t = mem_db.create_table("t", self._data(), on_bad_vectors="drop")
+        assert t.count_rows() == 2
+        assert sorted(t.to_arrow().column("id").to_pylist()) == [0, 2]
+
+    def test_fill(self, mem_db):
+        t = mem_db.create_table("t", self._data(), on_bad_vectors="fill", fill_value=9.0)
+        row = t.search(np.array([9.0] * 4, np.float32)).limit(1).to_list()[0]
+        assert row["id"] == 1
+        assert row["vector"] == [9.0] * 4
+
+    def test_add_respects_mode(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "vector": [0.0] * 4}])
+        with pytest.raises(InvalidInputError):
+            t.add([{"id": 1, "vector": [float("inf")] * 4}])
+        t.add([{"id": 1, "vector": [float("inf")] * 4}], on_bad_vectors="drop")
+        assert t.count_rows() == 1
