@@ -986,6 +986,26 @@ class Dataset:
         self._commit_with_rebase(build)
         self._readers.clear()
 
+    def update_field_metadata(self, field_name: str, new_metadata: dict) -> None:
+        """Replace one field's schema metadata (reference
+        replace_field_metadata / update_field_metadata, table.py:4042) —
+        a metadata-only commit, no data rewrite."""
+        self._check_writable()
+
+        def build(current: Manifest) -> Manifest:
+            if field_name not in current.schema.names:
+                raise InvalidInputError(f"unknown column {field_name!r}")
+            draft = current.child("update_field_metadata", field=field_name)
+            fields = []
+            for f in current.schema:
+                if f.name == field_name:
+                    f = f.with_metadata({str(k): str(v) for k, v in new_metadata.items()})
+                fields.append(f)
+            draft.schema = pa.schema(fields, metadata=current.schema.metadata)
+            return draft
+
+        self._commit_with_rebase(build)
+
     def alter_columns(self, *alterations: dict) -> None:
         """Rename / retype / change nullability.
 

@@ -231,6 +231,32 @@ class Table:
     def head(self, n: int = 5) -> pa.Table:
         return self._dataset.to_table(limit=n)
 
+    @property
+    def uri(self) -> str:
+        """Storage location of the table's dataset."""
+        base = getattr(self._conn, "uri", "").rstrip("/")
+        return f"{base}/{self.name}.lance" if base else self._Table__dataset.root
+
+    def to_lance(self) -> Dataset:
+        """The underlying dataset handle (reference to_lance: escape
+        hatch to the storage layer)."""
+        return self._dataset
+
+    def prewarm_data(self) -> None:
+        """Open every fragment reader ahead of queries (reference
+        prewarm_data — pulls data into the cache tier)."""
+        ds = self._dataset
+        for frag in ds.manifest.fragments:
+            ds.reader(frag.id)
+
+    def update_field_metadata(self, field_name: str, new_metadata: dict) -> None:
+        """Replace one field's schema metadata (reference
+        update_field_metadata, table.py:4042)."""
+        self._dataset.update_field_metadata(field_name, new_metadata)
+        self._invalidate_caches()
+
+    replace_field_metadata = update_field_metadata  # deprecated reference alias
+
     def take_offsets(self, offsets: list[int]) -> pa.Table:
         return self._dataset.take_offsets(np.asarray(offsets, dtype=np.int64))
 
@@ -411,6 +437,17 @@ class Table:
 
     def lsm_stats(self) -> dict:
         return self._lsm.stats()
+
+    def get_lsm_stats(self, *, include_generation_rows: bool = False) -> dict | None:
+        """Reference-named stats accessor: None when LSM is not enabled."""
+        s = self._lsm.stats()
+        return s if s.get("enabled") else None
+
+    def compact_lsm(self):
+        """Dispatch one seal+fold pass in the background (reference
+        compact_lsm: returns once dispatched — watch lsm_stats or use
+        checkpoint_lsm to wait for convergence). Returns the Job."""
+        return self._conn._jobs.submit("compact_lsm", self.flush_lsm)
 
     # ------------------------------------------------------------ search
 

@@ -203,3 +203,50 @@ class TestTestUtils:
         b = fn.compute_source_embeddings(["x", "y"])
         np.testing.assert_array_equal(a, b)
         assert a.shape == (2, 8)
+
+
+class TestTableSurfaceParity:
+    """Small reference-API parity methods added in round 2."""
+
+    def test_uri_and_to_lance(self, tmp_db):
+        from conftest import make_vector_table
+
+        t = tmp_db.create_table("t", make_vector_table(5))
+        assert t.uri.endswith("/t.lance")
+        ds = t.to_lance()
+        assert ds.count_rows() == 5
+
+    def test_prewarm_data(self, mem_db):
+        from conftest import make_vector_table
+
+        t = mem_db.create_table("t", make_vector_table(10))
+        t.prewarm_data()  # no error; readers cached
+        assert t.count_rows() == 10
+
+    def test_update_field_metadata(self, mem_db):
+        from conftest import make_vector_table
+
+        t = mem_db.create_table("t", make_vector_table(5))
+        v0 = t.version
+        t.update_field_metadata("id", {"owner": "ml-team"})
+        assert t.version == v0 + 1
+        assert t.schema.field("id").metadata == {b"owner": b"ml-team"}
+        # data intact, metadata-only commit
+        assert t.count_rows() == 5
+        t.replace_field_metadata("id", {"owner": "search"})
+        assert t.schema.field("id").metadata == {b"owner": b"search"}
+
+    def test_compact_lsm_dispatches(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i, "v": i} for i in range(5)])
+        t.set_lsm_write_spec("unsharded", key_columns=["id"])
+        (t.merge_insert("id").when_matched_update_all()
+          .when_not_matched_insert_all().use_lsm()
+          .execute([{"id": 99, "v": 1}]))
+        job = t.compact_lsm()
+        job.wait(timeout=30)
+        assert t.count_rows("id = 99") == 1
+        assert t.get_lsm_stats()["total_wal_rows"] == 0
+
+    def test_get_lsm_stats_none_when_disabled(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 1}])
+        assert t.get_lsm_stats() is None
