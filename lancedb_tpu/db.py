@@ -95,6 +95,40 @@ class LanceDBConnection(DBConnection):
     def __repr__(self) -> str:
         return f"LanceDBConnection(uri={self.uri!r})"
 
+    # ---- container / lifecycle dunders (reference db.py) ---------------
+    def __contains__(self, name: str) -> bool:
+        return self.table_exists(name)
+
+    def __getitem__(self, name: str) -> "Table":
+        return self.open_table(name)
+
+    def __len__(self) -> int:
+        return len(self.table_names())
+
+    def __enter__(self) -> "LanceDBConnection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        """Stop background refresh and release resources (reference
+        close(); the connection is unusable afterwards)."""
+        refresher = getattr(self, "_refresher", None)
+        if refresher is not None and hasattr(refresher, "stop"):
+            refresher.stop()
+        self._closed = True
+
+    def is_open(self) -> bool:
+        return not getattr(self, "_closed", False)
+
+    def table_exists(self, name: str) -> bool:
+        root = self._table_root(name)
+        return self._store.exists(f"{root}/{VERSIONS_DIR}")
+
+    def list_tables(self, **kw) -> list[str]:  # reference alias
+        return self.table_names(**kw)
+
     def _table_root(self, name: str) -> str:
         if "/" in name or name.startswith("."):
             raise InvalidInputError(f"invalid table name {name!r}")

@@ -560,8 +560,48 @@ class LanceQueryBuilder:
                 raise TimeoutError(f"query exceeded timeout={timeout}s")
             yield b
 
+    def postfilter(self) -> "LanceQueryBuilder":
+        """Apply the filter AFTER the search (reference postfilter())."""
+        self._req.prefilter = False
+        return self
+
     def to_pandas(self):
         return self.to_arrow().to_pandas()
+
+    def to_df(self):  # reference alias
+        return self.to_pandas()
+
+    def to_table(self) -> pa.Table:  # reference alias
+        return self.to_arrow()
+
+    def to_pyarrow(self) -> pa.Table:  # reference alias
+        return self.to_arrow()
+
+    def to_json(self) -> list[dict]:
+        """Rows as JSON-safe dicts (reference to_json)."""
+        import json
+
+        return json.loads(
+            json.dumps(self.to_list(), default=lambda o: getattr(o, "tolist", str)(o))
+        )
+
+    def to_reader(self, max_batch_length: int = 1024) -> pa.RecordBatchReader:
+        """Results as a RecordBatchReader (reference to_reader)."""
+        first = self.to_arrow()
+        return pa.RecordBatchReader.from_batches(
+            first.schema, first.to_batches(max_chunksize=max_batch_length)
+        )
+
+    def output_schema(self) -> pa.Schema:
+        """Schema of the result rows (executes with limit 1)."""
+        import copy
+
+        saved = copy.deepcopy(self._req)
+        try:
+            self._req.k = 1
+            return self.to_arrow().schema
+        finally:
+            self._req = saved
 
     def to_polars(self):
         import polars as pl  # soft dependency
@@ -643,6 +683,11 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
 
     distance_type = metric
 
+    def column(self, name: str) -> "LanceVectorQueryBuilder":
+        """Search a specific vector column (reference column())."""
+        self._req.column = name
+        return self
+
     def nprobes(self, n: int) -> "LanceVectorQueryBuilder":
         self._req.minimum_nprobes = int(n)
         self._req.maximum_nprobes = int(n)
@@ -718,6 +763,22 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
         use_lsm, query.rs:818-887 + table/query/lsm.rs read plan)."""
         self._use_lsm = flag
         return self
+
+    def nearest_to(self, vector) -> "LanceVectorQueryBuilder":
+        """Switch to a vector search (reference nearest_to)."""
+        b = LanceVectorQueryBuilder(self._table, vector, self._req.column)
+        b._req.filter = self._req.filter
+        b._req.prefilter = self._req.prefilter
+        b._req.select = self._req.select
+        return b
+
+    def nearest_to_text(self, text: str, columns: list[str] | None = None) -> "LanceFtsQueryBuilder":
+        """Switch to a full-text search (reference nearest_to_text)."""
+        b = LanceFtsQueryBuilder(self._table, text, columns)
+        b._req.filter = self._req.filter
+        b._req.prefilter = self._req.prefilter
+        b._req.select = self._req.select
+        return b
 
     def to_arrow(self) -> pa.Table:
         ds = self._table._dataset
@@ -838,6 +899,15 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
 
     def rerank(self, reranker) -> "LanceFtsQueryBuilder":
         self._reranker = reranker
+        return self
+
+    def phrase_query(self, flag: bool = True) -> "LanceFtsQueryBuilder":
+        """Treat the query text as an exact phrase (reference
+        phrase_query())."""
+        if flag and isinstance(self._query, str):
+            from .query_fts import PhraseQuery
+
+            self._query = PhraseQuery(self._query, column=None)
         return self
 
     def to_arrow(self) -> pa.Table:

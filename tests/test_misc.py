@@ -250,3 +250,61 @@ class TestTableSurfaceParity:
     def test_get_lsm_stats_none_when_disabled(self, mem_db):
         t = mem_db.create_table("t", [{"id": 1}])
         assert t.get_lsm_stats() is None
+
+
+class TestConnectionQueryParity:
+    def test_connection_dunders(self, mem_db):
+        from conftest import make_vector_table
+
+        mem_db.create_table("t1", make_vector_table(5))
+        assert "t1" in mem_db
+        assert "nope" not in mem_db
+        assert len(mem_db) == 1
+        assert mem_db["t1"].count_rows() == 5
+        assert mem_db.list_tables() == ["t1"]
+        assert mem_db.is_open()
+        with mem_db as db:
+            pass
+        assert not mem_db.is_open()
+
+    def test_builder_aliases_and_column(self, mem_db):
+        import numpy as np
+
+        from conftest import make_vector_table
+
+        t = mem_db.create_table("t", make_vector_table(50))
+        q = np.zeros(16, np.float32)
+        b = t.search(q).limit(3)
+        assert b.to_table().num_rows == 3
+        assert b.to_pyarrow().num_rows == 3
+        assert len(b.to_json()) == 3
+        reader = t.search(q).limit(10).to_reader(max_batch_length=4)
+        rows = sum(batch.num_rows for batch in reader)
+        assert rows == 10
+        schema = t.search(q).limit(5).output_schema()
+        assert "_distance" in schema.names
+        res = t.search(q).column("vector").limit(2).to_arrow()
+        assert res.num_rows == 2
+
+    def test_nearest_to_switch(self, mem_db):
+        import numpy as np
+
+        from conftest import make_vector_table
+
+        t = mem_db.create_table("t", make_vector_table(50))
+        res = t.query().where("id < 25").nearest_to(np.zeros(16, np.float32)).limit(5).to_arrow()
+        assert res.num_rows == 5
+        assert all(i < 25 for i in res.column("id").to_pylist())
+
+    def test_postfilter_and_phrase(self, mem_db):
+        import numpy as np
+
+        data = [{"id": i, "text": f"the quick brown fox {i}" if i % 2 else f"lazy dog {i}",
+                 "vector": [float(i)] * 4} for i in range(40)]
+        t = mem_db.create_table("t", data)
+        t.create_fts_index("text")
+        q = np.zeros(4, np.float32)
+        res = t.search(q).where("id < 10").postfilter().limit(40).to_arrow()
+        assert all(i < 10 for i in res.column("id").to_pylist())
+        hits = t.search("quick brown", query_type="fts").phrase_query().limit(5).to_list()
+        assert all("quick brown" in h["text"] for h in hits)
