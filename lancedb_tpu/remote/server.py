@@ -209,6 +209,9 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             vec = body.get("vector")
             multi = bool(vec) and isinstance(vec[0], list)
+            if not multi and self._batchable(body):
+                out = self._batched_vector_query(name, body, vec)
+                return self._respond(200, table_to_ipc(_maybe_sort(out)), CONTENT_ARROW)
             req = VectorQueryRequest(
                 column=body.get("vector_column"),
                 query_vectors=[np.asarray(v, np.float32) for v in (vec if multi else [vec])],
@@ -229,6 +232,60 @@ class _Handler(BaseHTTPRequestHandler):
             )
             out = execute_vector_query(t, req)
         self._respond(200, table_to_ipc(_maybe_sort(out)), CONTENT_ARROW)
+
+    # ------------------------------------------------ dynamic batching
+    def _batchable(self, body: dict) -> bool:
+        """Single-vector queries with no filter coalesce into one device
+        dispatch (remote/batching.py). Filtered queries pass through:
+        per-query penalty masks don't share a dispatch."""
+        return (
+            self._batcher is not None
+            and body.get("filter") is None
+            and not body.get("order_by")
+            and body.get("version") is None
+            and body.get("branch") is None
+            and not body.get("offset")
+        )
+
+    def _batched_vector_query(self, name: str, body: dict, vec: list) -> pa.Table:
+        key = (
+            name, body.get("vector_column"), body.get("k", 10),
+            body.get("nprobes", 20), body.get("refine_factor"),
+            body.get("distance_type"), body.get("lower_bound"),
+            body.get("upper_bound"), body.get("bypass_vector_index", False),
+            body.get("fast_search", False), body.get("with_row_id", False),
+            tuple(body.get("columns") or ()) or None, len(vec),
+        )
+
+        def run_batch(vectors: list) -> list[pa.Table]:
+            t = self._open(name, body)
+            req = VectorQueryRequest(
+                column=body.get("vector_column"),
+                query_vectors=[np.asarray(v, np.float32) for v in vectors],
+                k=body.get("k", 10),
+                filter=None,
+                minimum_nprobes=body.get("nprobes", 20),
+                maximum_nprobes=body.get("nprobes", 20),
+                refine_factor=body.get("refine_factor"),
+                distance_type=body.get("distance_type"),
+                lower_bound=body.get("lower_bound"),
+                upper_bound=body.get("upper_bound"),
+                use_index=not body.get("bypass_vector_index", False),
+                fast_search=body.get("fast_search", False),
+                with_row_id=body.get("with_row_id", False),
+                select=body.get("columns"),
+            )
+            out = execute_vector_query(t, req)
+            if len(vectors) == 1:
+                return [out]
+            qcol = out.column("query_index")
+            parts = []
+            for qi in range(len(vectors)):
+                sub = out.filter(pa.compute.equal(qcol, qi))
+                parts.append(sub.drop_columns(["query_index"]))
+            return parts
+
+        return self._batcher.submit(key, vec, run_batch)
 
     def op_explain_plan(self, name):
         body = loads(self._read_body())
@@ -483,12 +540,16 @@ class QueryServer:
         host: str = "127.0.0.1",
         port: int = 0,
         api_key: str | None = None,
+        batch_window_ms: float = 2.0,
+        max_batch: int = 64,
     ):
         if api_key is None and host not in ("127.0.0.1", "localhost", "::1"):
             raise ValueError(
                 "QueryServer exposes mutating endpoints (drop/delete/update/"
                 "restore); binding to a non-loopback host requires api_key="
             )
+        from .batching import MicroBatcher
+
         self._conn = LanceDBConnection(uri)
         handler = type(
             "BoundHandler",
@@ -499,6 +560,13 @@ class QueryServer:
                 # per-server multipart upload buffers
                 "_uploads": {},
                 "_uploads_lock": threading.Lock(),
+                # dynamic micro-batching of concurrent vector queries
+                # (remote/batching.py); 0 disables
+                "_batcher": (
+                    MicroBatcher(window_s=batch_window_ms / 1000.0, max_batch=max_batch)
+                    if batch_window_ms > 0
+                    else None
+                ),
             },
         )
         self._httpd = ThreadingHTTPServer((host, port), handler)

@@ -381,3 +381,93 @@ class TestMockTransport:
         c.post_json("/x")
         assert seen["authorization"] == "Bearer tok"
         assert "x-request-id" in {k.lower() for k in seen}
+
+
+class TestMicroBatching:
+    """Dynamic batching of concurrent vector queries (remote/batching.py):
+    compatible requests coalesce into one device dispatch, results stay
+    per-query correct."""
+
+    def test_concurrent_queries_batched_correctly(self, tmp_path):
+        import threading
+
+        from lancedb_tpu.remote import batching as B
+
+        data = make_vector_table(300, dim=8)
+        with QueryServer(str(tmp_path / "db"), batch_window_ms=20.0) as server:
+            rdb = connect_remote(server.url)
+            rdb.create_table("t", data)
+            t = rdb.open_table("t")
+            from lancedb_tpu.arrow import fsl_to_numpy
+
+            vecs = fsl_to_numpy(data.column("vector"))
+            results: dict[int, list] = {}
+            errors = []
+
+            def query(i):
+                try:
+                    res = t.search(vecs[i].tolist()).limit(1).to_arrow()
+                    results[i] = res.column("id").to_pylist()
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+            threads = [threading.Thread(target=query, args=(i,)) for i in range(16)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            assert not errors
+            # every query got ITS OWN nearest neighbor (itself)
+            for i in range(16):
+                assert results[i] == [i], (i, results[i])
+
+    def test_micro_batcher_unit(self):
+        import threading
+
+        from lancedb_tpu.remote.batching import MicroBatcher
+
+        mb = MicroBatcher(window_s=0.05, max_batch=8)
+        calls = []
+
+        def run_batch(items):
+            calls.append(list(items))
+            return [x * 10 for x in items]
+
+        out: dict[int, int] = {}
+
+        def submit(i):
+            out[i] = mb.submit("k", i, run_batch)
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert out == {i: i * 10 for i in range(6)}
+        assert len(calls) <= 2  # coalesced (typically 1 group)
+        assert sum(len(c) for c in calls) == 6
+
+    def test_micro_batcher_error_propagates(self):
+        from lancedb_tpu.remote.batching import MicroBatcher
+
+        mb = MicroBatcher(window_s=0.0)
+
+        def boom(items):
+            raise RuntimeError("kaput")
+
+        with pytest.raises(RuntimeError, match="kaput"):
+            mb.submit("k", 1, boom)
+
+    def test_max_batch_closes_group(self):
+        from lancedb_tpu.remote.batching import MicroBatcher
+
+        mb = MicroBatcher(window_s=0.0, max_batch=2)
+        assert mb.submit("k", 7, lambda items: [len(items)]) == 1
+
+    def test_filtered_queries_bypass_batching(self, tmp_path):
+        with QueryServer(str(tmp_path / "db"), batch_window_ms=20.0) as server:
+            rdb = connect_remote(server.url)
+            rdb.create_table("t", make_vector_table(100, dim=8))
+            t = rdb.open_table("t")
+            res = t.search([0.0] * 8).where("id < 10").limit(5).to_arrow()
+            assert all(i < 10 for i in res.column("id").to_pylist())
