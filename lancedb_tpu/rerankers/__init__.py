@@ -1,15 +1,14 @@
 from .base import Reranker, normalize_scores
-from .cross_encoder import (
-    AnswerdotaiRerankers,
+from .colbert import ColbertReranker
+from .cross_encoder import AnswerdotaiRerankers, CrossEncoderReranker
+from .linear_combination import LinearCombinationReranker
+from .rest import (
     CohereReranker,
-    ColbertReranker,
-    CrossEncoderReranker,
     JinaReranker,
     OpenaiReranker,
     VoyageaiReranker,
     WatsonxReranker,
 )
-from .linear_combination import LinearCombinationReranker
 from .mrr import MRRReranker
 from .rrf import RRFReranker
 

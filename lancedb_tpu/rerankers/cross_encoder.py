@@ -54,21 +54,35 @@ class CrossEncoderReranker(Reranker):
         return self._score(query, fts_results)
 
 
-def _api_stub(name: str, hint: str):
-    class _Stub(Reranker):  # pragma: no cover - gated
-        def __init__(self, *a, **k):
+class AnswerdotaiRerankers(Reranker):  # pragma: no cover - package-gated
+    """Wraps the answerdotai `rerankers` package (reference
+    rerankers/answerdotai.py). Package-gated: the models only ship
+    through that library."""
+
+    def __init__(self, model_type: str = "colbert", model_name: str | None = None,
+                 column: str = "text", return_score: str = "relevance", **kwargs):
+        super().__init__(return_score)
+        try:
+            from rerankers import Reranker as _AR  # type: ignore
+        except ImportError as exc:
             raise RuntimeError(
-                f"{name} requires network access to {hint}, unavailable in this environment"
-            )
+                "AnswerdotaiRerankers needs the `rerankers` package "
+                "(pip install rerankers)"
+            ) from exc
+        self.column = column
+        self._inner = _AR(model_name or model_type, model_type=model_type, **kwargs)
 
-    _Stub.__name__ = name
-    return _Stub
+    def rerank_hybrid(self, query, vector_results, fts_results):
+        import numpy as np
 
+        from .base import RELEVANCE_COL
 
-CohereReranker = _api_stub("CohereReranker", "api.cohere.ai")
-OpenaiReranker = _api_stub("OpenaiReranker", "api.openai.com")
-JinaReranker = _api_stub("JinaReranker", "api.jina.ai")
-VoyageaiReranker = _api_stub("VoyageaiReranker", "api.voyageai.com")
-WatsonxReranker = _api_stub("WatsonxReranker", "IBM watsonx.ai")
-ColbertReranker = _api_stub("ColbertReranker", "colbert model weights (answerdotai/rerankers)")
-AnswerdotaiRerankers = _api_stub("AnswerdotaiRerankers", "rerankers package models")
+        tbl = self.merge_results(vector_results, fts_results)
+        docs = ["" if d is None else str(d) for d in tbl.column(self.column).to_pylist()]
+        ranked = self._inner.rank(query=query, docs=docs)
+        scores = np.zeros(len(docs), dtype=np.float32)
+        for r in ranked.results:
+            scores[r.doc_id] = r.score
+        tbl = tbl.append_column(RELEVANCE_COL, pa.array(scores))
+        order = np.argsort(-scores)
+        return self._keep_score_columns(tbl.take(pa.array(order)))
