@@ -308,3 +308,50 @@ class TestConnectionQueryParity:
         assert all(i < 10 for i in res.column("id").to_pylist())
         hits = t.search("quick brown", query_type="fts").phrase_query().limit(5).to_list()
         assert all("quick brown" in h["text"] for h in hits)
+
+
+class TestPyarrowIntegration:
+    """pyarrow.dataset protocol adapters (reference integrations/
+    pyarrow.py): projection + filter pushdown, streaming batches."""
+
+    @pytest.fixture
+    def ds_adapter(self, mem_db):
+        from conftest import make_vector_table
+        from lancedb_tpu.integrations import to_pyarrow_dataset
+
+        t = mem_db.create_table("t", make_vector_table(100))
+        return to_pyarrow_dataset(t)
+
+    def test_dataset_protocol(self, ds_adapter):
+        import pyarrow.dataset as pads
+
+        assert isinstance(ds_adapter, pads.Dataset)
+        assert ds_adapter.count_rows() == 100
+        assert ds_adapter.count_rows(filter="id < 10") == 10
+        assert set(ds_adapter.schema.names) >= {"id", "vector"}
+        head = ds_adapter.head(3, columns=["id"])
+        assert head.num_rows == 3 and head.column_names == ["id"]
+
+    def test_scanner_streaming(self, ds_adapter):
+        sc = ds_adapter.scanner(columns=["id"], filter="id >= 50", batch_size=16)
+        total = 0
+        for batch in sc.to_batches():
+            assert batch.num_rows <= 16
+            assert all(i >= 50 for i in batch.column("id").to_pylist())
+            total += batch.num_rows
+        assert total == 50
+        assert sc.count_rows() == 50
+
+    def test_expression_filter(self, ds_adapter):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        expr = pc.field("id") < 7
+        out = ds_adapter.to_table(columns=["id"], filter=expr)
+        assert sorted(out.column("id").to_pylist()) == list(range(7))
+
+    def test_take_and_sort(self, ds_adapter):
+        taken = ds_adapter.take([5, 1, 9], columns=["id"])
+        assert taken.column("id").to_pylist() == [5, 1, 9]
+        top = ds_adapter.sort_by([("id", "descending")]).column("id")[0].as_py()
+        assert top == 99
