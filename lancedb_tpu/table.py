@@ -278,11 +278,18 @@ class Table:
         (reference table/write_progress.rs callbacks)."""
         from .blob import blob_columns, encode_blobs
 
-        # streaming ingest: a RecordBatchReader (or batch generator)
-        # appends fragment-by-fragment in bounded memory, one commit
-        # (reference add_data.rs streaming inserts)
+        # streaming ingest: a RecordBatchReader, pyarrow Dataset/Scanner,
+        # or batch generator appends fragment-by-fragment in bounded
+        # memory, one commit (reference add_data.rs streaming inserts +
+        # scannable.py source normalization)
         import types
 
+        import pyarrow.dataset as _pads
+
+        if mode == "append" and isinstance(data, (_pads.Dataset, _pads.Scanner)):
+            from .scannable import to_scannable
+
+            data = to_scannable(data).reader()
         if mode == "append" and isinstance(data, (pa.RecordBatchReader, types.GeneratorType)):
             if not self._embedding_functions and not blob_columns(self.schema):
                 rows = self._dataset.append_stream(
