@@ -227,7 +227,11 @@ class LanceDBConnection(DBConnection):
             raise TableAlreadyExistsError(name) from None
         table = Table(self, name, ds)
         if embed_data is not None:
-            table.add(embed_data)
+            table.add(
+                embed_data,
+                on_bad_vectors=on_bad_vectors,
+                fill_value=unused.get("fill_value", 0.0),
+            )
         return table
 
     def open_table(

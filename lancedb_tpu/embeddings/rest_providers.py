@@ -26,6 +26,37 @@ from .registry import EmbeddingFunctionRegistry
 registry = EmbeddingFunctionRegistry.get_instance()
 
 
+class IamTokenCache:
+    """IBM IAM apikey→bearer exchange with expiry-aware caching (the
+    token lives ~60 min; refresh at 50). Shared by the watsonx
+    embedding provider and reranker."""
+
+    def __init__(self, iam_url: str, ttl_s: float = 50 * 60):
+        self.iam_url = iam_url.rstrip("/")
+        self.ttl_s = ttl_s
+        self._token: str | None = None
+        self._fetched_at = 0.0
+
+    def bearer(self, api_key: str) -> str:
+        import time
+
+        if self._token is None or time.monotonic() - self._fetched_at > self.ttl_s:
+            data = (
+                "grant_type=urn%3Aibm%3Aparams%3Aoauth%3Agrant-type%3Aapikey"
+                f"&apikey={api_key}"
+            ).encode()
+            req = urllib.request.Request(
+                f"{self.iam_url}/identity/token",
+                data=data,
+                method="POST",
+                headers={"content-type": "application/x-www-form-urlencoded"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                self._token = json.loads(resp.read())["access_token"]
+            self._fetched_at = time.monotonic()
+        return self._token
+
+
 class RestEmbeddingFunction(TextEmbeddingFunction):
     """Shared JSON-over-HTTPS plumbing. Subclasses define the wire shape."""
 
@@ -296,23 +327,10 @@ class WatsonxEmbedding(RestEmbeddingFunction):
             raise InvalidInputError("watsonx needs project_id= or space_id=")
         self.iam_url = kwargs.get("iam_url", "https://iam.cloud.ibm.com")
         self.version = kwargs.get("version", "2024-05-02")
-        self._token: str | None = None
+        self._iam = IamTokenCache(self.iam_url)
 
     def _bearer(self) -> str:
-        if self._token is None:
-            data = (
-                "grant_type=urn%3Aibm%3Aparams%3Aoauth%3Agrant-type%3Aapikey"
-                f"&apikey={self._key()}"
-            ).encode()
-            req = urllib.request.Request(
-                f"{self.iam_url}/identity/token",
-                data=data,
-                method="POST",
-                headers={"content-type": "application/x-www-form-urlencoded"},
-            )
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                self._token = json.loads(resp.read())["access_token"]
-        return self._token
+        return self._iam.bearer(self._key())
 
     def _embed_batch(self, texts):
         body = {"inputs": list(texts), "model_id": self.model}

@@ -327,9 +327,15 @@ def build_vector_index(
             meta_doc.update(num_bits=1)
         elif index_type == "IVF_PQ":
             nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
-            if config.num_sub_vectors is None and config.num_bits == 4 and nsub % 2:
-                # 4-bit packs two codes per byte: nsub must be even
-                # (reference create_index.rs:94-100)
+            if (
+                config.num_sub_vectors is None
+                and config.num_bits == 4
+                and nsub % 2
+                and dim % (nsub + 1) == 0
+            ):
+                # 4-bit prefers an even subvector count (reference
+                # create_index.rs:94-100) — only when the dim still
+                # divides; our codes store unpacked so odd also works
                 nsub += 1
             res_d = residuals_d[:n]
             # codebook training only needs a sample — one small download

@@ -28,27 +28,30 @@ def _reader_from_query(table, columns, filter_, limit, batch_size) -> pa.RecordB
         query = query.where(sql_filter)
     if columns is not None:
         query = query.select(list(columns))
-    if limit is not None:
-        if limit <= 0:
-            raise ValueError("limit must be positive")
-        query = query.limit(limit)
-    else:
-        query = query.limit(None)
+    if limit is not None and limit <= 0:
+        raise ValueError("limit must be positive")
+    # expression filters evaluate on the STREAM, so the limit must bound
+    # post-filter rows — only SQL filters (pushed into the scan) may
+    # carry the limit down
+    push_limit = limit if expr_filter is None else None
+    query = query.limit(push_limit)
 
     def gen():
         produced = 0
         for batch in query.to_batches(max_batch_length=batch_size or 1024):
             if expr_filter is not None:
                 batch = pa.Table.from_batches([batch]).filter(expr_filter).combine_chunks()
-                for b in batch.to_batches():
-                    if b.num_rows:
-                        yield b
-                        produced += b.num_rows
-            elif batch.num_rows:
-                yield batch
-                produced += batch.num_rows
-            if limit is not None and produced >= limit:
-                return
+                batches = [b for b in batch.to_batches() if b.num_rows]
+            else:
+                batches = [batch] if batch.num_rows else []
+            for b in batches:
+                if limit is not None and produced + b.num_rows > limit:
+                    b = b.slice(0, limit - produced)
+                if b.num_rows:
+                    yield b
+                    produced += b.num_rows
+                if limit is not None and produced >= limit:
+                    return
 
     schema = table.schema if columns is None else pa.schema(
         [table.schema.field(c) for c in columns]

@@ -54,7 +54,6 @@ from .storage.manifest import new_uuid
 
 LSM_DIR = "_lsm"
 _GEN_W = 10  # zero-pad widths keep lexicographic == numeric order
-_SEQ_W = 8
 
 DEFAULT_WRITER_CONFIG = {
     # entries this large (rows) are written as-is; smaller puts still
@@ -139,14 +138,17 @@ class ShardWriter:
             # the marker lazily (cheap exists) every put
             if self._store.exists(_seal_marker(self._dir, self.generation)):
                 self.generation = _current_generation(self._store, self._dir)
-                self.seq = 0
             sink = io.BytesIO()
             with ipc.new_file(sink, part.schema) as w:
                 for b in part.to_batches():
                     w.write_batch(b)
+            # entry names order by WALL CLOCK within a generation so
+            # last-write-wins survives writer restarts (a fresh writer's
+            # counter would otherwise restart below existing entries and
+            # silently lose newer values); the uuid disambiguates ties
             path = (
                 f"{self._dir}/gen_{self.generation:0{_GEN_W}d}/"
-                f"{self.seq:0{_SEQ_W}d}-{new_uuid()}.arrow"
+                f"{time.time_ns():020d}-{new_uuid()}.arrow"
             )
             self._store.write_bytes(path, sink.getvalue())
             self.seq += 1
@@ -162,7 +164,6 @@ class ShardWriter:
             # conditional create: losing to another sealer is the same outcome
             self._store.put_if_absent(_seal_marker(self._dir, gen), b"")
             self.generation = gen + 1
-            self.seq = 0
             return gen
 
     def manifest(self) -> dict:
@@ -357,7 +358,16 @@ class LsmStore:
             return watermark
         for sd in shard_dirs:
             shard = int(sd.rsplit("shard_", 1)[-1])
-            watermark[shard] = self.writer(shard).seal()
+            w = self.writer(shard)
+            gen_dir = f"{sd}/gen_{w.generation:0{_GEN_W}d}"
+            has_entries = any(
+                p.endswith(".arrow") for p in self._store.list(gen_dir)
+            )
+            if has_entries:
+                watermark[shard] = w.seal()
+            else:
+                # nothing new: the watermark is the last sealed generation
+                watermark[shard] = w.generation - 1
         return watermark
 
     def flush(self, max_generation: dict | None = None) -> dict:

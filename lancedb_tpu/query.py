@@ -582,7 +582,10 @@ class LanceQueryBuilder:
         import json
 
         return json.loads(
-            json.dumps(self.to_list(), default=lambda o: getattr(o, "tolist", str)(o))
+            json.dumps(
+                self.to_list(),
+                default=lambda o: o.tolist() if hasattr(o, "tolist") else str(o),
+            )
         )
 
     def to_reader(self, max_batch_length: int = 1024) -> pa.RecordBatchReader:

@@ -151,24 +151,13 @@ class WatsonxReranker(_RestReranker):
         self.project_id = project_id or os.environ.get("WATSONX_PROJECT_ID")
         if not self.project_id:
             raise InvalidInputError("watsonx reranker needs project_id=")
+        from ..embeddings.rest_providers import IamTokenCache
+
         self.iam_url = iam_url.rstrip("/")
-        self._token: str | None = None
+        self._iam = IamTokenCache(self.iam_url)
 
     def _bearer(self) -> str:
-        if self._token is None:
-            data = (
-                "grant_type=urn%3Aibm%3Aparams%3Aoauth%3Agrant-type%3Aapikey"
-                f"&apikey={self._key()}"
-            ).encode()
-            req = urllib.request.Request(
-                f"{self.iam_url}/identity/token",
-                data=data,
-                method="POST",
-                headers={"content-type": "application/x-www-form-urlencoded"},
-            )
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                self._token = json.loads(resp.read())["access_token"]
-        return self._token
+        return self._iam.bearer(self._key())
 
     def _rerank_scores(self, query, docs):
         r = self._post(

@@ -292,9 +292,14 @@ class Table:
             data = to_scannable(data).reader()
         if mode == "append" and isinstance(data, (pa.RecordBatchReader, types.GeneratorType)):
             if not self._embedding_functions and not blob_columns(self.schema):
-                rows = self._dataset.append_stream(
-                    data, on_batch=on_progress
-                )
+                from .arrow import sanitize_vectors
+
+                def _clean(batches):
+                    for b in batches:
+                        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                        yield sanitize_vectors(t, on_bad_vectors, fill_value)
+
+                self._dataset.append_stream(_clean(data), on_batch=on_progress)
                 self._invalidate_caches()
                 return
             # embedding/blob tables need per-chunk transformation: wrap
@@ -303,7 +308,11 @@ class Table:
                 for b in data
             )
             for chunk in data:
-                self.add(chunk, mode="append", on_progress=on_progress)
+                self.add(
+                    chunk, mode="append",
+                    on_bad_vectors=on_bad_vectors, fill_value=fill_value,
+                    on_progress=on_progress,
+                )
             return
 
         bcols = blob_columns(self.schema) if mode == "append" else []

@@ -199,3 +199,36 @@ class TestGenerations:
         upsert(table, [{"id": 7, "val": "gen1", "n": 0}])
         rows = table.query().use_lsm().where("id = 7").to_arrow().to_pylist()
         assert rows == [{"id": 7, "val": "gen1", "n": 0}]
+
+    def test_last_write_wins_across_writer_restart(self, table):
+        """A fresh ShardWriter (process restart / cache drain) must not
+        rank its new entries BEFORE older ones within the same
+        generation — review finding: counter-based names restarted at 0
+        and silently lost the newest value."""
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        upsert(table, [{"id": 7, "val": "first", "n": 0}])
+        upsert(table, [{"id": 7, "val": "second", "n": 0}])
+        table.close_lsm_writers()  # simulate restart: fresh writer
+        upsert(table, [{"id": 7, "val": "newest", "n": 0}])
+        rows = table.query().use_lsm().where("id = 7").to_arrow().to_pylist()
+        assert rows == [{"id": 7, "val": "newest", "n": 0}]
+        out = table.flush_lsm()
+        assert table.count_rows("val = 'newest'") == 1
+
+    def test_idle_flush_mints_no_markers(self, table):
+        """Flushing an idle table must not seal empty generations
+        forever (review finding: unbounded SEAL_/FLUSHED_ markers)."""
+        table.set_lsm_write_spec("unsharded", key_columns=["id"])
+        upsert(table, [{"id": 1, "val": "x", "n": 0}])
+        table.flush_lsm()
+        lsm = table._lsm
+        gen_before = lsm.writer(0).generation
+        for _ in range(5):
+            out = table.flush_lsm()
+            assert out["rows_flushed"] == 0
+        assert lsm.writer(0).generation == gen_before
+        markers = [
+            p for p in lsm._store.list(lsm._shard_dir(0))
+            if p.rsplit("/", 1)[-1].startswith("SEAL_")
+        ]
+        assert len(markers) == 1  # only the one real seal

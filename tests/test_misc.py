@@ -355,3 +355,12 @@ class TestPyarrowIntegration:
         assert taken.column("id").to_pylist() == [5, 1, 9]
         top = ds_adapter.sort_by([("id", "descending")]).column("id")[0].as_py()
         assert top == 99
+
+    def test_pyarrow_head_with_expression_filter(self, ds_adapter):
+        """limit must bound POST-filter rows when the filter is an
+        Expression (review finding: limit was pushed pre-filter)."""
+        import pyarrow.compute as pc
+
+        out = ds_adapter.head(10, filter=pc.field("id") >= 50)
+        assert out.num_rows == 10
+        assert all(i >= 50 for i in out.column("id").to_pylist())

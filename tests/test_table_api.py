@@ -441,3 +441,32 @@ class TestOnBadVectors:
             t.add([{"id": 1, "vector": [float("inf")] * 4}])
         t.add([{"id": 1, "vector": [float("inf")] * 4}], on_bad_vectors="drop")
         assert t.count_rows() == 1
+
+    def test_streaming_add_sanitizes(self, mem_db):
+        """on_bad_vectors applies to streaming (reader) ingests too
+        (review finding: the append_stream fast path skipped it)."""
+        schema = pa.schema([("id", pa.int64()), ("vector", pa.list_(pa.float32(), 4))])
+        t = mem_db.create_table("t", schema=schema)
+
+        def gen():
+            yield pa.record_batch([
+                pa.array([0, 1]),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array([1.0, 2.0, 3.0, 4.0, float("nan"), 2.0, 3.0, 4.0],
+                             type=pa.float32()), 4),
+            ], schema=schema)
+
+        with pytest.raises(InvalidInputError):
+            t.add(pa.RecordBatchReader.from_batches(schema, gen()))
+        t.add(pa.RecordBatchReader.from_batches(schema, gen()), on_bad_vectors="drop")
+        assert t.count_rows() == 1
+
+    def test_4bit_odd_subvector_dim_builds(self, mem_db):
+        """dim=80 -> suggested nsub 5 (odd); the 4-bit even bump must not
+        produce a non-dividing subvector count (review finding)."""
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((300, 80)).astype(np.float32)
+        t = mem_db.create_table("t", {"id": np.arange(300), "vector": list(vecs)})
+        t.create_index(index_type="IVF_PQ", num_partitions=4, num_bits=4)
+        res = t.search(vecs[5]).refine_factor(4).limit(1).to_list()
+        assert res[0]["id"] == 5
