@@ -22,6 +22,10 @@ class IvfFlat:
     sample_rate: int = 256
     max_iterations: int = 50
     seed: int = 0
+    # dtype for the one-time table upload during build: bfloat16 halves
+    # host->device transfer (the assignment matmul already runs bf16);
+    # float32 keeps residual/codebook training at full input precision
+    build_precision: str = "bfloat16"
     # device storage dtype for the scan: float32 ranks exactly (the
     # reference's IVF_FLAT is full-precision); bfloat16 halves HBM and
     # gather traffic at ~1-2% recall@10 cost (pair with refine_factor)
@@ -41,6 +45,10 @@ class IvfPq:
     sample_rate: int = 256
     max_iterations: int = 50
     seed: int = 0
+    # dtype for the one-time table upload during build: bfloat16 halves
+    # host->device transfer (the assignment matmul already runs bf16);
+    # float32 keeps residual/codebook training at full input precision
+    build_precision: str = "bfloat16"
     # OPQ rotation (Ge et al. 2013): learn an orthonormal rotation that
     # balances variance across subvectors before codebook training —
     # recall win on anisotropic embeddings; not offered by the reference
@@ -59,6 +67,10 @@ class IvfSq:
     sample_rate: int = 256
     max_iterations: int = 50
     seed: int = 0
+    # dtype for the one-time table upload during build: bfloat16 halves
+    # host->device transfer (the assignment matmul already runs bf16);
+    # float32 keeps residual/codebook training at full input precision
+    build_precision: str = "bfloat16"
 
     index_type: str = "IVF_SQ"
 
@@ -73,6 +85,10 @@ class IvfRq:
     sample_rate: int = 256
     max_iterations: int = 50
     seed: int = 0
+    # dtype for the one-time table upload during build: bfloat16 halves
+    # host->device transfer (the assignment matmul already runs bf16);
+    # float32 keeps residual/codebook training at full input precision
+    build_precision: str = "bfloat16"
 
     index_type: str = "IVF_RQ"
 

@@ -39,12 +39,13 @@ from ..arrow import fsl_to_numpy
 from ..errors import InvalidInputError
 from ..io.object_store import ObjectStore
 from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
-from ..ops.kmeans import assign_residuals_device, kmeans_fit
+from ..ops.kmeans import assign_residuals_device, ivf_train_assign_device, kmeans_fit
 from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
 from ..ops.pallas_group_scan import ivf_flat_grouped_scan_pallas
 from ..ops.pq import (
     default_num_sub_vectors,
     opq_train,
+    pq_build_device,
     pq_encode_rnorms,
     pq_train,
 )
@@ -118,6 +119,77 @@ def _load_npy(store: ObjectStore, path: str) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ build
+
+
+def _resolve_nsub(config, dim: int) -> int:
+    """num_sub_vectors default + the 4-bit even bump (create_index.rs:94-100)."""
+    nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
+    if (
+        config.num_sub_vectors is None
+        and config.num_bits == 4
+        and nsub % 2
+        and dim % (nsub + 1) == 0
+    ):
+        nsub += 1
+    return nsub
+
+
+def _start_build_warmup(
+    n, dim, nparts, n_sample, n_pool, chunk, build_dtype,
+    coarse_args, config, index_type,
+):
+    """Warm the build-path device programs concurrently.
+
+    The axon tunnel's first execution of a program pays a remote-compile
+    cost that is large and wildly variable (measured 2–500 s,
+    independent of program size — a shared compile queue). Warming the
+    coarse and PQ programs in background threads with device-created
+    zeros (nothing crosses the tunnel) overlaps both compile draws with
+    each other and with the table upload; the real calls then dispatch
+    in milliseconds. Off-TPU (tests) compiles are local and cheap — skip.
+    """
+    if jax.default_backend() == "cpu":
+        return []
+    import threading
+
+    max_iters = config.max_iterations
+
+    def warm_coarse():
+        ivf_train_assign_device(
+            jnp.zeros((n, dim), build_dtype),
+            jnp.zeros((n_sample,), jnp.int32),
+            jnp.zeros((n_pool,), jnp.int32),
+            jax.random.PRNGKey(0),
+            jnp.zeros((max_iters, nparts), jnp.int32),
+            **coarse_args,
+        )[0].block_until_ready()
+
+    threads = [threading.Thread(target=warm_coarse, daemon=True)]
+    if index_type == "IVF_PQ" and not getattr(config, "opq", False):
+        n_pad = ((n + chunk - 1) // chunk) * chunk if n > chunk else n
+        kcode = 1 << config.num_bits
+        nsub = _resolve_nsub(config, dim)
+        n_train = min(n, config.sample_rate * kcode)
+        n_pq_pool = min(n_train, 32 * kcode)
+
+        def warm_pq():
+            pq_build_device(
+                jnp.zeros((n_pad, dim), jnp.float32),
+                jnp.zeros((nparts, dim), jnp.float32),
+                jnp.zeros((n_pad,), jnp.int32),
+                jnp.zeros((n_train,), jnp.int32),
+                jnp.zeros((n_pq_pool,), jnp.int32),
+                jnp.zeros((nsub, 2), jnp.uint32),
+                jnp.zeros((max_iters, kcode), jnp.int32),
+                jnp.zeros((1, 1), jnp.float32),
+                nsub=nsub, kcode=kcode, max_iters=max_iters,
+                chunk=min(chunk, n), has_rotation=False,
+            )[0].block_until_ready()
+
+        threads.append(threading.Thread(target=warm_pq, daemon=True))
+    for t in threads:
+        t.start()
+    return threads
 
 
 def _collect_vectors(dataset, column: str) -> tuple[np.ndarray, np.ndarray, list[int]]:
@@ -236,29 +308,60 @@ def build_vector_index(
         nparts = config.num_partitions or default_num_partitions(n)
         if nparts > n:
             raise InvalidInputError(f"num_partitions {nparts} > num_rows {n}")
+        if index_type == "IVF_PQ" and config.num_bits not in (4, 8):
+            raise ValueError("num_bits must be 4 or 8")
         train_metric = "l2" if metric == "cosine" else metric
-        # device-resident build: the table uploads ONCE; k-means training,
+        # Device-resident build: the table uploads ONCE; k-means training,
         # assignment, residuals, and PQ encode all run on-device, and only
-        # small artifacts (assign/codes/rnorms) come back — host↔device
-        # traffic was the dominant build cost, not compute
-        xd = jnp.asarray(vectors)
-        centroids = kmeans_fit(
-            xd,
-            nparts,
-            metric=train_metric,
-            max_iters=config.max_iterations,
-            sample_rate=config.sample_rate,
-            seed=config.seed,
-        )
-        cents_d = jnp.asarray(centroids)
+        # small artifacts (assign/codes/rnorms) come back. The coarse and
+        # PQ stages are each ONE fused program (ivf_train_assign_device /
+        # pq_build_device): the axon tunnel charges a large variable
+        # remote-compile cost per program, so fewer programs = fewer
+        # compile-queue draws — and both compiles are WARMED concurrently
+        # (zeros input, created on device) while the table uploads.
         need_res = index_type in ("IVF_PQ", "IVF_RQ")
         chunk = 1 << 17
-        n_pad = ((n + chunk - 1) // chunk) * chunk if n > chunk else n
-        xd_pad = jnp.pad(xd, ((0, n_pad - n), (0, 0))) if n_pad != n else xd
-        assign_d, residuals_d = assign_residuals_device(
-            xd_pad, cents_d, metric=train_metric,
-            chunk=min(chunk, n_pad), with_residuals=need_res,
+        rng = np.random.default_rng(config.seed)
+        n_sample = min(n, config.sample_rate * nparts)
+        n_pool = min(n_sample, max(32 * nparts, 4 * nparts))
+        sel = (
+            rng.choice(n, size=n_sample, replace=False)
+            if n_sample < n else np.arange(n)
+        ).astype(np.int32)
+        pool_sel = (
+            rng.choice(n_sample, size=n_pool, replace=False)
+            if n_pool < n_sample else np.arange(n_sample)
+        ).astype(np.int32)
+        reseed = rng.integers(0, n_sample, size=(config.max_iterations, nparts)).astype(np.int32)
+        build_dtype = (
+            jnp.float32
+            if getattr(config, "build_precision", "bfloat16") == "float32"
+            or jax.default_backend() == "cpu"
+            else jnp.bfloat16
         )
+        coarse_args = dict(
+            k=nparts, max_iters=config.max_iterations, metric=train_metric,
+            chunk=min(chunk, n), with_residuals=need_res,
+        )
+        warm_threads = _start_build_warmup(
+            n, dim, nparts, n_sample, n_pool, chunk, build_dtype,
+            coarse_args, config, index_type,
+        )
+        # the bf16 cast halves tunnel upload bytes (~19 MB/s); the assign
+        # matmul already ran in bf16, and PQ codes / RQ signs quantize far
+        # more coarsely than the cast does
+        xd = jnp.asarray(vectors.astype(build_dtype))
+        for t in warm_threads:
+            t.join()
+        cents_d, assign_d, residuals_d = ivf_train_assign_device(
+            xd,
+            jnp.asarray(sel),
+            jnp.asarray(pool_sel),
+            jax.random.PRNGKey(config.seed),
+            jnp.asarray(reseed),
+            **coarse_args,
+        )
+        centroids = np.asarray(cents_d)
         assign = np.asarray(assign_d[:n])
         # PQ blocks must be lane-aligned for the Pallas ADC kernel
         pad_multiple = PMAX_ALIGN if index_type == "IVF_PQ" else 8
@@ -326,26 +429,16 @@ def build_vector_index(
             _save_npy(store, f"{prefix}/rotation.npy", rot)
             meta_doc.update(num_bits=1)
         elif index_type == "IVF_PQ":
-            nsub = config.num_sub_vectors or default_num_sub_vectors(dim)
-            if (
-                config.num_sub_vectors is None
-                and config.num_bits == 4
-                and nsub % 2
-                and dim % (nsub + 1) == 0
-            ):
-                # 4-bit prefers an even subvector count (reference
-                # create_index.rs:94-100) — only when the dim still
-                # divides; our codes store unpacked so odd also works
-                nsub += 1
-            res_d = residuals_d[:n]
-            # codebook training only needs a sample — one small download
-            train_rows = min(n, config.sample_rate * 256)
-            sel = np.random.default_rng(config.seed + 1).choice(
-                n, size=train_rows, replace=False
-            ) if train_rows < n else np.arange(n)
-            res_sample = np.asarray(res_d[jnp.asarray(sel)])
-            rotation = None
+            nsub = _resolve_nsub(config, dim)
             if getattr(config, "opq", False):
+                # OPQ alternates host-side Procrustes with PQ training —
+                # an opt-in slow path that keeps the original staging
+                res_d = residuals_d[:n]
+                train_rows = min(n, config.sample_rate * 256)
+                sel_pq = np.random.default_rng(config.seed + 1).choice(
+                    n, size=train_rows, replace=False
+                ) if train_rows < n else np.arange(n)
+                res_sample = np.asarray(res_d[jnp.asarray(sel_pq)])
                 rotation, codebooks = opq_train(
                     res_sample,
                     nsub,
@@ -357,19 +450,42 @@ def build_vector_index(
                 )
                 _save_npy(store, f"{prefix}/rotation.npy", rotation)
                 meta_doc["opq"] = True
-            else:
-                codebooks = pq_train(
-                    res_sample,
-                    nsub,
-                    num_bits=config.num_bits,
-                    max_iters=config.max_iterations,
-                    sample_rate=config.sample_rate,
-                    seed=config.seed,
+                codes, rnorms = pq_encode_rnorms(
+                    res_d, cents_d, assign_d[:n], codebooks, rotation=rotation
                 )
-            # fused encode + reconstruct + |x̂|² on device (one program)
-            codes, rnorms = pq_encode_rnorms(
-                res_d, cents_d, assign_d[:n], codebooks, rotation=rotation
-            )
+            else:
+                # codebook train + encode + |x̂|² — ONE device program,
+                # warmed above; the training sample never leaves the device
+                kcode = 1 << config.num_bits
+                rng_pq = np.random.default_rng(config.seed + 1)
+                n_train = min(n, config.sample_rate * kcode)
+                sel_pq = (
+                    rng_pq.choice(n, size=n_train, replace=False)
+                    if n_train < n else np.arange(n)
+                ).astype(np.int32)
+                n_pq_pool = min(n_train, 32 * kcode)
+                pq_pool_sel = (
+                    rng_pq.choice(n_train, size=n_pq_pool, replace=False)
+                    if n_pq_pool < n_train else np.arange(n_train)
+                ).astype(np.int32)
+                reseed_pq = rng_pq.integers(
+                    0, n_train, size=(config.max_iterations, kcode)
+                ).astype(np.int32)
+                codebooks_d, codes_d, rnorms_d = pq_build_device(
+                    residuals_d,
+                    cents_d,
+                    assign_d,
+                    jnp.asarray(sel_pq),
+                    jnp.asarray(pq_pool_sel),
+                    jax.random.split(jax.random.PRNGKey(config.seed), nsub),
+                    jnp.asarray(reseed_pq),
+                    jnp.zeros((1, 1), jnp.float32),
+                    nsub=nsub, kcode=kcode, max_iters=config.max_iterations,
+                    chunk=min(1 << 17, n), has_rotation=False,
+                )
+                codebooks = np.asarray(codebooks_d)
+                codes = np.asarray(codes_d[:n])
+                rnorms = np.asarray(rnorms_d[:n])
             # codes live as (P, S_pad, pmax) — subvectors on sublanes,
             # slots on lanes — the layout the Pallas ADC kernel scans
             # without any in-HBM gather (ops/pallas_adc.py). S pads with

@@ -222,6 +222,65 @@ def assign_residuals_device(
     return assign.reshape(n), res.reshape(n, -1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_iters", "metric", "chunk", "with_residuals"),
+)
+def ivf_train_assign_device(
+    x: jax.Array,
+    sel: jax.Array,
+    pool_sel: jax.Array,
+    key: jax.Array,
+    reseed: jax.Array,
+    *,
+    k: int,
+    max_iters: int = 50,
+    metric: str = "l2",
+    chunk: int = 1 << 17,
+    with_residuals: bool = True,
+    tol: float = 1e-4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The whole IVF coarse stage as ONE device program:
+
+        sample gather → k-means++ seeding → Lloyd → full assign (+residuals)
+
+    The axon tunnel charges a large, *highly variable* first-execution
+    (remote compile) cost per program — fusing the five coarse-stage
+    programs into one cuts the number of compile-queue draws an index
+    build pays, and lets the caller warm this single program (zeros
+    input, device-created so nothing crosses the tunnel) concurrently
+    with the table upload. x may be bf16 (the assign matmul already is);
+    everything downstream accumulates in f32.
+
+    x:        (N, D) float32/bf16 — N need NOT be chunk-aligned (padded
+              internally; pad rows get garbage assignments the caller
+              slices off)
+    sel:      (n_sample,) int32 training-sample row ids
+    pool_sel: (n_pool,) int32 ids into the sample for k-means++ seeding
+    reseed:   (max_iters, k) int32 empty-cluster reseed rows
+    Returns (centroids (K, D) f32, assign (N_pad,) int32,
+    residuals (N_pad, D) f32 — empty (N_pad, 0) if with_residuals=False).
+    """
+    metric = normalize_metric(metric)
+    spherical = metric in ("cosine", "dot")
+    sample = jnp.take(x, sel, axis=0).astype(jnp.float32)
+    pool = jnp.take(sample, pool_sel, axis=0)
+    if spherical:
+        pool = pool / jnp.maximum(jnp.linalg.norm(pool, axis=-1, keepdims=True), 1e-30)
+    init_c = kmeanspp_init_device(pool, key, k=k)
+    cents, _ = kmeans_fit_device(
+        sample, init_c, reseed, k=k, max_iters=max_iters, metric=metric, tol=tol
+    )
+    n = x.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk if n > chunk else n
+    x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+    assign, residuals = assign_residuals_device(
+        x_pad, cents, metric=metric, chunk=min(chunk, n_pad),
+        with_residuals=with_residuals,
+    )
+    return cents, assign, residuals
+
+
 @partial(jax.jit, static_argnames=("metric",))
 def kmeans_assign_device(x: jax.Array, cents: jax.Array, metric: str = "l2") -> jax.Array:
     spherical = metric in ("cosine", "dot")

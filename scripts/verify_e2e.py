@@ -14,7 +14,8 @@ from lancedb_tpu.index import IvfPq
 rng = np.random.default_rng(7)
 N, DIM = 50_000, 64
 centers = rng.standard_normal((256, DIM)).astype(np.float32)
-x = centers[rng.integers(0, 256, N)] + 0.2 * rng.standard_normal((N, DIM)).astype(np.float32)
+cluster = rng.integers(0, 256, N)
+x = centers[cluster] + 0.2 * rng.standard_normal((N, DIM)).astype(np.float32)
 
 db = lancedb_tpu.connect(tempfile.mkdtemp())
 tbl = db.create_table("vecs", data=[
@@ -24,9 +25,15 @@ tbl = db.create_table("vecs", data=[
 # 1. default 8-bit IVF_PQ
 tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64))
 q = x[123] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
-res = tbl.search(q).limit(5).nprobes(10).to_list()
-print("1. top-5 ids:", [r["id"] for r in res], "dists:", [round(r["_distance"], 3) for r in res], flush=True)
-assert res[0]["id"] == 123, "nearest should be the perturbed source row"
+res = tbl.search(q).limit(10).nprobes(10).to_list()
+print("1. top-10 ids:", [r["id"] for r in res], "dists:", [round(r["_distance"], 3) for r in res], flush=True)
+# raw 8-bit ADC distances on this tightly clustered data collapse into
+# a ~68-way exact tie (σ=0.2 residuals vs 16-dim/256-code cells): rank
+# WITHIN the tie is arbitrary, so the semantic assertions are (a) every
+# raw hit comes from the query row's cluster, and (b) the refine step
+# below restores exact rank-1.
+assert all(cluster[r["id"]] == cluster[123] for r in res), \
+    "raw PQ hits should come from the source row's cluster"
 
 # 2. refine path
 res2 = tbl.search(q).limit(5).nprobes(10).refine_factor(8).to_list()
@@ -62,8 +69,9 @@ assert d6 == sorted(d6)
 # 7. probe: invalid num_bits through public config
 try:
     tbl.create_index(vector_column_name="vector", config=IvfPq(num_partitions=64, num_bits=5), replace=True)
-    print("7. ERROR: num_bits=5 accepted!", flush=True)
-except Exception as e:
+    raise SystemExit("7. ERROR: num_bits=5 accepted!")
+except (ValueError, Exception) as e:
+    assert isinstance(e, ValueError), f"expected ValueError, got {type(e).__name__}: {e}"
     print("7. num_bits=5 rejected:", type(e).__name__, str(e)[:60], flush=True)
 
 # 8. probe: nprobes > num_partitions (clamp path)
