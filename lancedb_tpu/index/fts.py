@@ -184,6 +184,52 @@ class ColumnFtsIndex:
             np.asarray(tids, dtype=np.int32), idf, norm, k, K1, dead,
         )
 
+    def topk_and_native(
+        self, query: str, k: int, dead: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Exact conjunctive (AND) BM25 top-k via the native DAAT
+        galloping-intersection scorer (ldb_bm25_and_topk): no dense
+        match-count arrays. Returns empty when any required token has
+        no postings (tantivy AND semantics). None = lib absent."""
+        from ..native import bm25_and_topk_native
+
+        tokens = self.tokenizer.tokenize(query)
+        if not tokens:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        tids = [self.vocab.get(tok) for tok in tokens]
+        if any(t is None for t in tids):
+            # a required term with no postings: unsatisfiable clause
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        idf = np.array([self.idf(t) for t in tids], dtype=np.float32)
+        return bm25_and_topk_native(
+            self.postings_docs, self.postings_tf, self.postings_offsets,
+            np.asarray(tids, dtype=np.int32), idf, self._doc_norm(), k, K1, dead,
+        )
+
+    def topk_phrase_native(
+        self, query: str, k: int, slop: int = 0, dead: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Exact phrase BM25 top-k via the native DAAT intersection +
+        positional verifier (ldb_phrase_topk). None = lib absent or the
+        index lacks positions."""
+        if self.pos_offsets is None or self.positions is None:
+            return None
+        from ..native import phrase_topk_native
+
+        tokens = self.tokenizer.tokenize(query)
+        if not tokens:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        tids = [self.vocab.get(tok) for tok in tokens]
+        if any(t is None for t in tids):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        idf = np.array([self.idf(t) for t in tids], dtype=np.float32)
+        return phrase_topk_native(
+            self.postings_docs, self.postings_tf, self.postings_offsets,
+            self.pos_offsets, self.positions,
+            np.asarray(tids, dtype=np.int32), idf, self._doc_norm(),
+            slop, k, K1, dead,
+        )
+
     def _doc_norm(self) -> np.ndarray:
         """BM25 length norm per doc, cached (K1*(1-B+B*len/avgdl))."""
         norm = getattr(self, "_doc_norm_cache", None)
@@ -703,8 +749,12 @@ def execute_fts_query(
         )
     fts = table._get_fts_index(fts_meta)
     node = parse_string_query(query, columns or fts.columns) if isinstance(query, str) else query
-    # MaxScore pruned top-k for plain OR matches on big unfiltered
-    # corpora: exact top-k, skips full scoring of low-impact terms
+    # Native DAAT top-k paths (exact; skip dense score arrays):
+    #  * OR MatchQuery on big corpora — MaxScore pruning
+    #  * AND MatchQuery — galloping intersection (any size: the python
+    #    fallback builds dense per-group bool arrays)
+    #  * PhraseQuery — intersection + C++ positional verification (the
+    #    python fallback walks candidate docs in a dict loop)
     use_pruned = (
         isinstance(node, MatchQuery)
         and node.operator == Operator.OR
@@ -712,6 +762,14 @@ def execute_fts_query(
         and filter is None
         and node.boost == 1.0
     )
+    use_and = (
+        isinstance(node, MatchQuery)
+        and node.operator == Operator.AND
+        and node.fuzziness == 0
+        and filter is None
+        and node.boost == 1.0
+    )
+    use_phrase = isinstance(node, PhraseQuery) and filter is None
     native_hits = None
     if use_pruned:
         col = node.column or fts.default_column()
@@ -723,6 +781,24 @@ def execute_fts_query(
                 scores = col_ix.score_match_topk(node.query, k + offset)
         else:
             use_pruned = False
+    elif use_and:
+        col = node.column or fts.default_column()
+        col_ix = fts._col(col)
+        dead_mask = _dead_doc_mask(ds, fts_meta, col_ix)
+        native_hits = col_ix.topk_and_native(node.query, k + offset, dead_mask)
+        use_pruned = native_hits is not None
+    elif use_phrase:
+        col = node.column or fts.default_column()
+        col_ix = fts._col(col)
+        if col_ix.pos_offsets is None:
+            raise InvalidInputError(
+                "phrase queries need an FTS index built with with_position=True"
+            )
+        dead_mask = _dead_doc_mask(ds, fts_meta, col_ix)
+        native_hits = col_ix.topk_phrase_native(
+            node.query, k + offset, slop=node.slop, dead=dead_mask
+        )
+        use_pruned = native_hits is not None
     if not use_pruned:
         scores, col_ix = fts.evaluate(node)
 

@@ -93,6 +93,16 @@ def get_lib() -> ctypes.CDLL | None:
             i64p, i64p, i64p, i32p, f32p, ctypes.c_int32, f32p, u8p, i64,
             ctypes.c_int32, ctypes.c_float, i64p, f32p,
         ]
+        lib.ldb_bm25_and_topk.restype = i64
+        lib.ldb_bm25_and_topk.argtypes = [
+            i64p, i64p, i64p, i32p, f32p, ctypes.c_int32, f32p, u8p,
+            ctypes.c_int32, ctypes.c_float, i64p, f32p,
+        ]
+        lib.ldb_phrase_topk.restype = i64
+        lib.ldb_phrase_topk.argtypes = [
+            i64p, i64p, i64p, i64p, i64p, i32p, f32p, ctypes.c_int32, f32p,
+            u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_float, i64p, f32p,
+        ]
         _lib = lib
         return _lib
 
@@ -244,6 +254,108 @@ def varint_decode_native(data: bytes, count: int) -> np.ndarray | None:
         _np_ptr(buf, ctypes.c_uint8), len(data), count, _np_ptr(out, ctypes.c_int64)
     )
     return out[:count]
+
+
+def bm25_and_topk_native(
+    postings_docs: np.ndarray,
+    postings_tf: np.ndarray,
+    postings_offsets: np.ndarray,
+    qterms: np.ndarray,
+    qidf: np.ndarray,
+    doc_norm: np.ndarray,
+    k: int,
+    k1: float,
+    dead: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Exact conjunctive (AND) BM25 top-k via DAAT galloping
+    intersection (native ldb_bm25_and_topk). qterms has one entry per
+    query token (duplicates allowed). Returns (doc_idx, scores) sorted
+    descending, or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or len(qterms) == 0:
+        return None
+    postings_docs = np.ascontiguousarray(postings_docs, dtype=np.int64)
+    postings_tf = np.ascontiguousarray(postings_tf, dtype=np.int64)
+    postings_offsets = np.ascontiguousarray(postings_offsets, dtype=np.int64)
+    qterms = np.ascontiguousarray(qterms, dtype=np.int32)
+    qidf = np.ascontiguousarray(qidf, dtype=np.float32)
+    doc_norm = np.ascontiguousarray(doc_norm, dtype=np.float32)
+    dead_ptr = None
+    if dead is not None:
+        dead = np.ascontiguousarray(dead, dtype=np.uint8)
+        dead_ptr = _np_ptr(dead, ctypes.c_uint8)
+    out_docs = np.zeros(max(1, k), dtype=np.int64)
+    out_scores = np.zeros(max(1, k), dtype=np.float32)
+    n = lib.ldb_bm25_and_topk(
+        _np_ptr(postings_docs, ctypes.c_int64),
+        _np_ptr(postings_tf, ctypes.c_int64),
+        _np_ptr(postings_offsets, ctypes.c_int64),
+        _np_ptr(qterms, ctypes.c_int32),
+        _np_ptr(qidf, ctypes.c_float),
+        len(qterms),
+        _np_ptr(doc_norm, ctypes.c_float),
+        dead_ptr,
+        int(k),
+        float(k1),
+        _np_ptr(out_docs, ctypes.c_int64),
+        _np_ptr(out_scores, ctypes.c_float),
+    )
+    return out_docs[:n], out_scores[:n]
+
+
+def phrase_topk_native(
+    postings_docs: np.ndarray,
+    postings_tf: np.ndarray,
+    postings_offsets: np.ndarray,
+    pos_offsets: np.ndarray,
+    positions: np.ndarray,
+    qterms: np.ndarray,
+    qidf: np.ndarray,
+    doc_norm: np.ndarray,
+    slop: int,
+    k: int,
+    k1: float,
+    dead: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Exact phrase-match BM25 top-k: DAAT intersection + positional
+    window verification in C++ (native ldb_phrase_topk). qterms has one
+    entry per phrase token, in phrase order. Returns (doc_idx, scores)
+    sorted descending, or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or len(qterms) == 0:
+        return None
+    postings_docs = np.ascontiguousarray(postings_docs, dtype=np.int64)
+    postings_tf = np.ascontiguousarray(postings_tf, dtype=np.int64)
+    postings_offsets = np.ascontiguousarray(postings_offsets, dtype=np.int64)
+    pos_offsets = np.ascontiguousarray(pos_offsets, dtype=np.int64)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    qterms = np.ascontiguousarray(qterms, dtype=np.int32)
+    qidf = np.ascontiguousarray(qidf, dtype=np.float32)
+    doc_norm = np.ascontiguousarray(doc_norm, dtype=np.float32)
+    dead_ptr = None
+    if dead is not None:
+        dead = np.ascontiguousarray(dead, dtype=np.uint8)
+        dead_ptr = _np_ptr(dead, ctypes.c_uint8)
+    out_docs = np.zeros(max(1, k), dtype=np.int64)
+    out_scores = np.zeros(max(1, k), dtype=np.float32)
+    n = lib.ldb_phrase_topk(
+        _np_ptr(postings_docs, ctypes.c_int64),
+        _np_ptr(postings_tf, ctypes.c_int64),
+        _np_ptr(postings_offsets, ctypes.c_int64),
+        _np_ptr(pos_offsets, ctypes.c_int64),
+        _np_ptr(positions, ctypes.c_int64),
+        _np_ptr(qterms, ctypes.c_int32),
+        _np_ptr(qidf, ctypes.c_float),
+        len(qterms),
+        _np_ptr(doc_norm, ctypes.c_float),
+        dead_ptr,
+        int(slop),
+        int(k),
+        float(k1),
+        _np_ptr(out_docs, ctypes.c_int64),
+        _np_ptr(out_scores, ctypes.c_float),
+    )
+    return out_docs[:n], out_scores[:n]
 
 
 def bm25_maxscore_topk_native(

@@ -540,4 +540,215 @@ int64_t ldb_bm25_maxscore_topk(
   return m;
 }
 
+// ------------------------------------------------ BM25 DAAT AND top-k
+//
+// Conjunctive (operator=AND) BM25 top-k: the shortest posting list
+// drives the document cursor, every other list is advanced by forward
+// binary search (galloping over ascending doc ids). Only docs present
+// in ALL lists score — the intersection is tiny for selective
+// conjunctions, so this replaces the dense match_count arrays the
+// numpy scorer builds (index/fts.py score_match AND path). Duplicate
+// query terms contribute once per occurrence, matching the python
+// per-token scoring.
+int64_t ldb_bm25_and_topk(
+    const int64_t* postings_docs, const int64_t* postings_tf,
+    const int64_t* postings_offsets, const int32_t* qterms,
+    const float* qidf, int32_t n_q, const float* doc_norm,
+    const uint8_t* dead, int32_t k, float k1,
+    int64_t* out_docs, float* out_scores) {
+  if (n_q <= 0 || k <= 0) return 0;
+  struct Cursor {
+    const int64_t* docs;
+    const int64_t* tfs;
+    int64_t len;
+    int64_t pos;
+    float idf;  // summed over duplicate query occurrences
+  };
+  // unique terms; duplicate tokens fold into one cursor with summed idf
+  std::vector<Cursor> cur;
+  for (int32_t i = 0; i < n_q; i++) {
+    int64_t s = postings_offsets[qterms[i]];
+    int64_t e = postings_offsets[qterms[i] + 1];
+    if (e <= s) return 0;  // a required term with no postings: no matches
+    bool merged = false;
+    for (auto& c : cur) {
+      if (c.docs == postings_docs + s) {
+        c.idf += qidf[i];
+        merged = true;
+        break;
+      }
+    }
+    if (!merged)
+      cur.push_back({postings_docs + s, postings_tf + s, e - s, 0, qidf[i]});
+  }
+  std::sort(cur.begin(), cur.end(),
+            [](const Cursor& a, const Cursor& b) { return a.len < b.len; });
+  int n = (int)cur.size();
+
+  typedef std::pair<float, int64_t> Hit;
+  std::vector<Hit> heap;
+  heap.reserve(k + 1);
+  auto cmp = [](const Hit& a, const Hit& b) { return a.first > b.first; };
+
+  Cursor& drv = cur[0];
+  for (; drv.pos < drv.len; drv.pos++) {
+    int64_t d = drv.docs[drv.pos];
+    bool all = true;
+    for (int i = 1; i < n; i++) {
+      Cursor& c = cur[i];
+      const int64_t* lo = std::lower_bound(c.docs + c.pos, c.docs + c.len, d);
+      c.pos = lo - c.docs;
+      if (c.pos >= c.len) return [&] {  // a list exhausted: finish up
+        std::sort(heap.begin(), heap.end(),
+                  [](const Hit& a, const Hit& b) { return a.first > b.first; });
+        int64_t m = (int64_t)heap.size();
+        for (int64_t j = 0; j < m; j++) {
+          out_scores[j] = heap[j].first;
+          out_docs[j] = heap[j].second;
+        }
+        return m;
+      }();
+      if (c.docs[c.pos] != d) {
+        all = false;
+        break;
+      }
+    }
+    if (!all || (dead != nullptr && dead[d])) continue;
+    float score = 0.0f;
+    for (int i = 0; i < n; i++) {
+      float tf = (float)cur[i].tfs[cur[i].pos];
+      score += cur[i].idf * tf * (k1 + 1.0f) / (tf + doc_norm[d]);
+    }
+    if ((int)heap.size() < k || score > heap.front().first) {
+      heap.push_back({score, d});
+      std::push_heap(heap.begin(), heap.end(), cmp);
+      if ((int)heap.size() > k) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        heap.pop_back();
+      }
+    }
+  }
+  std::sort(heap.begin(), heap.end(),
+            [](const Hit& a, const Hit& b) { return a.first > b.first; });
+  int64_t m = (int64_t)heap.size();
+  for (int64_t i = 0; i < m; i++) {
+    out_scores[i] = heap[i].first;
+    out_docs[i] = heap[i].second;
+  }
+  return m;
+}
+
+// ------------------------------------------------- phrase DAAT top-k
+//
+// Phrase query: conjunction over the phrase's terms, then positional
+// verification per intersected doc (greedy window walk matching
+// index/fts.py _phrase_match exactly: each next term's position must
+// be > pos and <= start + i + slop). Scores are the per-token BM25
+// sums of the phrase terms — the serving-path replacement for the
+// python per-candidate-doc loop in score_phrase.
+//
+// qterms: one entry per phrase TOKEN in order (duplicates allowed);
+// pos_offsets/positions: the index's positional CSR (per posting entry).
+int64_t ldb_phrase_topk(
+    const int64_t* postings_docs, const int64_t* postings_tf,
+    const int64_t* postings_offsets, const int64_t* pos_offsets,
+    const int64_t* positions, const int32_t* qterms, const float* qidf,
+    int32_t n_q, const float* doc_norm, const uint8_t* dead, int32_t slop,
+    int32_t k, float k1, int64_t* out_docs, float* out_scores) {
+  if (n_q <= 0 || k <= 0) return 0;
+  struct TCur {
+    int64_t start;  // global posting offset of this term's list
+    const int64_t* docs;
+    const int64_t* tfs;
+    int64_t len;
+    int64_t pos;
+    float idf;
+  };
+  std::vector<TCur> toks(n_q);
+  for (int32_t i = 0; i < n_q; i++) {
+    int64_t s = postings_offsets[qterms[i]];
+    int64_t e = postings_offsets[qterms[i] + 1];
+    if (e <= s) return 0;
+    toks[i] = {s, postings_docs + s, postings_tf + s, e - s, 0, qidf[i]};
+  }
+  // drive on the token with the shortest list
+  int drv_i = 0;
+  for (int32_t i = 1; i < n_q; i++)
+    if (toks[i].len < toks[drv_i].len) drv_i = i;
+
+  typedef std::pair<float, int64_t> Hit;
+  std::vector<Hit> heap;
+  heap.reserve(k + 1);
+  auto cmp = [](const Hit& a, const Hit& b) { return a.first > b.first; };
+
+  auto plist = [&](const TCur& c) {
+    int64_t g = c.start + c.pos;
+    return std::make_pair(positions + pos_offsets[g],
+                          pos_offsets[g + 1] - pos_offsets[g]);
+  };
+
+  TCur& drv = toks[drv_i];
+  for (; drv.pos < drv.len; drv.pos++) {
+    int64_t d = drv.docs[drv.pos];
+    bool all = true;
+    for (int32_t i = 0; i < n_q; i++) {
+      if (i == drv_i) continue;
+      TCur& c = toks[i];
+      const int64_t* lo = std::lower_bound(c.docs + c.pos, c.docs + c.len, d);
+      c.pos = lo - c.docs;
+      if (c.pos >= c.len || c.docs[c.pos] != d) {
+        all = false;
+        if (c.pos >= c.len) drv.pos = drv.len;  // exhausted: stop driving
+        break;
+      }
+    }
+    if (!all || (dead != nullptr && dead[d])) continue;
+    // positional verification (greedy window, == python _phrase_match)
+    bool match = false;
+    auto [base, base_n] = plist(toks[0]);
+    if (n_q == 1) {
+      match = base_n > 0;
+    } else {
+      for (int64_t bi = 0; bi < base_n && !match; bi++) {
+        int64_t start = base[bi];
+        int64_t pos = start;
+        bool good = true;
+        for (int32_t i = 1; i < n_q; i++) {
+          auto [pl, pn] = plist(toks[i]);
+          // first position > pos and <= start + i + slop
+          const int64_t* lo = std::upper_bound(pl, pl + pn, pos);
+          if (lo == pl + pn || *lo > start + i + slop) {
+            good = false;
+            break;
+          }
+          pos = *lo;
+        }
+        match = good;
+      }
+    }
+    if (!match) continue;
+    float score = 0.0f;
+    for (int32_t i = 0; i < n_q; i++) {
+      float tf = (float)toks[i].tfs[toks[i].pos];
+      score += toks[i].idf * tf * (k1 + 1.0f) / (tf + doc_norm[d]);
+    }
+    if ((int)heap.size() < k || score > heap.front().first) {
+      heap.push_back({score, d});
+      std::push_heap(heap.begin(), heap.end(), cmp);
+      if ((int)heap.size() > k) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        heap.pop_back();
+      }
+    }
+  }
+  std::sort(heap.begin(), heap.end(),
+            [](const Hit& a, const Hit& b) { return a.first > b.first; });
+  int64_t m = (int64_t)heap.size();
+  for (int64_t i = 0; i < m; i++) {
+    out_scores[i] = heap[i].first;
+    out_docs[i] = heap[i].second;
+  }
+  return m;
+}
+
 }  // extern "C"

@@ -212,3 +212,116 @@ class TestNativeDaatMaxScore:
         assert out.num_rows == 5
         scores = out.column("_score").to_pylist()
         assert scores == sorted(scores, reverse=True)
+
+
+class TestNativeAndPhrase:
+    """Native AND (ldb_bm25_and_topk) and phrase (ldb_phrase_topk)
+    scorers vs the numpy dense fallbacks: exact score parity."""
+
+    @pytest.fixture(scope="class")
+    def pos_index(self):
+        rng = np.random.default_rng(1)
+        words = [f"w{i}" for i in range(500)]
+        zipf = rng.zipf(1.3, size=(20_000, 12)) % 500
+        texts = [" ".join(words[j] for j in row) for row in zipf]
+        # salt in known phrases
+        for i in range(0, 20_000, 97):
+            texts[i] = texts[i] + " quick brown fox"
+        tbl = pa.table({
+            "id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+        ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+        meta = build_fts_index(ds, ["text"], FTS(with_position=True))
+        ds.add_index(meta)
+        return ds, meta, load_fts_index(ds, meta)
+
+    def test_and_parity_with_numpy(self, pos_index):
+        from lancedb_tpu.native import native_available
+        from lancedb_tpu.index.fts import Operator
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = pos_index
+        col = idx._col("text")
+        for q in ("w1 w17 w3", "w0", "w1 w1 w2", "w499 w498"):
+            docs, s = col.topk_and_native(q, 10)
+            dense = col.score_match(q, operator=Operator.AND)
+            kk = min(10, int((dense > 0).sum()))
+            assert len(docs) == kk
+            if kk:
+                part = np.argpartition(-dense, kk - 1)[:kk]
+                np_top = part[np.argsort(-dense[part], kind="stable")]
+                np.testing.assert_allclose(
+                    np.sort(s), np.sort(dense[np_top]), rtol=1e-4
+                )
+                # every returned doc matches ALL terms and scores exactly
+                np.testing.assert_allclose(s, dense[docs], rtol=1e-4)
+
+    def test_and_unknown_term_empty(self, pos_index):
+        from lancedb_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = pos_index
+        col = idx._col("text")
+        docs, s = col.topk_and_native("w1 zzzznope", 5)
+        assert len(docs) == 0
+
+    def test_phrase_parity_with_numpy(self, pos_index):
+        from lancedb_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = pos_index
+        col = idx._col("text")
+        for q, slop in (("quick brown fox", 0), ("quick fox", 0), ("quick fox", 1)):
+            docs, s = col.topk_phrase_native(q, 10, slop=slop)
+            dense = col.score_phrase(q, slop=slop)
+            kk = min(10, int((dense > 0).sum()))
+            assert len(docs) == kk
+            if kk:
+                part = np.argpartition(-dense, kk - 1)[:kk]
+                np_top = part[np.argsort(-dense[part], kind="stable")]
+                np.testing.assert_allclose(
+                    np.sort(s), np.sort(dense[np_top]), rtol=1e-4
+                )
+                np.testing.assert_allclose(s, dense[docs], rtol=1e-4)
+
+    def test_and_dead_mask(self, pos_index):
+        from lancedb_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = pos_index
+        col = idx._col("text")
+        docs, s = col.topk_and_native("w1 w2", 5)
+        if len(docs) == 0:
+            pytest.skip("no conjunctive matches in corpus")
+        dead = np.zeros(col.num_docs, dtype=np.uint8)
+        dead[docs] = 1
+        docs2, _ = col.topk_and_native("w1 w2", 5, dead)
+        assert set(docs2.tolist()).isdisjoint(set(docs.tolist()))
+
+    def test_and_phrase_e2e(self, pos_index):
+        """execute_fts_query routes AND / phrase nodes through the
+        native scorers — results ranked descending, phrase hits only."""
+        ds, meta, idx = pos_index
+        from lancedb_tpu.index.fts import execute_fts_query
+        from lancedb_tpu.query_fts import MatchQuery, PhraseQuery, Operator
+
+        class FakeTable:
+            _dataset = ds
+
+            def _get_fts_index(self, m):
+                return idx
+
+        out = execute_fts_query(
+            FakeTable(), MatchQuery("w1 w17", operator=Operator.AND), k=5
+        )
+        scores = out.column("_score").to_pylist()
+        assert scores == sorted(scores, reverse=True)
+        out = execute_fts_query(FakeTable(), PhraseQuery("quick brown fox"), k=5)
+        assert out.num_rows == 5
+        scores = out.column("_score").to_pylist()
+        assert scores == sorted(scores, reverse=True)
