@@ -53,9 +53,28 @@ class DBConnection:
         function — the surface the reference provides through DataFusion
         (reference rust/lancedb/src/table/datafusion.rs:37-44, udtf
         fts.rs:16-51). Returns a pyarrow Table.
-        """
-        from .sql import execute_select
 
+        ``EXPLAIN SELECT ...`` returns the physical plan without
+        executing; ``EXPLAIN ANALYZE SELECT ...`` executes and annotates
+        each operator with DataFusion-style metrics (both return a
+        (plan_type, plan) table, matching DataFusion's EXPLAIN shape).
+        """
+        import pyarrow as pa
+
+        from .sql import analyze_select, execute_select, explain_select
+
+        stripped = query.lstrip()
+        head = stripped[:16].upper()
+        if head.startswith("EXPLAIN"):
+            rest = stripped[7:].lstrip()
+            if rest[:7].upper() == "ANALYZE":
+                plan, _ = analyze_select(rest[7:].lstrip(), self.open_table)
+                return pa.table(
+                    {"plan_type": ["Plan with Metrics"], "plan": [plan]}
+                )
+            return pa.table(
+                {"plan_type": ["physical_plan"], "plan": [explain_select(rest)]}
+            )
         return execute_select(query, self.open_table)
 
     # deprecated alias kept for reference-parity

@@ -392,6 +392,8 @@ def execute_select(
     open_table: Callable[[str], Any],
 ) -> pa.Table:
     """Run a SELECT. `open_table(name)` resolves table names."""
+    from .query import _op_timer
+
     stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
 
     if stmt.joins:
@@ -409,15 +411,172 @@ def execute_select(
     grouped = bool(stmt.group_by) or bool(aggs)
 
     if grouped:
-        out = _execute_grouped(stmt, data, aggs)
+        with _op_timer("AggregateExec") as tm:
+            out = _execute_grouped(stmt, data, aggs)
+            tm.set_rows(out.num_rows)
     else:
-        out = _execute_plain(stmt, data)
+        with _op_timer("ProjectionExec") as tm:
+            out = _execute_plain(stmt, data)
+            tm.set_rows(out.num_rows)
 
-    if stmt.offset:
-        out = out.slice(stmt.offset)
-    if stmt.limit is not None:
-        out = out.slice(0, stmt.limit)
+    if stmt.offset or stmt.limit is not None:
+        with _op_timer("GlobalLimitExec") as tm:
+            if stmt.offset:
+                out = out.slice(stmt.offset)
+            if stmt.limit is not None:
+                out = out.slice(0, stmt.limit)
+            tm.set_rows(out.num_rows)
     return out
+
+
+# -------------------------------------------------------- explain/analyze
+
+
+def plan_select(stmt: SelectStatement) -> list[tuple[int, str, str]]:
+    """Physical plan tree for a SELECT as (indent, op_key, label) rows —
+    the op_key matches the _op_timer labels execute_select records, so
+    analyze can join metrics onto plan lines (the same contract the
+    reference gets from DataFusion operator metrics, query.rs:756)."""
+    all_exprs = (
+        [it.expr for it in stmt.items]
+        + stmt.group_by
+        + [stmt.having]
+        + [e for e, _ in stmt.order_by]
+    )
+    aggs = _find_aggs(all_exprs)
+    grouped = bool(stmt.group_by) or bool(aggs)
+
+    lines: list[tuple[int, str, str]] = []
+    depth = 0
+
+    def emit(key: str, label: str):
+        nonlocal depth
+        lines.append((depth, key, label))
+        depth += 1
+
+    if stmt.limit is not None or stmt.offset:
+        emit("GlobalLimitExec", f"GlobalLimitExec: limit={stmt.limit} offset={stmt.offset}")
+    if stmt.distinct:
+        emit("DistinctExec", "DistinctExec")
+    if stmt.order_by:
+        keys = ", ".join(
+            f"{e.sql()} {'DESC' if d else 'ASC'}" for e, d in stmt.order_by
+        )
+        emit("SortExec", f"SortExec: [{keys}]")
+    if grouped:
+        emit(
+            "AggregateExec",
+            "AggregateExec: group_by=[%s], aggs=[%s]%s"
+            % (
+                ", ".join(e.sql() for e in stmt.group_by) or "",
+                ", ".join(a.sql() for a in aggs),
+                f", having=[{stmt.having.sql()}]" if stmt.having is not None else "",
+            ),
+        )
+    else:
+        emit(
+            "ProjectionExec",
+            "ProjectionExec: [%s]" % ", ".join(it.name for it in stmt.items),
+        )
+    if stmt.joins:
+        if stmt.where is not None:
+            emit("FilterExec", f"FilterExec: [{stmt.where.sql()}]")
+        join_depth = depth
+        for j in reversed(stmt.joins):
+            on = " AND ".join(f"{a.sql()} = {b.sql()}" for a, b in j.on)
+            lines.append((join_depth, "HashJoinExec", f"HashJoinExec: type={j.how} on=[{on}]"))
+            join_depth += 1
+        base_depth = join_depth
+        lines.append(
+            (base_depth, f"ScanExec:{stmt.source.name}", _scan_label(stmt.source, None, None))
+        )
+        for i, j in enumerate(stmt.joins):
+            lines.append(
+                (base_depth - i, f"ScanExec:{j.source.name}", _scan_label(j.source, None, None))
+            )
+    else:
+        src = stmt.source
+        if src.kind == "fts":
+            emit(
+                f"FtsExec:{src.name}",
+                f"FtsExec: table={src.name} query={src.fts_query.sql()}"
+                + (f" k={src.fts_k.sql()}" if src.fts_k is not None else ""),
+        )
+        elif src.kind == "subquery":
+            if stmt.where is not None:
+                emit("FilterExec", f"FilterExec: [{stmt.where.sql()}]")
+            for d, k, label in plan_select(src.subquery):
+                lines.append((depth + d, k, label))
+        else:
+            has_star = any(isinstance(it.expr, Star) for it in stmt.items)
+            aliases = {it.alias for it in stmt.items if it.alias}
+            needed = None if has_star else sorted(
+                _columns_of(
+                    [it.expr for it in stmt.items]
+                    + stmt.group_by
+                    + [stmt.having, stmt.where]
+                    + [e for e, _ in stmt.order_by]
+                )
+                - aliases
+            )
+            emit(f"ScanExec:{src.name}", _scan_label(src, stmt.where, needed))
+    return lines
+
+
+def _scan_label(src: TableSource, where, needed) -> str:
+    if src.kind == "subquery":
+        return "SubqueryExec"
+    label = f"ScanExec: table={src.name}"
+    if needed is not None:
+        label += f" projection=[{', '.join(needed)}]"
+    if where is not None:
+        label += f" pushdown=[{where.sql()}]"
+    return label
+
+
+def explain_select(sql_or_stmt: str | SelectStatement) -> str:
+    """Textual physical plan without executing (reference explain_plan
+    over the DataFusion SQL layer)."""
+    stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
+    return "\n".join("  " * d + label for d, _, label in plan_select(stmt))
+
+
+def analyze_select(
+    sql_or_stmt: str | SelectStatement,
+    open_table: Callable[[str], Any],
+) -> tuple[str, pa.Table]:
+    """Execute a SELECT collecting per-operator metrics; returns the
+    annotated plan text and the result (reference analyze_plan —
+    DataFusion-style `metrics=[...]` per plan line)."""
+    import time as _time
+
+    from .query import _PLAN_METRICS
+
+    stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
+    op_metrics: dict = {}
+    token = _PLAN_METRICS.set(op_metrics)
+    try:
+        t0 = _time.perf_counter()
+        out = execute_select(stmt, open_table)
+        elapsed = _time.perf_counter() - t0
+    finally:
+        _PLAN_METRICS.reset(token)
+    rendered = []
+    for d, key, label in plan_select(stmt):
+        rec = op_metrics.get(key)
+        if rec:
+            bits = []
+            if "output_rows" in rec:
+                bits.append(f"output_rows={rec['output_rows']}")
+            bits.append(f"elapsed_compute={rec['elapsed_s'] * 1e3:.2f}ms")
+            if rec.get("invocations", 1) > 1:
+                bits.append(f"invocations={rec['invocations']}")
+            label += ", metrics=[%s]" % ", ".join(bits)
+        rendered.append("  " * d + label)
+    rendered.append(
+        f"total: rows={out.num_rows} elapsed={elapsed * 1e3:.2f}ms"
+    )
+    return "\n".join(rendered), out
 
 
 def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectStatement]:
@@ -429,9 +588,14 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
     (table/datafusion.rs). Equality keys only; colliding non-key right
     columns are suffixed `_<alias>` (qualify them in SQL to address)."""
 
+    from .query import _op_timer
+
     def load(src: TableSource) -> pa.Table:
         if src.kind == "table":
-            return open_table(src.name).search(None).limit(None).to_arrow()
+            with _op_timer(f"ScanExec:{src.name}") as tm:
+                out = open_table(src.name).search(None).limit(None).to_arrow()
+                tm.set_rows(out.num_rows)
+            return out
         if src.kind == "subquery":
             return execute_select(src.subquery, open_table)
         raise InvalidInputError("fts() sources cannot be joined directly; wrap in a subquery")
@@ -473,10 +637,12 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
             rkeys.append(rc)
         collide = (set(right.schema.names) - set(rkeys)) & set(data.schema.names)
         suffix = f"_{ralias}" if collide else ""
-        data = data.join(
-            right, keys=lkeys, right_keys=rkeys, join_type=j.how,
-            right_suffix=suffix or None,
-        )
+        with _op_timer("HashJoinExec") as tm:
+            data = data.join(
+                right, keys=lkeys, right_keys=rkeys, join_type=j.how,
+                right_suffix=suffix or None,
+            )
+            tm.set_rows(data.num_rows)
         register(
             ralias,
             right.schema.names,
@@ -504,8 +670,10 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
         distinct=stmt.distinct,
     )
     if stmt.where is not None:
-        mask = evaluate_predicate_mask(data, rw(stmt.where))
-        data = data.filter(pa.array(mask))
+        with _op_timer("FilterExec") as tm:
+            mask = evaluate_predicate_mask(data, rw(stmt.where))
+            data = data.filter(pa.array(mask))
+            tm.set_rows(data.num_rows)
     return data, new_stmt
 
 
@@ -514,6 +682,9 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
     has_star = any(isinstance(it.expr, Star) for it in stmt.items)
     needed = None
     if not has_star:
+        # select-item aliases shadow base columns in ORDER BY/HAVING —
+        # they are outputs, not scan columns
+        aliases = {it.alias for it in stmt.items if it.alias}
         needed = sorted(
             _columns_of(
                 [it.expr for it in stmt.items]
@@ -521,8 +692,11 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
                 + [stmt.having, stmt.where]
                 + [e for e, _ in stmt.order_by]
             )
+            - aliases
         )
     if src.kind == "table":
+        from .query import _op_timer
+
         tbl = open_table(src.name)
         qb = tbl.search(None)
         if stmt.where is not None:
@@ -531,7 +705,10 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
             cols = [c for c in needed if c in tbl.schema.names]
             if cols:
                 qb = qb.select(cols)
-        return qb.to_arrow()
+        with _op_timer(f"ScanExec:{src.name}") as tm:
+            out = qb.to_arrow()
+            tm.set_rows(out.num_rows)
+        return out
     if src.kind == "fts":
         tbl = open_table(src.name)
         qv = src.fts_query
@@ -547,13 +724,23 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
             if not isinstance(src.fts_k, Literal):
                 raise InvalidInputError("fts() k must be an integer literal")
             k = int(src.fts_k.value)
-        out = tbl._execute_fts(query, k=k, filter=stmt.where.sql() if stmt.where else None)
+        from .query import _op_timer
+
+        with _op_timer(f"FtsExec:{src.name}") as tm:
+            out = tbl._execute_fts(
+                query, k=k, filter=stmt.where.sql() if stmt.where else None
+            )
+            tm.set_rows(out.num_rows)
         return out
     if src.kind == "subquery":
+        from .query import _op_timer
+
         data = execute_select(src.subquery, open_table)
         if stmt.where is not None:
-            mask = evaluate_predicate_mask(data, stmt.where)
-            data = data.filter(pa.array(mask))
+            with _op_timer("FilterExec") as tm:
+                mask = evaluate_predicate_mask(data, stmt.where)
+                data = data.filter(pa.array(mask))
+                tm.set_rows(data.num_rows)
         return data
     raise AssertionError(src.kind)
 
@@ -600,16 +787,22 @@ def _execute_plain(stmt: SelectStatement, data: pa.Table) -> pa.Table:
                 out_cols[name] = data.column(name)
         else:
             out_cols[it.name] = _as_array(evaluate_expression(data, it.expr), data.num_rows)
+    from .query import _op_timer
+
     out = pa.table(out_cols)
     if stmt.distinct:
         # DISTINCT precedes ORDER BY; afterwards sort keys must be
         # output columns (standard SQL restriction for DISTINCT)
-        out = out.group_by(out.column_names).aggregate([])
+        with _op_timer("DistinctExec") as tm:
+            out = out.group_by(out.column_names).aggregate([])
+            tm.set_rows(out.num_rows)
         if stmt.order_by:
-            out = _apply_order(stmt, out, env=out)
+            with _op_timer("SortExec"):
+                out = _apply_order(stmt, out, env=out)
         return out
     if stmt.order_by:
-        out = _apply_order(stmt, out, env=data)
+        with _op_timer("SortExec"):
+            out = _apply_order(stmt, out, env=data)
     return out
 
 
@@ -684,14 +877,20 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
                     f"column {n.name!r} must appear in GROUP BY or inside an aggregate"
                 )
         out_cols[it.name] = _as_array(evaluate_expression(env, bound), env.num_rows)
+    from .query import _op_timer
+
     out = pa.table(out_cols)
     if stmt.distinct:
-        out = out.group_by(out.column_names).aggregate([])
+        with _op_timer("DistinctExec") as tm:
+            out = out.group_by(out.column_names).aggregate([])
+            tm.set_rows(out.num_rows)
         if stmt.order_by:
-            out = _apply_order(stmt, out, env=out)
+            with _op_timer("SortExec"):
+                out = _apply_order(stmt, out, env=out)
         return out
     if stmt.order_by:
-        out = _apply_order(stmt, out, env=env, binding=binding)
+        with _op_timer("SortExec"):
+            out = _apply_order(stmt, out, env=env, binding=binding)
     return out
 
 

@@ -272,3 +272,70 @@ class TestJoins:
 
         with pytest.raises(SqlParseError, match="equalit"):
             jdb.sql("SELECT * FROM orders o JOIN customers c ON o.cust > c.cid")
+
+
+class TestExplainAnalyze:
+    """EXPLAIN / EXPLAIN ANALYZE over the SQL engine (reference:
+    DataFusion explain + analyze_plan operator metrics, query.rs:741-766)."""
+
+    def test_explain_shape_and_operators(self, db):
+        out = db.sql(
+            "EXPLAIN SELECT cat, SUM(qty) AS total FROM sales "
+            "WHERE id > 10 GROUP BY cat HAVING SUM(qty) > 1 "
+            "ORDER BY total DESC LIMIT 3"
+        )
+        assert out.column_names == ["plan_type", "plan"]
+        plan = out.column("plan")[0].as_py()
+        assert "GlobalLimitExec: limit=3" in plan
+        assert "SortExec" in plan
+        assert "AggregateExec" in plan and "SUM(`qty`)" in plan
+        assert "ScanExec: table=sales" in plan
+        assert "pushdown=[(`id`) > (10)]" in plan
+        # aliases are outputs, not scan columns
+        assert "total" not in plan.split("ScanExec")[1]
+
+    def test_explain_does_not_execute(self, tmp_db):
+        # table does not exist: plain EXPLAIN must still succeed
+        out = tmp_db.sql("EXPLAIN SELECT * FROM nope WHERE x = 1")
+        assert "ScanExec: table=nope" in out.column("plan")[0].as_py()
+
+    def test_explain_analyze_metrics(self, db):
+        out = db.sql(
+            "EXPLAIN ANALYZE SELECT cat, COUNT(*) AS n FROM sales "
+            "GROUP BY cat ORDER BY n DESC"
+        )
+        assert out.column("plan_type")[0].as_py() == "Plan with Metrics"
+        plan = out.column("plan")[0].as_py()
+        assert "AggregateExec" in plan and "output_rows=4" in plan
+        assert "elapsed_compute=" in plan
+        assert "total: rows=4" in plan
+
+    def test_explain_analyze_join(self, db):
+        db.create_table("cats", [{"cat": f"c{i}", "label": f"L{i}"} for i in range(4)])
+        out = db.sql(
+            "EXPLAIN ANALYZE SELECT s.id, c.label FROM sales s "
+            "JOIN cats c ON s.cat = c.cat WHERE s.qty > 3 ORDER BY s.id LIMIT 5"
+        )
+        plan = out.column("plan")[0].as_py()
+        assert "HashJoinExec: type=inner" in plan
+        assert "ScanExec: table=sales, metrics=[output_rows=100" in plan
+        assert "FilterExec" in plan
+
+    def test_explain_subquery_nesting(self, db):
+        out = db.sql(
+            "EXPLAIN SELECT * FROM (SELECT cat, COUNT(*) AS n FROM sales GROUP BY cat) WHERE n > 10"
+        )
+        plan = out.column("plan")[0].as_py()
+        lines = plan.splitlines()
+        # the subquery's aggregate is nested under the outer filter
+        agg = [l for l in lines if "AggregateExec" in l][0]
+        filt = [l for l in lines if "FilterExec" in l][0]
+        assert len(agg) - len(agg.lstrip()) > len(filt) - len(filt.lstrip())
+
+    def test_explain_fts_source(self, db):
+        db.open_table("docs").create_fts_index("text")
+        out = db.sql("EXPLAIN SELECT * FROM fts(docs, 'fox') LIMIT 2")
+        plan = out.column("plan")[0].as_py()
+        assert "FtsExec: table=docs" in plan
+        res = db.sql("EXPLAIN ANALYZE SELECT * FROM fts(docs, 'fox') LIMIT 2")
+        assert "FtsExec" in res.column("plan")[0].as_py()
