@@ -6,6 +6,7 @@ from .client import (
     TimeoutConfig,
     connect_remote,
 )
+from .oauth import OAuthConfig, OAuthHeaderProvider
 from .server import QueryServer
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "ClientConfig",
     "RetryConfig",
     "TimeoutConfig",
+    "OAuthConfig",
+    "OAuthHeaderProvider",
 ]

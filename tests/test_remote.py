@@ -4,6 +4,8 @@ HTTP server; MockSender in remote/client.rs)."""
 
 import numpy as np
 import pyarrow as pa
+import json
+
 import pytest
 
 from lancedb_tpu.errors import HttpError
@@ -471,3 +473,130 @@ class TestMicroBatching:
             t = rdb.open_table("t")
             res = t.search([0.0] * 8).where("id < 10").limit(5).to_arrow()
             assert all(i < 10 for i in res.column("id").to_pylist())
+
+
+class TestOAuth:
+    """OAuth token sources + header provider (reference remote/oauth.rs):
+    OIDC discovery, client_credentials grant, Azure IMDS, caching with
+    proactive refresh — all through an injected mock transport."""
+
+    def _mock_idp(self, calls, expires_in=3600, issuer="https://idp.example.com"):
+        def transport(method, url, headers, body):
+            calls.append((method, url, body))
+            if url.endswith("/.well-known/openid-configuration"):
+                return 200, json.dumps(
+                    {"token_endpoint": f"{issuer}/oauth/token"}
+                ).encode()
+            if url.endswith("/oauth/token"):
+                form = dict(
+                    p.split("=", 1) for p in body.decode().split("&")
+                )
+                assert form["grant_type"] == "client_credentials"
+                assert form["client_id"] == "cid"
+                return 200, json.dumps(
+                    {"access_token": f"tok{len(calls)}", "expires_in": expires_in}
+                ).encode()
+            return 404, b"{}"
+        return transport
+
+    def test_client_credentials_flow(self):
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+
+        calls = []
+        prov = OAuthHeaderProvider(
+            OAuthConfig(
+                issuer_url="https://idp.example.com",
+                client_id="cid",
+                client_secret="sec",
+                scopes=["api://app/.default"],
+            ),
+            transport=self._mock_idp(calls),
+        )
+        h = prov()
+        assert h["authorization"].startswith("Bearer tok")
+        # cached: no extra HTTP calls on the second request
+        n = len(calls)
+        assert prov() == h
+        assert len(calls) == n
+
+    def test_token_refresh_on_expiry(self):
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+
+        calls = []
+        prov = OAuthHeaderProvider(
+            OAuthConfig(
+                issuer_url="https://idp.example.com",
+                client_id="cid",
+                client_secret="sec",
+                scopes=["s"],
+                refresh_buffer_secs=0,
+            ),
+            transport=self._mock_idp(calls, expires_in=0),
+        )
+        t1 = prov()["authorization"]
+        t2 = prov()["authorization"]
+        assert t1 != t2  # expired immediately -> refetched
+
+    def test_https_enforced_except_loopback(self):
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+        from lancedb_tpu.errors import InvalidInputError
+
+        with pytest.raises(InvalidInputError, match="https"):
+            OAuthHeaderProvider(OAuthConfig(
+                issuer_url="http://idp.example.com", client_id="c",
+                client_secret="s", scopes=["x"],
+            ))
+        calls = []
+        OAuthHeaderProvider(OAuthConfig(
+            issuer_url="http://127.0.0.1:9", client_id="c",
+            client_secret="s", scopes=["x"],
+        ), transport=self._mock_idp(calls))  # loopback ok
+
+    def test_missing_scope_or_secret_rejected(self):
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+        from lancedb_tpu.errors import InvalidInputError
+
+        with pytest.raises(InvalidInputError, match="scope"):
+            OAuthHeaderProvider(OAuthConfig(
+                issuer_url="https://x", client_id="c", client_secret="s", scopes=[]))
+        with pytest.raises(InvalidInputError, match="client_secret"):
+            OAuthHeaderProvider(OAuthConfig(
+                issuer_url="https://x", client_id="c", scopes=["s"]))
+
+    def test_azure_imds_source(self):
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+
+        seen = []
+        def transport(method, url, headers, body):
+            seen.append(url)
+            assert headers.get("Metadata") == "true"
+            assert "resource=api%3A%2F%2Fapp" in url
+            return 200, json.dumps({"access_token": "aztok", "expires_in": "3600"}).encode()
+
+        prov = OAuthHeaderProvider(
+            OAuthConfig(flow="azure_managed_identity", scopes=["api://app/.default"]),
+            transport=transport,
+        )
+        assert prov() == {"authorization": "Bearer aztok"}
+        assert len(seen) == 1
+
+    def test_header_provider_wired_into_client(self):
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+        from lancedb_tpu.remote.client import ClientConfig, RestClient
+
+        calls = []
+        prov = OAuthHeaderProvider(
+            OAuthConfig(issuer_url="https://idp.example.com", client_id="cid",
+                        client_secret="sec", scopes=["s"]),
+            transport=self._mock_idp(calls),
+        )
+        got = {}
+        def transport(method, url, headers, body):
+            got.update(headers)
+            return 200, b"{}"
+        client = RestClient(
+            "https://db.example.com", config=ClientConfig(header_provider=prov),
+            transport=transport,
+        )
+        client.request("GET", "/v1/table/")
+        assert got["authorization"].startswith("Bearer ")
