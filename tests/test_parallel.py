@@ -295,3 +295,87 @@ class TestServePersistedIndex:
             np.testing.assert_allclose(
                 np.sort(d2[qi]), np.sort(d1[qi]), rtol=1e-3, atol=1e-3
             )
+
+
+class TestTopologySweep:
+    """The same data served over different mesh shapes must produce the
+    SAME results — topology invariance is what makes the sharding layer
+    safe to rescale (reference: elastic StreamingDataset invariance,
+    streaming.py:48-63; here applied to the serving path)."""
+
+    def _mk_dataset(self, n=3000, dim=32, seed=7):
+        import pyarrow as pa
+
+        from lancedb_tpu.index import IvfPq
+        from lancedb_tpu.index.vector import build_vector_index
+        from lancedb_tpu.io.object_store import MemoryStore
+        from lancedb_tpu.storage.dataset import Dataset
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        tbl = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim),
+        })
+        ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+        meta = build_vector_index(
+            ds, "vector", IvfPq(num_partitions=16, num_sub_vectors=4)
+        )
+        ds.add_index(meta)
+        return ds, meta, vecs, rng
+
+    def test_flat_results_invariant_across_mesh_sizes(self):
+        rng = np.random.default_rng(21)
+        n, dim = 2048, 16
+        x = rng.standard_normal((n, dim)).astype(np.float32)
+        rid = np.arange(n, dtype=np.int64) * 3
+        q = rng.standard_normal((6, dim)).astype(np.float32)
+        gt = np.argsort(np_l2(q, x), axis=1)[:, :5]
+        for ndev in (2, 4, 8):
+            idx = ShardedFlatIndex(make_mesh(ndev), x, rid, metric="l2")
+            d, r = idx.search(q, k=5)
+            np.testing.assert_array_equal(np.sort(r, axis=1), np.sort(rid[gt], axis=1))
+
+    def test_ivf_pq_results_invariant_across_mesh_sizes(self):
+        from lancedb_tpu.parallel.build import ShardedIvfPqIndex
+
+        ds, meta, vecs, rng = self._mk_dataset()
+        q = rng.standard_normal((4, vecs.shape[1])).astype(np.float32)
+        results = []
+        for ndev in (2, 4, 8):
+            sharded = ShardedIvfPqIndex.from_dataset(make_mesh(ndev), ds, meta)
+            d, r = sharded.search(q, k=10, nprobes=16)
+            results.append((np.sort(d, axis=1), [set(row) for row in r]))
+        d0, r0 = results[0]
+        for d, r in results[1:]:
+            np.testing.assert_allclose(d, d0, rtol=1e-3, atol=1e-3)
+            for a, b in zip(r, r0):
+                assert len(a & b) >= 9  # fp-tie reordering at most
+
+    def test_distributed_kmeans_invariant_across_mesh_sizes(self):
+        from lancedb_tpu.parallel.build import distributed_kmeans
+
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((4096, 16)).astype(np.float32)
+        outs = []
+        for ndev in (2, 4, 8):
+            # 4096 divides every mesh size: no pad rows, same seeded init
+            c = distributed_kmeans(make_mesh(ndev), x, k=8, iters=5, seed=3)
+            outs.append(np.asarray(c))
+        # data-parallel Lloyd is deterministic given the seeded init: the
+        # topology only changes the psum grouping
+        np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(outs[2], outs[0], rtol=1e-4, atol=1e-4)
+
+    def test_flat_2d_mesh_query_by_shard(self):
+        """(query_parallel=2) × (shard=4) 2D mesh: both parallel axes at
+        once — results must still be exact."""
+        rng = np.random.default_rng(31)
+        n, dim = 1024, 16
+        x = rng.standard_normal((n, dim)).astype(np.float32)
+        rid = np.arange(n, dtype=np.int64)
+        q = rng.standard_normal((8, dim)).astype(np.float32)
+        gt = np.argsort(np_l2(q, x), axis=1)[:, :7]
+        idx = ShardedFlatIndex(make_mesh(8, query_parallel=2), x, rid)
+        d, r = idx.search(q, k=7)
+        np.testing.assert_array_equal(np.sort(r, axis=1), np.sort(gt, axis=1))
