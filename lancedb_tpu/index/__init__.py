@@ -177,7 +177,10 @@ class FTS:
     tokenizer params, index.py:111-188)."""
 
     with_position: bool = True
-    base_tokenizer: Literal["simple", "whitespace", "raw", "ngram"] = "simple"
+    base_tokenizer: Literal[
+        "simple", "whitespace", "raw", "ngram", "unicode", "cjk",
+        "icu", "jieba", "lindera",
+    ] = "simple"
     language: str = "English"
     max_token_length: int | None = 40
     lower_case: bool = True

@@ -167,25 +167,39 @@ def _is_cjk(c: str) -> bool:
 _UNI_WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def _unicode_tokens(text: str) -> list[str]:
+def _unicode_tokens(text: str, cjk_bigrams: bool = False) -> list[str]:
     """ICU-style segmentation: unicode word boundaries; CJK runs split
-    into single-character tokens (Lucene CJK behavior — reference
-    tokenizers icu/jieba are dictionary-backed, this is the
-    dictionary-free equivalent)."""
+    into single-character tokens, or overlapping character bigrams when
+    cjk_bigrams=True (Lucene CJKAnalyzer behavior — the reference's
+    jieba/lindera tokenizers are dictionary-backed segmenters; bigram
+    indexing is the standard dictionary-free equivalent with comparable
+    recall on han/kana/hangul text)."""
     out: list[str] = []
     for run in _UNI_WORD_RE.findall(text):
         seg = ""
+        cjk_run = ""
         for c in run:
             if _is_cjk(c):
                 if seg:
                     out.append(seg)
                     seg = ""
-                out.append(c)
+                cjk_run += c
             else:
+                if cjk_run:
+                    out.extend(_emit_cjk(cjk_run, cjk_bigrams))
+                    cjk_run = ""
                 seg += c
         if seg:
             out.append(seg)
+        if cjk_run:
+            out.extend(_emit_cjk(cjk_run, cjk_bigrams))
     return out
+
+
+def _emit_cjk(run: str, bigrams: bool) -> list[str]:
+    if not bigrams or len(run) == 1:
+        return list(run)
+    return [run[i : i + 2] for i in range(len(run) - 1)]
 
 
 # ---- multi-language stemming + stop words ----------------------------
@@ -283,12 +297,21 @@ class Tokenizer:
     ngram_max_length: int = 3
     prefix_only: bool = False
 
+    # reference tokenizer names accepted as aliases: icu → unicode
+    # word-boundary segmentation; jieba/lindera (dictionary-backed CJK
+    # segmenters) → dictionary-free CJK bigram indexing (index.py:111-188)
+    _ALIASES = {"icu": "unicode", "jieba": "cjk", "lindera": "cjk"}
+
     def tokenize(self, text: str | None) -> list[str]:
         if not text:
             return []
-        if self.base == "unicode":
+        base = self._ALIASES.get(self.base, self.base)
+        if base in ("unicode", "cjk"):
             # accent folding keeps non-latin scripts alive
-            toks = _unicode_tokens(_accent_fold(text) if self.ascii_folding else text)
+            toks = _unicode_tokens(
+                _accent_fold(text) if self.ascii_folding else text,
+                cjk_bigrams=base == "cjk",
+            )
         else:
             if self.ascii_folding:
                 text = _ascii_fold(text)

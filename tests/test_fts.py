@@ -237,3 +237,50 @@ class TestRerankPlumbing:
 
         res = fts_table.search("fox", query_type="fts").rerank(ConstReranker()).limit(3).to_arrow()
         assert "_relevance_score" in res.column_names
+
+
+class TestCjkTokenizers:
+    """CJK bigram tokenization (Lucene CJKAnalyzer behavior) + the
+    reference's dictionary-backed tokenizer names accepted as aliases
+    (reference index.py:111-188 base_tokenizer jieba/lindera/icu)."""
+
+    def test_cjk_bigrams(self):
+        from lancedb_tpu.index.tokenizer import Tokenizer
+
+        t = Tokenizer(base="cjk", stem=False)
+        toks = t.tokenize("机器学习")
+        assert toks == ["机器", "器学", "学习"]
+        # mixed script: latin words stay whole
+        toks = t.tokenize("学习 neural 東京")
+        assert "neural" in toks and "学习" in toks and "東京" in toks
+
+    def test_alias_names(self):
+        from lancedb_tpu.index.tokenizer import Tokenizer
+
+        assert Tokenizer(base="jieba", stem=False).tokenize("机器学") == ["机器", "器学"]
+        assert Tokenizer(base="lindera", stem=False).tokenize("机器学") == ["机器", "器学"]
+        assert Tokenizer(base="icu", stem=False).tokenize("机器") == ["机", "器"]
+
+    def test_cjk_e2e_search(self, mem_db):
+        docs = [
+            {"id": 0, "text": "机器学习模型训练"},
+            {"id": 1, "text": "深度神经网络"},
+            {"id": 2, "text": "machine learning models"},
+        ]
+        t = mem_db.create_table("cjk", docs)
+        t.create_fts_index("text", base_tokenizer="jieba", stem=False)
+        res = t.search("机器学习").limit(3).to_list()
+        assert res[0]["id"] == 0
+        res = t.search("神经网络").limit(3).to_list()
+        assert res[0]["id"] == 1
+        res = t.search("machine").limit(3).to_list()
+        assert res[0]["id"] == 2
+
+    def test_single_char_query_matches_bigram_index(self, mem_db):
+        """A one-character query has no bigram — falls back to the
+        unigram term only if indexed; bigram index should still match
+        via the phrase-free OR of its bigrams (document behavior)."""
+        from lancedb_tpu.index.tokenizer import Tokenizer
+
+        t = Tokenizer(base="cjk", stem=False)
+        assert t.tokenize("机") == ["机"]
