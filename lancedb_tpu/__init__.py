@@ -45,7 +45,14 @@ _enable_jax_compilation_cache()
 from .arrow import vector
 from .blob import blob_field
 from .context import contextualize
-from .db import AsyncConnection, DBConnection, LanceDBConnection, connect, connect_async
+from .db import (
+    AsyncConnection,
+    DBConnection,
+    LanceDBConnection,
+    connect,
+    connect_async,
+    deserialize_conn,
+)
 from .errors import LanceDBError
 from .namespace import LanceNamespaceConnection, connect_namespace
 from .namespace_rest import NamespaceServer, RestNamespace, connect_namespace_client
@@ -72,6 +79,7 @@ from .table import AsyncTable, MergeInsertBuilder, Table
 __version__ = "0.1.0"
 
 __all__ = [
+    "deserialize_conn",
     "connect",
     "connect_async",
     "connect_namespace",

@@ -316,8 +316,72 @@ class LanceDBConnection(DBConnection):
     def cancel_job(self, job_id: str) -> bool:
         return self._jobs.cancel(job_id)
 
+    def job(self, job_id: str):
+        """Look up a job handle by id (reference Connection job APIs,
+        connection.rs:526-556)."""
+        return self._jobs.get(job_id)
+
     def job_history(self) -> list[dict]:
         return self._jobs.history()
+
+    # ---- serialization (reference db.py:795 serialize) -----------------
+    def serialize(self) -> str:
+        """Serialize this connection for reconstruction in another
+        process/worker; pass to ``lancedb_tpu.deserialize_conn``."""
+        import json as _json
+
+        return _json.dumps(
+            {
+                "connection_type": "local",
+                "uri": self.uri,
+                "storage_options": self.storage_options,
+                "read_consistency_interval_seconds": self.read_consistency_interval,
+            }
+        )
+
+    # ---- namespace catalog ops (reference Connection namespace CRUD,
+    # connection.rs:399-649; directory-backed here — a namespace is a
+    # subdirectory with a .namespace.json marker, see namespace.py) ------
+    @property
+    def namespace_client(self):
+        from .namespace import LanceNamespaceConnection
+
+        if not hasattr(self, "_ns_client"):
+            self._ns_client = LanceNamespaceConnection(self.uri, self.storage_options)
+        return self._ns_client
+
+    def create_namespace(self, namespace_path: list[str], mode: str = "create",
+                         properties: dict | None = None) -> None:
+        return self.namespace_client.create_namespace(
+            namespace_path, properties=properties, mode=mode or "create"
+        )
+
+    def drop_namespace(self, namespace_path: list[str], **kw) -> None:
+        return self.namespace_client.drop_namespace(namespace_path, **kw)
+
+    def list_namespaces(self, namespace_path: list[str] | None = None) -> list[str]:
+        return self.namespace_client.list_namespaces(namespace_path)
+
+    def namespace_exists(self, namespace_path: list[str]) -> bool:
+        return self.namespace_client.namespace_exists(namespace_path)
+
+    def describe_namespace(self, namespace_path: list[str]) -> dict:
+        return self.namespace_client.describe_namespace(namespace_path)
+
+
+def deserialize_conn(serialized: str) -> "LanceDBConnection":
+    """Recreate a connection from ``LanceDBConnection.serialize()``
+    (reference lancedb.deserialize_conn)."""
+    import json as _json
+
+    doc = _json.loads(serialized)
+    if doc.get("connection_type") != "local":
+        raise InvalidInputError(f"unknown connection_type {doc.get('connection_type')!r}")
+    return LanceDBConnection(
+        doc["uri"],
+        storage_options=doc.get("storage_options") or None,
+        read_consistency_interval=doc.get("read_consistency_interval_seconds"),
+    )
 
 
 class AsyncConnection:

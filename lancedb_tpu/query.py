@@ -515,7 +515,66 @@ class LanceQueryBuilder:
 
     def with_row_id(self, flag: bool = True) -> "LanceQueryBuilder":
         self._req.with_row_id = flag
+        self._explicit_row_id = flag
         return self
+
+    _with_row_address = False
+    _explicit_row_id = False
+
+    def with_row_address(self, flag: bool = True) -> "LanceQueryBuilder":
+        """Include the ``_rowaddr`` column (reference query.py:1311).
+
+        Row ids in this engine ARE physical addresses
+        (fragment << 32 | offset — storage/dataset.py ROW_ID_COL), so
+        ``_rowaddr`` mirrors ``_rowid``; the reference distinguishes
+        them because lance stable row ids can move addresses."""
+        self._with_row_address = flag
+        if flag:
+            self._req.with_row_id = True
+        return self
+
+    _fragment_ids = None
+
+    def fragment_ids(self, fragment_ids: list[int]) -> "LanceQueryBuilder":
+        """Restrict a plain scan to the given fragment ids (reference
+        query.py:1332) — scanner-backed queries only."""
+        self._fragment_ids = [int(f) for f in fragment_ids]
+        return self
+
+    def with_fragments(self, fragments) -> "LanceQueryBuilder":
+        """Restrict a plain scan to the given fragments (reference
+        query.py:1327). Accepts fragment metadata objects or ids."""
+        self._fragment_ids = [
+            int(getattr(f, "id", f)) for f in fragments
+        ]
+        return self
+
+    _use_lsm = False
+
+    def use_lsm(self, flag: bool = True) -> "LanceQueryBuilder":
+        """Merge WAL rows over the base table (reference QueryRequest
+        use_lsm, query.rs:818-887 + table/query/lsm.rs read plan).
+        Honored by plain scans; search builders reject it at execution
+        (the LSM read plan is a scan construct)."""
+        self._use_lsm = flag
+        return self
+
+    def to_query_object(self) -> dict:
+        """Serializable representation of the accumulated query
+        (reference query.py:1548 to_query_object)."""
+        import dataclasses
+
+        req = dataclasses.asdict(self._req)
+        req["query_vectors"] = [
+            np.asarray(v).tolist() for v in req.get("query_vectors", [])
+        ]
+        req["query_type"] = type(self).__name__.replace("LanceQueryBuilder", "").replace(
+            "Lance", "").replace("QueryBuilder", "").lower() or "empty"
+        if self._fragment_ids is not None:
+            req["fragment_ids"] = self._fragment_ids
+        if self._use_lsm:
+            req["use_lsm"] = True
+        return req
 
     _order_by = None
 
@@ -538,7 +597,25 @@ class LanceQueryBuilder:
         return self
 
     def _sorted(self, out: pa.Table) -> pa.Table:
+        if self._with_row_address and ROW_ID_COL in out.column_names:
+            out = out.append_column("_rowaddr", out.column(ROW_ID_COL))
+            if not self._explicit_row_id:
+                out = out.drop_columns([ROW_ID_COL])
         return out.sort_by(self._order_by) if self._order_by else out
+
+    def _check_scan_only_flags(self) -> None:
+        """Search builders reject scan-only options instead of silently
+        ignoring them."""
+        if self._use_lsm:
+            raise InvalidInputError(
+                "use_lsm applies to plain scans (table.query()); search "
+                "results are served from the committed base table"
+            )
+        if self._fragment_ids is not None:
+            raise InvalidInputError(
+                "fragment_ids/with_fragments apply to plain scanner-backed "
+                "queries only (reference query.py:1327-1335)"
+            )
 
     # -- outputs --
     def to_arrow(self) -> pa.Table:
@@ -665,20 +742,35 @@ class LanceQueryBuilder:
         return LanceVectorQueryBuilder(table, query, vector_column_name)
 
 
+def _coerce_query_vectors(query) -> list[np.ndarray]:
+    """Query vector input → list of f32 vectors (reference
+    IntoQueryVector, query.rs:131-374): one vector, a batch (list of
+    lists / 2D array), or a multivector token bag."""
+    if isinstance(query, (list, tuple)) and query and isinstance(
+        query[0], (list, tuple, np.ndarray)
+    ):
+        return [np.asarray(q, dtype=np.float32) for q in query]
+    if isinstance(query, np.ndarray) and query.ndim == 2:
+        return [np.asarray(row, dtype=np.float32) for row in query]
+    return [np.asarray(query, dtype=np.float32)]
+
+
 class LanceVectorQueryBuilder(LanceQueryBuilder):
     """Vector (ANN/KNN) search builder (reference query.py:1559)."""
 
     def __init__(self, table, query, vector_column_name: str | None = None):
         super().__init__(table)
-        if isinstance(query, (list, tuple)) and query and isinstance(query[0], (list, tuple, np.ndarray)):
-            vecs = [np.asarray(q, dtype=np.float32) for q in query]
-        elif isinstance(query, np.ndarray) and query.ndim == 2:
-            # 2D array = batch of query vectors (or a multivector token bag)
-            vecs = [np.asarray(row, dtype=np.float32) for row in query]
-        else:
-            vecs = [np.asarray(query, dtype=np.float32)]
-        self._req.query_vectors = vecs
+        self._req.query_vectors = _coerce_query_vectors(query)
         self._req.column = vector_column_name
+
+    def vector(self, vector) -> "LanceVectorQueryBuilder":
+        """Replace the query vector(s) (reference query.py vector())."""
+        self._req.query_vectors = _coerce_query_vectors(vector)
+        return self
+
+    def distance_type(self, distance_type: str) -> "LanceVectorQueryBuilder":
+        """Alias of metric() (reference VectorQuery.distance_type)."""
+        return self.metric(distance_type)
 
     def metric(self, metric: str) -> "LanceVectorQueryBuilder":
         self._req.distance_type = normalize_metric(metric)
@@ -732,6 +824,7 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
         return self
 
     def to_arrow(self) -> pa.Table:
+        self._check_scan_only_flags()
         out = execute_vector_query(self._table, self._req)
         reranker = getattr(self, "_reranker", None)
         if reranker is not None:
@@ -758,14 +851,6 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
 
 class LanceEmptyQueryBuilder(LanceQueryBuilder):
     """Plain scan (no search) — filters/projection/limit only."""
-
-    _use_lsm = False
-
-    def use_lsm(self, flag: bool = True) -> "LanceEmptyQueryBuilder":
-        """Merge WAL rows over the base table (reference QueryRequest
-        use_lsm, query.rs:818-887 + table/query/lsm.rs read plan)."""
-        self._use_lsm = flag
-        return self
 
     def nearest_to(self, vector) -> "LanceVectorQueryBuilder":
         """Switch to a vector search (reference nearest_to)."""
@@ -798,6 +883,7 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
             limit=None if self._order_by else limit,
             offset=0 if self._order_by else self._req.offset,
             with_row_id=self._req.with_row_id,
+            fragments=self._fragment_ids,
         )
         if isinstance(self._req.select, dict):
             arrays = {a: evaluate_expression(out, e) for a, e in self._req.select.items()}
@@ -808,6 +894,10 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
                 out = out.slice(self._req.offset)
             if limit is not None:
                 out = out.slice(0, limit)
+        if self._with_row_address and ROW_ID_COL in out.column_names:
+            out = out.append_column("_rowaddr", out.column(ROW_ID_COL))
+            if not self._explicit_row_id:
+                out = out.drop_columns([ROW_ID_COL])
         return out
 
     def _lsm_scan(self, cols, limit) -> pa.Table:
@@ -904,6 +994,11 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
         self._reranker = reranker
         return self
 
+    def text(self, query) -> "LanceFtsQueryBuilder":
+        """Replace the FTS query (reference query.py text())."""
+        self._query = query
+        return self
+
     def phrase_query(self, flag: bool = True) -> "LanceFtsQueryBuilder":
         """Treat the query text as an exact phrase (reference
         phrase_query())."""
@@ -914,6 +1009,7 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
         return self
 
     def to_arrow(self) -> pa.Table:
+        self._check_scan_only_flags()
         reranker = getattr(self, "_reranker", None)
         out = self._table._execute_fts(
             self._query,
@@ -973,7 +1069,23 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         self._vq_opts["metric"] = m
         return self
 
+    def distance_type(self, m: str) -> "LanceHybridQueryBuilder":
+        """Alias of metric() (reference hybrid distance_type)."""
+        return self.metric(m)
+
+    def text(self, query) -> "LanceHybridQueryBuilder":
+        """Replace the FTS leg's query (reference hybrid text())."""
+        self._text_query = query
+        return self
+
+    def vector(self, vector) -> "LanceHybridQueryBuilder":
+        """Replace the vector leg's query vector (reference hybrid
+        vector())."""
+        self._vector = np.asarray(vector, dtype=np.float32)
+        return self
+
     def to_arrow(self) -> pa.Table:
+        self._check_scan_only_flags()
         from .rerankers.rrf import RRFReranker
 
         k = self._req.k

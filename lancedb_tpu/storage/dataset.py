@@ -538,11 +538,15 @@ class Dataset:
         limit: int | None = None,
         offset: int = 0,
         with_row_id: bool = False,
+        fragments: list[int] | None = None,
     ) -> pa.Table:
         parts: list[pa.Table] = []
         needed = (limit + offset) if limit is not None else None
         got = 0
-        for _, tbl in self.scan_fragments(columns, predicate, with_row_id):
+        frag_set = set(fragments) if fragments is not None else None
+        for meta, tbl in self.scan_fragments(columns, predicate, with_row_id):
+            if frag_set is not None and meta.id not in frag_set:
+                continue
             parts.append(tbl)
             got += tbl.num_rows
             if needed is not None and got >= needed:

@@ -79,6 +79,18 @@ class Tags:
         return self._table._dataset.tag_version(name)
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class FtsToken:
+    """One token produced by Table.tokenize (reference FtsToken,
+    _lancedb.pyi:642)."""
+
+    text: str
+    position: int
+
+
 class MergeInsertBuilder:
     """Fluent upsert builder (reference MergeInsertBuilder, merge.rs:66-223)."""
 
@@ -429,6 +441,15 @@ class Table:
         spec = self._lsm.get_spec()
         return spec.to_json() if spec else None
 
+    def get_lsm_write_spec(self) -> dict | None:
+        """The installed LSM write spec, or None (reference
+        get_lsm_write_spec, table.rs:379-530)."""
+        return self.describe_lsm_spec()
+
+    def unset_lsm_write_spec(self, *, force: bool = False) -> None:
+        """Remove the LSM write spec (reference unset_lsm_write_spec)."""
+        self.drop_lsm_spec(force=force)
+
     def drop_lsm_spec(self, *, force: bool = False) -> None:
         self._lsm.drop_spec(force=force)
 
@@ -745,6 +766,60 @@ class Table:
         if meta.uuid not in self._fts_indexes:
             self._fts_indexes[meta.uuid] = load_fts_index(self._dataset, meta)
         return self._fts_indexes[meta.uuid]
+
+    def tokenize(
+        self, query: str, *, column: str | None = None, index_name: str | None = None
+    ) -> list["FtsToken"]:
+        """Tokenize a query with the tokenizer configured on an FTS
+        index (reference table.py:1884). Specify at most one of
+        ``column`` / ``index_name``; with neither, the table's single
+        FTS index is used."""
+        if column is not None and index_name is not None:
+            raise InvalidInputError("specify only one of column / index_name")
+        chosen = None
+        for ix in self._dataset.manifest.indices:
+            if ix.index_type != "FTS":
+                continue
+            if index_name is not None and ix.name != index_name:
+                continue
+            if column is not None and column not in ix.columns:
+                continue
+            chosen = ix
+            break
+        if chosen is None:
+            raise InvalidInputError("no matching FTS index to tokenize with")
+        fts = self._get_fts_index(chosen)
+        tok = fts.tokenizer
+        return [FtsToken(text=t, position=i) for i, t in enumerate(tok.tokenize(query))]
+
+    @property
+    def blob_columns(self) -> list[str]:
+        """Columns stored as out-of-line blobs (reference blob_columns)."""
+        from .blob import blob_columns as _bc
+
+        return _bc(self.schema)
+
+    @property
+    def branches(self) -> dict:
+        """Branch heads (reference Table.branches)."""
+        return self.list_branches()
+
+    def set_unenforced_primary_key(self, columns: list[str] | str) -> None:
+        """Alias of declare_primary_key (reference
+        set_unenforced_primary_key, table.rs:673 — the key is declared,
+        not enforced)."""
+        self.declare_primary_key(columns)
+
+    def replace_field_metadata(self, field_name: str, new_metadata: dict) -> None:
+        """Alias of update_field_metadata (reference
+        replace_field_metadata)."""
+        self.update_field_metadata(field_name, new_metadata)
+
+    def migrate_v2_manifest_paths(self) -> None:
+        """No-op for parity (reference migrate_v2_manifest_paths): this
+        engine has a single manifest path scheme — there is no v1→v2
+        layout to migrate."""
+        return None
 
     def _execute_fts(
         self,
@@ -1164,6 +1239,41 @@ class AsyncTable:
 
     async def wait_for_index(self, names, timeout: float = 30.0) -> None:
         return await self._run(lambda: self._t.wait_for_index(names, timeout=timeout))
+
+    async def tokenize(self, query: str, *, column=None, index_name=None):
+        return await self._run(
+            lambda: self._t.tokenize(query, column=column, index_name=index_name)
+        )
+
+    async def blob_columns(self) -> list[str]:
+        return await self._run(lambda: self._t.blob_columns)
+
+    async def branches(self) -> dict:
+        return await self._run(self._t.list_branches)
+
+    async def get_lsm_write_spec(self):
+        return await self._run(self._t.get_lsm_write_spec)
+
+    async def unset_lsm_write_spec(self, *, force: bool = False) -> None:
+        return await self._run(lambda: self._t.unset_lsm_write_spec(force=force))
+
+    async def set_unenforced_primary_key(self, columns) -> None:
+        return await self._run(self._t.declare_primary_key, columns)
+
+    async def replace_field_metadata(self, field_name: str, new_metadata: dict) -> None:
+        return await self._run(self._t.update_field_metadata, field_name, new_metadata)
+
+    async def migrate_manifest_paths_v2(self) -> None:
+        """No-op parity shim — single manifest path scheme."""
+        return None
+
+    def close(self) -> None:
+        """Release cached searchers/indexes (reference AsyncTable.close)."""
+        self._t._invalidate_caches()
+        self._closed = True
+
+    def is_open(self) -> bool:
+        return not getattr(self, "_closed", False)
 
     async def uses_v2_manifest_paths(self) -> bool:  # parity shim
         return True

@@ -470,3 +470,110 @@ class TestOnBadVectors:
         t.create_index(index_type="IVF_PQ", num_partitions=4, num_bits=4)
         res = t.search(vecs[5]).refine_factor(4).limit(1).to_list()
         assert res[0]["id"] == 5
+
+
+class TestParitySurface:
+    """API-parity additions from the reference SDK sweep: tokenize,
+    blob_columns/branches properties, LSM spec get/unset, row-address
+    and fragment-scoped scans, query serialization, connection
+    serialize/namespace passthroughs."""
+
+    def test_tokenize(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "text": "The Quick brown Foxes"}])
+        t.create_fts_index("text")
+        toks = t.tokenize("Quick Foxes", column="text")
+        assert [tk.text for tk in toks] == ["quick", "fox"]  # stemmed, stopless
+        assert [tk.position for tk in toks] == [0, 1]
+        with pytest.raises(InvalidInputError):
+            t.tokenize("x", column="text", index_name="text_idx")
+
+    def test_blob_columns_and_branches(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "x": 1.0}])
+        assert t.blob_columns == []
+        t.create_branch("dev")
+        assert "dev" in t.branches
+
+    def test_lsm_spec_get_unset(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "v": "a"}])
+        assert t.get_lsm_write_spec() is None
+        t.set_lsm_write_spec("unsharded", key_columns=["id"])
+        spec = t.get_lsm_write_spec()
+        assert spec["key_columns"] == ["id"]
+        t.unset_lsm_write_spec()
+        assert t.get_lsm_write_spec() is None
+
+    def test_with_row_address(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i} for i in range(5)])
+        out = t.query().with_row_address().to_arrow()
+        assert "_rowaddr" in out.column_names
+        assert "_rowid" not in out.column_names
+        out2 = t.query().with_row_id().with_row_address().to_arrow()
+        assert set(["_rowid", "_rowaddr"]) <= set(out2.column_names)
+        assert out2.column("_rowid").to_pylist() == out2.column("_rowaddr").to_pylist()
+        # on a search surface too
+        t2 = mem_db.create_table("tv", {"id": np.arange(8), "vector": list(np.eye(8, 4, dtype=np.float32) + 0.01)})
+        res = t2.search(np.zeros(4, np.float32)).with_row_address().limit(2).to_arrow()
+        assert "_rowaddr" in res.column_names
+
+    def test_fragment_ids_scoped_scan(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i} for i in range(3)])
+        t.add([{"id": i} for i in range(3, 6)])
+        frags = [f.id for f in t._dataset.manifest.fragments]
+        assert len(frags) == 2
+        out = t.query().fragment_ids([frags[0]]).to_arrow()
+        assert out.column("id").to_pylist() == [0, 1, 2]
+        out = t.query().with_fragments([frags[1]]).to_arrow()
+        assert out.column("id").to_pylist() == [3, 4, 5]
+        # search builders reject scan-only options
+        t2 = mem_db.create_table("tv", {"id": np.arange(8), "vector": list(np.random.default_rng(0).standard_normal((8, 4)).astype(np.float32))})
+        with pytest.raises(InvalidInputError, match="fragment"):
+            t2.search(np.zeros(4, np.float32)).fragment_ids([0]).to_arrow()
+        with pytest.raises(InvalidInputError, match="use_lsm"):
+            t2.search(np.zeros(4, np.float32)).use_lsm().to_arrow()
+
+    def test_to_query_object(self, mem_db):
+        import json as _json
+
+        t = mem_db.create_table("tv", {"id": np.arange(8), "vector": list(np.random.default_rng(0).standard_normal((8, 4)).astype(np.float32))})
+        q = t.search([1.0, 0.0, 0.0, 0.0]).nprobes(5).where("id > 2").limit(3)
+        obj = q.to_query_object()
+        assert obj["k"] == 3 and obj["minimum_nprobes"] == 5
+        assert obj["filter"] == "id > 2"
+        assert obj["query_vectors"] == [[1.0, 0.0, 0.0, 0.0]]
+        _json.dumps(obj)  # fully serializable
+
+    def test_vector_text_setters(self, mem_db):
+        rng = np.random.default_rng(0)
+        t = mem_db.create_table("tv", {"id": np.arange(16), "vector": list(np.eye(16, 4, dtype=np.float32))})
+        res = t.search(np.zeros(4, np.float32)).vector([1.0, 0, 0, 0]).distance_type("l2").limit(1).to_list()
+        assert res[0]["id"] == 0
+
+    def test_connection_serialize_roundtrip(self, tmp_path):
+        import lancedb_tpu
+
+        db = lancedb_tpu.connect(str(tmp_path))
+        db.create_table("t", [{"id": 1}])
+        s = db.serialize()
+        db2 = lancedb_tpu.deserialize_conn(s)
+        assert db2.table_names() == ["t"]
+
+    def test_connection_namespace_passthrough(self, tmp_path):
+        import lancedb_tpu
+
+        db = lancedb_tpu.connect(str(tmp_path))
+        db.create_namespace(["prod"])
+        assert db.namespace_exists(["prod"])
+        assert "prod" in db.list_namespaces()
+        assert "properties" in db.describe_namespace(["prod"]) or isinstance(
+            db.describe_namespace(["prod"]), dict
+        )
+        db.drop_namespace(["prod"])
+        assert not db.namespace_exists(["prod"])
+
+    def test_parity_aliases(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "x": 1.0}])
+        t.set_unenforced_primary_key(["id"])
+        assert t.primary_key == ["id"]
+        t.replace_field_metadata("x", {"unit": "m"})
+        assert t.schema.field("x").metadata[b"unit"] == b"m"
+        t.migrate_v2_manifest_paths()  # no-op parity shim
