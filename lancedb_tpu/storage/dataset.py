@@ -990,6 +990,49 @@ class Dataset:
         self._commit_with_rebase(build)
         self._readers.clear()
 
+    def merge(self, other: pa.Table, left_on: str, right_on: str | None = None) -> None:
+        """Left-join another table's columns onto this dataset
+        (reference LanceTable.merge, table.py:3324): the dataset is the
+        left side; rows without a match fill with null. Fragments are
+        rewritten in place (same fragment id ⇒ row addresses survive),
+        like add_columns."""
+        self._check_writable()
+        right_on = right_on or left_on
+        if right_on not in other.column_names:
+            raise InvalidInputError(f"right_on column {right_on!r} not in other table")
+        new_cols = [c for c in other.column_names if c != right_on]
+
+        def build(current: Manifest) -> Manifest:
+            if left_on not in current.schema.names:
+                raise InvalidInputError(f"left_on column {left_on!r} not in table")
+            overlap = set(new_cols) & set(current.schema.names)
+            if overlap:
+                raise InvalidInputError(
+                    f"columns {sorted(overlap)} exist in both tables; only the "
+                    f"join key may overlap"
+                )
+            draft = current.child("merge", left_on=left_on, right_on=right_on)
+            new_frags = []
+            for meta in draft.fragments:
+                reader = FragmentReader(self.store, self.root, meta)
+                tbl = reader.read_all()
+                tbl = tbl.append_column("__merge_ord", pa.array(np.arange(tbl.num_rows)))
+                joined = tbl.join(
+                    other, keys=[left_on], right_keys=[right_on],
+                    join_type="left outer",
+                ).sort_by("__merge_ord").drop_columns(["__merge_ord"])
+                frag = write_fragment(self.store, self.root, joined, meta.id)
+                frag.deletion_file = meta.deletion_file
+                frag.num_deleted = meta.num_deleted
+                new_frags.append(frag)
+            draft.fragments = new_frags
+            fields = list(current.schema) + [other.schema.field(c) for c in new_cols]
+            draft.schema = pa.schema(fields, metadata=current.schema.metadata)
+            return draft
+
+        self._commit_with_rebase(build)
+        self._readers.clear()
+
     def update_field_metadata(self, field_name: str, new_metadata: dict) -> None:
         """Replace one field's schema metadata (reference
         replace_field_metadata / update_field_metadata, table.py:4042) —

@@ -804,6 +804,18 @@ class Table:
         """Branch heads (reference Table.branches)."""
         return self.list_branches()
 
+    def merge(self, other_table, left_on: str, right_on: str | None = None,
+              schema=None) -> None:
+        """Left-join another table's columns onto this one (reference
+        LanceTable.merge, table.py:3324). ``other_table`` may be a
+        Table or any ingestible data; rows without a match fill null."""
+        if isinstance(other_table, Table):
+            other = other_table.search(None).limit(None).to_arrow()
+        else:
+            other = to_arrow_table(other_table, schema=schema)
+        self._dataset.merge(other, left_on, right_on)
+        self._invalidate_caches()
+
     def set_unenforced_primary_key(self, columns: list[str] | str) -> None:
         """Alias of declare_primary_key (reference
         set_unenforced_primary_key, table.rs:673 — the key is declared,

@@ -577,3 +577,33 @@ class TestParitySurface:
         t.replace_field_metadata("x", {"unit": "m"})
         assert t.schema.field("x").metadata[b"unit"] == b"m"
         t.migrate_v2_manifest_paths()  # no-op parity shim
+
+
+class TestTableMerge:
+    """Table.merge — left-join column merge (reference table.py:3324)."""
+
+    def test_merge_adds_columns(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i, "x": float(i)} for i in range(5)])
+        t.merge([{"id": i, "label": f"L{i}"} for i in range(3)], left_on="id")
+        out = t.query().to_arrow().sort_by("id")
+        assert out.column("label").to_pylist() == ["L0", "L1", "L2", None, None]
+        assert "label" in t.schema.names
+
+    def test_merge_with_table_and_right_on(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i} for i in range(3)])
+        o = mem_db.create_table("o", [{"key": i, "v": i * 10} for i in range(3)])
+        t.merge(o, left_on="id", right_on="key")
+        out = t.query().to_arrow().sort_by("id")
+        assert out.column("v").to_pylist() == [0, 10, 20]
+
+    def test_merge_overlap_rejected(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "x": 1.0}])
+        with pytest.raises(InvalidInputError, match="overlap|exist"):
+            t.merge([{"id": 0, "x": 2.0}], left_on="id")
+
+    def test_merge_preserves_row_ids(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i} for i in range(4)])
+        before = t.query().with_row_id().to_arrow()
+        t.merge([{"id": i, "y": i} for i in range(4)], left_on="id")
+        after = t.query().with_row_id().to_arrow()
+        assert before.column("_rowid").to_pylist() == after.column("_rowid").to_pylist()
