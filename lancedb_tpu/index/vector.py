@@ -309,7 +309,9 @@ def build_vector_index(
         if nparts > n:
             raise InvalidInputError(f"num_partitions {nparts} > num_rows {n}")
         if index_type == "IVF_PQ" and config.num_bits not in (4, 8):
-            raise ValueError("num_bits must be 4 or 8")
+            # InvalidInputError subclasses ValueError: both error
+            # surfaces (reference-style typed + stdlib) catch it
+            raise InvalidInputError("num_bits must be 4 or 8")
         train_metric = "l2" if metric == "cosine" else metric
         # Device-resident build: the table uploads ONCE; k-means training,
         # assignment, residuals, and PQ encode all run on-device, and only

@@ -768,10 +768,6 @@ class LanceVectorQueryBuilder(LanceQueryBuilder):
         self._req.query_vectors = _coerce_query_vectors(vector)
         return self
 
-    def distance_type(self, distance_type: str) -> "LanceVectorQueryBuilder":
-        """Alias of metric() (reference VectorQuery.distance_type)."""
-        return self.metric(distance_type)
-
     def metric(self, metric: str) -> "LanceVectorQueryBuilder":
         self._req.distance_type = normalize_metric(metric)
         return self
@@ -858,6 +854,10 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
         b._req.filter = self._req.filter
         b._req.prefilter = self._req.prefilter
         b._req.select = self._req.select
+        # scan-only flags travel so the search consistently REJECTS them
+        # instead of silently dropping (same error as setting them after)
+        b._use_lsm = self._use_lsm
+        b._fragment_ids = self._fragment_ids
         return b
 
     def nearest_to_text(self, text: str, columns: list[str] | None = None) -> "LanceFtsQueryBuilder":
@@ -866,6 +866,8 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
         b._req.filter = self._req.filter
         b._req.prefilter = self._req.prefilter
         b._req.select = self._req.select
+        b._use_lsm = self._use_lsm
+        b._fragment_ids = self._fragment_ids
         return b
 
     def to_arrow(self) -> pa.Table:
@@ -874,6 +876,11 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
         # plain scans are unlimited unless .limit() was called explicitly
         limit = self._req.k if getattr(self, "_limit_set", False) else None
         if self._use_lsm:
+            if self._fragment_ids is not None:
+                raise InvalidInputError(
+                    "fragment_ids cannot combine with use_lsm: WAL rows are "
+                    "not committed to fragments yet"
+                )
             return self._lsm_scan(cols, limit)
         # sorting changes which rows the limit keeps → push limit down
         # only for unsorted scans
@@ -946,9 +953,15 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
     ) -> Iterable[pa.RecordBatch]:
         """True streaming scan: one fragment resident at a time, so an
         unlimited scan of a huge table runs in bounded host memory.
-        Sorted/LSM scans need the whole result and fall back to the
-        materializing base implementation."""
-        if self._order_by or self._use_lsm:
+        Sorted/LSM/fragment-scoped/row-address scans need result-level
+        post-processing and fall back to the materializing base
+        implementation."""
+        if (
+            self._order_by
+            or self._use_lsm
+            or self._fragment_ids is not None
+            or self._with_row_address
+        ):
             yield from super().to_batches(max_batch_length, timeout)
             return
         import time as _time
@@ -999,6 +1012,15 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
         self._query = query
         return self
 
+    def to_query_object(self) -> dict:
+        obj = super().to_query_object()
+        obj["query_type"] = "fts"
+        q = self._query
+        obj["full_text_query"] = q.to_json() if hasattr(q, "to_json") else {
+            "query": str(q), "columns": self._fts_columns,
+        }
+        return obj
+
     def phrase_query(self, flag: bool = True) -> "LanceFtsQueryBuilder":
         """Treat the query text as an exact phrase (reference
         phrase_query())."""
@@ -1041,10 +1063,13 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
     def __init__(self, table, text_query, vector_query=None, vector_column_name=None, fts_columns=None):
         super().__init__(table)
         self._text_query = text_query
+        # embedding is LAZY: .vector() may replace the leg before
+        # execution, and tables without an embedding function can still
+        # build hybrid queries that way
         self._vector = (
             np.asarray(vector_query, dtype=np.float32)
             if vector_query is not None
-            else table._embed_query(text_query, vector_column_name)
+            else None
         )
         self._vector_column = vector_column_name
         self._fts_columns = fts_columns
@@ -1084,10 +1109,27 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         self._vector = np.asarray(vector, dtype=np.float32)
         return self
 
+    def to_query_object(self) -> dict:
+        obj = super().to_query_object()
+        obj["query_type"] = "hybrid"
+        obj["query_vectors"] = (
+            [np.asarray(self._vector).tolist()] if self._vector is not None else []
+        )
+        q = self._text_query
+        obj["full_text_query"] = q.to_json() if hasattr(q, "to_json") else {
+            "query": str(q), "columns": self._fts_columns,
+        }
+        obj["vector_options"] = dict(self._vq_opts)
+        return obj
+
     def to_arrow(self) -> pa.Table:
         self._check_scan_only_flags()
         from .rerankers.rrf import RRFReranker
 
+        if self._vector is None:
+            self._vector = self._table._embed_query(
+                self._text_query, self._vector_column
+            )
         k = self._req.k
         vq = LanceVectorQueryBuilder(self._table, self._vector, self._vector_column)
         vq._req.filter = self._req.filter

@@ -73,8 +73,14 @@ class _TokenState:
         self.access_token: str | None = None
         self.expires_at: float = 0.0
 
+    ttl: float = DEFAULT_TOKEN_TTL_SECS
+
     def is_expired(self, buffer_s: float) -> bool:
-        return self.access_token is None or time.monotonic() >= self.expires_at - buffer_s
+        # short-lived tokens (ttl <= buffer) would otherwise be "expired"
+        # the instant they are cached — floor the effective buffer at
+        # half the token lifetime so every token serves some requests
+        eff = min(buffer_s, self.ttl / 2.0)
+        return self.access_token is None or time.monotonic() >= self.expires_at - eff
 
     def update(self, resp: dict) -> None:
         self.access_token = resp["access_token"]
@@ -84,6 +90,7 @@ class _TokenState:
         except (TypeError, ValueError):
             # some IdPs return expires_in as a string (oauth.rs:117-166)
             ttl = DEFAULT_TOKEN_TTL_SECS
+        self.ttl = ttl
         self.expires_at = time.monotonic() + ttl
 
 

@@ -561,16 +561,28 @@ def analyze_select(
         elapsed = _time.perf_counter() - t0
     finally:
         _PLAN_METRICS.reset(token)
+    plan = plan_select(stmt)
+    # metrics are recorded per operator NAME; when a plan repeats a name
+    # (subqueries, self-joins) the record is a sum over instances —
+    # render it once, flagged as aggregated, instead of repeating the
+    # total on every matching line
+    key_counts: dict = {}
+    for _, key, _ in plan:
+        key_counts[key] = key_counts.get(key, 0) + 1
+    shown: set = set()
     rendered = []
-    for d, key, label in plan_select(stmt):
+    for d, key, label in plan:
         rec = op_metrics.get(key)
-        if rec:
+        if rec and key not in shown:
+            shown.add(key)
             bits = []
             if "output_rows" in rec:
                 bits.append(f"output_rows={rec['output_rows']}")
             bits.append(f"elapsed_compute={rec['elapsed_s'] * 1e3:.2f}ms")
             if rec.get("invocations", 1) > 1:
                 bits.append(f"invocations={rec['invocations']}")
+            if key_counts[key] > 1:
+                bits.append(f"aggregated_over={key_counts[key]} plan nodes")
             label += ", metrics=[%s]" % ", ".join(bits)
         rendered.append("  " * d + label)
     rendered.append(

@@ -486,9 +486,11 @@ class Dataset:
         columns: list[str] | None = None,
         predicate: str | None = None,
         with_row_id: bool = False,
+        fragments: list[int] | None = None,
     ) -> Iterator[tuple[FragmentMeta, pa.Table]]:
         """Yield (fragment, filtered table) pairs. Projection is pushed
-        down; deletion vectors and the predicate are applied."""
+        down; deletion vectors and the predicate are applied; a
+        `fragments` id list skips non-selected fragments BEFORE any IO."""
         ast = parse_sql_expr(predicate) if predicate else None
         schema_names = set(self.schema.names)
         if columns is not None:
@@ -505,7 +507,10 @@ class Dataset:
             read_all = sorted(set(read_cols or []) | filter_cols)
         else:
             read_all = read_cols
+        frag_filter = set(fragments) if fragments is not None else None
         for meta in self.manifest.fragments:
+            if frag_filter is not None and meta.id not in frag_filter:
+                continue
             tbl = self.reader(meta.id).read_all(columns=read_all)
             n = tbl.num_rows
             mask = np.ones(n, dtype=bool)
@@ -543,10 +548,9 @@ class Dataset:
         parts: list[pa.Table] = []
         needed = (limit + offset) if limit is not None else None
         got = 0
-        frag_set = set(fragments) if fragments is not None else None
-        for meta, tbl in self.scan_fragments(columns, predicate, with_row_id):
-            if frag_set is not None and meta.id not in frag_set:
-                continue
+        for _, tbl in self.scan_fragments(
+            columns, predicate, with_row_id, fragments=fragments
+        ):
             parts.append(tbl)
             got += tbl.num_rows
             if needed is not None and got >= needed:
@@ -1000,6 +1004,14 @@ class Dataset:
         right_on = right_on or left_on
         if right_on not in other.column_names:
             raise InvalidInputError(f"right_on column {right_on!r} not in other table")
+        n_distinct = pc.count_distinct(other.column(right_on)).as_py()
+        if n_distinct != other.num_rows:
+            # duplicate keys would multiply matched rows, shifting row
+            # addresses and invalidating deletion bitmaps/indexes
+            raise InvalidInputError(
+                f"merge requires unique {right_on!r} values in the other "
+                f"table ({other.num_rows - n_distinct} duplicates found)"
+            )
         new_cols = [c for c in other.column_names if c != right_on]
 
         def build(current: Manifest) -> Manifest:

@@ -607,3 +607,86 @@ class TestTableMerge:
         t.merge([{"id": i, "y": i} for i in range(4)], left_on="id")
         after = t.query().with_row_id().to_arrow()
         assert before.column("_rowid").to_pylist() == after.column("_rowid").to_pylist()
+
+
+class TestReviewFindings:
+    """Regression tests for the post-parity code-review findings."""
+
+    def test_merge_duplicate_keys_rejected(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 1, "x": 1.0}])
+        with pytest.raises(InvalidInputError, match="unique"):
+            t.merge([{"id": 1, "v": "a"}, {"id": 1, "v": "b"}], left_on="id")
+
+    def test_fts_hybrid_to_query_object_carry_query(self, mem_db):
+        import json as _json
+
+        t = mem_db.create_table("t", [
+            {"id": 0, "text": "quick brown fox", "vector": [1.0, 0.0]},
+            {"id": 1, "text": "lazy dog", "vector": [0.0, 1.0]},
+        ])
+        t.create_fts_index("text")
+        obj = t.search("quick fox", query_type="fts").to_query_object()
+        assert obj["query_type"] == "fts"
+        assert "quick fox" in _json.dumps(obj["full_text_query"])
+        obj = t.search("quick", query_type="hybrid",
+                       vector_column_name="vector").vector([1.0, 0.0]).to_query_object()
+        assert obj["query_type"] == "hybrid"
+        assert obj["query_vectors"] == [[1.0, 0.0]]
+        assert "quick" in _json.dumps(obj["full_text_query"])
+
+    def test_to_batches_honors_fragment_scope_and_rowaddr(self, mem_db):
+        t = mem_db.create_table("t", [{"id": i} for i in range(3)])
+        t.add([{"id": i} for i in range(3, 6)])
+        frags = [f.id for f in t._dataset.manifest.fragments]
+        rows = []
+        for b in t.query().fragment_ids([frags[1]]).to_batches(max_batch_length=2):
+            rows += b.column("id").to_pylist()
+        assert rows == [3, 4, 5]
+        batches = list(t.query().with_row_address().to_batches())
+        assert all("_rowaddr" in b.schema.names for b in batches)
+
+    def test_use_lsm_with_fragment_ids_rejected(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "v": "a"}])
+        with pytest.raises(InvalidInputError, match="fragment"):
+            t.query().use_lsm().fragment_ids([0]).to_arrow()
+
+    def test_nearest_to_rejects_carried_scan_flags(self, mem_db):
+        t = mem_db.create_table("t", {"id": np.arange(4), "vector": list(np.eye(4, 2, dtype=np.float32))})
+        with pytest.raises(InvalidInputError, match="use_lsm"):
+            t.query().use_lsm().nearest_to([1.0, 0.0]).to_arrow()
+        with pytest.raises(InvalidInputError, match="fragment"):
+            t.query().fragment_ids([0]).nearest_to([1.0, 0.0]).to_arrow()
+
+    def test_num_bits_error_type(self, mem_db):
+        from lancedb_tpu.index import IvfPq
+
+        rng = np.random.default_rng(0)
+        t = mem_db.create_table("t", {"id": np.arange(300), "vector": list(rng.standard_normal((300, 16)).astype(np.float32))})
+        with pytest.raises(InvalidInputError):
+            t.create_index(config=IvfPq(num_partitions=4, num_bits=5))
+        with pytest.raises(ValueError):  # InvalidInputError IS a ValueError
+            t.create_index(config=IvfPq(num_partitions=4, num_bits=3))
+
+    def test_oauth_short_ttl_still_caches(self):
+        import json as _json
+
+        from lancedb_tpu.remote import OAuthConfig, OAuthHeaderProvider
+
+        calls = []
+        def transport(method, url, headers, body):
+            calls.append(url)
+            if "well-known" in url:
+                return 200, _json.dumps({"token_endpoint": "https://idp/t"}).encode()
+            return 200, _json.dumps({"access_token": f"tok{len(calls)}", "expires_in": 60}).encode()
+
+        prov = OAuthHeaderProvider(
+            OAuthConfig(issuer_url="https://idp", client_id="c",
+                        client_secret="s", scopes=["x"]),
+            transport=transport,
+        )
+        h1 = prov()
+        n = len(calls)
+        # ttl (60s) < buffer (300s): effective buffer floors at ttl/2 so
+        # the token is NOT refetched immediately
+        assert prov() == h1
+        assert len(calls) == n
