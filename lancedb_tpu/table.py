@@ -552,9 +552,14 @@ class Table:
         *,
         config: IndexConfig | None = None,
         name: str | None = None,
+        accelerator: str | None = None,
     ) -> None:
         """Build a vector index (reference table.py:2604 create_index /
-        rust IndexBuilder)."""
+        rust IndexBuilder).
+
+        ``accelerator`` is accepted for reference compatibility
+        (table.py:2757 dispatches GPU builds to pylance there) and
+        ignored: every build here already runs on the TPU."""
         from .index.multivector import build_multivector_index, is_multivector_type
         from .index.vector import build_vector_index
 
@@ -668,12 +673,49 @@ class Table:
         meta = build_scalar_index(self._dataset, column, config)
         self._dataset.add_index(meta, replace=replace)
 
+    @staticmethod
+    def infer_tokenizer_configs(tokenizer_name: str) -> dict:
+        """Expand a lance-style tokenizer shorthand ("default", "raw",
+        "whitespace", "ngram", "<language>_stem") into the full FTS
+        tokenizer kwargs (reference table.py:3205)."""
+        base = {
+            "base_tokenizer": "simple",
+            "language": "English",
+            "max_token_length": 40,
+            "lower_case": True,
+            "stem": False,
+            "remove_stop_words": False,
+            "ascii_folding": False,
+            "ngram_min_length": 3,
+            "ngram_max_length": 3,
+            "prefix_only": False,
+        }
+        if tokenizer_name == "default":
+            return base
+        if tokenizer_name in ("raw", "whitespace"):
+            return {**base, "base_tokenizer": tokenizer_name,
+                    "max_token_length": None, "lower_case": False}
+        if tokenizer_name == "ngram":
+            return {**base, "base_tokenizer": "ngram"}
+        if tokenizer_name.endswith("_stem"):
+            code = tokenizer_name[: -len("_stem")].lower()
+            iso = {
+                "en": "English", "fr": "French", "de": "German",
+                "es": "Spanish", "it": "Italian", "pt": "Portuguese",
+            }
+            return {
+                **base, "stem": True,
+                "language": iso.get(code, code.capitalize()),
+            }
+        raise InvalidInputError(f"unknown tokenizer name {tokenizer_name!r}")
+
     def create_fts_index(
         self,
         field_names: str | list[str],
         *,
         replace: bool = True,
         with_position: bool = True,
+        tokenizer_name: str | None = None,
         base_tokenizer: str = "simple",
         language: str = "English",
         max_token_length: int | None = 40,
@@ -689,6 +731,15 @@ class Table:
         from .index.fts import build_fts_index
 
         fields = [field_names] if isinstance(field_names, str) else list(field_names)
+        if tokenizer_name is not None:
+            cfgs = self.infer_tokenizer_configs(tokenizer_name)
+            base_tokenizer = cfgs["base_tokenizer"]
+            language = cfgs["language"]
+            max_token_length = cfgs["max_token_length"]
+            lower_case = cfgs["lower_case"]
+            stem = cfgs["stem"]
+            remove_stop_words = cfgs["remove_stop_words"]
+            ascii_folding = cfgs["ascii_folding"]
         config = FTS(
             with_position=with_position,
             base_tokenizer=base_tokenizer,  # type: ignore[arg-type]

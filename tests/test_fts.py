@@ -284,3 +284,35 @@ class TestCjkTokenizers:
 
         t = Tokenizer(base="cjk", stem=False)
         assert t.tokenize("机") == ["机"]
+
+
+class TestTokenizerShorthand:
+    """lance-style tokenizer_name shorthand (reference table.py:3205
+    infer_tokenizer_configs) + accelerator kwarg acceptance."""
+
+    def test_infer_configs(self):
+        from lancedb_tpu.table import Table
+
+        d = Table.infer_tokenizer_configs("default")
+        assert d["base_tokenizer"] == "simple" and not d["stem"]
+        r = Table.infer_tokenizer_configs("raw")
+        assert r["base_tokenizer"] == "raw" and not r["lower_case"]
+        e = Table.infer_tokenizer_configs("en_stem")
+        assert e["stem"] and e["language"] == "English"
+        with pytest.raises(Exception):
+            Table.infer_tokenizer_configs("nope")
+
+    def test_tokenizer_name_on_create(self, mem_db):
+        t = mem_db.create_table("t", [{"id": 0, "text": "Running Foxes"}])
+        t.create_fts_index("text", tokenizer_name="default")
+        # default shorthand: no stemming, no stop removal
+        toks = t.tokenize("Running The", column="text")
+        assert [tk.text for tk in toks] == ["running", "the"]
+
+    def test_accelerator_kwarg_accepted(self, mem_db):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        t = mem_db.create_table("tv", {"id": np.arange(300), "vector": list(rng.standard_normal((300, 16)).astype(np.float32))})
+        t.create_index(index_type="IVF_PQ", num_partitions=4, accelerator="cuda")
+        assert len(t.list_indices()) == 1
