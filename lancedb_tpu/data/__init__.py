@@ -1,4 +1,11 @@
+from .jax_feed import JaxBatchFeeder
 from .permutation import Permutation, PermutationBuilder, permutation_builder
 from .streaming import StreamingDataset
 
-__all__ = ["Permutation", "PermutationBuilder", "permutation_builder", "StreamingDataset"]
+__all__ = [
+    "JaxBatchFeeder",
+    "Permutation",
+    "PermutationBuilder",
+    "permutation_builder",
+    "StreamingDataset",
+]
