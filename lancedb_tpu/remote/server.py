@@ -103,12 +103,29 @@ class _Handler(BaseHTTPRequestHandler):
         branch pass them per request — reference remote/table.rs passes
         version with each read)."""
         body = body or {}
-        return self.conn.open_table(
-            name,
-            version=body.get("version"),
-            tag=body.get("tag"),
-            branch=body.get("branch"),
-        )
+        if body.get("version") or body.get("tag") or body.get("branch"):
+            return self.conn.open_table(
+                name,
+                version=body.get("version"),
+                tag=body.get("tag"),
+                branch=body.get("branch"),
+            )
+        with self._table_cache_lock:
+            t = self._table_cache.get(name)
+            if t is None:
+                t = self.conn.open_table(name)
+                if self.serving_mesh is not None:
+                    try:
+                        t.enable_sharded_serving(self.serving_mesh)
+                    except Exception:
+                        pass  # tables without IVF_PQ serve single-device
+                self._table_cache[name] = t
+            else:
+                # revalidate against the branch head (one small read):
+                # writers may commit through other handles/processes;
+                # device-index caches survive while the version holds
+                t._background_refresh()
+        return t
 
     # ---------------------------------------------------------- tables
     def _list_tables(self):
@@ -131,13 +148,19 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, "create requires an Arrow IPC body")
         self._respond(200, dumps({}))
 
+    def _evict(self, name):
+        with self._table_cache_lock:
+            self._table_cache.pop(name, None)
+
     def op_drop(self, name):
         self.conn.drop_table(name)
+        self._evict(name)
         self._respond(200, dumps({}))
 
     def op_rename(self, name):
         body = loads(self._read_body())
         self.conn.rename_table(name, body["new_name"])
+        self._evict(name)
         self._respond(200, dumps({}))
 
     def op_describe(self, name):
@@ -542,7 +565,12 @@ class QueryServer:
         api_key: str | None = None,
         batch_window_ms: float = 2.0,
         max_batch: int = 64,
+        serving_mesh=None,
     ):
+        """``uri`` may also be an existing connection object (its table/
+        session caches are then shared with the server). ``serving_mesh``
+        turns on mesh-sharded IVF_PQ serving for every table the server
+        opens (Table.enable_sharded_serving)."""
         if api_key is None and host not in ("127.0.0.1", "localhost", "::1"):
             raise ValueError(
                 "QueryServer exposes mutating endpoints (drop/delete/update/"
@@ -550,13 +578,20 @@ class QueryServer:
             )
         from .batching import MicroBatcher
 
-        self._conn = LanceDBConnection(uri)
+        self._conn = uri if hasattr(uri, "open_table") else LanceDBConnection(uri)
+        self._serving_mesh = serving_mesh
         handler = type(
             "BoundHandler",
             (_Handler,),
             {
                 "conn": self._conn,
                 "api_key": api_key,
+                "serving_mesh": serving_mesh,
+                # latest-version table cache: keeps per-table serving
+                # state (sharded searchers) resident across requests;
+                # time-travel opens stay uncached
+                "_table_cache": {},
+                "_table_cache_lock": threading.Lock(),
                 # per-server multipart upload buffers
                 "_uploads": {},
                 "_uploads_lock": threading.Lock(),

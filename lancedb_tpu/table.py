@@ -508,10 +508,41 @@ class Table:
     def query(self) -> LanceEmptyQueryBuilder:
         return LanceEmptyQueryBuilder(self)
 
+    _serving_mesh = None
+
+    def enable_sharded_serving(self, mesh=None) -> None:
+        """Serve this table's IVF_PQ index across a device mesh: probed
+        scans shard over the mesh (per-device top-k, all_gather merge
+        over ICI — parallel/serving.py); prefiltered queries fall back
+        to single-device. ``mesh=None`` builds a 1-D mesh over all
+        devices. Call again after index rebuilds (caches invalidate
+        automatically on writes)."""
+        if mesh is None:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        self._serving_mesh = mesh
+        self._searchers.clear()
+
+    def disable_sharded_serving(self) -> None:
+        self._serving_mesh = None
+        self._searchers.clear()
+
     def _get_searcher(self, index_meta):
         from .index.vector import load_searcher
 
         key = index_meta.uuid
+        if self._serving_mesh is not None and index_meta.index_type == "IVF_PQ":
+            skey = f"sharded:{key}"
+            if skey not in self._searchers:
+                from .parallel.serving import make_sharded_searcher
+
+                ds = self._dataset
+                fallback = load_searcher(ds, index_meta)
+                self._searchers[skey] = make_sharded_searcher(
+                    self._serving_mesh, ds, index_meta, fallback
+                )
+            return self._searchers[skey]
         if key not in self._searchers:
             session = getattr(self._conn, "session", None)
             ds = self._dataset

@@ -379,3 +379,75 @@ class TestTopologySweep:
         idx = ShardedFlatIndex(make_mesh(8, query_parallel=2), x, rid)
         d, r = idx.search(q, k=7)
         np.testing.assert_array_equal(np.sort(r, axis=1), np.sort(gt, axis=1))
+
+
+class TestShardedServing:
+    """enable_sharded_serving: the PUBLIC search path fans out over the
+    mesh transparently and matches single-device results; filtered
+    queries fall back; the remote QueryServer serves through it."""
+
+    def _table(self, mem_db, n=3000, dim=32):
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        t = mem_db.create_table("serve", {
+            "id": np.arange(n), "cat": np.arange(n) % 3, "vector": list(vecs),
+        })
+        t.create_index(index_type="IVF_PQ", num_partitions=16, num_sub_vectors=4)
+        return t, vecs, rng
+
+    def test_results_match_single_device(self, mem_db):
+        t, vecs, rng = self._table(mem_db)
+        q = vecs[7] + 0.05 * rng.standard_normal(vecs.shape[1]).astype(np.float32)
+        single = t.search(q).nprobes(16).limit(10).to_list()
+        t.enable_sharded_serving(make_mesh())
+        sharded = t.search(q).nprobes(16).limit(10).to_list()
+        s_ids = {r["id"] for r in single}
+        m_ids = {r["id"] for r in sharded}
+        assert len(s_ids & m_ids) >= 9  # fp-tie reordering at most
+        np.testing.assert_allclose(
+            sorted(r["_distance"] for r in sharded),
+            sorted(r["_distance"] for r in single),
+            rtol=1e-3, atol=1e-3,
+        )
+
+    def test_refine_and_filter_paths(self, mem_db):
+        t, vecs, rng = self._table(mem_db)
+        t.enable_sharded_serving(make_mesh())
+        q = vecs[21] + 0.01 * rng.standard_normal(vecs.shape[1]).astype(np.float32)
+        res = t.search(q).nprobes(16).refine_factor(8).limit(1).to_list()
+        assert res[0]["id"] == 21
+        # filtered query: falls back to the single-device penalty path
+        res = t.search(q).where("cat = 1").nprobes(16).limit(5).to_list()
+        assert all(r["cat"] == 1 for r in res)
+        t.disable_sharded_serving()
+        assert t.search(q).limit(1).to_list()[0]["id"] == 21
+
+    def test_writes_invalidate_sharded_cache(self, mem_db):
+        t, vecs, rng = self._table(mem_db)
+        t.enable_sharded_serving(make_mesh())
+        _ = t.search(vecs[0]).limit(1).to_list()
+        t.delete("id = 0")
+        res = t.search(vecs[0]).nprobes(16).limit(3).to_list()
+        assert all(r["id"] != 0 for r in res)
+
+    def test_query_server_through_sharded_table(self, mem_db, tmp_path):
+        import threading
+
+        import lancedb_tpu
+        from lancedb_tpu.remote import QueryServer, connect_remote
+
+        db = lancedb_tpu.connect(str(tmp_path))
+        rng = np.random.default_rng(4)
+        vecs = rng.standard_normal((1200, 16)).astype(np.float32)
+        t = db.create_table("serve", {"id": np.arange(1200), "vector": list(vecs)})
+        t.create_index(index_type="IVF_PQ", num_partitions=8, num_sub_vectors=4)
+        srv = QueryServer(db, host="127.0.0.1", port=0, serving_mesh=make_mesh()).start()
+        try:
+            rdb = connect_remote(srv.url)
+            rt = rdb.open_table("serve")
+            res = rt.search(vecs[5].tolist()).nprobes(8).refine_factor(4).limit(1).to_arrow()
+            assert res.column("id")[0].as_py() == 5
+            # the server serves through the SHARDED searcher
+            cached = srv._conn.open_table("serve")
+        finally:
+            srv.stop()
