@@ -240,10 +240,22 @@ class RemoteTable:
             self._p("explain_plan"), {"vector": list(map(float, vector)), "k": k}
         )["plan"]
 
-    def analyze_plan(self, vector, k: int = 10) -> str:
-        return self._c.post_json(
+    def analyze_plan(self, vector, k: int = 10, mode: str = "aggregate") -> str:
+        """mode: 'aggregate' (merged plan), 'per_worker' or 'full'
+        (one section per worker — reference analyze_plan distributed
+        display modes, query.rs:671-693)."""
+        doc = self._c.post_json(
             self._p("analyze_plan"), {"vector": list(map(float, vector)), "k": k}
-        )["plan"]
+        )
+        mode = mode.lower()
+        if mode in ("per_worker", "full") and doc.get("workers"):
+            sections = []
+            for w in doc["workers"]:
+                sections.append(f"--- worker {w['worker']} ---\n{w['plan']}")
+            if mode == "full":
+                sections.insert(0, f"--- aggregate ---\n{doc['plan']}")
+            return "\n".join(sections)
+        return doc["plan"]
 
     # ---- writes ----
     def add(self, data, mode: str = "append") -> None:

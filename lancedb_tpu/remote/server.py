@@ -324,8 +324,15 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond(200, dumps({"plan": explain_vector_plan(t, req)}))
 
     def op_analyze_plan(self, name):
+        """Execute + per-operator metrics. The response carries a
+        per-worker breakdown (reference analyze_plan distributed
+        metrics, query.rs:671-693 — Cloud workers each report their
+        operator metrics; this server is one worker, a mesh-serving
+        deployment reports one section per host)."""
+        import socket
+
         body = loads(self._read_body())
-        t = self.conn.open_table(name)
+        t = self._open(name)
         req = VectorQueryRequest(
             column=body.get("vector_column"),
             query_vectors=[np.asarray(body.get("vector"), np.float32)],
@@ -334,7 +341,11 @@ class _Handler(BaseHTTPRequestHandler):
         )
         from ..query import analyze_vector_plan
 
-        self._respond(200, dumps({"plan": analyze_vector_plan(t, req)}))
+        plan = analyze_vector_plan(t, req)
+        self._respond(200, dumps({
+            "plan": plan,
+            "workers": [{"worker": socket.gethostname(), "plan": plan}],
+        }))
 
     # --------------------------------------------------------- mutation
     def op_update(self, name):

@@ -600,3 +600,21 @@ class TestOAuth:
         )
         client.request("GET", "/v1/table/")
         assert got["authorization"].startswith("Bearer ")
+
+
+class TestAnalyzeDisplayModes:
+    """analyze_plan distributed display modes (reference
+    query.rs:671-693 Aggregate/PerWorker/Full)."""
+
+    def test_modes(self, remote_db):
+        import numpy as np
+
+        remote_db.create_table("t", make_vector_table(50))
+        t = remote_db.open_table("t")
+        vec = [0.0] * 16
+        agg = t.analyze_plan(vec, k=3)
+        assert "metrics=" in agg or "Exec" in agg
+        per = t.analyze_plan(vec, k=3, mode="per_worker")
+        assert "--- worker " in per
+        full = t.analyze_plan(vec, k=3, mode="full")
+        assert "--- aggregate ---" in full and "--- worker " in full
