@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 
 from ..errors import SqlParseError
 from .sql import (
+    Case,
     Between,
     BinaryOp,
     Cast,
@@ -147,6 +148,16 @@ class Evaluator:
             raise AssertionError(e.op)
         if isinstance(e, BinaryOp):
             return self._binary(e)
+        if isinstance(e, Case):
+            # build from the ELSE value backwards with nested if_else
+            acc = self.evaluate(e.else_) if e.else_ is not None else pa.scalar(None)
+            for cond, val in reversed(e.whens):
+                c = self._as_bool(self.evaluate(cond))
+                v = self.evaluate(val)
+                if isinstance(acc, pa.Scalar) and acc.as_py() is None and not isinstance(v, pa.Scalar):
+                    acc = pa.scalar(None, type=v.type)
+                acc = pc.if_else(c, v, acc)
+            return acc
         if isinstance(e, Between):
             v = self.evaluate(e.operand)
             lo = self.evaluate(e.low)
@@ -255,6 +266,12 @@ def referenced_columns(e: Expr) -> set[str]:
     def walk(node: Expr):
         if isinstance(node, Column):
             out.add(node.name.split(".")[0])
+        elif isinstance(node, Case):
+            for c, v in node.whens:
+                walk(c)
+                walk(v)
+            if node.else_ is not None:
+                walk(node.else_)
         elif isinstance(node, UnaryOp):
             walk(node.operand)
         elif isinstance(node, BinaryOp):

@@ -120,11 +120,30 @@ class Cast(Expr):
         return f"CAST(({self.operand.sql()}) AS {self.type_name})"
 
 
+@dataclass(frozen=True)
+class Case(Expr):
+    """CASE WHEN ... THEN ... [ELSE ...] END (searched form; the simple
+    form `CASE x WHEN v ...` parses into equality conditions)."""
+
+    whens: tuple  # ((cond Expr, value Expr), ...)
+    else_: "Expr | None" = None
+
+    def sql(self) -> str:
+        parts = ["CASE"]
+        for c, v in self.whens:
+            parts.append(f"WHEN {c.sql()} THEN {v.sql()}")
+        if self.else_ is not None:
+            parts.append(f"ELSE {self.else_.sql()}")
+        parts.append("END")
+        return " ".join(parts)
+
+
 # ------------------------------------------------------------- Lexer
 
 _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE", "LIKE",
-    "BETWEEN", "CAST", "AS", "REGEXP",
+    "BETWEEN", "CAST", "AS", "REGEXP", "CASE", "WHEN", "THEN", "ELSE",
+    "END",
 }
 
 _TWO_CHAR = {"<=", ">=", "!=", "<>", "=="}
@@ -422,6 +441,25 @@ class _Parser:
                 return Cast(e, ty.lower())
             if t.text == "NOT":
                 return UnaryOp("not", self.parse_not())
+            if t.text == "CASE":
+                # simple form: CASE <operand> WHEN v THEN r ...
+                operand = None
+                if not (self.peek().kind == "kw" and self.peek().text == "WHEN"):
+                    operand = self.parse_or()
+                whens = []
+                while self.accept_kw("WHEN"):
+                    cond = self.parse_or()
+                    if operand is not None:
+                        cond = BinaryOp("eq", operand, cond)
+                    if not self.accept_kw("THEN"):
+                        raise SqlParseError("expected THEN in CASE")
+                    whens.append((cond, self.parse_or()))
+                if not whens:
+                    raise SqlParseError("CASE needs at least one WHEN")
+                else_ = self.parse_or() if self.accept_kw("ELSE") else None
+                if not self.accept_kw("END"):
+                    raise SqlParseError("expected END to close CASE")
+                return Case(tuple(whens), else_)
             raise SqlParseError(f"unexpected keyword {t.text} at {t.pos}")
         if t.kind == "ident":
             if self.peek().kind == "lparen":  # function call

@@ -38,6 +38,7 @@ from .filters.eval import evaluate_expression, evaluate_predicate_mask
 from .filters.sql import (
     Between,
     BinaryOp,
+    Case,
     Cast,
     Column,
     Expr,
@@ -122,6 +123,19 @@ class SelectStatement:
     limit: int | None = None
     offset: int = 0
     distinct: bool = False
+
+
+@dataclass
+class UnionStatement:
+    """UNION [ALL] chain (reference: DataFusion set operations). The
+    trailing ORDER BY/LIMIT/OFFSET of the final member bind to the
+    whole union, per standard SQL."""
+
+    selects: list[SelectStatement]
+    all: bool = False
+    order_by: list[tuple[Expr, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int = 0
 
 
 class _SelectParser(_Parser):
@@ -297,13 +311,34 @@ def _eq_pairs(cond: Expr) -> list[tuple[Expr, Expr]]:
     )
 
 
-def parse_select(sql: str) -> SelectStatement:
+def parse_select(sql: str) -> "SelectStatement | UnionStatement":
     p = _SelectParser(sql)
     stmt = p.parse_select()
+    selects = [stmt]
+    is_all = None
+    while p._eat_word("UNION"):
+        this_all = bool(p._eat_word("ALL"))
+        if not this_all:
+            p._eat_word("DISTINCT")
+        if is_all is None:
+            is_all = this_all
+        elif is_all != this_all:
+            raise SqlParseError("mixed UNION / UNION ALL is not supported")
+        selects.append(p.parse_select())
     if p.peek().kind != "eof":
         t = p.peek()
         raise SqlParseError(f"unexpected trailing token {t.text!r} at {t.pos}")
-    return stmt
+    if len(selects) == 1:
+        return stmt
+    # standard SQL: the trailing ORDER BY/LIMIT of the text bind to the
+    # union, not the last member (the member parser consumed them)
+    last = selects[-1]
+    union = UnionStatement(
+        selects, all=bool(is_all),
+        order_by=last.order_by, limit=last.limit, offset=last.offset,
+    )
+    last.order_by, last.limit, last.offset = [], None, 0
+    return union
 
 
 # --------------------------------------------------------------- analysis
@@ -324,6 +359,12 @@ def _walk(e: Expr):
             yield from _walk(a)
     elif isinstance(e, Cast):
         yield from _walk(e.operand)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            yield from _walk(c)
+            yield from _walk(v)
+        if e.else_ is not None:
+            yield from _walk(e.else_)
     elif isinstance(e, Aggregate) and e.arg is not None:
         yield from _walk(e.arg)
 
@@ -369,6 +410,11 @@ def _replace(e: Expr, table: dict[str, Expr]) -> Expr:
         return FunctionCall(e.name, tuple(_replace(a, table) for a in e.args))
     if isinstance(e, Cast):
         return Cast(_replace(e.operand, table), e.type_name)
+    if isinstance(e, Case):
+        return Case(
+            tuple((_replace(c, table), _replace(v, table)) for c, v in e.whens),
+            _replace(e.else_, table) if e.else_ is not None else None,
+        )
     if isinstance(e, Aggregate) and e.arg is not None:
         return Aggregate(e.func, _replace(e.arg, table))
     return e
@@ -395,11 +441,26 @@ def execute_select(
     from .query import _op_timer
 
     stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
+    if isinstance(stmt, UnionStatement):
+        return _execute_union(stmt, open_table)
 
     if stmt.joins:
         data, stmt = _load_joined(stmt, open_table)
     else:
         data = _load_source(stmt, open_table)
+
+    # GROUP BY <alias>: resolve select-item aliases to their expressions
+    # (standard SQL / DataFusion behavior)
+    if stmt.group_by:
+        alias_map = {
+            it.alias: it.expr for it in stmt.items
+            if it.alias and not isinstance(it.expr, Star)
+        }
+        stmt.group_by = [
+            alias_map.get(e.name, e) if isinstance(e, Column) and e.name not in data.column_names
+            else e
+            for e in stmt.group_by
+        ]
 
     all_exprs = (
         [it.expr for it in stmt.items]
@@ -429,14 +490,52 @@ def execute_select(
     return out
 
 
+def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
+    from .query import _op_timer
+
+    parts = [execute_select(sel, open_table) for sel in stmt.selects]
+    first = parts[0]
+    aligned = [first]
+    for t in parts[1:]:
+        if t.num_columns != first.num_columns:
+            raise InvalidInputError(
+                f"UNION members have {first.num_columns} vs {t.num_columns} columns"
+            )
+        aligned.append(t.rename_columns(first.column_names))
+    with _op_timer("UnionExec") as tm:
+        out = pa.concat_tables(aligned, promote_options="default")
+        if not stmt.all:
+            out = out.group_by(out.column_names).aggregate([])
+        tm.set_rows(out.num_rows)
+    if stmt.order_by:
+        with _op_timer("SortExec"):
+            out = out.sort_by([
+                (e.sql().strip("`"), "descending" if d else "ascending")
+                if isinstance(e, Column) else (e.sql(), "ascending")
+                for e, d in stmt.order_by
+            ])
+    if stmt.offset:
+        out = out.slice(stmt.offset)
+    if stmt.limit is not None:
+        out = out.slice(0, stmt.limit)
+    return out
+
+
 # -------------------------------------------------------- explain/analyze
 
 
-def plan_select(stmt: SelectStatement) -> list[tuple[int, str, str]]:
+def plan_select(stmt) -> list[tuple[int, str, str]]:
     """Physical plan tree for a SELECT as (indent, op_key, label) rows —
     the op_key matches the _op_timer labels execute_select records, so
     analyze can join metrics onto plan lines (the same contract the
     reference gets from DataFusion operator metrics, query.rs:756)."""
+    if isinstance(stmt, UnionStatement):
+        lines = [(0, "UnionExec", f"UnionExec: all={stmt.all}")]
+        for sel in stmt.selects:
+            for d, k, label in plan_select(sel):
+                lines.append((d + 1, k, label))
+        return lines
+
     all_exprs = (
         [it.expr for it in stmt.items]
         + stmt.group_by

@@ -339,3 +339,65 @@ class TestExplainAnalyze:
         assert "FtsExec: table=docs" in plan
         res = db.sql("EXPLAIN ANALYZE SELECT * FROM fts(docs, 'fox') LIMIT 2")
         assert "FtsExec" in res.column("plan")[0].as_py()
+
+
+class TestCaseAndUnion:
+    """CASE expressions and UNION set operations (reference: DataFusion
+    SQL surface reachable through the reference's SQL layer)."""
+
+    def test_searched_case(self, db):
+        out = db.sql(
+            "SELECT id, CASE WHEN id >= 90 THEN 'big' WHEN id >= 50 THEN 'mid' "
+            "ELSE 'small' END AS bucket FROM sales WHERE id IN (0, 60, 95) ORDER BY id"
+        ).to_pylist()
+        assert [r["bucket"] for r in out] == ["small", "mid", "big"]
+
+    def test_simple_case_group_by_alias(self, db):
+        out = db.sql(
+            "SELECT CASE cat WHEN 'c0' THEN 'zero' ELSE 'rest' END AS k, "
+            "COUNT(*) AS n FROM sales GROUP BY k ORDER BY k"
+        ).to_pylist()
+        assert out == [{"k": "rest", "n": 75}, {"k": "zero", "n": 25}]
+
+    def test_case_in_where(self, db):
+        out = db.sql(
+            "SELECT id FROM sales WHERE CASE WHEN cat = 'c0' THEN id > 90 ELSE FALSE END"
+        ).to_pylist()
+        assert all(r["id"] > 90 and r["id"] % 4 == 0 for r in out)
+
+    def test_case_without_else_yields_null(self, db):
+        out = db.sql(
+            "SELECT CASE WHEN id < 1 THEN 'x' END AS v FROM sales ORDER BY id LIMIT 2"
+        ).to_pylist()
+        assert out[0]["v"] == "x" and out[1]["v"] is None
+
+    def test_union_all(self, db):
+        out = db.sql(
+            "SELECT id FROM sales WHERE id < 2 UNION ALL SELECT id FROM sales WHERE id < 1"
+        ).to_pylist()
+        assert sorted(r["id"] for r in out) == [0, 0, 1]
+
+    def test_union_distinct_with_order_limit(self, db):
+        out = db.sql(
+            "SELECT cat FROM sales UNION SELECT cat FROM sales ORDER BY cat LIMIT 3"
+        ).to_pylist()
+        assert [r["cat"] for r in out] == ["c0", "c1", "c2"]
+
+    def test_union_column_count_mismatch(self, db):
+        from lancedb_tpu.errors import InvalidInputError
+
+        with pytest.raises(InvalidInputError, match="columns"):
+            db.sql("SELECT id FROM sales UNION ALL SELECT id, cat FROM sales")
+
+    def test_union_explain(self, db):
+        plan = db.sql(
+            "EXPLAIN SELECT id FROM sales WHERE id < 2 UNION ALL SELECT id FROM sales"
+        ).column("plan")[0].as_py()
+        assert "UnionExec: all=True" in plan
+        assert plan.count("ScanExec") == 2
+
+    def test_mixed_union_rejected(self, db):
+        from lancedb_tpu.errors import SqlParseError
+
+        with pytest.raises(SqlParseError, match="mixed"):
+            db.sql("SELECT id FROM sales UNION SELECT id FROM sales UNION ALL SELECT id FROM sales")
