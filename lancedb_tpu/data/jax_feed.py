@@ -34,7 +34,16 @@ from ..errors import InvalidInputError
 def _stack_column(values: list) -> np.ndarray:
     first = values[0]
     if isinstance(first, (list, tuple, np.ndarray)):
-        return np.stack([np.asarray(v, dtype=np.float32) for v in values])
+        # preserve dtype: token-id columns must stay integral (a f32
+        # cast would corrupt ids >= 2^24); floats keep their width
+        arr = np.stack([np.asarray(v) for v in values])
+        if arr.dtype == object:
+            raise InvalidInputError(
+                "ragged or non-numeric nested column in a jax feed"
+            )
+        if arr.dtype == np.float64:
+            arr = arr.astype(np.float32)  # device-friendly default
+        return arr
     arr = np.asarray(values)
     if arr.dtype == object:
         raise InvalidInputError(
@@ -127,7 +136,17 @@ class JaxBatchFeeder:
 
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         done = object()
+        stop = threading.Event()
         err: list[BaseException] = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -136,21 +155,44 @@ class JaxBatchFeeder:
                         k: jax.make_array_from_process_local_data(self._sharding, v)
                         for k, v in local.items()
                     }
-                    q.put(global_batch)
+                    if not _put(global_batch):
+                        return  # consumer abandoned the iterator
             except BaseException as e:  # surface in the consumer
                 err.append(e)
             finally:
-                q.put(done)
+                # deliver the sentinel: block while the consumer drains,
+                # bail if it abandoned the iterator (stop set)
+                while True:
+                    try:
+                        q.put(done, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # early exit (break / islice / GeneratorExit): release the
+            # producer so it does not stay parked on a full queue. Note
+            # the dataset cursor has advanced by up to prefetch+1
+            # batches — inherent to streaming prefetch; checkpoint via
+            # state_dict() BEFORE iterating if exact resume matters.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
 
     def __len__(self) -> int:
         # batches = rows this process will see / local rows per batch

@@ -149,15 +149,7 @@ class Evaluator:
         if isinstance(e, BinaryOp):
             return self._binary(e)
         if isinstance(e, Case):
-            # build from the ELSE value backwards with nested if_else
-            acc = self.evaluate(e.else_) if e.else_ is not None else pa.scalar(None)
-            for cond, val in reversed(e.whens):
-                c = self._as_bool(self.evaluate(cond))
-                v = self.evaluate(val)
-                if isinstance(acc, pa.Scalar) and acc.as_py() is None and not isinstance(v, pa.Scalar):
-                    acc = pa.scalar(None, type=v.type)
-                acc = pc.if_else(c, v, acc)
-            return acc
+            return self._case(e)
         if isinstance(e, Between):
             v = self.evaluate(e.operand)
             lo = self.evaluate(e.low)
@@ -205,6 +197,68 @@ class Evaluator:
             "mul": pc.multiply, "div": pc.divide, "mod": _mod,
         }
         return fns[op](left, right)
+
+    def _case(self, e: Case):
+        """CASE with SQL short-circuit semantics: each THEN/ELSE branch
+        evaluates ONLY on the rows its condition selects (a take over
+        the matched subset), so guarded expressions never fault on
+        unmatched rows (e.g. CASE WHEN b != 0 THEN a / b ELSE 0 END).
+        NULL conditions count as not-matched, per the standard."""
+        n = self.num_rows
+        remaining = np.ones(n, dtype=bool)
+        branches = list(e.whens) + [(None, e.else_)]
+        idx_parts: list[np.ndarray] = []
+        val_parts: list[pa.Array] = []
+        for cond, val in branches:
+            if not remaining.any():
+                break
+            if cond is None:
+                sel = remaining.copy()
+            else:
+                c = self._as_bool(self.evaluate(cond))
+                if isinstance(c, pa.Scalar):
+                    hit = bool(c.as_py()) if c.as_py() is not None else False
+                    sel = remaining.copy() if hit else np.zeros(n, dtype=bool)
+                else:
+                    cn = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                    sel = remaining & np.asarray(
+                        pc.fill_null(cn, False).to_numpy(zero_copy_only=False)
+                    )
+            if not sel.any():
+                continue
+            remaining &= ~sel
+            idx = np.nonzero(sel)[0]
+            if val is None:
+                idx_parts.append(idx)
+                val_parts.append(None)  # typed null, resolved below
+                continue
+            sub = Evaluator(self.data.take(pa.array(idx)))
+            v = sub.evaluate(val)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * len(idx), type=v.type)
+            elif isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            idx_parts.append(idx)
+            val_parts.append(v)
+        # resolve output type from the first typed part
+        out_type = next(
+            (v.type for v in val_parts if v is not None and not pa.types.is_null(v.type)),
+            pa.null(),
+        )
+        arrays = []
+        for idx, v in zip(idx_parts, val_parts):
+            if v is None or pa.types.is_null(v.type):
+                v = pa.nulls(len(idx), type=out_type)
+            elif v.type != out_type:
+                v = pc.cast(v, out_type)
+            arrays.append(v)
+        if not arrays:
+            return pa.nulls(n)
+        combined = pa.concat_arrays(arrays)
+        order = np.empty(n, dtype=np.int64)
+        all_idx = np.concatenate(idx_parts)
+        order[all_idx] = np.arange(len(all_idx))
+        return combined.take(pa.array(order))
 
     def _as_bool(self, arr):
         if isinstance(arr, pa.Scalar):

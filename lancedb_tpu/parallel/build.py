@@ -264,13 +264,17 @@ class ShardedIvfPqIndex:
                     d = jax.lax.map(probe_step, jnp.arange(budget)).transpose(1, 0, 2)
 
                 d = jnp.where(sel_mine[:, :, None], d, PAD)
-                vals, pos = topk_smallest(d.reshape(qb, -1), k)
+                # clamp to the per-shard candidate pool (k may exceed it
+                # for small nprobes x refine_factor combinations)
+                k_local = min(k, budget * pmax)
+                vals, pos = topk_smallest(d.reshape(qb, -1), k_local)
                 # global slot = block * pmax + offset
                 blk = jnp.take_along_axis(sel_ids, pos // pmax, axis=1)
                 slots_out = blk * pmax + pos % pmax
                 all_v = jax.lax.all_gather(vals, SHARD_AXIS, axis=1, tiled=True)
                 all_s = jax.lax.all_gather(slots_out, SHARD_AXIS, axis=1, tiled=True)
-                mv, mp = topk_smallest(all_v, k)
+                k_final = min(k, all_v.shape[1] if all_v.shape[1] else k)
+                mv, mp = topk_smallest(all_v, min(k_final, all_v.shape[1]))
                 return mv, jnp.take_along_axis(all_s, mp, axis=1)
 
             return jax.shard_map(
@@ -313,7 +317,15 @@ class ShardedIvfPqIndex:
         rids = self.row_ids[self._deal_to_flat(slots)]
         invalid = vals >= np.float32(3.0e38) / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
-        return np.where(invalid, np.inf, vals), rids
+        vals = np.where(invalid, np.inf, vals)
+        if vals.shape[1] < k:
+            # candidate pool smaller than requested k: pad (callers pad-
+            # tolerate via the invalid markers, matching single-device)
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=np.inf)
+            rids = np.pad(rids, ((0, 0), (0, pad)),
+                          constant_values=np.uint64(np.iinfo(np.uint64).max))
+        return vals, rids
 
     def _deal_to_flat(self, slots: np.ndarray) -> np.ndarray:
         """Global slot ids already index (block, offset) in dealt order —

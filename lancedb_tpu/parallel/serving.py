@@ -26,17 +26,30 @@ from ..errors import InvalidInputError
 
 
 class ShardedServingSearcher:
-    """Mesh-sharded drop-in for VectorSearcher (index/vector.py)."""
+    """Mesh-sharded drop-in for VectorSearcher (index/vector.py).
 
-    def __init__(self, sharded, fallback):
+    The single-device searcher loads LAZILY, on the first query that
+    needs it (filters/deletions/refine) — pure unfiltered serving never
+    double-loads the index."""
+
+    def __init__(self, sharded, fallback_loader, metric, params, index_type):
         self._sharded = sharded
-        self._fallback = fallback
-        self.metric = fallback.metric
-        self.params = fallback.params
-        self.index_type = fallback.index_type
+        self._fallback_loader = fallback_loader
+        self._fallback_cached = None
+        self.metric = metric
+        self.params = params
+        self.index_type = index_type
+
+    @property
+    def _fallback(self):
+        if self._fallback_cached is None:
+            self._fallback_cached = self._fallback_loader()
+        return self._fallback_cached
 
     # -- interface driven by execute_vector_query ------------------------
     def slot_penalty(self, allowed_row_ids, deleted_row_ids, vanished_fragments=None):
+        if allowed_row_ids is None and deleted_row_ids is None and not vanished_fragments:
+            return None
         return self._fallback.slot_penalty(
             allowed_row_ids, deleted_row_ids, vanished_fragments=vanished_fragments
         )
@@ -57,13 +70,25 @@ class ShardedServingSearcher:
         return self._fallback.refine(dataset, column, queries, dists, row_ids, k)
 
 
-def make_sharded_searcher(mesh, dataset, index_meta, fallback):
-    """Build the serving adapter for one persisted IVF_PQ index."""
+def make_sharded_searcher(mesh, dataset, index_meta, fallback_loader):
+    """Build the serving adapter for one persisted IVF_PQ index.
+    Raises InvalidInputError for index/metric combinations the sharded
+    kernel does not serve (callers fall back to single-device)."""
     from .build import ShardedIvfPqIndex
 
     if index_meta.index_type != "IVF_PQ":
         raise InvalidInputError(
             f"sharded serving supports IVF_PQ indexes (got {index_meta.index_type})"
         )
+    metric = index_meta.params.get("metric", "l2")
+    if metric != "l2":
+        # the sharded ADC kernel computes l2 expansions; cosine/dot
+        # need the single-device normalization/reporting path
+        raise InvalidInputError(
+            f"sharded serving currently supports the l2 metric (index is {metric})"
+        )
     sharded = ShardedIvfPqIndex.from_dataset(mesh, dataset, index_meta)
-    return ShardedServingSearcher(sharded, fallback)
+    return ShardedServingSearcher(
+        sharded, fallback_loader, metric=metric,
+        params=dict(index_meta.params), index_type=index_meta.index_type,
+    )

@@ -112,18 +112,22 @@ class _Handler(BaseHTTPRequestHandler):
             )
         with self._table_cache_lock:
             t = self._table_cache.get(name)
-            if t is None:
+            fresh = t is None
+            if fresh:
                 t = self.conn.open_table(name)
                 if self.serving_mesh is not None:
                     try:
                         t.enable_sharded_serving(self.serving_mesh)
                     except Exception:
                         pass  # tables without IVF_PQ serve single-device
+                t._serve_refresh_lock = threading.Lock()
                 self._table_cache[name] = t
-            else:
-                # revalidate against the branch head (one small read):
-                # writers may commit through other handles/processes;
-                # device-index caches survive while the version holds
+        if not fresh:
+            # revalidate against the branch head OUTSIDE the global cache
+            # lock (it is manifest IO — on object storage a network round
+            # trip) and under a PER-TABLE lock so concurrent requests to
+            # other tables never serialize behind it
+            with t._serve_refresh_lock:
                 t._background_refresh()
         return t
 

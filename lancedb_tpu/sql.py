@@ -508,12 +508,15 @@ def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
             out = out.group_by(out.column_names).aggregate([])
         tm.set_rows(out.num_rows)
     if stmt.order_by:
+        # reuse the SELECT sort machinery: expression keys evaluate
+        # against the union output, DESC honored
+        sorter = SelectStatement(
+            items=[SelectItem(Star(), None)],
+            source=stmt.selects[0].source,
+            order_by=stmt.order_by,
+        )
         with _op_timer("SortExec"):
-            out = out.sort_by([
-                (e.sql().strip("`"), "descending" if d else "ascending")
-                if isinstance(e, Column) else (e.sql(), "ascending")
-                for e, d in stmt.order_by
-            ])
+            out = _apply_order(sorter, out, env=out)
     if stmt.offset:
         out = out.slice(stmt.offset)
     if stmt.limit is not None:

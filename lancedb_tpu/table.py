@@ -532,27 +532,39 @@ class Table:
         from .index.vector import load_searcher
 
         key = index_meta.uuid
-        if self._serving_mesh is not None and index_meta.index_type == "IVF_PQ":
-            skey = f"sharded:{key}"
-            if skey not in self._searchers:
-                from .parallel.serving import make_sharded_searcher
+        ds = self._dataset
+        session = getattr(self._conn, "session", None)
 
-                ds = self._dataset
-                fallback = load_searcher(ds, index_meta)
-                self._searchers[skey] = make_sharded_searcher(
-                    self._serving_mesh, ds, index_meta, fallback
-                )
-            return self._searchers[skey]
-        if key not in self._searchers:
-            session = getattr(self._conn, "session", None)
-            ds = self._dataset
+        def load_single():
             if session is not None:
-                self._searchers[key] = session.get_or_load(
+                return session.get_or_load(
                     f"{ds.root}/{key}", lambda: load_searcher(ds, index_meta)
                 )
-            else:
-                self._searchers[key] = load_searcher(ds, index_meta)
-        return self._searchers[key]
+            return load_searcher(ds, index_meta)
+
+        # read-then-assign (never re-read the dict): concurrent cache
+        # invalidation between check and return must not KeyError
+        if self._serving_mesh is not None and index_meta.index_type == "IVF_PQ":
+            skey = f"sharded:{key}"
+            s = self._searchers.get(skey)
+            if s is None:
+                from .parallel.serving import make_sharded_searcher
+
+                try:
+                    s = make_sharded_searcher(
+                        self._serving_mesh, ds, index_meta, load_single
+                    )
+                except InvalidInputError:
+                    # metric/type the sharded kernel doesn't serve:
+                    # correct single-device results beat a mesh
+                    s = load_single()
+                self._searchers[skey] = s
+            return s
+        s = self._searchers.get(key)
+        if s is None:
+            s = load_single()
+            self._searchers[key] = s
+        return s
 
     def _embed_query(self, text: str, vector_column_name: str | None):
         col = vector_column_name or self._default_vector_column()

@@ -346,3 +346,46 @@ class TestJaxFeed:
         # 7 does not shard evenly over the 8-device mesh
         with pytest.raises(InvalidInputError, match="shard|divide"):
             JaxBatchFeeder(ds, batch_size=7, columns=["id"])
+
+
+class TestJaxFeedEdgeCases:
+    """Post-review: early break releases the producer; integer nested
+    columns keep their dtype."""
+
+    def test_early_break_no_leak(self, mem_db):
+        import threading
+
+        from lancedb_tpu.data import JaxBatchFeeder
+
+        n = 128
+        tbl = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.zeros(n * 4, dtype=np.float32)), 4),
+        })
+        t = mem_db.create_table("leaksrc", tbl)
+        perm = permutation_builder(t).execute()
+        before = threading.active_count()
+        feeder = JaxBatchFeeder(
+            StreamingDataset(perm, num_splits=8), batch_size=16, columns=["vector"])
+        for b in feeder:
+            break  # abandon mid-stream
+        import time as _t
+        _t.sleep(0.5)
+        assert threading.active_count() <= before + 1  # producer exited
+
+    def test_integer_columns_keep_dtype(self, mem_db):
+        from lancedb_tpu.data import JaxBatchFeeder
+
+        big = 1 << 25  # would corrupt in float32
+        tbl = pa.table({
+            "ids": pa.array([[big + i, i] for i in range(64)], type=pa.list_(pa.int64())),
+        })
+        t = mem_db.create_table("intsrc", tbl)
+        perm = permutation_builder(t).execute()
+        feeder = JaxBatchFeeder(
+            StreamingDataset(perm, num_splits=8), batch_size=16, columns=["ids"])
+        b = next(iter(feeder))
+        arr = np.asarray(b["ids"])
+        assert np.issubdtype(arr.dtype, np.integer)
+        assert arr.max() >= big

@@ -451,3 +451,35 @@ class TestShardedServing:
             cached = srv._conn.open_table("serve")
         finally:
             srv.stop()
+
+
+class TestShardedServingEdgeCases:
+    """Post-review: k exceeding the per-shard candidate pool pads with
+    invalid markers; non-l2 metrics fall back to single-device results."""
+
+    def test_small_pool_large_k(self, mem_db):
+        from lancedb_tpu.parallel.build import ShardedIvfPqIndex
+
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((400, 16)).astype(np.float32)
+        t = mem_db.create_table("s", {"id": np.arange(400), "vector": list(vecs)})
+        t.create_index(index_type="IVF_PQ", num_partitions=4, num_sub_vectors=4)
+        t.enable_sharded_serving(make_mesh())
+        # nprobes=1 with refine_factor makes k_eff exceed one shard's pool
+        res = t.search(vecs[9]).nprobes(1).refine_factor(20).limit(10).to_list()
+        assert len(res) >= 1 and res[0]["id"] == 9
+
+    def test_cosine_metric_falls_back(self, mem_db):
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((500, 16)).astype(np.float32)
+        t = mem_db.create_table("c", {"id": np.arange(500), "vector": list(vecs)})
+        t.create_index(index_type="IVF_PQ", num_partitions=4,
+                       num_sub_vectors=4, metric="cosine")
+        single = t.search(vecs[5]).nprobes(4).refine_factor(8).limit(3).to_list()
+        t.enable_sharded_serving(make_mesh())
+        served = t.search(vecs[5]).nprobes(4).refine_factor(8).limit(3).to_list()
+        assert [r["id"] for r in served] == [r["id"] for r in single]
+        np.testing.assert_allclose(
+            [r["_distance"] for r in served], [r["_distance"] for r in single],
+            rtol=1e-5,
+        )

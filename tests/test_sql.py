@@ -401,3 +401,33 @@ class TestCaseAndUnion:
 
         with pytest.raises(SqlParseError, match="mixed"):
             db.sql("SELECT id FROM sales UNION SELECT id FROM sales UNION ALL SELECT id FROM sales")
+
+
+class TestCaseSemantics:
+    """Post-review CASE semantics: branch short-circuit (no faults on
+    unmatched rows) and NULL conditions falling through."""
+
+    def test_guarded_division(self, tmp_db):
+        tmp_db.create_table("g", [{"a": 10, "b": 2}, {"a": 5, "b": 0}])
+        out = tmp_db.sql(
+            "SELECT CASE WHEN b != 0 THEN a / b ELSE 0 END AS q FROM g ORDER BY q"
+        ).to_pylist()
+        assert [r["q"] for r in out] == [0, 5]
+
+    def test_null_condition_falls_through(self, tmp_db):
+        import pyarrow as pa
+
+        tmp_db.create_table(
+            "n", pa.table({"p": pa.array([20.0, None, 1.0])})
+        )
+        out = tmp_db.sql(
+            "SELECT CASE WHEN p > 10 THEN 'hi' ELSE 'lo' END AS v FROM n"
+        ).to_pylist()
+        assert [r["v"] for r in out] == ["hi", "lo", "lo"]
+
+    def test_union_order_by_expression_desc(self, db):
+        out = db.sql(
+            "SELECT id FROM sales WHERE id < 3 UNION ALL "
+            "SELECT id FROM sales WHERE id < 2 ORDER BY id + 0 DESC LIMIT 3"
+        ).to_pylist()
+        assert [r["id"] for r in out] == [2, 1, 1]
