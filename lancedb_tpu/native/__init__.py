@@ -38,6 +38,17 @@ def _compile() -> bool:
         return False
 
 
+def _find_packaged_lib() -> str | None:
+    """An installed wheel ships the library as an extension-shaped .so
+    next to this module (setup.py builds
+    lancedb_tpu.native._liblancedb_native); ctypes loads it directly."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hits = sorted(glob.glob(os.path.join(here, "_liblancedb_native*.so")))
+    return hits[0] if hits else None
+
+
 def get_lib() -> ctypes.CDLL | None:
     """The loaded native library, or None if unavailable."""
     global _lib, _load_failed
@@ -46,12 +57,19 @@ def get_lib() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _compile():
-                _load_failed = True
-                return None
+        so_path = _SO
+        if os.path.exists(_SRC):
+            # repo layout: (re)compile lazily from source when stale
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                if not _compile():
+                    so_path = _find_packaged_lib()
+        else:
+            so_path = _find_packaged_lib()  # installed wheel
+        if so_path is None:
+            _load_failed = True
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so_path)
         except OSError:
             _load_failed = True
             return None
