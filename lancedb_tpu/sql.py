@@ -125,6 +125,18 @@ class SelectStatement:
     distinct: bool = False
 
 
+@dataclass(frozen=True)
+class Subquery(Expr):
+    """A parenthesized SELECT used as an expression — IN (SELECT ...)
+    or a scalar comparison (reference: DataFusion subquery expressions).
+    Resolved to literal values before execution/pushdown."""
+
+    stmt: "SelectStatement" = None  # type: ignore[assignment]
+
+    def sql(self) -> str:
+        return "(<subquery>)"
+
+
 @dataclass
 class UnionStatement:
     """UNION [ALL] chain (reference: DataFusion set operations). The
@@ -151,7 +163,27 @@ class _SelectParser(_Parser):
             return True
         return False
 
+    def _at_subquery(self) -> bool:
+        if self.peek().kind != "lparen":
+            return False
+        t2 = self.toks[self.i + 1]
+        return t2.kind in ("ident", "kw") and t2.text.upper() == "SELECT"
+
+    def _parse_subquery(self) -> "Subquery":
+        self.expect("lparen")
+        stmt = self.parse_select()
+        self.expect("rparen")
+        return Subquery(stmt)
+
+    def parse_paren_list(self) -> Expr:
+        # IN (SELECT ...) — subquery instead of a literal list
+        if self._at_subquery():
+            return self._parse_subquery()
+        return super().parse_paren_list()
+
     def parse_primary(self) -> Expr:
+        if self._at_subquery():
+            return self._parse_subquery()
         # aggregates (incl. COUNT(*) / COUNT(DISTINCT x)) before the
         # generic function-call rule
         t = self.peek()
@@ -444,6 +476,11 @@ def execute_select(
     if isinstance(stmt, UnionStatement):
         return _execute_union(stmt, open_table)
 
+    if stmt.where is not None:
+        stmt.where = _resolve_subqueries(stmt.where, open_table)
+    if stmt.having is not None:
+        stmt.having = _resolve_subqueries(stmt.having, open_table)
+
     if stmt.joins:
         data, stmt = _load_joined(stmt, open_table)
     else:
@@ -488,6 +525,51 @@ def execute_select(
                 out = out.slice(0, stmt.limit)
             tm.set_rows(out.num_rows)
     return out
+
+
+def _resolve_subqueries(e: Expr, open_table) -> Expr:
+    """Replace Subquery nodes with literal values: the RHS of IN/NOT IN
+    becomes a value list; any other position is a scalar subquery
+    (one column, at most one row; zero rows -> NULL)."""
+
+    def run(sub: Subquery, want_list: bool):
+        out = execute_select(sub.stmt, open_table)
+        if out.num_columns != 1:
+            raise InvalidInputError(
+                f"subquery must return exactly one column (got {out.num_columns})"
+            )
+        vals = out.column(0).to_pylist()
+        if want_list:
+            return Literal(vals)
+        if len(vals) > 1:
+            raise InvalidInputError(
+                f"scalar subquery returned {len(vals)} rows"
+            )
+        return Literal(vals[0] if vals else None)
+
+    def rw(node: Expr) -> Expr:
+        if isinstance(node, Subquery):
+            return run(node, want_list=False)
+        if isinstance(node, BinaryOp):
+            if node.op in ("in", "not_in") and isinstance(node.right, Subquery):
+                return BinaryOp(node.op, rw(node.left), run(node.right, want_list=True))
+            return BinaryOp(node.op, rw(node.left), rw(node.right))
+        if isinstance(node, UnaryOp):
+            return UnaryOp(node.op, rw(node.operand))
+        if isinstance(node, Between):
+            return Between(rw(node.operand), rw(node.low), rw(node.high), node.negated)
+        if isinstance(node, FunctionCall):
+            return FunctionCall(node.name, tuple(rw(a) for a in node.args))
+        if isinstance(node, Cast):
+            return Cast(rw(node.operand), node.type_name)
+        if isinstance(node, Case):
+            return Case(
+                tuple((rw(c), rw(v)) for c, v in node.whens),
+                rw(node.else_) if node.else_ is not None else None,
+            )
+        return node
+
+    return rw(e)
 
 
 def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:

@@ -431,3 +431,47 @@ class TestCaseSemantics:
             "SELECT id FROM sales WHERE id < 2 ORDER BY id + 0 DESC LIMIT 3"
         ).to_pylist()
         assert [r["id"] for r in out] == [2, 1, 1]
+
+
+class TestSubqueryExpressions:
+    """IN (SELECT ...) and scalar subqueries in WHERE/HAVING
+    (reference: DataFusion subquery expressions)."""
+
+    def test_in_subquery(self, db):
+        db.create_table("hot", [{"c": "c1"}, {"c": "c3"}])
+        out = db.sql(
+            "SELECT DISTINCT cat FROM sales WHERE cat IN (SELECT c FROM hot) ORDER BY cat"
+        ).to_pylist()
+        assert [r["cat"] for r in out] == ["c1", "c3"]
+
+    def test_not_in_subquery(self, db):
+        db.create_table("cold", [{"c": "c0"}, {"c": "c1"}, {"c": "c2"}])
+        out = db.sql(
+            "SELECT DISTINCT cat FROM sales WHERE cat NOT IN (SELECT c FROM cold)"
+        ).to_pylist()
+        assert [r["cat"] for r in out] == ["c3"]
+
+    def test_scalar_subquery_comparison(self, db):
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE price > (SELECT AVG(price) FROM sales)"
+        ).to_pylist()
+        assert out[0]["n"] == 50  # prices are linear: half above the mean
+
+    def test_scalar_subquery_multi_row_rejected(self, db):
+        from lancedb_tpu.errors import InvalidInputError
+
+        with pytest.raises(InvalidInputError, match="rows"):
+            db.sql("SELECT id FROM sales WHERE id > (SELECT id FROM sales)")
+
+    def test_subquery_multi_column_rejected(self, db):
+        from lancedb_tpu.errors import InvalidInputError
+
+        with pytest.raises(InvalidInputError, match="column"):
+            db.sql("SELECT id FROM sales WHERE id IN (SELECT id, qty FROM sales)")
+
+    def test_nested_subquery(self, db):
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE qty IN "
+            "(SELECT qty FROM sales WHERE qty > (SELECT AVG(qty) FROM sales))"
+        ).to_pylist()
+        assert out[0]["n"] > 0
