@@ -126,6 +126,18 @@ class SelectStatement:
 
 
 @dataclass(frozen=True)
+class Exists(Expr):
+    """EXISTS (SELECT ...) — uncorrelated; resolves to a boolean
+    literal before execution (correlated subqueries are not supported,
+    matching the pushdown-friendly subset)."""
+
+    stmt: "SelectStatement" = None  # type: ignore[assignment]
+
+    def sql(self) -> str:
+        return "EXISTS (<subquery>)"
+
+
+@dataclass(frozen=True)
 class Subquery(Expr):
     """A parenthesized SELECT used as an expression — IN (SELECT ...)
     or a scalar comparison (reference: DataFusion subquery expressions).
@@ -184,6 +196,11 @@ class _SelectParser(_Parser):
     def parse_primary(self) -> Expr:
         if self._at_subquery():
             return self._parse_subquery()
+        if self._at_word("EXISTS"):
+            self.next()
+            if not self._at_subquery():
+                raise SqlParseError("expected (SELECT ...) after EXISTS")
+            return Exists(self._parse_subquery().stmt)
         # aggregates (incl. COUNT(*) / COUNT(DISTINCT x)) before the
         # generic function-call rule
         t = self.peek()
@@ -548,6 +565,17 @@ def _resolve_subqueries(e: Expr, open_table) -> Expr:
         return Literal(vals[0] if vals else None)
 
     def rw(node: Expr) -> Expr:
+        if isinstance(node, Exists):
+            probe = execute_select(
+                SelectStatement(
+                    items=node.stmt.items, source=node.stmt.source,
+                    joins=node.stmt.joins, where=node.stmt.where,
+                    group_by=node.stmt.group_by, having=node.stmt.having,
+                    order_by=[], limit=1, offset=0,
+                ),
+                open_table,
+            )
+            return Literal(probe.num_rows > 0)
         if isinstance(node, Subquery):
             return run(node, want_list=False)
         if isinstance(node, BinaryOp):

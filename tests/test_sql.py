@@ -475,3 +475,47 @@ class TestSubqueryExpressions:
             "(SELECT qty FROM sales WHERE qty > (SELECT AVG(qty) FROM sales))"
         ).to_pylist()
         assert out[0]["n"] > 0
+
+
+def test_sql_fuzz_typed_errors(db):
+    """Random token soup must raise TYPED errors (SqlParseError /
+    InvalidInputError), never crash with an internal exception."""
+    import random
+
+    from lancedb_tpu.errors import LanceDBError
+
+    rng = random.Random(7)
+    tokens = ["SELECT", "FROM", "sales", "WHERE", "id", "cat", "GROUP", "BY",
+              "ORDER", "LIMIT", "UNION", "ALL", "JOIN", "ON", "CASE", "WHEN",
+              "THEN", "END", "(", ")", ",", "*", "=", ">", "+", "'x'", "1",
+              "IN", "NOT", "NULL", "AND", "COUNT", "AS", "fts"]
+    for _ in range(300):
+        q = " ".join(rng.choice(tokens) for _ in range(rng.randint(1, 12)))
+        try:
+            db.sql(q)
+        except (LanceDBError, RecursionError):
+            pass
+
+
+class TestExistsSubquery:
+    def test_exists_and_not_exists(self, db):
+        db.create_table("probe1", [{"v": 1}])
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE EXISTS (SELECT v FROM probe1 WHERE v > 0)"
+        ).to_pylist()
+        assert out[0]["n"] == 100
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE NOT EXISTS (SELECT v FROM probe1 WHERE v > 5)"
+        ).to_pylist()
+        assert out[0]["n"] == 100
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE EXISTS (SELECT v FROM probe1 WHERE v > 5)"
+        ).to_pylist()
+        assert out[0]["n"] == 0
+
+    def test_exists_composes_with_predicates(self, db):
+        db.create_table("probe2", [{"v": 9}])
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE id < 10 AND EXISTS (SELECT v FROM probe2)"
+        ).to_pylist()
+        assert out[0]["n"] == 10
