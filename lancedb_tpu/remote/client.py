@@ -490,6 +490,22 @@ class RemoteDBConnection:
         t.describe()  # 404s if missing
         return t
 
+    def sql(self, query: str):
+        """Run a SQL SELECT server-side (remote face of DBConnection.sql;
+        EXPLAIN [ANALYZE] returns a (plan_type, plan) table)."""
+        import pyarrow as pa
+
+        stripped = query.lstrip()
+        if stripped[:7].upper() == "EXPLAIN":
+            doc = self._client.post_json("/v1/sql", {"query": query})
+            plan_type = (
+                "Plan with Metrics"
+                if stripped[7:].lstrip()[:7].upper() == "ANALYZE"
+                else "physical_plan"
+            )
+            return pa.table({"plan_type": [plan_type], "plan": [doc["plan"]]})
+        return self._client.post_arrow_out("/v1/sql", {"query": query})
+
     def drop_table(self, name: str) -> None:
         self._client.post_json(f"/v1/table/{urllib.parse.quote(name)}/drop/")
 

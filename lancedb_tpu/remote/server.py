@@ -81,6 +81,8 @@ class _Handler(BaseHTTPRequestHandler):
             path = self.path.split("?")[0].rstrip("/")
             if path == "/v1/table" and method == "GET":
                 return self._list_tables()
+            if path == "/v1/sql" and method == "POST":
+                return self.op_sql()
             m = re.match(r"^/v1/table/([^/]+)/(.+)$", path)
             if not m:
                 return self._error(404, f"no route {path}")
@@ -130,6 +132,24 @@ class _Handler(BaseHTTPRequestHandler):
             with t._serve_refresh_lock:
                 t._background_refresh()
         return t
+
+    def op_sql(self):
+        """Run a SQL SELECT over the database (Arrow IPC response) —
+        the remote face of DBConnection.sql; cached tables serve scans
+        so sharded/device-resident indexes stay warm behind fts()."""
+        body = loads(self._read_body())
+        from ..sql import analyze_select, execute_select, explain_select
+
+        query = body["query"]
+        stripped = query.lstrip()
+        if stripped[:7].upper() == "EXPLAIN":
+            rest = stripped[7:].lstrip()
+            if rest[:7].upper() == "ANALYZE":
+                plan, _ = analyze_select(rest[7:].lstrip(), self._open)
+                return self._respond(200, dumps({"plan": plan}))
+            return self._respond(200, dumps({"plan": explain_select(rest)}))
+        out = execute_select(query, self._open)
+        self._respond(200, table_to_ipc(out), content_type=CONTENT_ARROW)
 
     # ---------------------------------------------------------- tables
     def _list_tables(self):

@@ -618,3 +618,26 @@ class TestAnalyzeDisplayModes:
         assert "--- worker " in per
         full = t.analyze_plan(vec, k=3, mode="full")
         assert "--- aggregate ---" in full and "--- worker " in full
+
+
+class TestRemoteSql:
+    """POST /v1/sql: the SQL engine over the wire, incl. fts() and
+    EXPLAIN."""
+
+    def test_select_and_aggregate(self, remote_db):
+        remote_db.create_table("s", [{"a": i, "g": i % 2} for i in range(10)])
+        out = remote_db.sql("SELECT g, COUNT(*) AS n FROM s GROUP BY g ORDER BY g")
+        assert out.to_pylist() == [{"g": 0, "n": 5}, {"g": 1, "n": 5}]
+
+    def test_explain(self, remote_db):
+        remote_db.create_table("s2", [{"a": 1}])
+        plan = remote_db.sql("EXPLAIN SELECT * FROM s2").column("plan")[0].as_py()
+        assert "ScanExec" in plan
+        plan = remote_db.sql("EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM s2")
+        assert "metrics=" in plan.column("plan")[0].as_py()
+
+    def test_sql_error_surfaces(self, remote_db):
+        from lancedb_tpu.errors import HttpError
+
+        with pytest.raises(HttpError):
+            remote_db.sql("SELECT FROM WHERE")
