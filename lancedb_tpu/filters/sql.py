@@ -33,6 +33,8 @@ class Literal(Expr):
     value: Any  # None | bool | int | float | str | list
 
     def sql(self) -> str:
+        import datetime as _dt
+
         v = self.value
         if v is None:
             return "NULL"
@@ -42,7 +44,17 @@ class Literal(Expr):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, (list, tuple)):
             return "(" + ", ".join(Literal(x).sql() for x in v) + ")"
-        return repr(v)
+        if isinstance(v, _dt.datetime):
+            # resolved subquery results round-trip through SQL text for
+            # scan pushdown — render temporals as parseable CASTs
+            return f"CAST('{v.isoformat()}' AS timestamp)"
+        if isinstance(v, _dt.date):
+            return f"CAST('{v.isoformat()}' AS date)"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        raise SqlParseError(
+            f"cannot render a {type(v).__name__} literal as SQL"
+        )
 
 
 @dataclass(frozen=True)

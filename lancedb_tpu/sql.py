@@ -493,10 +493,28 @@ def execute_select(
     if isinstance(stmt, UnionStatement):
         return _execute_union(stmt, open_table)
 
-    if stmt.where is not None:
-        stmt.where = _resolve_subqueries(stmt.where, open_table)
-    if stmt.having is not None:
-        stmt.having = _resolve_subqueries(stmt.having, open_table)
+    # resolve subquery expressions in every clause, on a COPY — the
+    # caller's statement object must stay re-executable (resolution
+    # bakes in one execution's subquery results)
+    if _has_subqueries(stmt):
+        rs = lambda e: _resolve_subqueries(e, open_table)
+        import copy as _copy
+
+        stmt = _copy.copy(stmt)
+        stmt.items = [
+            it if isinstance(it.expr, Star) else SelectItem(rs(it.expr), it.alias)
+            for it in stmt.items
+        ]
+        stmt.where = rs(stmt.where) if stmt.where is not None else None
+        stmt.having = rs(stmt.having) if stmt.having is not None else None
+        stmt.group_by = [rs(e) for e in stmt.group_by]
+        stmt.order_by = [(rs(e), d) for e, d in stmt.order_by]
+    elif stmt.group_by:
+        # the alias-resolution below mutates group_by — copy first
+        import copy as _copy
+
+        stmt = _copy.copy(stmt)
+        stmt.group_by = list(stmt.group_by)
 
     if stmt.joins:
         data, stmt = _load_joined(stmt, open_table)
@@ -544,6 +562,20 @@ def execute_select(
     return out
 
 
+def _has_subqueries(stmt: "SelectStatement") -> bool:
+    exprs = (
+        [it.expr for it in stmt.items if not isinstance(it.expr, Star)]
+        + stmt.group_by
+        + [stmt.having, stmt.where]
+        + [e for e, _ in stmt.order_by]
+    )
+    return any(
+        isinstance(n, (Subquery, Exists))
+        for e in exprs if e is not None
+        for n in _walk(e)
+    )
+
+
 def _resolve_subqueries(e: Expr, open_table) -> Expr:
     """Replace Subquery nodes with literal values: the RHS of IN/NOT IN
     becomes a value list; any other position is a scalar subquery
@@ -566,12 +598,17 @@ def _resolve_subqueries(e: Expr, open_table) -> Expr:
 
     def rw(node: Expr) -> Expr:
         if isinstance(node, Exists):
+            inner = node.stmt
             probe = execute_select(
                 SelectStatement(
-                    items=node.stmt.items, source=node.stmt.source,
-                    joins=node.stmt.joins, where=node.stmt.where,
-                    group_by=node.stmt.group_by, having=node.stmt.having,
-                    order_by=[], limit=1, offset=0,
+                    items=inner.items, source=inner.source,
+                    joins=inner.joins, where=inner.where,
+                    group_by=inner.group_by, having=inner.having,
+                    order_by=[],
+                    # existence needs at most one surviving row, but the
+                    # inner LIMIT/OFFSET are part of the row set
+                    limit=1 if inner.limit is None else min(inner.limit, 1),
+                    offset=inner.offset,
                 ),
                 open_table,
             )
@@ -580,7 +617,14 @@ def _resolve_subqueries(e: Expr, open_table) -> Expr:
             return run(node, want_list=False)
         if isinstance(node, BinaryOp):
             if node.op in ("in", "not_in") and isinstance(node.right, Subquery):
-                return BinaryOp(node.op, rw(node.left), run(node.right, want_list=True))
+                lst = run(node.right, want_list=True)
+                if any(v is None for v in lst.value):
+                    # SQL three-valued logic: x NOT IN (..., NULL) is
+                    # never TRUE; x IN drops NULLs (match only on values)
+                    if node.op == "not_in":
+                        return Literal(False)
+                    lst = Literal([v for v in lst.value if v is not None])
+                return BinaryOp(node.op, rw(node.left), lst)
             return BinaryOp(node.op, rw(node.left), rw(node.right))
         if isinstance(node, UnaryOp):
             return UnaryOp(node.op, rw(node.operand))

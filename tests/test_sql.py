@@ -519,3 +519,58 @@ class TestExistsSubquery:
             "SELECT COUNT(*) AS n FROM sales WHERE id < 10 AND EXISTS (SELECT v FROM probe2)"
         ).to_pylist()
         assert out[0]["n"] == 10
+
+
+class TestSubquerySemantics:
+    """Post-review subquery fixes: projection-position subqueries,
+    temporal pushdown, NULL three-valued logic, inner LIMIT in EXISTS,
+    statement re-executability."""
+
+    def test_scalar_subquery_in_projection(self, db):
+        out = db.sql("SELECT (SELECT MAX(id) FROM sales) AS m, id FROM sales LIMIT 2")
+        assert out.to_pylist()[0]["m"] == 99
+
+    def test_timestamp_scalar_subquery_pushdown(self, tmp_db):
+        import datetime as dt
+
+        import pyarrow as pa
+
+        rows = pa.table({
+            "ts": pa.array([dt.datetime(2024, 1, i + 1) for i in range(5)]),
+            "v": pa.array(range(5)),
+        })
+        tmp_db.create_table("tt", rows)
+        out = tmp_db.sql(
+            "SELECT COUNT(*) AS n FROM tt WHERE ts >= (SELECT MAX(ts) FROM tt)"
+        ).to_pylist()
+        assert out[0]["n"] == 1
+
+    def test_not_in_with_null_subquery_result(self, tmp_db):
+        import pyarrow as pa
+
+        tmp_db.create_table("t5", [{"a": i} for i in range(1, 6)])
+        tmp_db.create_table("n5", pa.table({"c": pa.array([1, None], type=pa.int64())}))
+        out = tmp_db.sql(
+            "SELECT COUNT(*) AS n FROM t5 WHERE a NOT IN (SELECT c FROM n5)"
+        ).to_pylist()
+        assert out[0]["n"] == 0  # three-valued logic: never TRUE
+        out = tmp_db.sql(
+            "SELECT COUNT(*) AS n FROM t5 WHERE a IN (SELECT c FROM n5)"
+        ).to_pylist()
+        assert out[0]["n"] == 1  # NULLs dropped from the match set
+
+    def test_exists_honors_inner_limit(self, db):
+        out = db.sql(
+            "SELECT COUNT(*) AS n FROM sales WHERE EXISTS (SELECT id FROM sales LIMIT 0)"
+        ).to_pylist()
+        assert out[0]["n"] == 0
+
+    def test_statement_object_reexecutes_fresh(self, tmp_db):
+        from lancedb_tpu.sql import execute_select, parse_select
+
+        tmp_db.create_table("base", [{"a": 1}, {"a": 2}])
+        tmp_db.create_table("keys", [{"c": 1}])
+        stmt = parse_select("SELECT COUNT(*) AS n FROM base WHERE a IN (SELECT c FROM keys)")
+        assert execute_select(stmt, tmp_db.open_table).to_pylist()[0]["n"] == 1
+        tmp_db.open_table("keys").add([{"c": 2}])
+        assert execute_select(stmt, tmp_db.open_table).to_pylist()[0]["n"] == 2
