@@ -1129,7 +1129,13 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
 
     # group keys with nulls: pyarrow group_by keeps null groups (SQL too)
     if stmt.having is not None:
-        mask = evaluate_predicate_mask(env, _replace(stmt.having, binding))
+        # HAVING may reference select-item aliases (HAVING n > 3 for
+        # COUNT(*) AS n) — standard SQL / DataFusion behavior
+        having_binding = dict(binding)
+        for it in stmt.items:
+            if it.alias and not isinstance(it.expr, Star):
+                having_binding[Column(it.alias).sql()] = _replace(it.expr, binding)
+        mask = evaluate_predicate_mask(env, _replace(stmt.having, having_binding))
         env = env.filter(pa.array(mask))
 
     out_cols: dict[str, pa.Array] = {}

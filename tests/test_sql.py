@@ -574,3 +574,14 @@ class TestSubquerySemantics:
         assert execute_select(stmt, tmp_db.open_table).to_pylist()[0]["n"] == 1
         tmp_db.open_table("keys").add([{"c": 2}])
         assert execute_select(stmt, tmp_db.open_table).to_pylist()[0]["n"] == 2
+
+
+def test_having_with_alias(db):
+    out = db.sql(
+        "SELECT cat, COUNT(*) AS n FROM sales GROUP BY cat HAVING n >= 25 ORDER BY cat"
+    ).to_pylist()
+    assert all(r["n"] == 25 for r in out) and len(out) == 4
+    out = db.sql(
+        "SELECT cat, SUM(qty) AS total FROM sales GROUP BY cat HAVING total > 90 ORDER BY total DESC"
+    ).to_pylist()
+    assert all(r["total"] > 90 for r in out)
