@@ -170,7 +170,7 @@ class JaxBatchFeeder:
                         if stop.is_set():
                             break
 
-        t = threading.Thread(target=produce, daemon=True)
+        t = threading.Thread(target=produce, daemon=True, name="lancedb-jax-feed")
         t.start()
         try:
             while True:

@@ -365,14 +365,25 @@ class TestJaxFeedEdgeCases:
         })
         t = mem_db.create_table("leaksrc", tbl)
         perm = permutation_builder(t).execute()
-        before = threading.active_count()
         feeder = JaxBatchFeeder(
             StreamingDataset(perm, num_splits=8), batch_size=16, columns=["vector"])
         for b in feeder:
             break  # abandon mid-stream
+        # the named producer thread must exit promptly (unrelated
+        # background threads from other tests don't affect this)
         import time as _t
-        _t.sleep(0.5)
-        assert threading.active_count() <= before + 1  # producer exited
+        deadline = _t.time() + 5
+        while _t.time() < deadline:
+            if not any(
+                th.name == "lancedb-jax-feed" and th.is_alive()
+                for th in threading.enumerate()
+            ):
+                break
+            _t.sleep(0.05)
+        assert not any(
+            th.name == "lancedb-jax-feed" and th.is_alive()
+            for th in threading.enumerate()
+        )
 
     def test_integer_columns_keep_dtype(self, mem_db):
         from lancedb_tpu.data import JaxBatchFeeder
