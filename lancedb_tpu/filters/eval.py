@@ -72,7 +72,17 @@ _FUNCTIONS = {
     "date": lambda a: pc.cast(a, pa.date32()),
     "greatest": lambda *args: pc.max_element_wise(*args),
     "least": lambda *args: pc.min_element_wise(*args),
+    "concat": lambda *args: _concat(*args),
 }
+
+
+def _concat(*args):
+    """SQL concat: cast every operand to string and join element-wise."""
+    casted = [
+        a if (hasattr(a, "type") and pa.types.is_string(a.type)) else pc.cast(a, pa.string())
+        for a in args
+    ]
+    return pc.binary_join_element_wise(*casted, "")
 
 
 def _scalar(v):
@@ -195,6 +205,7 @@ class Evaluator:
             "eq": pc.equal, "ne": pc.not_equal, "lt": pc.less, "le": pc.less_equal,
             "gt": pc.greater, "ge": pc.greater_equal, "add": pc.add, "sub": pc.subtract,
             "mul": pc.multiply, "div": pc.divide, "mod": _mod,
+            "concat": _concat,
         }
         return fns[op](left, right)
 

@@ -92,7 +92,7 @@ class BinaryOp(Expr):
         "and": "AND", "or": "OR", "eq": "=", "ne": "!=", "lt": "<", "le": "<=",
         "gt": ">", "ge": ">=", "add": "+", "sub": "-", "mul": "*", "div": "/",
         "mod": "%", "like": "LIKE", "not_like": "NOT LIKE", "in": "IN",
-        "not_in": "NOT IN",
+        "not_in": "NOT IN", "concat": "||",
     }
 
     def sql(self) -> str:
@@ -158,7 +158,7 @@ _KEYWORDS = {
     "END",
 }
 
-_TWO_CHAR = {"<=", ">=", "!=", "<>", "=="}
+_TWO_CHAR = {"<=", ">=", "!=", "<>", "==", "||"}
 
 
 @dataclass
@@ -244,7 +244,7 @@ def _tokenize(src: str) -> list[_Token]:
             toks.append(_Token("op", src[i : i + 2], i))
             i += 2
             continue
-        if c in "=<>+-*/%":
+        if c in "=<>+-*/%|":
             toks.append(_Token("op", c, i))
             i += 1
             continue
@@ -399,9 +399,9 @@ class _Parser:
         left = self.parse_multiplicative()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.text in ("+", "-"):
+            if t.kind == "op" and t.text in ("+", "-", "||"):
                 self.next()
-                op = "add" if t.text == "+" else "sub"
+                op = {"+": "add", "-": "sub", "||": "concat"}[t.text]
                 left = BinaryOp(op, left, self.parse_multiplicative())
             else:
                 return left

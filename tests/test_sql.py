@@ -585,3 +585,12 @@ def test_having_with_alias(db):
         "SELECT cat, SUM(qty) AS total FROM sales GROUP BY cat HAVING total > 90 ORDER BY total DESC"
     ).to_pylist()
     assert all(r["total"] > 90 for r in out)
+
+
+def test_string_concat(db):
+    out = db.sql("SELECT cat || '-' || CAST(id AS string) AS tag FROM sales WHERE id = 7").to_pylist()
+    assert out[0]["tag"] == "c3-7"
+    out = db.sql("SELECT concat(cat, ':', qty) AS t FROM sales WHERE id = 0").to_pylist()
+    assert out[0]["t"] == "c0:1"
+    out = db.sql("SELECT COUNT(*) AS n FROM sales WHERE cat || '' = 'c1'").to_pylist()
+    assert out[0]["n"] == 25
