@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..errors import SqlParseError
+from ..errors import InvalidInputError, SqlParseError
 from .sql import (
     Case,
     Between,
@@ -72,17 +72,20 @@ _FUNCTIONS = {
     "date": lambda a: pc.cast(a, pa.date32()),
     "greatest": lambda *args: pc.max_element_wise(*args),
     "least": lambda *args: pc.min_element_wise(*args),
-    "concat": lambda *args: _concat(*args),
+    "concat": lambda *args: _concat(*args, null_handling="skip"),
 }
 
 
-def _concat(*args):
-    """SQL concat: cast every operand to string and join element-wise."""
+def _concat(*args, null_handling: str = "emit_null"):
+    """SQL concat: cast every operand to string and join element-wise.
+
+    The || operator propagates NULL (emit_null); the concat() function
+    skips NULL arguments, matching DataFusion/Postgres."""
     casted = [
         a if (hasattr(a, "type") and pa.types.is_string(a.type)) else pc.cast(a, pa.string())
         for a in args
     ]
-    return pc.binary_join_element_wise(*casted, "")
+    return pc.binary_join_element_wise(*casted, "", null_handling=null_handling)
 
 
 def _scalar(v):
@@ -298,7 +301,12 @@ def evaluate_predicate_mask(
 ) -> np.ndarray:
     """Evaluate a boolean predicate → numpy bool mask (NULL ⇒ False)."""
     ast = parse_sql_expr(predicate) if isinstance(predicate, str) else predicate
-    out = Evaluator(data).evaluate(ast)
+    try:
+        out = Evaluator(data).evaluate(ast)
+    except pa.lib.ArrowInvalid as e:
+        raise InvalidInputError(f"predicate failed: {e}") from None
+    except pa.lib.ArrowNotImplementedError as e:
+        raise InvalidInputError(f"type error in predicate: {e}") from None
     if isinstance(out, pa.Scalar):
         v = out.as_py()
         return np.full(data.num_rows, bool(v) if v is not None else False)
@@ -315,7 +323,13 @@ def evaluate_expression(data: pa.Table | pa.RecordBatch, expr: str | Expr) -> pa
     """Evaluate a scalar expression column-wise (for dynamic SELECT /
     update assignments / add_columns backfill)."""
     ast = parse_sql_expr(expr) if isinstance(expr, str) else expr
-    out = Evaluator(data).evaluate(ast)
+    try:
+        out = Evaluator(data).evaluate(ast)
+    except pa.lib.ArrowInvalid as e:
+        raise InvalidInputError(f"expression failed: {e}") from None
+    except pa.lib.ArrowNotImplementedError as e:
+        # type mismatches (e.g. int + string) surface as typed errors
+        raise InvalidInputError(f"type error in expression: {e}") from None
     if isinstance(out, pa.Scalar):
         return pa.array([out.as_py()] * data.num_rows, type=out.type)
     if isinstance(out, pa.ChunkedArray):

@@ -399,9 +399,9 @@ class _Parser:
         left = self.parse_multiplicative()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.text in ("+", "-", "||"):
+            if t.kind == "op" and t.text in ("+", "-"):
                 self.next()
-                op = {"+": "add", "-": "sub", "||": "concat"}[t.text]
+                op = "add" if t.text == "+" else "sub"
                 left = BinaryOp(op, left, self.parse_multiplicative())
             else:
                 return left
@@ -410,9 +410,10 @@ class _Parser:
         left = self.parse_unary()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.text in ("*", "/", "%"):
+            if t.kind == "op" and t.text in ("*", "/", "%", "||"):
+                # || binds at this level, matching DataFusion/sqlparser-rs
                 self.next()
-                op = {"*": "mul", "/": "div", "%": "mod"}[t.text]
+                op = {"*": "mul", "/": "div", "%": "mod", "||": "concat"}[t.text]
                 left = BinaryOp(op, left, self.parse_unary())
             else:
                 return left

@@ -1134,7 +1134,11 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
         having_binding = dict(binding)
         for it in stmt.items:
             if it.alias and not isinstance(it.expr, Star):
-                having_binding[Column(it.alias).sql()] = _replace(it.expr, binding)
+                # standard SQL: a grouped COLUMN of the same name takes
+                # precedence over the select alias in HAVING
+                having_binding.setdefault(
+                    Column(it.alias).sql(), _replace(it.expr, binding)
+                )
         mask = evaluate_predicate_mask(env, _replace(stmt.having, having_binding))
         env = env.filter(pa.array(mask))
 

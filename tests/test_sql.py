@@ -594,3 +594,34 @@ def test_string_concat(db):
     assert out[0]["t"] == "c0:1"
     out = db.sql("SELECT COUNT(*) AS n FROM sales WHERE cat || '' = 'c1'").to_pylist()
     assert out[0]["n"] == 25
+
+
+class TestConcatSemantics:
+    """Post-review: HAVING alias vs grouped column precedence, concat()
+    NULL skipping vs || propagation, ||'s DataFusion precedence, typed
+    type errors."""
+
+    def test_having_column_beats_alias(self, tmp_db):
+        import pyarrow as pa
+
+        tmp_db.create_table("h", pa.table({"cat": pa.array(["a", "a", "b"])}))
+        out = tmp_db.sql(
+            "SELECT upper(cat) AS cat, COUNT(*) AS n FROM h GROUP BY cat HAVING cat = 'a'"
+        ).to_pylist()
+        assert out == [{"cat": "A", "n": 2}]
+
+    def test_concat_null_handling(self, tmp_db):
+        import pyarrow as pa
+
+        tmp_db.create_table("c", pa.table({"x": pa.array(["x", None])}))
+        out = tmp_db.sql("SELECT concat(x, '-') AS c, x || '-' AS o FROM c").to_pylist()
+        assert [r["c"] for r in out] == ["x-", "-"]
+        assert [r["o"] for r in out] == ["x-", None]
+
+    def test_concat_precedence_type_error_is_typed(self, tmp_db):
+        from lancedb_tpu.errors import InvalidInputError
+
+        tmp_db.create_table("p", [{"n": 2}])
+        # 1 + 2 || 'z' groups as 1 + (2 || 'z') like DataFusion -> typed error
+        with pytest.raises(InvalidInputError, match="type error"):
+            tmp_db.sql("SELECT 1 + 2 || 'z' AS v FROM p")
