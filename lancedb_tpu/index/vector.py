@@ -1207,24 +1207,33 @@ class VectorSearcher:
         """Exact rerank of candidates: gather original full-precision
         vectors from the dataset (late materialization, reference
         SURVEY.md §3.2 refine) and recompute distances."""
-        nq, cand = row_ids.shape
-        flat_ids = row_ids.reshape(-1)
-        valid = flat_ids != np.uint64(np.iinfo(np.uint64).max)
-        uniq, inverse = np.unique(flat_ids[valid], return_inverse=True)
-        tbl = dataset.take_rows(uniq, columns=[column])
-        mat = fsl_to_numpy(tbl.column(column))
-        if self.metric == "cosine":
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        gathered = np.zeros((nq * cand, mat.shape[1]), dtype=np.float32)
-        gathered[valid] = mat[inverse]
-        cands = gathered.reshape(nq, cand, -1)
-        q = np.asarray(queries, dtype=np.float32)
-        if self.metric == "cosine":
-            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        exact = np.asarray(refine_distances(jnp.asarray(q), jnp.asarray(cands), self.metric))
-        exact = np.where(valid.reshape(nq, cand), exact, np.inf)
-        order = np.argsort(exact, axis=1)[:, :k]
-        return np.take_along_axis(exact, order, axis=1), np.take_along_axis(row_ids, order, axis=1)
+        return refine_candidates(dataset, column, queries, row_ids, k, self.metric)
+
+
+def refine_candidates(
+    dataset, column: str, queries: np.ndarray, row_ids: np.ndarray, k: int, metric: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact rerank shared by the single-device and mesh-serving paths:
+    gathers only the candidate rows (k·refine per query), never the
+    index."""
+    nq, cand = row_ids.shape
+    flat_ids = row_ids.reshape(-1)
+    valid = flat_ids != np.uint64(np.iinfo(np.uint64).max)
+    uniq, inverse = np.unique(flat_ids[valid], return_inverse=True)
+    tbl = dataset.take_rows(uniq, columns=[column])
+    mat = fsl_to_numpy(tbl.column(column))
+    if metric == "cosine":
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    gathered = np.zeros((nq * cand, mat.shape[1]), dtype=np.float32)
+    gathered[valid] = mat[inverse]
+    cands = gathered.reshape(nq, cand, -1)
+    q = np.asarray(queries, dtype=np.float32)
+    if metric == "cosine":
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    exact = np.asarray(refine_distances(jnp.asarray(q), jnp.asarray(cands), metric))
+    exact = np.where(valid.reshape(nq, cand), exact, np.inf)
+    order = np.argsort(exact, axis=1)[:, :k]
+    return np.take_along_axis(exact, order, axis=1), np.take_along_axis(row_ids, order, axis=1)
 
 
 def load_searcher(dataset, meta: IndexMeta):

@@ -182,8 +182,11 @@ class ShardedIvfPqIndex:
         # (which queries probe together) across the mesh for load balance.
         # row_ids stay in ORIGINAL block order: global slot = b·pmax+off.
         deal = np.concatenate([np.arange(s, nblocks, shard_n) for s in range(shard_n)])
+        self._deal = deal
+        self.num_slots = nblocks * pmax
         shard3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
         shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+        self._shard2 = shard2
         repl = NamedSharding(mesh, P())
         self._centroids = jax.device_put(block_cents, repl)
         self._codebooks = jax.device_put(codebooks.astype(np.float32), repl)
@@ -194,7 +197,7 @@ class ShardedIvfPqIndex:
         self._rotation = None if rotation is None else np.asarray(rotation, np.float32)
         self._steps: dict[tuple[int, int], callable] = {}
 
-    def _make_step(self, k: int, nprobes: int):
+    def _make_step(self, k: int, nprobes: int, has_mask: bool = False):
         mesh = self.mesh
         nsub = self._codebooks.shape[0]
         dsub = self._codebooks.shape[2]
@@ -210,8 +213,15 @@ class ShardedIvfPqIndex:
         budget = min(nprobes, nblocks_loc, 2 * (-(-nprobes // shard_n)) + 4)
         use_pallas = _pallas_available()
 
-        def step(q, q_lut, centroids, codebooks, codes, rnorms):
-            def local(q_blk, q_lut_blk, cents, cbs, codes_loc, rn_loc):
+        def step(q, q_lut, centroids, codebooks, codes, rnorms, pen):
+            def local(q_blk, q_lut_blk, cents, cbs, codes_loc, rn_loc, pen_loc):
+                if has_mask:
+                    # prefilter/deletion penalty is additive into the
+                    # residual-norm term of the ADC expansion, so a
+                    # per-slot add before the scan masks filtered rows
+                    # in BOTH the Pallas and XLA paths (clamped: PAD
+                    # rnorm + PAD penalty must not overflow f32)
+                    rn_loc = jnp.minimum(rn_loc + pen_loc, PAD)
                 my_shard = jax.lax.axis_index(SHARD_AXIS)
                 qb = q_blk.shape[0]
                 qf = q_blk.astype(jnp.float32)
@@ -283,15 +293,47 @@ class ShardedIvfPqIndex:
                 in_specs=(
                     P(QUERY_AXIS), P(QUERY_AXIS), P(), P(),
                     P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                    P(SHARD_AXIS, None),
                 ),
                 out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
                 check_vma=False,
-            )(q, q_lut, centroids, codebooks, codes, rnorms)
+            )(q, q_lut, centroids, codebooks, codes, rnorms, pen)
 
         return jax.jit(step)
 
-    def search(self, queries: np.ndarray, k: int, nprobes: int = 20):
+    def slot_penalty(
+        self,
+        allowed_row_ids: np.ndarray | None,
+        deleted_row_ids: np.ndarray | None,
+        vanished_fragments: set[int] | None = None,
+    ) -> np.ndarray | None:
+        """Per-slot additive penalty in ORIGINAL block order (the same
+        layout the single-device searcher uses — index/vector.py
+        VectorSearcher.slot_penalty), sized to this index's shard-padded
+        slot count."""
+        no_deleted = deleted_row_ids is None or not len(deleted_row_ids)
+        if allowed_row_ids is None and no_deleted and not vanished_fragments:
+            return None
+        penalty = np.zeros(self.num_slots, dtype=np.float32)
+        rid = self.row_ids
+        if allowed_row_ids is not None:
+            penalty[~np.isin(rid, allowed_row_ids)] = PAD
+        if not no_deleted:
+            penalty[np.isin(rid, deleted_row_ids)] = PAD
+        if vanished_fragments:
+            frag_of = (rid >> np.uint64(32)).astype(np.int64)
+            dead = np.isin(frag_of, np.fromiter(vanished_fragments, dtype=np.int64))
+            penalty[dead] = PAD
+        return penalty
+
+    def search(self, queries: np.ndarray, k: int, nprobes: int = 20,
+               slot_penalty: np.ndarray | None = None):
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.metric == "cosine":
+            # the persisted index quantizes unit-normalized vectors; the
+            # ADC scan then computes l2² = 2·(1−cos) (mirrors the
+            # single-device cosine path, index/vector.py search())
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         nq = q.shape[0]
         qpar = self.mesh.shape[QUERY_AXIS]
         pad_q = (-nq) % max(qpar, 1)
@@ -302,15 +344,27 @@ class ShardedIvfPqIndex:
             self.nblocks,
             max(1, int(np.ceil(nprobes * self.nblocks / self.num_logical_partitions))),
         )
-        key = (k, npb)
+        has_mask = slot_penalty is not None
+        key = (k, npb, has_mask)
         if key not in self._steps:
-            self._steps[key] = self._make_step(k, npb)
+            self._steps[key] = self._make_step(k, npb, has_mask=has_mask)
+        if has_mask:
+            pen = np.zeros(self.num_slots, dtype=np.float32)
+            pen[: len(slot_penalty)] = slot_penalty  # single-device layouts are a prefix
+            # deal into shard order the same way the blocks were dealt
+            pen_j = jax.device_put(
+                pen.reshape(self.nblocks, self.pmax)[self._deal], self._shard2
+            )
+        else:
+            pen_j = jax.device_put(
+                np.zeros((self.nblocks, 1), np.float32)[self._deal], self._shard2
+            )
         qspec = NamedSharding(self.mesh, P(QUERY_AXIS, None))
         qj = jax.device_put(q, qspec)
         q_lut = q if self._rotation is None else q @ self._rotation.T
         qlj = jax.device_put(np.ascontiguousarray(q_lut), qspec)
         vals, slots = self._steps[key](
-            qj, qlj, self._centroids, self._codebooks, self._codes, self._rnorms
+            qj, qlj, self._centroids, self._codebooks, self._codes, self._rnorms, pen_j
         )
         vals = np.asarray(vals)[:nq]
         slots = np.asarray(slots)[:nq]
@@ -318,6 +372,9 @@ class ShardedIvfPqIndex:
         invalid = vals >= np.float32(3.0e38) / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
         vals = np.where(invalid, np.inf, vals)
+        if self.metric == "cosine":
+            # unit-sphere l2² → cosine distance (matches single-device)
+            vals = np.where(np.isfinite(vals), vals / 2.0, vals)
         if vals.shape[1] < k:
             # candidate pool smaller than requested k: pad (callers pad-
             # tolerate via the invalid markers, matching single-device)

@@ -11,11 +11,13 @@ pipeline the single-chip searcher uses:
     tbl.search(q).nprobes(20).to_arrow()   # now fans out over the mesh
 
 The adapter implements the searcher interface execute_vector_query
-drives (`search`/`slot_penalty`/`refine`/`metric`). Prefiltered or
-deletion-masked queries fall back to the single-device searcher —
-penalty vectors are laid out per-chip differently, and filtered
-serving is latency- not throughput-bound. Refine reranks on one chip
-(it touches k·refine rows, not the corpus).
+drives (`search`/`slot_penalty`/`refine`/`metric`). Prefiltered and
+deletion-masked queries fan out too: the per-slot penalty lives in the
+same block layout the shards were dealt from, so each shard adds its
+slice of the penalty into the residual norms before the ADC scan
+(parallel/build.py search(slot_penalty=...)). Refine reranks on the
+host via the dataset gather — it touches k·refine rows, not the
+corpus — without ever loading the single-device index.
 """
 
 from __future__ import annotations
@@ -26,48 +28,36 @@ from ..errors import InvalidInputError
 
 
 class ShardedServingSearcher:
-    """Mesh-sharded drop-in for VectorSearcher (index/vector.py).
-
-    The single-device searcher loads LAZILY, on the first query that
-    needs it (filters/deletions/refine) — pure unfiltered serving never
-    double-loads the index."""
+    """Mesh-sharded drop-in for VectorSearcher (index/vector.py)."""
 
     def __init__(self, sharded, fallback_loader, metric, params, index_type):
         self._sharded = sharded
+        # retained as a seam for index types the sharded kernel cannot
+        # serve; the IVF_PQ l2/cosine paths never load it
         self._fallback_loader = fallback_loader
-        self._fallback_cached = None
         self.metric = metric
         self.params = params
         self.index_type = index_type
 
-    @property
-    def _fallback(self):
-        if self._fallback_cached is None:
-            self._fallback_cached = self._fallback_loader()
-        return self._fallback_cached
-
     # -- interface driven by execute_vector_query ------------------------
     def slot_penalty(self, allowed_row_ids, deleted_row_ids, vanished_fragments=None):
-        if allowed_row_ids is None and deleted_row_ids is None and not vanished_fragments:
-            return None
-        return self._fallback.slot_penalty(
+        return self._sharded.slot_penalty(
             allowed_row_ids, deleted_row_ids, vanished_fragments=vanished_fragments
         )
 
     def search(self, queries, params, slot_penalty=None):
-        if slot_penalty is not None:
-            # filters/deletions: single-device path understands the
-            # per-slot penalty layout
-            return self._fallback.search(queries, params, slot_penalty=slot_penalty)
         # refine reranks k_eff candidates, mirroring the single-device
         # searcher (index/vector.py k_eff expansion)
         k_eff = params.k if params.refine_factor is None else params.k * params.refine_factor
         return self._sharded.search(
-            np.asarray(queries, np.float32), k=k_eff, nprobes=params.nprobes
+            np.asarray(queries, np.float32), k=k_eff, nprobes=params.nprobes,
+            slot_penalty=slot_penalty,
         )
 
     def refine(self, dataset, column, queries, dists, row_ids, k):
-        return self._fallback.refine(dataset, column, queries, dists, row_ids, k)
+        from ..index.vector import refine_candidates
+
+        return refine_candidates(dataset, column, queries, row_ids, k, self.metric)
 
 
 def make_sharded_searcher(mesh, dataset, index_meta, fallback_loader):
@@ -81,11 +71,12 @@ def make_sharded_searcher(mesh, dataset, index_meta, fallback_loader):
             f"sharded serving supports IVF_PQ indexes (got {index_meta.index_type})"
         )
     metric = index_meta.params.get("metric", "l2")
-    if metric != "l2":
-        # the sharded ADC kernel computes l2 expansions; cosine/dot
-        # need the single-device normalization/reporting path
+    if metric not in ("l2", "cosine"):
+        # the sharded ADC kernel computes l2 expansions; on the unit
+        # sphere that also yields cosine — dot needs the single-device
+        # reporting path
         raise InvalidInputError(
-            f"sharded serving currently supports the l2 metric (index is {metric})"
+            f"sharded serving supports l2/cosine metrics (index is {metric})"
         )
     sharded = ShardedIvfPqIndex.from_dataset(mesh, dataset, index_meta)
     return ShardedServingSearcher(
