@@ -77,6 +77,55 @@ class Aggregate(Expr):
         return f"{self.func.upper()}({self.arg.sql()})"
 
 
+#: window-only functions (everything else under OVER must be an aggregate)
+_RANKING_FUNCS = {
+    "row_number", "rank", "dense_rank", "ntile", "percent_rank", "cume_dist",
+    "lag", "lead", "first_value", "last_value", "nth_value",
+}
+
+
+@dataclass(frozen=True)
+class WindowFunc(Expr):
+    """fn(args) OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...]).
+
+    Reference surface: the DataFusion window operators the reference
+    exposes through SQL (table/datafusion.rs registers BaseTable as a
+    TableProvider; the dialect is DataFusion 54's). `frame` is
+    (start, end) row offsets relative to the current row with None for
+    UNBOUNDED (ROWS mode); frame=None means the SQL default frame
+    (RANGE UNBOUNDED PRECEDING..CURRENT ROW when ORDER BY is present,
+    the whole partition otherwise)."""
+
+    func: str
+    args: tuple = ()
+    partition_by: tuple = ()
+    order_by: tuple = ()          # ((expr, desc), ...)
+    frame: tuple | None = None    # (start|None, end|None) in ROWS mode
+
+    def sql(self) -> str:
+        if self.func == "count_all":
+            head = "COUNT(*)"
+        else:
+            head = f"{self.func.upper()}({', '.join(a.sql() for a in self.args)})"
+        parts = []
+        if self.partition_by:
+            parts.append("PARTITION BY " + ", ".join(e.sql() for e in self.partition_by))
+        if self.order_by:
+            parts.append(
+                "ORDER BY "
+                + ", ".join(e.sql() + (" DESC" if d else "") for e, d in self.order_by)
+            )
+        if self.frame is not None:
+            def b(v, side):
+                if v is None:
+                    return f"UNBOUNDED {side}"
+                if v == 0:
+                    return "CURRENT ROW"
+                return f"{abs(v)} {'PRECEDING' if v < 0 else 'FOLLOWING'}"
+            parts.append(f"ROWS BETWEEN {b(self.frame[0], 'PRECEDING')} AND {b(self.frame[1], 'FOLLOWING')}")
+        return f"{head} OVER ({' '.join(parts)})"
+
+
 @dataclass
 class SelectItem:
     expr: Expr
@@ -123,6 +172,9 @@ class SelectStatement:
     limit: int | None = None
     offset: int = 0
     distinct: bool = False
+    # WITH name [(cols)] AS (...) bindings visible to this statement and
+    # every subquery under it: [(name, statement, column_aliases)]
+    ctes: list[tuple] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -160,6 +212,7 @@ class UnionStatement:
     order_by: list[tuple[Expr, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
+    ctes: list[tuple] = field(default_factory=list)
 
 
 class _SelectParser(_Parser):
@@ -194,6 +247,12 @@ class _SelectParser(_Parser):
         return super().parse_paren_list()
 
     def parse_primary(self) -> Expr:
+        e = self._parse_primary_inner()
+        if self._at_word("OVER"):
+            e = self._parse_over(e)
+        return e
+
+    def _parse_primary_inner(self) -> Expr:
         if self._at_subquery():
             return self._parse_subquery()
         if self._at_word("EXISTS"):
@@ -221,6 +280,82 @@ class _SelectParser(_Parser):
                 self.expect("rparen")
                 return Aggregate("count_distinct" if distinct else fname, arg)
         return super().parse_primary()
+
+    def _parse_over(self, operand: Expr) -> WindowFunc:
+        """operand OVER (PARTITION BY ... ORDER BY ... [ROWS frame])."""
+        self.next()  # OVER
+        if isinstance(operand, Aggregate):
+            if operand.func == "count_distinct":
+                raise SqlParseError("COUNT(DISTINCT ...) OVER is not supported")
+            func = operand.func
+            args = () if operand.arg is None else (operand.arg,)
+        elif isinstance(operand, FunctionCall) and operand.name.lower() in _RANKING_FUNCS:
+            func = operand.name.lower()
+            args = tuple(operand.args)
+        else:
+            raise SqlParseError(
+                f"{operand.sql()!r} is not a window function or aggregate"
+            )
+        self.expect("lparen")
+        partition_by: list[Expr] = []
+        order_by: list[tuple[Expr, bool]] = []
+        frame = None
+        if self._eat_word("PARTITION"):
+            if not self._eat_word("BY"):
+                raise SqlParseError("expected BY after PARTITION")
+            partition_by = self.parse_expr_list()
+        if self._eat_word("ORDER"):
+            if not self._eat_word("BY"):
+                raise SqlParseError("expected BY after ORDER")
+            while True:
+                e = self.parse_or()
+                desc = bool(self._eat_word("DESC"))
+                if not desc:
+                    self._eat_word("ASC")
+                order_by.append((e, desc))
+                if self.peek().kind == "comma":
+                    self.next()
+                    continue
+                break
+        if self._at_word("ROWS", "RANGE", "GROUPS"):
+            mode = self.next().text.upper()
+            if mode != "ROWS":
+                raise SqlParseError(f"only ROWS window frames are supported (got {mode})")
+
+            def bound(first: bool) -> int | None:
+                if self._eat_word("UNBOUNDED"):
+                    if not self._eat_word("PRECEDING" if first else "FOLLOWING"):
+                        # UNBOUNDED FOLLOWING as a start / PRECEDING as an
+                        # end are nonsensical; surface the keyword error
+                        w = self.next()
+                        raise SqlParseError(f"unexpected {w.text!r} after UNBOUNDED")
+                    return None
+                if self._eat_word("CURRENT"):
+                    if not self._eat_word("ROW"):
+                        raise SqlParseError("expected ROW after CURRENT")
+                    return 0
+                n = int(self.expect("number").text)
+                if self._eat_word("PRECEDING"):
+                    return -n
+                if self._eat_word("FOLLOWING"):
+                    return n
+                raise SqlParseError("expected PRECEDING or FOLLOWING")
+
+            if self._eat_word("BETWEEN"):
+                start = bound(True)
+                if not self._eat_word("AND"):
+                    raise SqlParseError("expected AND in window frame")
+                end = bound(False)
+            else:
+                start = bound(True)
+                end = 0
+            if start is not None and end is not None and start > end:
+                raise SqlParseError("window frame start is after frame end")
+            frame = (start, end)
+        self.expect("rparen")
+        return WindowFunc(
+            func, args, tuple(partition_by), tuple(order_by), frame
+        )
 
     def parse_expr_list(self) -> list[Expr]:
         out = [self.parse_or()]
@@ -362,6 +497,43 @@ def _eq_pairs(cond: Expr) -> list[tuple[Expr, Expr]]:
 
 def parse_select(sql: str) -> "SelectStatement | UnionStatement":
     p = _SelectParser(sql)
+    # WITH name [(col, ...)] AS (select), ... — CTEs bind for the whole
+    # statement, later CTEs may reference earlier ones (DataFusion /
+    # standard SQL; RECURSIVE is not supported)
+    ctes: list[tuple] = []
+    if p._eat_word("WITH"):
+        if p._at_word("RECURSIVE"):
+            raise SqlParseError("WITH RECURSIVE is not supported")
+        while True:
+            name = p.expect("ident").text
+            cols: list[str] | None = None
+            if p.peek().kind == "lparen":
+                p.next()
+                cols = [p.expect("ident").text]
+                while p.peek().kind == "comma":
+                    p.next()
+                    cols.append(p.expect("ident").text)
+                p.expect("rparen")
+            if not p.accept_kw("AS") and not p._eat_word("AS"):
+                raise SqlParseError(f"expected AS after WITH {name}")
+            p.expect("lparen")
+            sub = _parse_set_expr(p)
+            p.expect("rparen")
+            ctes.append((name, sub, cols))
+            if p.peek().kind == "comma":
+                p.next()
+                continue
+            break
+    stmt = _parse_set_expr(p)
+    if p.peek().kind != "eof":
+        t = p.peek()
+        raise SqlParseError(f"unexpected trailing token {t.text!r} at {t.pos}")
+    stmt.ctes = ctes
+    return stmt
+
+
+def _parse_set_expr(p: _SelectParser) -> "SelectStatement | UnionStatement":
+    """SELECT [UNION [ALL] SELECT]* — one set expression."""
     stmt = p.parse_select()
     selects = [stmt]
     is_all = None
@@ -374,9 +546,6 @@ def parse_select(sql: str) -> "SelectStatement | UnionStatement":
         elif is_all != this_all:
             raise SqlParseError("mixed UNION / UNION ALL is not supported")
         selects.append(p.parse_select())
-    if p.peek().kind != "eof":
-        t = p.peek()
-        raise SqlParseError(f"unexpected trailing token {t.text!r} at {t.pos}")
     if len(selects) == 1:
         return stmt
     # standard SQL: the trailing ORDER BY/LIMIT of the text bind to the
@@ -416,6 +585,13 @@ def _walk(e: Expr):
             yield from _walk(e.else_)
     elif isinstance(e, Aggregate) and e.arg is not None:
         yield from _walk(e.arg)
+    elif isinstance(e, WindowFunc):
+        for a in e.args:
+            yield from _walk(a)
+        for pexpr in e.partition_by:
+            yield from _walk(pexpr)
+        for oexpr, _ in e.order_by:
+            yield from _walk(oexpr)
 
 
 def _columns_of(exprs) -> set[str]:
@@ -440,33 +616,546 @@ def _find_aggs(exprs) -> list[Aggregate]:
     return list(found.values())
 
 
-def _replace(e: Expr, table: dict[str, Expr]) -> Expr:
+def _replace(e: Expr, table: dict[str, Expr], into_subqueries: bool = False) -> Expr:
     """Rewrite: any sub-expression whose .sql() is in `table` becomes the
-    mapped expression (used to bind aggregates / group keys to columns)."""
+    mapped expression (used to bind aggregates / group keys to columns).
+
+    `into_subqueries` also substitutes inside Subquery/Exists statements
+    — used ONLY for per-row correlation-variable literal substitution,
+    where the keys are qualified outer references a nested scope cannot
+    capture. Join-env rewriting must NOT descend: replacing `e.dept`
+    with an unqualified `dept` inside a subquery would rebind it to the
+    inner table (name capture); correlated references stay qualified and
+    resolve against the outer row set instead."""
+    r = lambda x: _replace(x, table, into_subqueries)
     key = e.sql()
     if key in table:
         return table[key]
     if isinstance(e, BinaryOp):
-        return BinaryOp(e.op, _replace(e.left, table), _replace(e.right, table))
+        return BinaryOp(e.op, r(e.left), r(e.right))
     if isinstance(e, UnaryOp):
-        return UnaryOp(e.op, _replace(e.operand, table))
+        return UnaryOp(e.op, r(e.operand))
     if isinstance(e, Between):
-        return Between(
-            _replace(e.operand, table), _replace(e.low, table),
-            _replace(e.high, table), e.negated,
-        )
+        return Between(r(e.operand), r(e.low), r(e.high), e.negated)
     if isinstance(e, FunctionCall):
-        return FunctionCall(e.name, tuple(_replace(a, table) for a in e.args))
+        return FunctionCall(e.name, tuple(r(a) for a in e.args))
     if isinstance(e, Cast):
-        return Cast(_replace(e.operand, table), e.type_name)
+        return Cast(r(e.operand), e.type_name)
     if isinstance(e, Case):
         return Case(
-            tuple((_replace(c, table), _replace(v, table)) for c, v in e.whens),
-            _replace(e.else_, table) if e.else_ is not None else None,
+            tuple((r(c), r(v)) for c, v in e.whens),
+            r(e.else_) if e.else_ is not None else None,
         )
     if isinstance(e, Aggregate) and e.arg is not None:
-        return Aggregate(e.func, _replace(e.arg, table))
+        return Aggregate(e.func, r(e.arg))
+    if isinstance(e, (Subquery, Exists)) and into_subqueries:
+        return type(e)(_substitute_stmt(e.stmt, table))
+    if isinstance(e, WindowFunc):
+        new = WindowFunc(
+            e.func,
+            tuple(r(a) for a in e.args),
+            tuple(r(p) for p in e.partition_by),
+            tuple((r(o), d) for o, d in e.order_by),
+            e.frame,
+        )
+        # re-check after child substitution: grouped queries bind window
+        # placeholders by their aggregate-bound sql form
+        return table.get(new.sql(), new)
     return e
+
+
+def _substitute_stmt(stmt, table: dict[str, Expr]):
+    """Deep-copy a statement with _replace applied to every expression
+    position (items, where, group/having/order, join conditions, nested
+    sources and CTE bodies), descending into nested subqueries — the
+    per-row correlation substitution."""
+    import copy as _copy
+
+    r = lambda e: _replace(e, table, into_subqueries=True)
+    if isinstance(stmt, UnionStatement):
+        new = _copy.copy(stmt)
+        new.selects = [_substitute_stmt(s, table) for s in stmt.selects]
+        new.order_by = [(r(e), d) for e, d in stmt.order_by]
+        new.ctes = [(n, _substitute_stmt(s, table), c) for n, s, c in stmt.ctes]
+        return new
+    new = _copy.copy(stmt)
+    new.items = [
+        it if isinstance(it.expr, Star) else SelectItem(r(it.expr), it.alias)
+        for it in stmt.items
+    ]
+    new.where = r(stmt.where) if stmt.where is not None else None
+    new.having = r(stmt.having) if stmt.having is not None else None
+    new.group_by = [r(e) for e in stmt.group_by]
+    new.order_by = [(r(e), d) for e, d in stmt.order_by]
+
+    def sub_source(src: TableSource) -> TableSource:
+        if src.kind == "subquery":
+            out = _copy.copy(src)
+            out.subquery = _substitute_stmt(src.subquery, table)
+            return out
+        return src
+
+    new.source = sub_source(stmt.source)
+    new.joins = [
+        Join(sub_source(j.source), j.how, [(r(a), r(b)) for a, b in j.on])
+        for j in stmt.joins
+    ]
+    new.ctes = [(n, _substitute_stmt(s, table), c) for n, s, c in getattr(stmt, "ctes", [])]
+    return new
+
+
+#: implicit columns every scan can produce
+_IMPLICIT_COLS = {"_rowid", "_score", "_distance", "_relevance_score"}
+
+
+def _output_columns(stmt, open_table) -> set[str]:
+    """Best-effort output column names of a statement (for correlation
+    analysis)."""
+    if isinstance(stmt, UnionStatement):
+        return _output_columns(stmt.selects[0], open_table)
+    out: set[str] = set()
+    for it in stmt.items:
+        if isinstance(it.expr, Star):
+            out |= _source_columns(stmt.source, open_table)
+            for j in stmt.joins:
+                out |= _source_columns(j.source, open_table)
+        else:
+            out.add(it.name)
+    return out
+
+
+def _source_columns(src: TableSource, open_table) -> set[str]:
+    if src.kind in ("table", "fts"):
+        try:
+            obj = open_table(src.name)
+        except Exception:
+            return set()
+        names = obj.column_names if isinstance(obj, pa.Table) else list(obj.schema.names)
+        return set(names) | _IMPLICIT_COLS
+    if src.kind == "subquery":
+        return _output_columns(src.subquery, open_table)
+    return set()
+
+
+def _free_columns(stmt, open_table) -> list[Column]:
+    """Columns a statement references that none of its own sources (or
+    nested scopes) can resolve — the correlation variables. A qualified
+    `q.c` is free when `q` is not a local alias; an unqualified `c` is
+    free when no local source has a column `c`."""
+    if isinstance(stmt, UnionStatement):
+        out: list[Column] = []
+        seen: set[str] = set()
+        for s in stmt.selects:
+            for c in _free_columns(s, open_table):
+                if c.sql() not in seen:
+                    seen.add(c.sql())
+                    out.append(c)
+        return out
+    local_aliases: set[str] = set()
+    local_cols: set[str] = set(_IMPLICIT_COLS)
+    cte_names = {n for n, _, _ in getattr(stmt, "ctes", [])}
+
+    def add_source(src: TableSource):
+        alias = src.alias or src.name
+        if alias:
+            local_aliases.add(alias)
+        local_cols.update(_source_columns(src, open_table))
+
+    add_source(stmt.source)
+    for j in stmt.joins:
+        add_source(j.source)
+    local_cols.update(it.alias for it in stmt.items if it.alias)
+
+    free: list[Column] = []
+    seen: set[str] = set()
+
+    def note(col: Column):
+        if col.sql() in seen:
+            return
+        name = col.name
+        if "." in name:
+            q = name.split(".", 1)[0]
+            if q in local_aliases or q in cte_names:
+                return
+        elif name in local_cols:
+            return
+        seen.add(col.sql())
+        free.append(col)
+
+    def scan_expr(e: Expr):
+        if e is None:
+            return
+        for n in _walk(e):
+            if isinstance(n, Column):
+                note(n)
+            elif isinstance(n, (Subquery, Exists)):
+                # a nested scope's free vars are free here unless local
+                for c in _free_columns(n.stmt, open_table):
+                    note(c)
+
+    for it in stmt.items:
+        if not isinstance(it.expr, Star):
+            scan_expr(it.expr)
+    scan_expr(stmt.where)
+    scan_expr(stmt.having)
+    for e in stmt.group_by:
+        scan_expr(e)
+    for e, _ in stmt.order_by:
+        scan_expr(e)
+    for j in stmt.joins:
+        for a, b in j.on:
+            scan_expr(a)
+            scan_expr(b)
+    if stmt.source.kind == "subquery":
+        for c in _free_columns(stmt.source.subquery, open_table):
+            note(c)
+    if stmt.source.kind == "fts" and stmt.source.fts_query is not None:
+        scan_expr(stmt.source.fts_query)
+    return free
+
+
+def _strip_qualifier(e: Expr | None, quals: set[str]) -> Expr | None:
+    """Rewrite `q.c` → `c` for a single-table statement's own alias.
+    Does NOT descend into Subquery/Exists: nested scopes dequalify
+    themselves at their own execution, and their references to THIS
+    scope are correlation variables that must stay qualified."""
+    if e is None:
+        return None
+    if isinstance(e, Column):
+        if "." in e.name:
+            q, c = e.name.split(".", 1)
+            if q in quals:
+                return Column(c)
+        return e
+    if isinstance(e, (Subquery, Exists, Literal, Star)):
+        return e
+    s = lambda x: _strip_qualifier(x, quals)
+    if isinstance(e, BinaryOp):
+        return BinaryOp(e.op, s(e.left), s(e.right))
+    if isinstance(e, UnaryOp):
+        return UnaryOp(e.op, s(e.operand))
+    if isinstance(e, Between):
+        return Between(s(e.operand), s(e.low), s(e.high), e.negated)
+    if isinstance(e, FunctionCall):
+        return FunctionCall(e.name, tuple(s(a) for a in e.args))
+    if isinstance(e, Cast):
+        return Cast(s(e.operand), e.type_name)
+    if isinstance(e, Case):
+        return Case(
+            tuple((s(c), s(v)) for c, v in e.whens),
+            s(e.else_) if e.else_ is not None else None,
+        )
+    if isinstance(e, Aggregate):
+        return Aggregate(e.func, s(e.arg) if e.arg is not None else None)
+    if isinstance(e, WindowFunc):
+        return WindowFunc(
+            e.func, tuple(s(a) for a in e.args),
+            tuple(s(p) for p in e.partition_by),
+            tuple((s(o), d) for o, d in e.order_by), e.frame,
+        )
+    return e
+
+
+def _dequalify_stmt(stmt: SelectStatement) -> SelectStatement:
+    """`SELECT e.id FROM emp e WHERE e.x > 1` — strip the source's own
+    qualifier from every expression of a no-join statement (DataFusion
+    resolves these through its schema qualifiers; this engine's scan
+    layer uses bare column names)."""
+    import copy as _copy
+
+    quals = {q for q in (stmt.source.alias, stmt.source.name) if q}
+    if not quals:
+        return stmt
+    s = lambda e: _strip_qualifier(e, quals)
+    new = _copy.copy(stmt)
+    new.items = [
+        it if isinstance(it.expr, Star) else SelectItem(s(it.expr), it.alias)
+        for it in stmt.items
+    ]
+    new.where = s(stmt.where)
+    new.having = s(stmt.having)
+    new.group_by = [s(e) for e in stmt.group_by]
+    new.order_by = [(s(e), d) for e, d in stmt.order_by]
+    return new
+
+
+def _find_windows(exprs) -> list[WindowFunc]:
+    found: dict[str, WindowFunc] = {}
+    for e in exprs:
+        if e is None:
+            continue
+        for n in _walk(e):
+            if isinstance(n, WindowFunc):
+                found.setdefault(n.sql(), n)
+    return list(found.values())
+
+
+# ------------------------------------------------------- window execution
+
+
+def _window_sort(data: pa.Table, wf: WindowFunc):
+    """Sorted permutation + partition/peer structure for one window.
+
+    Returns (perm, ps, part_end, peer_first, peer_end) as int64 arrays in
+    SORTED order: ps/part_end bound the row's partition, peer_first/
+    peer_end its ORDER-BY peer group (== the row itself when the window
+    has no ORDER BY ... no, == the partition: no order ⇒ all rows are
+    peers, the SQL default-frame rule)."""
+    import numpy as np
+
+    n = data.num_rows
+    tmp_cols: dict[str, pa.Array] = {}
+    sort_keys = []
+    for i, e in enumerate(wf.partition_by):
+        tmp_cols[f"__p{i}"] = _as_array(evaluate_expression(data, e), n)
+        sort_keys.append((f"__p{i}", "ascending"))
+    for i, (e, desc) in enumerate(wf.order_by):
+        tmp_cols[f"__o{i}"] = _as_array(evaluate_expression(data, e), n)
+        sort_keys.append((f"__o{i}", "descending" if desc else "ascending"))
+    if sort_keys:
+        tmp = pa.table(tmp_cols)
+        # nulls sort last (pyarrow default; DataFusion's ASC default too)
+        perm = np.asarray(pc.sort_indices(tmp, sort_keys=sort_keys)).astype(np.int64)
+    else:
+        perm = np.arange(n, dtype=np.int64)
+
+    def codes_of(names):
+        out = []
+        for name in names:
+            arr = tmp_cols[name]
+            codes = pc.dictionary_encode(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr).indices
+            out.append(np.asarray(pc.fill_null(codes, -1)).astype(np.int64)[perm])
+        return out
+
+    newpart = np.zeros(n, dtype=bool)
+    if n:
+        newpart[0] = True
+    for c in codes_of([f"__p{i}" for i in range(len(wf.partition_by))]):
+        newpart[1:] |= c[1:] != c[:-1]
+    newpeer = newpart.copy()
+    for c in codes_of([f"__o{i}" for i in range(len(wf.order_by))]):
+        newpeer[1:] |= c[1:] != c[:-1]
+
+    idx = np.arange(n, dtype=np.int64)
+    ps = np.maximum.accumulate(np.where(newpart, idx, 0))
+    part_starts = np.flatnonzero(newpart)
+    part_end = np.empty(n, dtype=np.int64)
+    if n:
+        nxt = np.searchsorted(part_starts, idx, side="right")
+        part_end = np.where(
+            nxt < len(part_starts), part_starts[np.minimum(nxt, len(part_starts) - 1)] - 1, n - 1
+        )
+    if wf.order_by:
+        peer_first = np.maximum.accumulate(np.where(newpeer, idx, 0))
+        peer_starts = np.flatnonzero(newpeer)
+        nxtp = np.searchsorted(peer_starts, idx, side="right")
+        peer_end = np.where(
+            nxtp < len(peer_starts), peer_starts[np.minimum(nxtp, len(peer_starts) - 1)] - 1, n - 1
+        )
+    else:
+        # no ORDER BY: every partition row is a peer (frame = whole partition)
+        peer_first, peer_end = ps, part_end
+    return perm, ps, part_end, peer_first, peer_end, newpeer
+
+
+def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
+    """Evaluate one window function over the (post-WHERE) row set."""
+    import numpy as np
+
+    n = data.num_rows
+    if n == 0:
+        return pa.array([], type=pa.int64())
+    perm, ps, part_end, peer_first, peer_end, newpeer = _window_sort(data, wf)
+    idx = np.arange(n, dtype=np.int64)
+
+    def lit_arg(i, default, name):
+        if len(wf.args) <= i:
+            return default
+        a = wf.args[i]
+        if isinstance(a, UnaryOp) and a.op == "neg" and isinstance(a.operand, Literal):
+            return -a.operand.value
+        if not isinstance(a, Literal):
+            raise InvalidInputError(f"{name} argument of {wf.func} must be a literal")
+        return a.value
+
+    def scatter(res_sorted: np.ndarray, as_type=None) -> pa.Array:
+        out = np.empty_like(res_sorted)
+        out[perm] = res_sorted
+        return pa.array(out, type=as_type)
+
+    def scatter_list(res_sorted: list) -> pa.Array:
+        out: list = [None] * n
+        for pos, v in zip(perm, res_sorted):
+            out[pos] = v
+        return pa.array(out)
+
+    f = wf.func
+    if f == "row_number":
+        return scatter(idx - ps + 1)
+    if f == "rank":
+        return scatter(peer_first - ps + 1)
+    if f == "dense_rank":
+        cum = np.cumsum(newpeer)
+        return scatter(cum - cum[ps] + 1)
+    if f == "percent_rank":
+        cnt = part_end - ps + 1
+        r = (peer_first - ps).astype(np.float64)
+        return scatter(np.where(cnt > 1, r / np.maximum(cnt - 1, 1), 0.0))
+    if f == "cume_dist":
+        cnt = (part_end - ps + 1).astype(np.float64)
+        return scatter((peer_end - ps + 1) / cnt)
+    if f == "ntile":
+        k = int(lit_arg(0, None, "bucket count") or 0)
+        if k <= 0:
+            raise InvalidInputError("ntile() requires a positive integer bucket count")
+        cnt = part_end - ps + 1
+        pos = idx - ps
+        q, r = cnt // k, cnt % k
+        big = r * (q + 1)
+        bucket = np.where(
+            pos < big,
+            pos // np.maximum(q + 1, 1) + 1,
+            np.where(q > 0, (pos - big) // np.maximum(q, 1) + r + 1, pos + 1),
+        )
+        return scatter(np.minimum(bucket, np.maximum(cnt, 1)))
+
+    # value-bearing functions: evaluate the argument once, in sorted order
+    if not wf.args and f not in ("count_all",):
+        raise InvalidInputError(f"{wf.func}() requires an argument")
+    if wf.args:
+        arg_arr = _as_array(evaluate_expression(data, wf.args[0]), n)
+        sorted_vals = arg_arr.take(pa.array(perm))
+    else:
+        arg_arr = sorted_vals = None
+
+    if f in ("lag", "lead"):
+        off = int(lit_arg(1, 1, "offset"))
+        default = lit_arg(2, None, "default")
+        shift = -off if f == "lag" else off
+        j = idx + shift
+        valid = (j >= ps) & (j <= part_end)
+        taken = sorted_vals.take(pa.array(np.where(valid, j, 0)))
+        vmask = pa.array(valid)
+        if default is None:
+            res = pc.if_else(vmask, taken, pa.scalar(None, type=taken.type))
+        else:
+            res = pc.if_else(vmask, taken, pa.scalar(default).cast(taken.type))
+        out_idx = np.empty(n, dtype=np.int64)
+        out_idx[perm] = idx
+        return res.take(pa.array(out_idx))
+    if f in ("first_value", "last_value", "nth_value"):
+        fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_end)
+        if f == "first_value":
+            pick, valid = fs, fs <= fe
+        elif f == "last_value":
+            pick, valid = fe, fs <= fe
+        else:
+            nth = int(lit_arg(1, None, "n") or 0)
+            if nth <= 0:
+                raise InvalidInputError("nth_value() requires a positive n")
+            pick = fs + nth - 1
+            valid = pick <= fe
+        taken = sorted_vals.take(pa.array(np.where(valid, pick, 0)))
+        res = pc.if_else(pa.array(valid), taken, pa.scalar(None, type=taken.type))
+        out_idx = np.empty(n, dtype=np.int64)
+        out_idx[perm] = idx
+        return res.take(pa.array(out_idx))
+
+    if f not in ("sum", "avg", "min", "max", "count", "count_all"):
+        raise InvalidInputError(f"unsupported window function {wf.func!r}")
+
+    fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_end)
+    if f == "count_all":
+        return scatter(np.maximum(fe - fs + 1, 0))
+
+    typ = sorted_vals.type
+    numeric = pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_decimal(typ)
+    if not numeric and f in ("sum", "avg"):
+        raise InvalidInputError(f"{f}() window requires a numeric argument")
+    if numeric:
+        vals = pc.cast(sorted_vals, pa.float64()).to_numpy(zero_copy_only=False)
+        isnull = np.asarray(pc.is_null(sorted_vals)).astype(bool)
+        v0 = np.where(isnull, 0.0, vals)
+        # prefix sums make every [fs, fe] range O(1)
+        csum = np.concatenate([[0.0], np.cumsum(v0)])
+        ccnt = np.concatenate([[0], np.cumsum(~isnull)])
+        cnt = ccnt[fe + 1] - ccnt[fs]
+        if f == "count":
+            return scatter(cnt.astype(np.int64))
+        if f in ("sum", "avg"):
+            s = csum[fe + 1] - csum[fs]
+            res = np.where(cnt > 0, s if f == "sum" else s / np.maximum(cnt, 1), np.nan)
+            mask = cnt == 0
+            if f == "sum" and pa.types.is_integer(typ):
+                out = np.empty(n, dtype=np.float64)
+                out[perm] = res
+                m2 = np.empty(n, dtype=bool)
+                m2[perm] = mask
+                return pa.array(
+                    np.where(m2, 0, out).astype(np.int64), type=pa.int64(), mask=m2
+                )
+            out = np.empty(n, dtype=np.float64)
+            out[perm] = res
+            m2 = np.empty(n, dtype=bool)
+            m2[perm] = mask
+            return pa.array(out, mask=m2)
+        # min/max over [fs, fe]: default frames are prefix windows per
+        # partition/peer structure → running accumulate; general ROWS
+        # frames fall through to the bounded python loop
+        if wf.frame is None:
+            filled = np.where(isnull, np.inf if f == "min" else -np.inf, vals)
+            acc = np.minimum.accumulate if f == "min" else np.maximum.accumulate
+            run = _per_partition_accumulate(filled, ps, acc)
+            res = run[fe]
+            cnt_ok = cnt > 0
+            out = np.empty(n, dtype=np.float64)
+            out[perm] = res
+            m2 = np.empty(n, dtype=bool)
+            m2[perm] = ~cnt_ok
+            if pa.types.is_integer(typ):
+                return pa.array(
+                    np.where(m2, 0, out).astype(np.int64), type=pa.int64(), mask=m2
+                )
+            return pa.array(out, mask=m2)
+    # generic bounded loop: non-numeric min/max and explicit-frame min/max
+    pyvals = sorted_vals.to_pylist()
+    res_list: list = []
+    for i in range(n):
+        seg = [v for v in pyvals[fs[i] : fe[i] + 1] if v is not None]
+        if f == "count":
+            res_list.append(len(seg))
+        elif not seg:
+            res_list.append(None)
+        else:
+            res_list.append(min(seg) if f == "min" else max(seg))
+    return scatter_list(res_list)
+
+
+def _frame_bounds(wf: WindowFunc, idx, ps, part_end, peer_end):
+    """Per-row [start, end] frame indices in sorted order (inclusive)."""
+    import numpy as np
+
+    if wf.frame is None:
+        # SQL default: RANGE UNBOUNDED PRECEDING..CURRENT ROW when the
+        # window is ordered (current row's peers included), else the
+        # whole partition (peer_end == part_end in that case)
+        return ps, peer_end
+    start, end = wf.frame
+    fs = ps if start is None else np.maximum(idx + start, ps)
+    fe = part_end if end is None else np.minimum(idx + end, part_end)
+    return fs, fe
+
+
+def _per_partition_accumulate(vals, ps, acc):
+    """Running accumulate that restarts at each partition boundary."""
+    import numpy as np
+
+    out = np.empty_like(vals)
+    starts = np.flatnonzero(ps == np.arange(len(ps)))
+    bounds = list(starts) + [len(vals)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out[a:b] = acc(vals[a:b])
+    return out
 
 
 # --------------------------------------------------------------- execution
@@ -490,8 +1179,16 @@ def execute_select(
     from .query import _op_timer
 
     stmt = parse_select(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
+    if getattr(stmt, "ctes", None):
+        return _execute_with_ctes(stmt, open_table)
     if isinstance(stmt, UnionStatement):
         return _execute_union(stmt, open_table)
+    if stmt.where is not None and _find_windows([stmt.where]):
+        raise InvalidInputError("window functions are not allowed in WHERE")
+    if _find_windows([stmt.having] + stmt.group_by):
+        raise InvalidInputError("window functions are not allowed in HAVING or GROUP BY")
+    if not stmt.joins:
+        stmt = _dequalify_stmt(stmt)
 
     # resolve subquery expressions in every clause, on a COPY — the
     # caller's statement object must stay re-executable (resolution
@@ -516,10 +1213,56 @@ def execute_select(
         stmt = _copy.copy(stmt)
         stmt.group_by = list(stmt.group_by)
 
+    # correlated subqueries (per-outer-row): split them out of the
+    # pushdown WHERE; they evaluate against the scanned rows below
+    corr_where = None
+    if not stmt.joins and stmt.where is not None and _has_corr_nodes(stmt.where):
+        stmt.where, corr_where = _split_correlated_where(stmt.where)
+        # the scan must keep the correlation columns the residue needs
+        stmt._corr_where = corr_where
+    if stmt.having is not None and _has_corr_nodes(stmt.having):
+        raise InvalidInputError("correlated subqueries in HAVING are not supported")
+
     if stmt.joins:
         data, stmt = _load_joined(stmt, open_table)
+        corr_where = stmt.where  # correlated residue, join-env rewritten
+        stmt.where = None
     else:
         data = _load_source(stmt, open_table)
+
+    corr_counter = [0]
+    if corr_where is not None:
+        with _op_timer("CorrelatedFilterExec") as tm:
+            bound, data = _bind_correlated_expr(data, corr_where, open_table, corr_counter)
+            mask = evaluate_predicate_mask(data, bound)
+            data = data.filter(pa.array(mask))
+            drop = [c for c in data.column_names if c.startswith("__corr")]
+            if drop:
+                data = data.drop_columns(drop)
+            tm.set_rows(data.num_rows)
+    corr_items = any(
+        _has_corr_nodes(it.expr) for it in stmt.items if not isinstance(it.expr, Star)
+    ) or any(_has_corr_nodes(e) for e, _ in stmt.order_by)
+    if corr_items:
+        if stmt.group_by or _find_aggs([it.expr for it in stmt.items]):
+            raise InvalidInputError(
+                "correlated subqueries in the SELECT list of grouped queries are not supported"
+            )
+        with _op_timer("CorrelatedProjectExec") as tm:
+            new_items = []
+            for it in stmt.items:
+                if isinstance(it.expr, Star) or not _has_corr_nodes(it.expr):
+                    new_items.append(it)
+                else:
+                    bound, data = _bind_correlated_expr(data, it.expr, open_table, corr_counter)
+                    new_items.append(SelectItem(bound, it.alias or it.name))
+            new_order = []
+            for e, d in stmt.order_by:
+                if _has_corr_nodes(e):
+                    e, data = _bind_correlated_expr(data, e, open_table, corr_counter)
+                new_order.append((e, d))
+            stmt.items, stmt.order_by = new_items, new_order
+            tm.set_rows(data.num_rows)
 
     # GROUP BY <alias>: resolve select-item aliases to their expressions
     # (standard SQL / DataFusion behavior)
@@ -562,6 +1305,37 @@ def execute_select(
     return out
 
 
+def _execute_with_ctes(stmt, open_table) -> pa.Table:
+    """Materialize WITH bindings in order (later CTEs and every
+    subquery see earlier ones), then run the main statement against a
+    resolver that serves the materialized tables."""
+    import copy as _copy
+
+    from .query import _op_timer
+
+    mat: dict[str, pa.Table] = {}
+
+    def resolve(name: str):
+        if name in mat:
+            return mat[name]
+        return open_table(name)
+
+    for name, sub, cols in stmt.ctes:
+        with _op_timer(f"CteExec:{name}") as tm:
+            t = execute_select(sub, resolve)
+            tm.set_rows(t.num_rows)
+        if cols:
+            if len(cols) != t.num_columns:
+                raise InvalidInputError(
+                    f"CTE {name} declares {len(cols)} columns, query returns {t.num_columns}"
+                )
+            t = t.rename_columns(cols)
+        mat[name] = t
+    inner = _copy.copy(stmt)
+    inner.ctes = []
+    return execute_select(inner, resolve)
+
+
 def _has_subqueries(stmt: "SelectStatement") -> bool:
     exprs = (
         [it.expr for it in stmt.items if not isinstance(it.expr, Star)]
@@ -597,6 +1371,9 @@ def _resolve_subqueries(e: Expr, open_table) -> Expr:
         return Literal(vals[0] if vals else None)
 
     def rw(node: Expr) -> Expr:
+        if isinstance(node, (Exists, Subquery)) and _free_columns(node.stmt, open_table):
+            # correlated: left for per-outer-row binding after the scan
+            return node
         if isinstance(node, Exists):
             inner = node.stmt
             probe = execute_select(
@@ -617,6 +1394,8 @@ def _resolve_subqueries(e: Expr, open_table) -> Expr:
             return run(node, want_list=False)
         if isinstance(node, BinaryOp):
             if node.op in ("in", "not_in") and isinstance(node.right, Subquery):
+                if _free_columns(node.right.stmt, open_table):
+                    return BinaryOp(node.op, rw(node.left), node.right)
                 lst = run(node.right, want_list=True)
                 if any(v is None for v in lst.value):
                     # SQL three-valued logic: x NOT IN (..., NULL) is
@@ -642,6 +1421,165 @@ def _resolve_subqueries(e: Expr, open_table) -> Expr:
         return node
 
     return rw(e)
+
+
+# ----------------------------------------------- correlated subqueries
+
+
+def _has_corr_nodes(e: Expr | None) -> bool:
+    """After eager resolution, any surviving Subquery/Exists is correlated."""
+    if e is None:
+        return False
+    return any(isinstance(n, (Subquery, Exists)) for n in _walk(e))
+
+
+def _split_and(e: Expr) -> list[Expr]:
+    if isinstance(e, BinaryOp) and e.op == "and":
+        return _split_and(e.left) + _split_and(e.right)
+    return [e]
+
+
+def _and_join(conjs: list[Expr]) -> Expr | None:
+    if not conjs:
+        return None
+    out = conjs[0]
+    for c in conjs[1:]:
+        out = BinaryOp("and", out, c)
+    return out
+
+
+def _split_correlated_where(where: Expr) -> tuple[Expr | None, Expr | None]:
+    """(pushdown-able part, correlated residue) at top-level AND granularity."""
+    conjs = _split_and(where)
+    corr = [c for c in conjs if _has_corr_nodes(c)]
+    if not corr:
+        return where, None
+    push = [c for c in conjs if not _has_corr_nodes(c)]
+    return _and_join(push), _and_join(corr)
+
+
+def _resolve_outer_col(data: pa.Table, col: Column) -> pa.ChunkedArray:
+    """Resolve a correlation variable against the outer row set: exact
+    name, the unqualified tail, then the join-suffixed form."""
+    name = col.name
+    if name in data.column_names:
+        return data.column(name)
+    if "." in name:
+        q, c = name.split(".", 1)
+        if c in data.column_names:
+            return data.column(c)
+        if f"{c}_{q}" in data.column_names:
+            return data.column(f"{c}_{q}")
+    raise InvalidInputError(f"cannot resolve correlated reference {name!r}")
+
+
+def _corr_inner_results(data: pa.Table, inner_stmt, open_table, probe_exists: bool):
+    """Per-outer-row inner results, cached on the distinct correlation-
+    key tuples (the subquery runs once per distinct key, not per row)."""
+    free = _free_columns(inner_stmt, open_table)
+    cols = [(_resolve_outer_col(data, c).to_pylist(), c.sql()) for c in free]
+    n = data.num_rows
+    cache: dict = {}
+    out = []
+    for i in range(n):
+        try:
+            key = tuple(vals[i] for vals, _ in cols)
+            hash(key)
+        except TypeError:
+            key = repr([vals[i] for vals, _ in cols])
+        if key not in cache:
+            table = {sql: Literal(vals[i]) for vals, sql in cols}
+            inner2 = _substitute_stmt(inner_stmt, table)
+            if probe_exists:
+                inner2.limit = 1 if inner2.limit is None else min(inner2.limit, 1)
+                inner2.order_by = []
+            cache[key] = execute_select(inner2, open_table)
+        out.append(cache[key])
+    return out
+
+
+def _bind_correlated_expr(
+    data: pa.Table, e: Expr, open_table, counter: list
+) -> tuple[Expr, pa.Table]:
+    """Rewrite every correlated node in `e` into a per-row computed
+    column appended to `data` (reference analog: DataFusion's subquery
+    decorrelation; here the general fallback re-evaluates per distinct
+    outer key)."""
+
+    def append(values, name_hint: str) -> Column:
+        nonlocal data
+        name = f"__corr{counter[0]}"
+        counter[0] += 1
+        data = data.append_column(name, pa.array(values))
+        return Column(name)
+
+    def rw(node: Expr) -> Expr:
+        nonlocal data
+        if isinstance(node, BinaryOp) and node.op in ("in", "not_in") and isinstance(node.right, Subquery):
+            lhs = rw(node.left)
+            lhs_vals = _as_array(evaluate_expression(data, lhs), data.num_rows).to_pylist()
+            inners = _corr_inner_results(data, node.right.stmt, open_table, probe_exists=False)
+            res = []
+            for lv, tbl in zip(lhs_vals, inners):
+                if tbl.num_columns != 1:
+                    raise InvalidInputError(
+                        f"IN subquery must return exactly one column (got {tbl.num_columns})"
+                    )
+                vals = tbl.column(0).to_pylist()
+                if lv is None:
+                    res.append(None)
+                    continue
+                nn = [v for v in vals if v is not None]
+                if lv in nn:
+                    res.append(node.op == "in")
+                elif len(nn) != len(vals):
+                    res.append(None)  # 3VL: unknown against NULL members
+                else:
+                    res.append(node.op == "not_in")
+            return append(res, "in")
+        if isinstance(node, Exists):
+            inners = _corr_inner_results(data, node.stmt, open_table, probe_exists=True)
+            return append([t.num_rows > 0 for t in inners], "exists")
+        if isinstance(node, Subquery):
+            inners = _corr_inner_results(data, node.stmt, open_table, probe_exists=False)
+            res = []
+            for tbl in inners:
+                if tbl.num_columns != 1:
+                    raise InvalidInputError(
+                        f"scalar subquery must return exactly one column (got {tbl.num_columns})"
+                    )
+                if tbl.num_rows > 1:
+                    raise InvalidInputError(
+                        f"scalar subquery returned {tbl.num_rows} rows"
+                    )
+                res.append(tbl.column(0)[0].as_py() if tbl.num_rows else None)
+            return append(res, "scalar")
+        if isinstance(node, BinaryOp):
+            return BinaryOp(node.op, rw(node.left), rw(node.right))
+        if isinstance(node, UnaryOp):
+            return UnaryOp(node.op, rw(node.operand))
+        if isinstance(node, Between):
+            return Between(rw(node.operand), rw(node.low), rw(node.high), node.negated)
+        if isinstance(node, FunctionCall):
+            return FunctionCall(node.name, tuple(rw(a) for a in node.args))
+        if isinstance(node, Cast):
+            return Cast(rw(node.operand), node.type_name)
+        if isinstance(node, Case):
+            return Case(
+                tuple((rw(c), rw(v)) for c, v in node.whens),
+                rw(node.else_) if node.else_ is not None else None,
+            )
+        if isinstance(node, Aggregate) and node.arg is not None:
+            return Aggregate(node.func, rw(node.arg))
+        if isinstance(node, WindowFunc):
+            return WindowFunc(
+                node.func, tuple(rw(a) for a in node.args),
+                tuple(rw(p) for p in node.partition_by),
+                tuple((rw(o), d) for o, d in node.order_by), node.frame,
+            )
+        return node
+
+    return rw(e), data
 
 
 def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
@@ -686,6 +1624,19 @@ def plan_select(stmt) -> list[tuple[int, str, str]]:
     the op_key matches the _op_timer labels execute_select records, so
     analyze can join metrics onto plan lines (the same contract the
     reference gets from DataFusion operator metrics, query.rs:756)."""
+    if getattr(stmt, "ctes", None):
+        import copy as _copy
+
+        lines = []
+        for name, sub, cols in stmt.ctes:
+            lines.append((0, f"CteExec:{name}", f"CteExec: name={name}"
+                          + (f" columns=[{', '.join(cols)}]" if cols else "")))
+            for d, k, label in plan_select(sub):
+                lines.append((d + 1, k, label))
+        inner = _copy.copy(stmt)
+        inner.ctes = []
+        return lines + plan_select(inner)
+
     if isinstance(stmt, UnionStatement):
         lines = [(0, "UnionExec", f"UnionExec: all={stmt.all}")]
         for sel in stmt.selects:
@@ -734,6 +1685,17 @@ def plan_select(stmt) -> list[tuple[int, str, str]]:
             "ProjectionExec",
             "ProjectionExec: [%s]" % ", ".join(it.name for it in stmt.items),
         )
+    wins = _find_windows(
+        [it.expr for it in stmt.items if not isinstance(it.expr, Star)]
+        + [e for e, _ in stmt.order_by]
+    )
+    if wins:
+        emit(
+            "WindowAggExec",
+            "WindowAggExec: [%s]" % ", ".join(w.sql() for w in wins),
+        )
+    if stmt.where is not None and _has_corr_nodes(stmt.where):
+        emit("CorrelatedFilterExec", "SubqueryFilterExec (per-row when correlated)")
     if stmt.joins:
         if stmt.where is not None:
             emit("FilterExec", f"FilterExec: [{stmt.where.sql()}]")
@@ -861,7 +1823,9 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
     def load(src: TableSource) -> pa.Table:
         if src.kind == "table":
             with _op_timer(f"ScanExec:{src.name}") as tm:
-                out = open_table(src.name).search(None).limit(None).to_arrow()
+                obj = open_table(src.name)
+                # materialized CTE: already a host table
+                out = obj if isinstance(obj, pa.Table) else obj.search(None).limit(None).to_arrow()
                 tm.set_rows(out.num_rows)
             return out
         if src.kind == "subquery":
@@ -874,8 +1838,31 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
             return q, c
         return None, col.name
 
-    data = load(stmt.source)
+    from .sql_spill import spilled_join, sql_memory_budget
+
+    budget = sql_memory_budget()
+
+    def lazy(src: TableSource):
+        """(schema, batches_factory) without materializing base tables."""
+        if src.kind == "table":
+            obj = open_table(src.name)
+            if isinstance(obj, pa.Table):
+                return obj.schema, lambda: obj.to_batches()
+            return obj.schema, lambda: obj.search(None).limit(None).to_batches()
+        t = load(src)  # subqueries materialize through their own engine
+        return t.schema, lambda: t.to_batches()
+
     env: dict[str, Expr] = {}
+    if budget is None:
+        data = load(stmt.source)
+        left_names = list(data.schema.names)
+        batches_factory = None
+    else:
+        # Grace mode: the base table streams; every join below radix-
+        # partitions to disk instead of building a full-table hash side
+        data = None
+        lschema, batches_factory = lazy(stmt.source)
+        left_names = list(lschema.names)
 
     def register(alias: str | None, names, suffix: str = ""):
         if alias is None:
@@ -884,9 +1871,14 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
             env[Column(f"{alias}.{c}").sql()] = Column(f"{c}{suffix}")
 
     base_alias = stmt.source.alias or stmt.source.name
-    register(base_alias, data.schema.names)
+    register(base_alias, left_names)
     for j in stmt.joins:
-        right = load(j.source)
+        if budget is None:
+            right = load(j.source)
+            right_schema = right.schema
+            right_factory = None
+        else:
+            right_schema, right_factory = lazy(j.source)
         ralias = j.source.alias or j.source.name
         lkeys, rkeys = [], []
         for a, b in j.on:
@@ -903,24 +1895,55 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
             left_ref = env.get(Column(f"{lq}.{lc}").sql()) if lq else None
             lkeys.append(left_ref.name if isinstance(left_ref, Column) else lc)
             rkeys.append(rc)
-        collide = (set(right.schema.names) - set(rkeys)) & set(data.schema.names)
+        collide = (set(right_schema.names) - set(rkeys)) & set(left_names)
         suffix = f"_{ralias}" if collide else ""
-        with _op_timer("HashJoinExec") as tm:
-            data = data.join(
-                right, keys=lkeys, right_keys=rkeys, join_type=j.how,
-                right_suffix=suffix or None,
-            )
-            tm.set_rows(data.num_rows)
-        register(
-            ralias,
-            right.schema.names,
-        )
+        if budget is None:
+            with _op_timer("HashJoinExec") as tm:
+                data = data.join(
+                    right, keys=lkeys, right_keys=rkeys, join_type=j.how,
+                    right_suffix=suffix or None,
+                )
+                tm.set_rows(data.num_rows)
+        else:
+            # chain: this join's output stream is the next join's left
+            def chained(prev=batches_factory, rf=right_factory, lk=list(lkeys),
+                        rk=list(rkeys), how=j.how, sfx=suffix or None,
+                        ls=(lschema if data is None else None), rs=right_schema):
+                return spilled_join(
+                    prev(), rf(), lk, rk, how, budget,
+                    right_suffix=sfx, left_schema=ls, right_schema=rs,
+                )
+
+            batches_factory, lschema = chained, None
+        register(ralias, right_schema.names)
         if suffix:
             for c in collide:
                 env[Column(f"{ralias}.{c}").sql()] = Column(f"{c}{suffix}")
         # join keys coalesce into the left name
         for lc, rc in zip(lkeys, rkeys):
             env[Column(f"{ralias}.{rc}").sql()] = Column(lc)
+        left_names = left_names + [
+            f"{c}{suffix}" if c in collide else c
+            for c in right_schema.names if c not in set(rkeys)
+        ]
+
+    if budget is not None:
+        with _op_timer("HashJoinExec") as tm:
+            parts = list(batches_factory())
+            data = (
+                pa.concat_tables(parts, promote_options="default")
+                if parts else None
+            )
+            if data is None:
+                # empty join result: synthesize the output schema
+                fields = []
+                seen = set()
+                for n in left_names:
+                    if n not in seen:
+                        seen.add(n)
+                        fields.append(pa.field(n, pa.null()))
+                data = pa.Table.from_batches([], schema=pa.schema(fields))
+            tm.set_rows(data.num_rows)
 
     def rw(e):
         return _replace(e, env) if e is not None else None
@@ -938,10 +1961,16 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
         distinct=stmt.distinct,
     )
     if stmt.where is not None:
-        with _op_timer("FilterExec") as tm:
-            mask = evaluate_predicate_mask(data, rw(stmt.where))
-            data = data.filter(pa.array(mask))
-            tm.set_rows(data.num_rows)
+        push, corr = _split_correlated_where(stmt.where)
+        if push is not None:
+            with _op_timer("FilterExec") as tm:
+                mask = evaluate_predicate_mask(data, rw(push))
+                data = data.filter(pa.array(mask))
+                tm.set_rows(data.num_rows)
+        if corr is not None:
+            # correlated residue: outer refs rewritten to the joined
+            # layout; execute_select binds it per-row after the join
+            new_stmt.where = rw(corr)
     return data, new_stmt
 
 
@@ -953,19 +1982,47 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
         # select-item aliases shadow base columns in ORDER BY/HAVING —
         # they are outputs, not scan columns
         aliases = {it.alias for it in stmt.items if it.alias}
-        needed = sorted(
-            _columns_of(
-                [it.expr for it in stmt.items]
-                + stmt.group_by
-                + [stmt.having, stmt.where]
-                + [e for e, _ in stmt.order_by]
-            )
-            - aliases
+        exprs = (
+            [it.expr for it in stmt.items]
+            + stmt.group_by
+            + [stmt.having, stmt.where, getattr(stmt, "_corr_where", None)]
+            + [e for e, _ in stmt.order_by]
         )
+        cols = _columns_of(exprs)
+        # correlated subqueries reference outer columns from INSIDE the
+        # subquery — those must survive projection pushdown
+        src_alias = stmt.source.alias or stmt.source.name
+        for e in exprs:
+            if e is None:
+                continue
+            for nd in _walk(e):
+                if isinstance(nd, (Subquery, Exists)):
+                    for c in _free_columns(nd.stmt, open_table):
+                        name = c.name
+                        if "." in name:
+                            q, tail = name.split(".", 1)
+                            if q == src_alias:
+                                cols.add(tail)
+                        else:
+                            cols.add(name)
+        needed = sorted(cols - aliases)
     if src.kind == "table":
         from .query import _op_timer
 
         tbl = open_table(src.name)
+        if isinstance(tbl, pa.Table):
+            # materialized CTE: filter/project on the host
+            with _op_timer(f"ScanExec:{src.name}") as tm:
+                out = tbl
+                if stmt.where is not None:
+                    mask = evaluate_predicate_mask(out, stmt.where)
+                    out = out.filter(pa.array(mask))
+                if needed is not None:
+                    cols = [c for c in needed if c in out.column_names]
+                    if cols:
+                        out = out.select(cols)
+                tm.set_rows(out.num_rows)
+            return out
         qb = tbl.search(None)
         if stmt.where is not None:
             qb = qb.where(stmt.where.sql())  # pushdown (incl. scalar indexes)
@@ -979,6 +2036,8 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
         return out
     if src.kind == "fts":
         tbl = open_table(src.name)
+        if isinstance(tbl, pa.Table):
+            raise InvalidInputError("fts() requires an indexed base table, not a CTE")
         qv = src.fts_query
         if not isinstance(qv, Literal) or not isinstance(qv.value, str):
             raise InvalidInputError("fts() query must be a string literal")
@@ -1048,15 +2107,40 @@ def _fts_query_from_json(text: str):
 
 
 def _execute_plain(stmt: SelectStatement, data: pa.Table) -> pa.Table:
+    from .query import _op_timer
+
+    wins = _find_windows(
+        [it.expr for it in stmt.items if not isinstance(it.expr, Star)]
+        + [e for e, _ in stmt.order_by]
+    )
+    if wins:
+        # windows evaluate over the post-WHERE row set, before projection
+        # (standard SQL / DataFusion operator order)
+        import copy as _copy
+
+        wbind: dict[str, Expr] = {}
+        with _op_timer("WindowAggExec") as tm:
+            env = data
+            for i, wf in enumerate(wins):
+                env = env.append_column(f"__win{i}", _eval_window(data, wf))
+                wbind[wf.sql()] = Column(f"__win{i}")
+            data = env
+            tm.set_rows(data.num_rows)
+        stmt = _copy.copy(stmt)
+        stmt.items = [
+            it if isinstance(it.expr, Star)
+            else SelectItem(_replace(it.expr, wbind), it.alias or it.name)
+            for it in stmt.items
+        ]
+        stmt.order_by = [(_replace(e, wbind), d) for e, d in stmt.order_by]
     out_cols: dict[str, pa.Array] = {}
     for it in stmt.items:
         if isinstance(it.expr, Star):
             for name in data.column_names:
-                out_cols[name] = data.column(name)
+                if not name.startswith(("__win", "__corr")):
+                    out_cols[name] = data.column(name)
         else:
             out_cols[it.name] = _as_array(evaluate_expression(data, it.expr), data.num_rows)
-    from .query import _op_timer
-
     out = pa.table(out_cols)
     if stmt.distinct:
         # DISTINCT precedes ORDER BY; afterwards sort keys must be
@@ -1142,6 +2226,36 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
         mask = evaluate_predicate_mask(env, _replace(stmt.having, having_binding))
         env = env.filter(pa.array(mask))
 
+    from .query import _op_timer
+
+    # window functions over the AGGREGATED rows (DataFusion: windows
+    # execute after GROUP BY/HAVING; their args may reference group
+    # keys and aggregates)
+    wins = _find_windows(
+        [_replace(it.expr, binding) for it in stmt.items]
+        + [_replace(e, binding) for e, _ in stmt.order_by]
+    )
+    if wins:
+        with _op_timer("WindowAggExec") as tm:
+            for i, wf in enumerate(wins):
+                for nd in _walk(wf):
+                    if isinstance(nd, Aggregate):
+                        raise InvalidInputError(
+                            f"aggregate {nd.sql()} not resolvable inside window "
+                            "(is it missing from the GROUP BY context?)"
+                        )
+                    if (
+                        isinstance(nd, Column)
+                        and not nd.name.startswith("__")
+                        and nd.name not in env.column_names
+                    ):
+                        raise InvalidInputError(
+                            f"column {nd.name!r} must appear in GROUP BY or inside an aggregate"
+                        )
+                env = env.append_column(f"__win{i}", _eval_window(env, wf))
+                binding[wf.sql()] = Column(f"__win{i}")
+            tm.set_rows(env.num_rows)
+
     out_cols: dict[str, pa.Array] = {}
     for it in stmt.items:
         bound = _replace(it.expr, binding)
@@ -1155,8 +2269,6 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
                     f"column {n.name!r} must appear in GROUP BY or inside an aggregate"
                 )
         out_cols[it.name] = _as_array(evaluate_expression(env, bound), env.num_rows)
-    from .query import _op_timer
-
     out = pa.table(out_cols)
     if stmt.distinct:
         with _op_timer("DistinctExec") as tm:
