@@ -74,11 +74,14 @@ from .query_fts import (
     Operator,
     PhraseQuery,
 )
+from .sql_spill import set_sql_memory_budget, sql_memory_budget
 from .table import AsyncTable, MergeInsertBuilder, Table
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "set_sql_memory_budget",
+    "sql_memory_budget",
     "deserialize_conn",
     "connect",
     "connect_async",

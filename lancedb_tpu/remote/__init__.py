@@ -1,5 +1,6 @@
 from .client import (
     ClientConfig,
+    TlsConfig,
     RemoteDBConnection,
     RemoteTable,
     RetryConfig,
@@ -15,6 +16,7 @@ __all__ = [
     "RemoteTable",
     "QueryServer",
     "ClientConfig",
+    "TlsConfig",
     "RetryConfig",
     "TimeoutConfig",
     "OAuthConfig",

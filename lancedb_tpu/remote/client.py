@@ -54,12 +54,29 @@ class RetryConfig:
 
 
 @dataclass
+class TlsConfig:
+    """TLS / mTLS identity (reference remote/client.rs:66-285
+    ClientConfig TLS options): `ca_file` pins the trust root,
+    `cert_file`+`key_file` present a client certificate (mTLS),
+    `assert_hostname=False` disables hostname verification,
+    `skip_verify=True` disables certificate verification entirely
+    (reference ssl_skip_verify; never use outside tests)."""
+
+    ca_file: str | None = None
+    cert_file: str | None = None
+    key_file: str | None = None
+    assert_hostname: bool = True
+    skip_verify: bool = False
+
+
+@dataclass
 class ClientConfig:
     """Reference remote/client.rs:66 ClientConfig."""
 
     user_agent: str = "lancedb-tpu-python/0.1.0"
     retry_config: RetryConfig = field(default_factory=RetryConfig)
     timeout_config: TimeoutConfig = field(default_factory=TimeoutConfig)
+    tls_config: "TlsConfig | None" = None
     extra_headers: dict[str, str] = field(default_factory=dict)
     # callable returning per-request headers (reference remote/client.rs
     # header providers — rotating OAuth tokens etc.)
@@ -84,6 +101,25 @@ class RestClient:
         self.api_key = api_key
         self.config = config or ClientConfig()
         self.transport = transport
+        self._ssl_ctx = None
+
+    def _ssl_context(self):
+        """SSL context for https URLs, honoring TlsConfig (mTLS client
+        identity, pinned CA, verification switches). Built once."""
+        if self._ssl_ctx is not None:
+            return self._ssl_ctx
+        import ssl
+
+        tls = self.config.tls_config or TlsConfig()
+        ctx = ssl.create_default_context(cafile=tls.ca_file)
+        if tls.cert_file:
+            ctx.load_cert_chain(tls.cert_file, tls.key_file)
+        if not tls.assert_hostname or tls.skip_verify:
+            ctx.check_hostname = False
+        if tls.skip_verify:
+            ctx.verify_mode = ssl.CERT_NONE
+        self._ssl_ctx = ctx
+        return ctx
 
     def request(
         self,
@@ -131,7 +167,10 @@ class RestClient:
             for k, v in headers.items():
                 req.add_header(k, v)
             try:
-                with urllib.request.urlopen(req, timeout=self.config.timeout_config.read_timeout) as resp:
+                ctx = self._ssl_context() if url.startswith("https") else None
+                with urllib.request.urlopen(
+                    req, timeout=self.config.timeout_config.read_timeout, context=ctx
+                ) as resp:
                     return resp.status, resp.read(), dict(resp.headers)
             except urllib.error.HTTPError as e:
                 payload = e.read()
@@ -369,6 +408,30 @@ class RemoteTable:
             },
         )
 
+    def create_index_async(
+        self,
+        metric: str = "l2",
+        num_partitions: int | None = None,
+        num_sub_vectors: int | None = None,
+        vector_column_name: str | None = None,
+        index_type: str = "IVF_PQ",
+        **kw,
+    ) -> "RemoteJob":
+        """Server-side background index build; returns a RemoteJob the
+        caller polls/waits on (reference index.rs:313 create_index_async
+        returning a Job over REST)."""
+        doc = self._c.post_json(
+            self._p("create_index_async"),
+            {
+                "column": vector_column_name,
+                "index_type": index_type,
+                "metric_type": metric,
+                "num_partitions": num_partitions,
+                "num_sub_vectors": num_sub_vectors,
+            },
+        )
+        return RemoteJob(self._c, doc["job"])
+
     def create_scalar_index(self, column: str, index_type: str = "BTREE", **kw) -> None:
         self._c.post_json(self._p("create_index"), {"column": column, "index_type": index_type})
 
@@ -463,6 +526,58 @@ class RemoteTable:
         return _Tags()
 
 
+class RemoteJob:
+    """Client handle over a server-side job (reference job.rs:16-31:
+    status/wait/cancel). State refreshes by polling GET /v1/jobs/<id>."""
+
+    _TERMINAL = ("SUCCEEDED", "FAILED", "CANCELLED")
+
+    def __init__(self, client: RestClient, info: dict):
+        self._c = client
+        self._info = dict(info)
+
+    @property
+    def id(self) -> str:
+        return self._info["id"]
+
+    def refresh(self) -> dict:
+        self._info = self._c.get_json(f"/v1/jobs/{self.id}")["job"]
+        return dict(self._info)
+
+    def status(self) -> str:
+        if self._info.get("status") not in self._TERMINAL:
+            self.refresh()
+        return self._info["status"]
+
+    def done(self) -> bool:
+        return self.status() in self._TERMINAL
+
+    def wait(self, timeout: float | None = None, poll_interval: float = 0.1) -> dict:
+        """Poll until the job reaches a terminal state; raises
+        JobFailureError on FAILED/CANCELLED, TimeoutError on timeout."""
+        import time as _time
+
+        from ..errors import JobFailureError
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            status = self.status()
+            if status == "SUCCEEDED":
+                return dict(self._info)
+            if status in ("FAILED", "CANCELLED"):
+                raise JobFailureError(
+                    f"job {self.id} {status.lower()}: {self._info.get('error')}"
+                )
+            if deadline is not None and _time.monotonic() > deadline:
+                raise TimeoutError(f"job {self.id} still {status} after {timeout}s")
+            _time.sleep(poll_interval)
+
+    def cancel(self) -> bool:
+        doc = self._c.post_json(f"/v1/jobs/{self.id}/cancel")
+        self._info = doc["job"]
+        return bool(doc["cancelled"])
+
+
 class RemoteDBConnection:
     """Reference remote/db.rs `RemoteDatabase` equivalent."""
 
@@ -517,6 +632,22 @@ class RemoteDBConnection:
     def drop_all_tables(self) -> None:
         for n in self.table_names():
             self.drop_table(n)
+
+    # ---- jobs (reference connection.rs:526-556) -----------------------
+    def list_jobs(self, include_finished: bool = True) -> list[dict]:
+        params = None if include_finished else {"include_finished": "false"}
+        return self._client.get_json("/v1/jobs", params)["jobs"]
+
+    def get_job(self, job_id: str) -> "RemoteJob":
+        return RemoteJob(self._client, self._client.get_json(f"/v1/jobs/{job_id}")["job"])
+
+    job = get_job
+
+    def cancel_job(self, job_id: str) -> bool:
+        return self.get_job(job_id).cancel()
+
+    def job_history(self) -> list[dict]:
+        return self._client.get_json("/v1/jobs/history")["jobs"]
 
 
 def _parse_type(type_str: str) -> pa.DataType:

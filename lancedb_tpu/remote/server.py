@@ -83,6 +83,17 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._list_tables()
             if path == "/v1/sql" and method == "POST":
                 return self.op_sql()
+            # connection-level job APIs (reference connection.rs:526-556)
+            if path == "/v1/jobs" and method == "GET":
+                return self.op_jobs_list()
+            if path == "/v1/jobs/history" and method == "GET":
+                return self.op_jobs_history()
+            mj = re.match(r"^/v1/jobs/([^/]+)/cancel$", path)
+            if mj and method == "POST":
+                return self.op_jobs_cancel(mj.group(1))
+            mj = re.match(r"^/v1/jobs/([^/]+)$", path)
+            if mj and method == "GET":
+                return self.op_jobs_get(mj.group(1))
             m = re.match(r"^/v1/table/([^/]+)/(.+)$", path)
             if not m:
                 return self._error(404, f"no route {path}")
@@ -406,8 +417,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond(200, dumps(stats))
 
     # ----------------------------------------------------------- indexes
-    def op_create_index(self, name):
-        body = loads(self._read_body())
+    def _do_create_index(self, name, body):
         t = self.conn.open_table(name)
         index_type = body.get("index_type", "IVF_PQ").upper()
         if index_type == "FTS":
@@ -426,7 +436,46 @@ class _Handler(BaseHTTPRequestHandler):
                 vector_column_name=body.get("column"),
                 index_type=index_type,
             )
+
+    def op_create_index(self, name):
+        body = loads(self._read_body())
+        self._do_create_index(name, body)
         self._respond(200, dumps({}))
+
+    def op_create_index_async(self, name):
+        """Server-side background index build returning a job id the
+        client polls via /v1/jobs (reference index.rs:313
+        create_index_async → Job over REST)."""
+        body = loads(self._read_body())
+        # validate the table exists before accepting the job
+        self.conn.open_table(name)
+        job = self.conn._jobs.submit(
+            "create_index", lambda: self._do_create_index(name, body)
+        )
+        self._respond(202, dumps({"job": job._info.to_dict()}))
+
+    # ---- connection-level job APIs (reference connection.rs:526-556) --
+    def op_jobs_list(self):
+        qs = self.path.split("?", 1)[1] if "?" in self.path else ""
+        include_finished = "include_finished=false" not in qs
+        self._respond(200, dumps({"jobs": self.conn.list_jobs(include_finished)}))
+
+    def op_jobs_history(self):
+        self._respond(200, dumps({"jobs": self.conn.job_history()}))
+
+    def op_jobs_get(self, job_id):
+        job = self.conn.get_job(job_id)
+        if job is None:
+            return self._error(404, f"no job {job_id!r}")
+        self._respond(200, dumps({"job": job._info.to_dict()}))
+
+    def op_jobs_cancel(self, job_id):
+        job = self.conn.get_job(job_id)
+        if job is None:
+            return self._error(404, f"no job {job_id!r}")
+        cancelled = job.cancel()
+        self._respond(200, dumps({"cancelled": bool(cancelled),
+                                  "job": job._info.to_dict()}))
 
     def op_index_list(self, name):
         t = self.conn.open_table(name)
@@ -601,15 +650,23 @@ class QueryServer:
         batch_window_ms: float = 2.0,
         max_batch: int = 64,
         serving_mesh=None,
+        tls_cert: str | None = None,
+        tls_key: str | None = None,
+        tls_client_ca: str | None = None,
     ):
         """``uri`` may also be an existing connection object (its table/
         session caches are then shared with the server). ``serving_mesh``
         turns on mesh-sharded IVF_PQ serving for every table the server
-        opens (Table.enable_sharded_serving)."""
-        if api_key is None and host not in ("127.0.0.1", "localhost", "::1"):
+        opens (Table.enable_sharded_serving). ``tls_cert``/``tls_key``
+        serve HTTPS; ``tls_client_ca`` additionally REQUIRES a client
+        certificate signed by that CA (mTLS — the server face of the
+        reference's ClientConfig TLS identity, remote/client.rs:66-285)."""
+        mtls = tls_client_ca is not None
+        if api_key is None and not mtls and host not in ("127.0.0.1", "localhost", "::1"):
             raise ValueError(
                 "QueryServer exposes mutating endpoints (drop/delete/update/"
-                "restore); binding to a non-loopback host requires api_key="
+                "restore); binding to a non-loopback host requires api_key= "
+                "or mTLS (tls_client_ca=)"
             )
         from .batching import MicroBatcher
 
@@ -640,6 +697,17 @@ class QueryServer:
             },
         )
         self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._scheme = "http"
+        if tls_cert is not None:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert, tls_key)
+            if tls_client_ca is not None:
+                ctx.verify_mode = ssl.CERT_REQUIRED
+                ctx.load_verify_locations(tls_client_ca)
+            self._httpd.socket = ctx.wrap_socket(self._httpd.socket, server_side=True)
+            self._scheme = "https"
         self._thread: threading.Thread | None = None
 
     @property
@@ -649,7 +717,7 @@ class QueryServer:
     @property
     def url(self) -> str:
         host, port = self._httpd.server_address[:2]
-        return f"http://{host}:{port}"
+        return f"{self._scheme}://{host}:{port}"
 
     def start(self) -> "QueryServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -1223,6 +1223,21 @@ def execute_select(
     if stmt.having is not None and _has_corr_nodes(stmt.having):
         raise InvalidInputError("correlated subqueries in HAVING are not supported")
 
+    from .sql_spill import sql_memory_budget
+
+    budget = sql_memory_budget()
+    if budget is not None and not stmt.joins and corr_where is None:
+        out = _try_streaming_grouped(stmt, open_table, budget)
+        if out is not None:
+            if stmt.offset or stmt.limit is not None:
+                with _op_timer("GlobalLimitExec") as tm:
+                    if stmt.offset:
+                        out = out.slice(stmt.offset)
+                    if stmt.limit is not None:
+                        out = out.slice(0, stmt.limit)
+                    tm.set_rows(out.num_rows)
+            return out
+
     if stmt.joins:
         data, stmt = _load_joined(stmt, open_table)
         corr_where = stmt.where  # correlated residue, join-env rewritten
@@ -1302,6 +1317,73 @@ def execute_select(
             if stmt.limit is not None:
                 out = out.slice(0, stmt.limit)
             tm.set_rows(out.num_rows)
+    return out
+
+
+def _try_streaming_grouped(stmt: SelectStatement, open_table, budget: int) -> pa.Table | None:
+    """Bounded-memory grouped aggregation straight off the scan stream,
+    when the statement shape allows it (plain-table source, grouped, no
+    correlated nodes). Returns None to fall through to the materializing
+    path."""
+    if stmt.source.kind != "table":
+        return None
+    exprs = (
+        [it.expr for it in stmt.items if not isinstance(it.expr, Star)]
+        + stmt.group_by
+        + [stmt.having]
+        + [e for e, _ in stmt.order_by]
+    )
+    if any(_has_corr_nodes(e) for e in exprs if e is not None):
+        return None
+    try:
+        obj = open_table(stmt.source.name)
+    except Exception:
+        return None
+    if isinstance(obj, pa.Table):
+        return None  # materialized CTE: already in memory
+    schema_names = list(obj.schema.names)
+
+    import copy as _copy
+
+    stmt = _copy.copy(stmt)
+    stmt.group_by = list(stmt.group_by)
+    # GROUP BY <alias> resolves against the scan schema
+    alias_map = {
+        it.alias: it.expr for it in stmt.items
+        if it.alias and not isinstance(it.expr, Star)
+    }
+    stmt.group_by = [
+        alias_map.get(e.name, e)
+        if isinstance(e, Column) and e.name not in schema_names else e
+        for e in stmt.group_by
+    ]
+    aggs = _find_aggs(
+        [it.expr for it in stmt.items] + stmt.group_by + [stmt.having]
+        + [e for e, _ in stmt.order_by]
+    )
+    if not (stmt.group_by or aggs):
+        return None
+    if any(isinstance(it.expr, Star) for it in stmt.items):
+        return None  # the grouped executor rejects * anyway
+
+    from .query import _op_timer
+
+    qb = obj.search(None)
+    if stmt.where is not None:
+        qb = qb.where(stmt.where.sql())
+    aliases = {it.alias for it in stmt.items if it.alias}
+    cols = sorted(
+        (_columns_of(
+            [it.expr for it in stmt.items] + stmt.group_by
+            + [stmt.having, stmt.where] + [e for e, _ in stmt.order_by]
+        ) - aliases)
+    )
+    scan_cols = [c for c in cols if c in schema_names]
+    if scan_cols:
+        qb = qb.select(scan_cols)
+    with _op_timer("AggregateExec") as tm:
+        out = _execute_grouped_streaming(stmt, qb.to_batches(), aggs, budget)
+        tm.set_rows(out.num_rows)
     return out
 
 
@@ -2158,20 +2240,19 @@ def _execute_plain(stmt: SelectStatement, data: pa.Table) -> pa.Table:
     return out
 
 
-def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate]) -> pa.Table:
-    for it in stmt.items:
-        if isinstance(it.expr, Star):
-            raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
-
-    # pre-group columns: group keys + aggregate inputs
-    pre: dict[str, pa.Array] = {}
+def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
+    """Shared planning for grouped execution: group-key / aggregate-input
+    expressions with generated names, pyarrow agg specs, and the binding
+    that maps original expressions to aggregated-output columns."""
     binding: dict[str, Expr] = {}  # expr.sql() -> Column placeholder
+    key_exprs: list[tuple[str, Expr]] = []
     key_names: list[str] = []
     for i, ge in enumerate(stmt.group_by):
         name = f"__gk{i}"
-        pre[name] = _as_array(evaluate_expression(data, ge), data.num_rows)
+        key_exprs.append((name, ge))
         binding[ge.sql()] = Column(name)
         key_names.append(name)
+    agg_inputs: list[tuple[str, Expr]] = []
     agg_specs: list[tuple] = []
     n_count_all = 0
     for j, ag in enumerate(aggs):
@@ -2183,10 +2264,21 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
             binding[ag.sql()] = Column("count_all")
         else:
             name = f"__ain{j}"
-            pre[name] = _as_array(evaluate_expression(data, ag.arg), data.num_rows)
+            agg_inputs.append((name, ag.arg))
             agg_specs.append((name, pa_fn))
             binding[ag.sql()] = Column(f"{name}_{pa_fn}")
+    return key_exprs, agg_inputs, agg_specs, binding, key_names
 
+
+def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate]) -> pa.Table:
+    for it in stmt.items:
+        if isinstance(it.expr, Star):
+            raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
+
+    key_exprs, agg_inputs, agg_specs, binding, key_names = _grouped_prelude(stmt, aggs)
+    pre: dict[str, pa.Array] = {}
+    for name, e in key_exprs + agg_inputs:
+        pre[name] = _as_array(evaluate_expression(data, e), data.num_rows)
     pre_tbl = pa.table(pre) if pre else pa.table({"__one": pa.array([1] * data.num_rows)})
 
     if key_names:
@@ -2211,6 +2303,100 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
             env_cols[f"{col}_{fn}"] = pa.array([val])
         env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
 
+    return _grouped_finish(stmt, env, binding)
+
+
+def _execute_grouped_streaming(
+    stmt: SelectStatement,
+    batches,
+    aggs: list[Aggregate],
+    budget: int,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Grouped aggregation over a batch stream in bounded memory.
+
+    Keyed: pre-columns evaluate per batch and radix-spill to disk
+    (sql_spill.spilled_group_by) — working set is one batch + one
+    partition. Keyless: running accumulators (count/sum/min/max/mean);
+    COUNT(DISTINCT) keeps the distinct set, bounded by cardinality."""
+    for it in stmt.items:
+        if isinstance(it.expr, Star):
+            raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
+    key_exprs, agg_inputs, agg_specs, binding, key_names = _grouped_prelude(stmt, aggs)
+    arg_of = dict(agg_inputs)
+
+    if key_names:
+        from .sql_spill import spilled_group_by
+
+        def pre_batches():
+            for b in batches:
+                tb = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                cols = {
+                    name: _as_array(evaluate_expression(tb, e), tb.num_rows)
+                    for name, e in key_exprs + agg_inputs
+                }
+                yield pa.table(cols)
+
+        env = spilled_group_by(pre_batches(), key_names, agg_specs, budget, stats=stats)
+        return _grouped_finish(stmt, env, binding)
+
+    # keyless: one global group, O(1) state per aggregate
+    n_rows = 0
+    state: dict[str, dict] = {
+        name: {"sum": 0, "cnt": 0, "min": None, "max": None, "distinct": set(), "saw": False}
+        for name, _ in agg_inputs
+    }
+    for b in batches:
+        tb = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        n_rows += tb.num_rows
+        if stats is not None:
+            stats["peak_batch_bytes"] = max(stats.get("peak_batch_bytes", 0), tb.nbytes)
+        for name, e in agg_inputs:
+            arr = _as_array(evaluate_expression(tb, e), tb.num_rows)
+            st = state[name]
+            cnt = pc.count(arr).as_py()
+            if cnt:
+                st["cnt"] += cnt
+                st["saw"] = True
+                fns = {fn for nm, fn in agg_specs if nm == name}
+                if "sum" in fns or "mean" in fns:
+                    st["sum"] += pc.sum(arr).as_py()
+                if "min" in fns:
+                    m = pc.min(arr).as_py()
+                    st["min"] = m if st["min"] is None else min(st["min"], m)
+                if "max" in fns:
+                    m = pc.max(arr).as_py()
+                    st["max"] = m if st["max"] is None else max(st["max"], m)
+                if "count_distinct" in fns:
+                    st["distinct"].update(v for v in arr.to_pylist() if v is not None)
+    env_cols: dict[str, pa.Array] = {}
+    for spec in agg_specs:
+        col, fn = spec
+        if fn == "count_all":
+            env_cols["count_all"] = pa.array([n_rows], type=pa.int64())
+            continue
+        st = state[col]
+        if fn == "count":
+            val = st["cnt"]
+        elif fn == "count_distinct":
+            val = len(st["distinct"])
+        elif fn == "mean":
+            val = (st["sum"] / st["cnt"]) if st["cnt"] else None
+        elif fn == "sum":
+            val = st["sum"] if st["saw"] else None
+        elif fn == "min":
+            val = st["min"]
+        else:
+            val = st["max"]
+        env_cols[f"{col}_{fn}"] = pa.array([val])
+    env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
+    return _grouped_finish(stmt, env, binding)
+
+
+def _grouped_finish(stmt: SelectStatement, env: pa.Table, binding: dict[str, Expr]) -> pa.Table:
+    """Post-aggregation pipeline shared by the in-memory and spilled
+    grouped paths: HAVING → window functions → projection → DISTINCT →
+    ORDER BY."""
     # group keys with nulls: pyarrow group_by keeps null groups (SQL too)
     if stmt.having is not None:
         # HAVING may reference select-item aliases (HAVING n > 3 for

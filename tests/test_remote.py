@@ -641,3 +641,155 @@ class TestRemoteSql:
 
         with pytest.raises(HttpError):
             remote_db.sql("SELECT FROM WHERE")
+
+
+class TestRemoteJobs:
+    """Remote job APIs (VERDICT r2 missing #2): /v1/jobs list/get/cancel/
+    history + create_index_async returning a job id the client polls
+    (reference connection.rs:526-556, job.rs:16-31, index.rs:313)."""
+
+    def test_create_index_async_wait_then_listed(self, remote_db):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((600, 16)).astype(np.float32)
+        t = remote_db.create_table("jt", {"id": np.arange(600), "vector": list(vecs)})
+        job = t.create_index_async(index_type="IVF_PQ", num_partitions=4,
+                                   num_sub_vectors=4)
+        assert job.id
+        info = job.wait(timeout=120)
+        assert info["status"] == "SUCCEEDED"
+        names = [ix["name"] if isinstance(ix, dict) else ix for ix in t.list_indices()]
+        assert names, "index build must be visible after the job succeeds"
+        # the job shows up in connection-level listings and history
+        listed = remote_db.list_jobs()
+        assert any(j["id"] == job.id for j in listed)
+        hist = remote_db.job_history()
+        assert any(j["id"] == job.id and j["status"] == "SUCCEEDED" for j in hist)
+        # refetch by id
+        again = remote_db.get_job(job.id)
+        assert again.status() == "SUCCEEDED"
+
+    def test_missing_job_404(self, remote_db):
+        from lancedb_tpu.errors import HttpError, LanceDBError
+
+        with pytest.raises((HttpError, LanceDBError)):
+            remote_db.get_job("nope")
+
+    def test_async_index_on_missing_table_rejected(self, remote_db):
+        from lancedb_tpu.remote.client import RemoteTable
+
+        t = RemoteTable(remote_db._client, "ghost")
+        from lancedb_tpu.errors import HttpError, LanceDBError
+
+        with pytest.raises((HttpError, LanceDBError)):
+            t.create_index_async(num_partitions=2, num_sub_vectors=2)
+
+    def test_failed_job_surfaces_error(self, remote_db):
+        import numpy as np
+
+        from lancedb_tpu.errors import JobFailureError
+
+        vecs = np.random.default_rng(1).standard_normal((50, 8)).astype(np.float32)
+        t = remote_db.create_table("jf", {"id": np.arange(50), "vector": list(vecs)})
+        # invalid num_sub_vectors (does not divide dim) → job FAILED
+        job = t.create_index_async(index_type="IVF_PQ", num_partitions=2,
+                                   num_sub_vectors=7)
+        with pytest.raises(JobFailureError):
+            job.wait(timeout=60)
+        assert job.status() == "FAILED"
+
+
+class TestMtls:
+    """TLS/mTLS client identity (VERDICT r2 missing #5): ClientConfig
+    carries a CA pin + client certificate, the server can REQUIRE the
+    client cert (reference remote/client.rs:66-285 TLS options)."""
+
+    @pytest.fixture(scope="class")
+    def certs(self, tmp_path_factory):
+        import shutil
+        import subprocess
+
+        if shutil.which("openssl") is None:
+            pytest.skip("openssl not available")
+        d = tmp_path_factory.mktemp("certs")
+
+        def ossl(*args):
+            subprocess.run(["openssl", *args], check=True, capture_output=True)
+
+        # CA
+        ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-days", "2",
+             "-keyout", str(d / "ca.key"), "-out", str(d / "ca.crt"),
+             "-subj", "/CN=test-ca")
+        # server cert with the loopback IP SAN
+        ossl("req", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(d / "srv.key"), "-out", str(d / "srv.csr"),
+             "-subj", "/CN=127.0.0.1",
+             "-addext", "subjectAltName=IP:127.0.0.1")
+        ossl("x509", "-req", "-in", str(d / "srv.csr"), "-CA", str(d / "ca.crt"),
+             "-CAkey", str(d / "ca.key"), "-CAcreateserial", "-days", "2",
+             "-copy_extensions", "copy", "-out", str(d / "srv.crt"))
+        # client cert
+        ossl("req", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(d / "cli.key"), "-out", str(d / "cli.csr"),
+             "-subj", "/CN=test-client")
+        ossl("x509", "-req", "-in", str(d / "cli.csr"), "-CA", str(d / "ca.crt"),
+             "-CAkey", str(d / "ca.key"), "-CAcreateserial", "-days", "2",
+             "-out", str(d / "cli.crt"))
+        return d
+
+    def test_mtls_round_trip(self, certs, tmp_path):
+        from lancedb_tpu.remote import ClientConfig, TlsConfig
+
+        with QueryServer(
+            str(tmp_path / "db"),
+            tls_cert=str(certs / "srv.crt"), tls_key=str(certs / "srv.key"),
+            tls_client_ca=str(certs / "ca.crt"),
+        ) as server:
+            assert server.url.startswith("https://")
+            cfg = ClientConfig(tls_config=TlsConfig(
+                ca_file=str(certs / "ca.crt"),
+                cert_file=str(certs / "cli.crt"),
+                key_file=str(certs / "cli.key"),
+            ))
+            rdb = connect_remote(server.url, config=cfg)
+            t = rdb.create_table("m", {"id": [1, 2, 3]})
+            assert t.count_rows() == 3
+            assert rdb.table_names() == ["m"]
+
+    def test_client_without_cert_rejected(self, certs, tmp_path):
+        from lancedb_tpu.errors import LanceDBError
+        from lancedb_tpu.remote import ClientConfig, TlsConfig
+
+        with QueryServer(
+            str(tmp_path / "db"),
+            tls_cert=str(certs / "srv.crt"), tls_key=str(certs / "srv.key"),
+            tls_client_ca=str(certs / "ca.crt"),
+        ) as server:
+            cfg = ClientConfig(tls_config=TlsConfig(ca_file=str(certs / "ca.crt")))
+            with pytest.raises(Exception):
+                connect_remote(server.url, config=cfg).table_names()
+
+    def test_tls_without_mtls(self, certs, tmp_path):
+        from lancedb_tpu.remote import ClientConfig, TlsConfig
+
+        with QueryServer(
+            str(tmp_path / "db"),
+            tls_cert=str(certs / "srv.crt"), tls_key=str(certs / "srv.key"),
+        ) as server:
+            cfg = ClientConfig(tls_config=TlsConfig(ca_file=str(certs / "ca.crt")))
+            rdb = connect_remote(server.url, config=cfg)
+            rdb.create_table("p", {"id": [1]})
+            assert rdb.table_names() == ["p"]
+
+    def test_untrusted_ca_rejected(self, certs, tmp_path):
+        from lancedb_tpu.remote import ClientConfig, TlsConfig
+
+        with QueryServer(
+            str(tmp_path / "db"),
+            tls_cert=str(certs / "srv.crt"), tls_key=str(certs / "srv.key"),
+        ) as server:
+            # no ca pin → default trust store → self-signed chain fails
+            cfg = ClientConfig(tls_config=TlsConfig())
+            with pytest.raises(Exception):
+                connect_remote(server.url, config=cfg).table_names()
