@@ -723,6 +723,31 @@ def load_fts_index(dataset, meta: IndexMeta) -> FtsIndex:
 # ------------------------------------------------------------------- query
 
 
+def _ast_columns(query) -> set[str]:
+    """Columns a structured FTS query references (empty for strings /
+    column-less nodes — any index serves those)."""
+    from ..query_fts import (
+        BooleanQuery as _BQ,
+        BoostQuery as _Boost,
+        MatchQuery as _MQ,
+        MultiMatchQuery as _MMQ,
+        PhraseQuery as _PQ,
+    )
+
+    if isinstance(query, (_MQ, _PQ)):
+        return {query.column} if query.column else set()
+    if isinstance(query, _MMQ):
+        return set(query.columns)
+    if isinstance(query, _Boost):
+        return _ast_columns(query.positive) | _ast_columns(query.negative)
+    if isinstance(query, _BQ):
+        out: set[str] = set()
+        for _, sub in query.queries:
+            out |= _ast_columns(sub)
+        return out
+    return set()
+
+
 def execute_fts_query(
     table,
     query,
@@ -736,14 +761,21 @@ def execute_fts_query(
 ) -> pa.Table:
     """FTS execution pipeline (reference SURVEY.md §3.2 hybrid FTS leg)."""
     ds = table._dataset
-    fts_meta = None
-    for ix in ds.manifest.indices:
-        if ix.index_type != "FTS":
-            continue
-        if columns is None or set(columns) <= set(ix.columns):
-            fts_meta = ix
-            break
+    # index selection honors the columns the QUERY actually touches —
+    # an AST query names its own columns (MatchQuery.column,
+    # MultiMatchQuery.columns), so pick an index covering all of them
+    need = set(columns) if columns else _ast_columns(query)
+    candidates = [ix for ix in ds.manifest.indices if ix.index_type == "FTS"]
+    fts_meta = next(
+        (ix for ix in candidates if not need or need <= set(ix.columns)), None
+    )
     if fts_meta is None:
+        if candidates:
+            have = sorted({c for ix in candidates for c in ix.columns})
+            raise InvalidInputError(
+                f"no FTS index covers columns {sorted(need)} (indexed: {have}); "
+                f"build one combined index: create_fts_index({sorted(need)})"
+            )
         raise InvalidInputError(
             "this table has no FTS index; call create_fts_index() first"
         )

@@ -172,9 +172,14 @@ def _start_build_warmup(
         n_train = min(n, config.sample_rate * kcode)
         n_pq_pool = min(n_train, 32 * kcode)
 
+        res_dt = (
+            jnp.bfloat16
+            if coarse_args.get("residual_dtype") == "bfloat16" else jnp.float32
+        )
+
         def warm_pq():
             pq_build_device(
-                jnp.zeros((n_pad, dim), jnp.float32),
+                jnp.zeros((n_pad, dim), res_dt),
                 jnp.zeros((nparts, dim), jnp.float32),
                 jnp.zeros((n_pad,), jnp.int32),
                 jnp.zeros((n_train,), jnp.int32),
@@ -322,7 +327,14 @@ def build_vector_index(
         # compile-queue draws — and both compiles are WARMED concurrently
         # (zeros input, created on device) while the table uploads.
         need_res = index_type in ("IVF_PQ", "IVF_RQ")
-        chunk = 1 << 17
+        # large-D HBM discipline: the per-chunk (chunk, K) distance
+        # transient and the residual buffer both scale with D — at
+        # 1M x 960 an f32 residual buffer alone is 3.8 GB, which OOMs a
+        # 16 GB v5e next to the resident table. Smaller chunks + bf16
+        # residuals keep the build inside HBM; PQ code selection is
+        # insensitive to residual precision and rnorms reconstruct from
+        # codebooks.
+        chunk = 1 << 17 if dim <= 256 else 1 << 15
         rng = np.random.default_rng(config.seed)
         n_sample = min(n, config.sample_rate * nparts)
         n_pool = min(n_sample, max(32 * nparts, 4 * nparts))
@@ -341,9 +353,15 @@ def build_vector_index(
             or jax.default_backend() == "cpu"
             else jnp.bfloat16
         )
+        res_dtype = (
+            "bfloat16"
+            if need_res and build_dtype == jnp.bfloat16 and n * dim * 4 > 2_000_000_000
+            else "float32"
+        )
         coarse_args = dict(
             k=nparts, max_iters=config.max_iterations, metric=train_metric,
             chunk=min(chunk, n), with_residuals=need_res,
+            residual_dtype=res_dtype,
         )
         warm_threads = _start_build_warmup(
             n, dim, nparts, n_sample, n_pool, chunk, build_dtype,
@@ -483,7 +501,7 @@ def build_vector_index(
                     jnp.asarray(reseed_pq),
                     jnp.zeros((1, 1), jnp.float32),
                     nsub=nsub, kcode=kcode, max_iters=config.max_iterations,
-                    chunk=min(1 << 17, n), has_rotation=False,
+                    chunk=min(chunk, n), has_rotation=False,
                 )
                 codebooks = np.asarray(codebooks_d)
                 codes = np.asarray(codes_d[:n])
@@ -1183,8 +1201,12 @@ class VectorSearcher:
                     exact_sel=params.approx_mode == "accurate",
                     rotation=self._device.get("rotation"),
                 )
-        vals = np.asarray(vals)[:nq]
-        slots = np.asarray(slots)[:nq]
+        # ONE device_get for both outputs: through the axon tunnel each
+        # separate fetch pays a full round trip (~27 ms); fused they
+        # ride one
+        vals, slots = jax.device_get((vals, slots))
+        vals = vals[:nq]
+        slots = slots[:nq]
         rids = self.row_ids_flat[slots]
         invalid = vals >= PAD_PENALTY / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
@@ -1230,7 +1252,26 @@ def refine_candidates(
     q = np.asarray(queries, dtype=np.float32)
     if metric == "cosine":
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    exact = np.asarray(refine_distances(jnp.asarray(q), jnp.asarray(cands), metric))
+    if cands.size <= 64 * 1024 * 1024:
+        # small reranks compute on the host: the work is a few MFLOPs of
+        # BLAS, while a device dispatch ships the (Q, K, D) candidate
+        # tensor through the tunnel (measured 2.5 s for 64q x 100 x 960
+        # vs ~10 ms host-side); on co-located hardware the host path is
+        # still microseconds
+        dots = np.einsum("qd,qkd->qk", q, cands, optimize=True)
+        if metric == "dot":
+            exact = -dots
+        elif metric == "cosine":
+            qn = np.linalg.norm(q, axis=-1)[:, None]
+            cn = np.linalg.norm(cands, axis=-1)
+            exact = 1.0 - dots / np.maximum(qn * cn, 1e-30)
+        else:
+            qn2 = np.sum(np.square(q), axis=-1)[:, None]
+            cn2 = np.sum(np.square(cands), axis=-1)
+            exact = np.maximum(qn2 - 2.0 * dots + cn2, 0.0)
+        exact = exact.astype(np.float32)
+    else:
+        exact = np.asarray(refine_distances(jnp.asarray(q), jnp.asarray(cands), metric))
     exact = np.where(valid.reshape(nq, cand), exact, np.inf)
     order = np.argsort(exact, axis=1)[:, :k]
     return np.take_along_axis(exact, order, axis=1), np.take_along_axis(row_ids, order, axis=1)

@@ -194,37 +194,45 @@ def kmeans_fit(
     return np.asarray(cents)
 
 
-@partial(jax.jit, static_argnames=("metric", "chunk", "with_residuals"))
+@partial(jax.jit, static_argnames=("metric", "chunk", "with_residuals", "residual_dtype"))
 def assign_residuals_device(
     x: jax.Array,
     cents: jax.Array,
     metric: str = "l2",
     chunk: int = 1 << 17,
     with_residuals: bool = True,
+    residual_dtype: str = "float32",
 ):
     """Blocked device assign (+ residuals): x stays resident, the (c, K)
     distance transient is bounded by the chunk size. x must be padded to
-    a chunk multiple by the caller. Returns (assign int32, residuals)."""
+    a chunk multiple by the caller. Returns (assign int32, residuals).
+
+    The f32 cast/normalize happens INSIDE each chunk — a full-table f32
+    copy of a bf16 input would double resident HBM (at 1M x 960 that
+    copy alone is 3.8 GB). residual_dtype="bfloat16" halves the residual
+    buffer for large-D builds; PQ code selection is unaffected at that
+    precision and rnorms reconstruct from codebooks, not residuals."""
     n, d = x.shape
-    xf = x.astype(jnp.float32)
     spherical = metric in ("cosine", "dot")
-    if spherical:
-        xf = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-30)
+    res_dt = jnp.bfloat16 if residual_dtype == "bfloat16" else jnp.float32
 
     def one_chunk(xc):
+        xc = xc.astype(jnp.float32)
+        if spherical:
+            xc = xc / jnp.maximum(jnp.linalg.norm(xc, axis=-1, keepdims=True), 1e-30)
         a = _assign(xc.astype(matmul_dtype()), jnp.sum(jnp.square(xc), -1), cents, metric)
         a = a.astype(jnp.int32)
         if with_residuals:
-            return a, xc - jnp.take(cents, a, axis=0)
-        return a, jnp.zeros((xc.shape[0], 0), jnp.float32)
+            return a, (xc - jnp.take(cents, a, axis=0)).astype(res_dt)
+        return a, jnp.zeros((xc.shape[0], 0), res_dt)
 
-    assign, res = jax.lax.map(one_chunk, xf.reshape(n // chunk, chunk, d))
+    assign, res = jax.lax.map(one_chunk, x.reshape(n // chunk, chunk, d))
     return assign.reshape(n), res.reshape(n, -1)
 
 
 @partial(
     jax.jit,
-    static_argnames=("k", "max_iters", "metric", "chunk", "with_residuals"),
+    static_argnames=("k", "max_iters", "metric", "chunk", "with_residuals", "residual_dtype"),
 )
 def ivf_train_assign_device(
     x: jax.Array,
@@ -239,6 +247,7 @@ def ivf_train_assign_device(
     chunk: int = 1 << 17,
     with_residuals: bool = True,
     tol: float = 1e-4,
+    residual_dtype: str = "float32",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The whole IVF coarse stage as ONE device program:
 
@@ -276,7 +285,7 @@ def ivf_train_assign_device(
     x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
     assign, residuals = assign_residuals_device(
         x_pad, cents, metric=metric, chunk=min(chunk, n_pad),
-        with_residuals=with_residuals,
+        with_residuals=with_residuals, residual_dtype=residual_dtype,
     )
     return cents, assign, residuals
 

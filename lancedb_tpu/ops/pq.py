@@ -269,7 +269,9 @@ def pq_build_device(
     """
     d = residuals.shape[1]
     dsub = d // nsub
-    sample = jnp.take(residuals, sel, axis=0)
+    # residuals may arrive bf16 (large-D builds halve the buffer);
+    # codebook training accumulates in f32 regardless
+    sample = jnp.take(residuals, sel, axis=0).astype(jnp.float32)
     if has_rotation:
         sample = sample @ rotation.T
     subs = sample.reshape(-1, nsub, dsub).transpose(1, 0, 2)  # (S, n, dsub)

@@ -366,8 +366,9 @@ class ShardedIvfPqIndex:
         vals, slots = self._steps[key](
             qj, qlj, self._centroids, self._codebooks, self._codes, self._rnorms, pen_j
         )
-        vals = np.asarray(vals)[:nq]
-        slots = np.asarray(slots)[:nq]
+        vals, slots = jax.device_get((vals, slots))  # one fused fetch
+        vals = vals[:nq]
+        slots = slots[:nq]
         rids = self.row_ids[self._deal_to_flat(slots)]
         invalid = vals >= np.float32(3.0e38) / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)

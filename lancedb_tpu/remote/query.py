@@ -13,10 +13,19 @@ class RemoteQueryBuilder:
         self._body: dict = {"k": 10, "prefilter": True}
         if vector_column_name:
             self._body["vector_column"] = vector_column_name
+        from ..query_fts import FtsQueryNode
+
         if query is None:
             self._body["vector"] = []
         elif isinstance(query, str):
             self._body["full_text_query"] = {"query": query, "columns": fts_columns}
+            self._body["vector"] = []
+        elif isinstance(query, FtsQueryNode):
+            # structured AST: serialize to the shared JSON wire shape
+            # (query_fts.to_json ↔ server fts_query_from_json)
+            self._body["full_text_query"] = {
+                "query": query.to_json(), "columns": fts_columns,
+            }
             self._body["vector"] = []
         else:
             arr = np.asarray(query, dtype=np.float32)

@@ -254,9 +254,22 @@ class _Handler(BaseHTTPRequestHandler):
                 qb = qb.offset(body["offset"])
             return self._respond(200, table_to_ipc(_maybe_sort(qb.to_arrow())), CONTENT_ARROW)
         if "full_text_query" in body and body.get("vector") in (None, []):
+            fq = body["full_text_query"]
+            if "query" in fq:
+                fts_query = fq["query"]
+                if isinstance(fts_query, dict):
+                    from ..query_fts import fts_query_from_json
+
+                    fts_query = fts_query_from_json(fts_query)
+            else:
+                # structured AST document (MatchQuery.to_json shape) —
+                # what the python/TS clients send for non-string queries
+                from ..query_fts import fts_query_from_json
+
+                fts_query = fts_query_from_json(fq)
             out = t._execute_fts(
-                body["full_text_query"]["query"],
-                columns=body["full_text_query"].get("columns"),
+                fts_query,
+                columns=fq.get("columns"),
                 k=body.get("k", 10),
                 offset=body.get("offset", 0),
                 filter=body.get("filter"),

@@ -2157,35 +2157,12 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
 def _fts_query_from_json(text: str):
     import json
 
-    from .query_fts import BooleanQuery, BoostQuery, MatchQuery, PhraseQuery
+    from .query_fts import fts_query_from_json
 
-    def build(doc):
-        if "match" in doc:
-            m = doc["match"]
-            return MatchQuery(
-                m["query"], m.get("column"),
-                operator=m.get("operator", "OR"),
-                fuzziness=m.get("fuzziness", 0),
-            )
-        if "phrase" in doc:
-            p = doc["phrase"]
-            return PhraseQuery(p["query"], p.get("column"), slop=p.get("slop", 0))
-        if "boost" in doc:
-            b = doc["boost"]
-            return BoostQuery(
-                build(b["positive"]), build(b["negative"]),
-                negative_boost=b.get("negative_boost", 0.5),
-            )
-        if "boolean" in doc:
-            b = doc["boolean"]
-            clauses = []
-            for occur in ("should", "must", "must_not"):
-                for sub in b.get(occur, []):
-                    clauses.append((occur.replace("_", " ").upper(), build(sub)))
-            return BooleanQuery(clauses)
-        raise InvalidInputError(f"unsupported fts JSON query: {list(doc)}")
-
-    return build(json.loads(text))
+    try:
+        return fts_query_from_json(json.loads(text))
+    except ValueError as e:
+        raise InvalidInputError(str(e)) from None
 
 
 def _execute_plain(stmt: SelectStatement, data: pa.Table) -> pa.Table:

@@ -7,6 +7,21 @@
  * bounded retries with exponential backoff + jitter on 409/429/5xx.
  */
 
+/** TLS / mTLS identity — the TS face of the reference ClientConfig TLS
+ * options (reference rust remote/client.rs:66-285) and of the python
+ * `TlsConfig`. Requires the optional `undici` package for the custom
+ * dispatcher (`npm i undici`). */
+export interface TlsConfig {
+  /** PEM CA bundle pinning the server's trust root. */
+  ca?: string;
+  /** PEM client certificate (mTLS). */
+  cert?: string;
+  /** PEM client private key (mTLS). */
+  key?: string;
+  /** Set false to skip certificate verification (tests only). */
+  rejectUnauthorized?: boolean;
+}
+
 export interface ClientConfig {
   /** Base URL of the query server, e.g. http://127.0.0.1:8787 */
   baseUrl: string;
@@ -18,6 +33,8 @@ export interface ClientConfig {
   timeoutMs?: number;
   /** Extra headers (e.g. authorization). */
   headers?: Record<string, string>;
+  /** TLS / mTLS options for https servers. */
+  tls?: TlsConfig;
 }
 
 const RETRYABLE = new Set([409, 429, 500, 502, 503, 504]);
@@ -33,9 +50,11 @@ export class HttpError extends Error {
 }
 
 export class RestClient {
-  private cfg: Required<Omit<ClientConfig, "headers">> & {
+  private cfg: Required<Omit<ClientConfig, "headers" | "tls">> & {
     headers: Record<string, string>;
+    tls?: TlsConfig;
   };
+  private dispatcher: unknown | null | undefined;
 
   constructor(cfg: ClientConfig) {
     this.cfg = {
@@ -44,7 +63,35 @@ export class RestClient {
       backoffMs: cfg.backoffMs ?? 100,
       timeoutMs: cfg.timeoutMs ?? 30_000,
       headers: cfg.headers ?? {},
+      tls: cfg.tls,
     };
+  }
+
+  /** undici Agent carrying the TLS identity; built once, lazily, and
+   * only when TLS options are present. */
+  private async getDispatcher(): Promise<unknown | null> {
+    if (this.dispatcher !== undefined) return this.dispatcher;
+    const tls = this.cfg.tls;
+    if (!tls || !this.cfg.baseUrl.startsWith("https")) {
+      this.dispatcher = null;
+      return null;
+    }
+    try {
+      const { Agent } = await import("undici");
+      this.dispatcher = new Agent({
+        connect: {
+          ca: tls.ca,
+          cert: tls.cert,
+          key: tls.key,
+          rejectUnauthorized: tls.rejectUnauthorized ?? true,
+        },
+      });
+    } catch {
+      throw new Error(
+        "TLS client options require the optional 'undici' package: npm i undici",
+      );
+    }
+    return this.dispatcher;
   }
 
   private async send(
@@ -71,10 +118,13 @@ export class RestClient {
       const ctl = new AbortController();
       const timer = setTimeout(() => ctl.abort(), this.cfg.timeoutMs);
       try {
+        const dispatcher = await this.getDispatcher();
         const resp = await fetch(url, {
           method,
           body: payload,
           signal: ctl.signal,
+          // node fetch extension: undici dispatcher carries TLS identity
+          ...(dispatcher ? ({ dispatcher } as object) : {}),
           headers: {
             ...this.cfg.headers,
             "x-request-id": requestId,

@@ -7,8 +7,9 @@
 import { ClientConfig, RestClient } from "./client.js";
 import { EmbeddingDefinition, getRegistry } from "./embeddings.js";
 import { makeArrowTable } from "./arrow.js";
+import { JobInfo, RemoteJob } from "./jobs.js";
 import { Table, TableData } from "./table.js";
-import { tableToIPC, Table as ArrowTable, Schema } from "apache-arrow";
+import { tableFromIPC, tableToIPC, Table as ArrowTable, Schema } from "apache-arrow";
 
 export interface ConnectionOptions extends Omit<ClientConfig, "baseUrl"> {}
 
@@ -80,6 +81,44 @@ export class Connection {
     await this.client.postJson(`/v1/table/${encodeURIComponent(name)}/rename`, {
       new_name: newName,
     });
+  }
+
+  async dropAllTables(): Promise<void> {
+    for (const name of await this.tableNames()) {
+      await this.dropTable(name);
+    }
+  }
+
+  /** Run a SQL SELECT server-side (POST /v1/sql); SELECTs return an
+   * Arrow table, EXPLAIN [ANALYZE] returns the plan text. */
+  async sql(query: string): Promise<ArrowTable | string> {
+    if (/^\s*explain\b/i.test(query)) {
+      const r = await this.client.postJson<{ plan: string }>("/v1/sql", { query });
+      return r.plan;
+    }
+    const ipc = await this.client.postForArrow("/v1/sql", { query });
+    return tableFromIPC(ipc);
+  }
+
+  // ---- jobs (reference connection.rs:526-556) -------------------------
+  async listJobs(includeFinished = true): Promise<JobInfo[]> {
+    const qs = includeFinished ? "" : "?include_finished=false";
+    const r = await this.client.getJson<{ jobs: JobInfo[] }>(`/v1/jobs${qs}`);
+    return r.jobs;
+  }
+
+  async getJob(jobId: string): Promise<RemoteJob> {
+    const r = await this.client.getJson<{ job: JobInfo }>(`/v1/jobs/${jobId}`);
+    return new RemoteJob(this.client, r.job);
+  }
+
+  async cancelJob(jobId: string): Promise<boolean> {
+    return (await this.getJob(jobId)).cancel();
+  }
+
+  async jobHistory(): Promise<JobInfo[]> {
+    const r = await this.client.getJson<{ jobs: JobInfo[] }>("/v1/jobs/history");
+    return r.jobs;
   }
 }
 

@@ -8,7 +8,19 @@ export { connect, Connection, ConnectionOptions } from "./connection.js";
 export { Table, TableDescription, FieldDescriptor, MergeInsertOptions } from "./table.js";
 export { VectorQuery, FtsQuery, PlainQuery, HybridQuery } from "./query.js";
 export { Index, IvfPqOptions, IvfFlatOptions, HnswOptions, FtsOptions, DistanceType } from "./indices.js";
-export { RestClient, ClientConfig, HttpError } from "./client.js";
+export { RestClient, ClientConfig, TlsConfig, HttpError } from "./client.js";
+export {
+  FtsQueryNode,
+  MatchQuery,
+  PhraseQuery,
+  BoostQuery,
+  MultiMatchQuery,
+  BooleanQuery,
+  FullTextQuery,
+  Occur,
+  FtsOperator,
+} from "./fts.js";
+export { RemoteJob, JobInfo, JobStatus, JobFailedError } from "./jobs.js";
 export { makeArrowTable, makeFixedSizeListVector, defaultVectorColumn } from "./arrow.js";
 export {
   EmbeddingDefinition,

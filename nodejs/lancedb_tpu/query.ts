@@ -7,6 +7,7 @@
 
 import { RecordBatch, Table as ArrowTable, tableFromIPC } from "apache-arrow";
 import { RestClient } from "./client.js";
+import { FtsQueryNode, FullTextQuery } from "./fts.js";
 import { Reranker, RRFReranker } from "./rerankers.js";
 
 interface QueryBody {
@@ -26,7 +27,9 @@ interface QueryBody {
   with_row_id?: boolean;
   columns?: string[];
   order_by?: Array<[string, string]>;
-  full_text_query?: { query: string; columns?: string[] };
+  /** plain text OR a structured AST document (fts.ts toJSON shape —
+   * deserialized server-side by query_fts.fts_query_from_json) */
+  full_text_query?: { query: string | object; columns?: string[] };
 }
 
 abstract class QueryBase<T extends QueryBase<T>> {
@@ -167,11 +170,14 @@ export class FtsQuery extends QueryBase<FtsQuery> {
   constructor(
     client: RestClient,
     tableName: string,
-    query: string,
+    query: FullTextQuery,
     columns?: string[],
   ) {
     super(client, tableName);
-    this.body.full_text_query = { query, columns };
+    this.body.full_text_query = {
+      query: query instanceof FtsQueryNode ? query.toJSON() : query,
+      columns,
+    };
   }
 }
 

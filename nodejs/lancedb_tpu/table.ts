@@ -10,7 +10,9 @@ import { Table as ArrowTable, tableFromIPC, tableToIPC } from "apache-arrow";
 import { makeArrowTable } from "./arrow.js";
 import { RestClient } from "./client.js";
 import { EmbeddingFunction, getRegistry } from "./embeddings.js";
+import { FtsQueryNode } from "./fts.js";
 import { Index } from "./indices.js";
+import { JobInfo, RemoteJob } from "./jobs.js";
 import { FtsQuery, HybridQuery, PlainQuery, VectorQuery } from "./query.js";
 
 export interface FieldDescriptor {
@@ -71,15 +73,24 @@ export class Table {
     await this.client.postArrow(`${this.p("insert")}?mode=${mode}`, toIpc(data));
   }
 
-  /** Vector search (array) / full-text search (string) / plain scan (no arg). */
-  search(query: number[] | number[][] | string): VectorQuery | FtsQuery;
+  /** Vector search (array) / full-text search (string or structured
+   * AST — fts.ts MatchQuery etc.) / plain scan (no arg). */
+  search(query: number[] | number[][] | string | FtsQueryNode): VectorQuery | FtsQuery;
   search(): PlainQuery;
   search(
-    query?: number[] | number[][] | string,
+    query?: number[] | number[][] | string | FtsQueryNode,
   ): VectorQuery | FtsQuery | PlainQuery {
     if (query === undefined) return new PlainQuery(this.client, this.name);
-    if (typeof query === "string") return new FtsQuery(this.client, this.name, query);
+    if (typeof query === "string" || query instanceof FtsQueryNode) {
+      return new FtsQuery(this.client, this.name, query);
+    }
     return new VectorQuery(this.client, this.name, query);
+  }
+
+  /** Full-text search over specific columns (reference
+   * Table.fullTextSearch). */
+  fullTextSearch(query: string | FtsQueryNode, columns?: string[]): FtsQuery {
+    return new FtsQuery(this.client, this.name, query, columns);
   }
 
   query(): PlainQuery {
@@ -130,6 +141,38 @@ export class Table {
   async createIndex(column: string, index: Index): Promise<void> {
     await this.client.postJson(this.p("create_index"), {
       ...index.config,
+      column,
+    });
+  }
+
+  /** Server-side background index build returning a RemoteJob the
+   * caller polls/waits on (reference index.rs:313 createIndex → Job). */
+  async createIndexAsync(column: string, index: Index): Promise<RemoteJob> {
+    const r = await this.client.postJson<{ job: JobInfo }>(
+      this.p("create_index_async"),
+      { ...index.config, column },
+    );
+    return new RemoteJob(this.client, r.job);
+  }
+
+  /** Full-text (BM25 inverted) index over one or more text columns
+   * (reference Table.createIndex with an FTS config). */
+  async createFtsIndex(
+    columns: string | string[],
+    options: { withPosition?: boolean; baseTokenizer?: string } = {},
+  ): Promise<void> {
+    await this.client.postJson(this.p("create_index"), {
+      index_type: "FTS",
+      column: columns,
+      with_position: options.withPosition ?? true,
+      base_tokenizer: options.baseTokenizer ?? "simple",
+    });
+  }
+
+  /** BTREE / BITMAP / LABEL_LIST scalar index. */
+  async createScalarIndex(column: string, indexType: "BTREE" | "BITMAP" | "LABEL_LIST" = "BTREE"): Promise<void> {
+    await this.client.postJson(this.p("create_index"), {
+      index_type: indexType,
       column,
     });
   }
@@ -186,11 +229,23 @@ export class Table {
     return r.plan;
   }
 
-  async analyzePlan(vector: number[], k = 10): Promise<string> {
-    const r = await this.client.postJson<{ plan: string }>(this.p("analyze_plan"), {
-      vector,
-      k,
-    });
+  /** Executed-plan metrics. mode: "aggregate" (merged), "per_worker" or
+   * "full" — one section per worker (reference analyze_plan distributed
+   * display modes, query.rs:671-693). */
+  async analyzePlan(
+    vector: number[],
+    k = 10,
+    mode: "aggregate" | "per_worker" | "full" = "aggregate",
+  ): Promise<string> {
+    const r = await this.client.postJson<{
+      plan: string;
+      workers?: Array<{ worker: string; plan: string }>;
+    }>(this.p("analyze_plan"), { vector, k });
+    if ((mode === "per_worker" || mode === "full") && r.workers?.length) {
+      const sections = r.workers.map((w) => `--- worker ${w.worker} ---\n${w.plan}`);
+      if (mode === "full") sections.unshift(`--- aggregate ---\n${r.plan}`);
+      return sections.join("\n");
+    }
     return r.plan;
   }
 

@@ -793,3 +793,64 @@ class TestMtls:
             cfg = ClientConfig(tls_config=TlsConfig())
             with pytest.raises(Exception):
                 connect_remote(server.url, config=cfg).table_names()
+
+
+class TestRemoteStructuredFts:
+    """Structured FTS AST over the wire (query_fts.to_json ↔ server
+    fts_query_from_json — the shape TS clients send too)."""
+
+    @pytest.fixture
+    def docs_table(self, remote_db):
+        t = remote_db.create_table("sdocs", {
+            "id": [1, 2, 3, 4],
+            "text": ["the quick brown fox", "lazy dog sleeps",
+                     "quick dog runs", "brown bear"],
+            "title": ["fox", "dog", "dog", "bear"],
+        })
+        t.create_fts_index(["text", "title"])
+        return t
+
+    def test_boolean_roundtrip(self, docs_table):
+        from lancedb_tpu.query_fts import BooleanQuery, MatchQuery, Occur
+
+        q = BooleanQuery([(Occur.MUST, MatchQuery("quick", "text")),
+                          (Occur.MUST_NOT, MatchQuery("fox", "text"))])
+        out = docs_table.search(q, query_type="fts").limit(5).to_arrow()
+        assert out.column("id").to_pylist() == [3]
+
+    def test_phrase_and_multimatch(self, docs_table):
+        from lancedb_tpu.query_fts import MultiMatchQuery, PhraseQuery
+
+        out = docs_table.search(PhraseQuery("brown fox", "text"),
+                                query_type="fts").limit(5).to_arrow()
+        assert out.column("id").to_pylist() == [1]
+        out = docs_table.search(MultiMatchQuery("dog", ["text", "title"]),
+                                query_type="fts").limit(5).to_arrow()
+        assert set(out.column("id").to_pylist()) == {2, 3}
+
+    def test_json_shapes_are_inverse(self):
+        from lancedb_tpu.query_fts import (
+            BooleanQuery, BoostQuery, MatchQuery, MultiMatchQuery, Occur,
+            PhraseQuery, fts_query_from_json,
+        )
+
+        for q in (
+            MatchQuery("dog", "text", fuzziness=1, boost=2.0),
+            PhraseQuery("big dog", "text", slop=1),
+            MultiMatchQuery("x", ["a", "b"], boosts=[1.0, 2.0]),
+            BoostQuery(MatchQuery("a", "t"), MatchQuery("b", "t"), 0.3),
+            BooleanQuery([(Occur.MUST, MatchQuery("a", "t")),
+                          (Occur.SHOULD, PhraseQuery("b c", "t"))]),
+        ):
+            assert fts_query_from_json(q.to_json()).to_json() == q.to_json()
+
+    def test_ast_column_index_selection_error(self, remote_db):
+        from lancedb_tpu.errors import LanceDBError
+        from lancedb_tpu.query_fts import MultiMatchQuery
+
+        t = remote_db.create_table("sep", {
+            "id": [1], "a": ["x"], "b": ["y"],
+        })
+        t.create_fts_index("a")
+        with pytest.raises(Exception, match="no FTS index covers"):
+            t.search(MultiMatchQuery("x", ["a", "b"]), query_type="fts").limit(1).to_arrow()
