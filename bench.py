@@ -1,6 +1,11 @@
 """Headline benchmark — run on real TPU hardware by the driver.
 
-Covers BASELINE.json configs on SIFT1M-shaped data (1M × 128-d fp32).
+Covers every BASELINE.json config:
+  #1 flat brute-force (1M × 128)        #2 IVF_FLAT nprobes sweep
+  #3 GIST-class IVF_PQ (1M × 960, 2048 parts, 96 sub, refine10)
+  #4 1M × 1536 cosine IVF_PQ + SQL prefilter
+  #5 FTS BM25 top-k + hybrid RRF (single-chip slice)
+  plus IVF_HNSW_FLAT at 500k and single-query p50 latency.
 
 Data model (matches real embedding geometry, unlike iid gaussians):
   * decaying covariance spectrum ((j+1)^-0.5) — energy concentrated in
@@ -28,12 +33,16 @@ Prints ONE JSON line; details to stderr + bench_details.json.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-N_ROWS = 1_000_000
+# BENCH_SMOKE=1 shrinks every config for plumbing validation (CI / CPU);
+# the driver's real run uses the full sizes
+_SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+N_ROWS = 20_000 if _SMOKE else 1_000_000
 DIM = 128
 N_QUERIES = 256
 TOP_K = 10
@@ -46,20 +55,56 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def make_data(rng):
-    spectrum = (np.arange(DIM) + 1.0) ** -0.5
-    spectrum = (spectrum / np.linalg.norm(spectrum) * np.sqrt(DIM)).astype(np.float32)
-    coarse = rng.standard_normal((N_COARSE, DIM)).astype(np.float32)
-    parents = coarse[rng.integers(0, N_COARSE, N_PARENTS)] + 0.45 * rng.standard_normal(
-        (N_PARENTS, DIM)
+def make_clustered(rng, n, dim, n_coarse=N_COARSE, n_parents=N_PARENTS, n_queries=None):
+    """Hierarchical clustered data + queries near existing parents (the
+    property that makes recall@10 meaningful — see module docstring)."""
+    nq = n_queries if n_queries is not None else N_QUERIES * 8
+    spectrum = (np.arange(dim) + 1.0) ** -0.5
+    spectrum = (spectrum / np.linalg.norm(spectrum) * np.sqrt(dim)).astype(np.float32)
+    coarse = rng.standard_normal((n_coarse, dim)).astype(np.float32)
+    parents = coarse[rng.integers(0, n_coarse, n_parents)] + 0.45 * rng.standard_normal(
+        (n_parents, dim)
     ).astype(np.float32)
-    pa = rng.integers(0, N_PARENTS, N_ROWS)
-    x = (parents[pa] + 0.18 * rng.standard_normal((N_ROWS, DIM)).astype(np.float32)) * spectrum
-    qp = rng.integers(0, N_PARENTS, N_QUERIES * 8)
+    pa = rng.integers(0, n_parents, n)
+    x = (parents[pa] + 0.18 * rng.standard_normal((n, dim)).astype(np.float32)) * spectrum
+    qp = rng.integers(0, n_parents, nq)
     q = (
-        parents[qp] + 0.18 * rng.standard_normal((N_QUERIES * 8, DIM)).astype(np.float32)
+        parents[qp] + 0.18 * rng.standard_normal((nq, dim)).astype(np.float32)
     ) * spectrum
-    return x.astype(np.float32), q.astype(np.float32).reshape(8, N_QUERIES, DIM)
+    return x.astype(np.float32), q.astype(np.float32)
+
+
+def make_data(rng):
+    x, q = make_clustered(rng, N_ROWS, DIM)
+    return x, q.reshape(8, N_QUERIES, DIM)
+
+
+def host_gt(x, q, k=10, metric="l2", block=200_000):
+    """Exact ground-truth ids on the host in blocked f32 BLAS — avoids a
+    multi-GB ground-truth upload through the ~19 MB/s tunnel."""
+    if metric == "cosine":
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    best_d = np.full((len(q), k), np.inf, dtype=np.float32)
+    best_i = np.zeros((len(q), k), dtype=np.int64)
+    for start in range(0, len(x), block):
+        xb = x[start:start + block]
+        d = np.sum(xb * xb, axis=1)[None, :] - 2.0 * (q @ xb.T)
+        idx = np.argpartition(d, min(k, d.shape[1] - 1), axis=1)[:, :k]
+        dv = np.take_along_axis(d, idx, axis=1)
+        alld = np.concatenate([best_d, dv], axis=1)
+        alli = np.concatenate([best_i, idx + start], axis=1)
+        sel = np.argpartition(alld, k, axis=1)[:, :k]
+        best_d = np.take_along_axis(alld, sel, axis=1)
+        best_i = np.take_along_axis(alli, sel, axis=1)
+    return [set(r.tolist()) for r in best_i]
+
+
+def make_corpus(rng, n):
+    """Zipf-ish synthetic text: 30k-word vocabulary, 8-word docs."""
+    ranks = np.clip(rng.zipf(1.3, size=n * 8), 1, 30_000) - 1
+    docs = np.char.add("w", ranks.astype("U6")).reshape(n, 8)
+    return [" ".join(row) for row in docs]
 
 
 def cpu_baseline(x, q):
@@ -133,11 +178,15 @@ def main() -> None:
     details["dispatch_rtt_ms"] = round(rtt_s * 1e3, 2)
     log(f"tunnel dispatch RTT ~ {rtt_s * 1e3:.1f} ms (subtracted from loop timings)")
 
-    def timed_loop(batch_fn, args, iters, label, queries_per_batch=N_QUERIES):
+    def timed_loop(batch_fn, args, iters, label, queries_per_batch=N_QUERIES,
+                   qs=None):
+        stack = qstack if qs is None else qs
+        n_alt = int(stack.shape[0])
+
         @jax.jit
-        def run(qstack, *a):
+        def run(stack, *a):
             def body(carry, i):
-                q = qstack[i % 8] + carry * 1e-20
+                q = stack[i % n_alt] + carry * 1e-20
                 v = batch_fn(q, *a)
                 return carry + jnp.sum(v) * 1e-9, None
 
@@ -145,11 +194,11 @@ def main() -> None:
             return out
 
         t0 = time.perf_counter()
-        np.asarray(run(qstack, *args))
+        np.asarray(run(stack, *args))
         compile_s = time.perf_counter() - t0
         times = []
         for rep in range(3):
-            fresh = qstack * (1.0 + 1e-6 * (rep + 1))
+            fresh = stack * (1.0 + 1e-6 * (rep + 1))
             t0 = time.perf_counter()
             np.asarray(run(fresh, *args))
             times.append(time.perf_counter() - t0)
@@ -331,54 +380,41 @@ def main() -> None:
             if tag == "4bit":
                 pq4_qps, pq4_rec = qps, rec_rf
 
-        # host-dispatch latency for context (tunnel-bound on this rig)
-        t0 = time.perf_counter()
-        sp.search(q0, SearchParams(k=TOP_K, nprobes=20))
-        details["host_dispatch_latency_s"] = round(time.perf_counter() - t0, 3)
-
-        # ---- extended configs (BENCH_EXTENDED=1): BASELINE.json #4 ----
-        import os as _os
-
-        if _os.environ.get("BENCH_EXTENDED"):
-            log("extended: 500k x 768-d cosine IVF_PQ + SQL prefilter ...")
-            n_e, d_e = 500_000, 768
-            xe = rng.standard_normal((n_e, d_e)).astype(np.float32)
-            xe /= np.linalg.norm(xe, axis=1, keepdims=True)
-            cats = rng.integers(0, 10, n_e)
-            tbl_e = pa.table({
-                "id": pa.array(np.arange(n_e, dtype=np.int64)),
-                "cat": pa.array(cats),
-                "vector": pa.FixedSizeListArray.from_arrays(pa.array(xe.ravel()), d_e),
-            })
-            ds_e = Dataset.create(MemoryStore(), "bench_ext.lance", tbl_e.schema, tbl_e)
+        # single-query p50 latency through the serving hot path (the
+        # product latency metric — tunnel RTT is the floor on this rig)
+        lat = []
+        for _ in range(21):
             t0 = time.perf_counter()
-            meta_e = build_vector_index(
-                ds_e, "vector",
-                IvfPq(num_partitions=512, num_sub_vectors=192, num_bits=4,
-                      distance_type="cosine"),
-            )
-            details["ext_cosine_pq_build_seconds"] = round(time.perf_counter() - t0, 1)
-            se = load_searcher(ds_e, meta_e)
-            qe = xe[rng.integers(0, n_e, 64)] + 0.02 * rng.standard_normal((64, d_e)).astype(np.float32)
-            # filtered search through the full query layer (prefilter mask)
-            from lancedb_tpu.db import LanceDBConnection
+            sp.search(q0[:1], SearchParams(k=TOP_K, nprobes=20))
+            lat.append(time.perf_counter() - t0)
+        details["single_query_p50_ms"] = round(float(np.median(lat)) * 1e3, 1)
+        details["host_dispatch_latency_s"] = round(float(np.median(lat)), 3)
+        log(f"single-query p50 {details['single_query_p50_ms']} ms "
+            f"(one tunnel RTT ~{rtt_s * 1e3:.0f} ms is the floor on this rig)")
 
-            t0 = time.perf_counter()
-            d, rid = se.search(qe, SearchParams(k=TOP_K, nprobes=20))
-            details["ext_cosine_pq_unfiltered_batch64_s"] = round(time.perf_counter() - t0, 3)
-            pen = se.slot_penalty(
-                np.sort(
-                    ds_e.to_table(columns=["id"], predicate="cat = 3", with_row_id=True)
-                    .column("_rowid").to_numpy().astype(np.uint64)
-                ),
-                None,
-            )
-            t0 = time.perf_counter()
-            d2, rid2 = se.search(qe, SearchParams(k=TOP_K, nprobes=20), slot_penalty=pen)
-            details["ext_cosine_pq_prefilter_batch64_s"] = round(time.perf_counter() - t0, 3)
-            hit_cats = cats[(rid2[np.isfinite(d2)] & np.uint64(0xFFFFFFFF)).astype(np.int64)]
-            details["ext_prefilter_correct"] = bool((hit_cats == 3).all())
-            log(f"extended cosine+prefilter: all-cat3={details['ext_prefilter_correct']}")
+        # ---- configs #3/#4: large-D IVF_PQ (GIST-class + OpenAI-class)
+        _parts3 = 64 if _SMOKE else 2048
+        _parts4 = 64 if _SMOKE else 1024
+        for cfg in (
+            dict(tag="gist_960d", n=N_ROWS, d=960, npart=_parts3, nsub=96, nbits=4,
+                 metric="l2", prefilter=False),
+            dict(tag="openai_1536d_cosine", n=N_ROWS, d=1536, npart=_parts4,
+                 nsub=192, nbits=4, metric="cosine", prefilter=True),
+        ):
+            try:
+                run_big_pq_config(details, timed_loop, rng, rtt_s, **cfg)
+            except Exception as e:
+                traceback = __import__("traceback")
+                traceback.print_exc(file=sys.stderr)
+                details[f"{cfg['tag']}_error"] = f"{type(e).__name__}: {e}"
+
+        # ---- IVF_HNSW_FLAT at 500k (reference m=20/ef_construction=300)
+        try:
+            run_hnsw_config(details, x, rng)
+        except Exception as e:
+            traceback = __import__("traceback")
+            traceback.print_exc(file=sys.stderr)
+            details["hnsw_error"] = f"{type(e).__name__}: {e}"
 
         if pq4_rec >= 0.95:
             headline = {
@@ -392,10 +428,266 @@ def main() -> None:
         traceback.print_exc(file=sys.stderr)
         details["ivf_error"] = f"{type(e).__name__}: {e}"
 
+    # ---- config #5: FTS BM25 + hybrid RRF (host/native-C++ FTS path)
+    try:
+        run_fts_hybrid_config(details, rng)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        details["fts_error"] = f"{type(e).__name__}: {e}"
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
     log("details written to bench_details.json")
     print(json.dumps(headline))
+
+
+def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d, npart, nsub,
+                      nbits, metric, prefilter, nq=32, nprobes=20):
+    """BASELINE configs #3/#4: build + probed-scan QPS + raw/refined
+    recall + the refine rerank cost measured separately; config #4 adds
+    a 10%-selectivity SQL prefilter through the slot-penalty path."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import pyarrow as pa
+
+    from lancedb_tpu.index import IvfPq
+    from lancedb_tpu.index.vector import (
+        SearchParams,
+        _ivf_pq_search_device,
+        _pallas_available,
+        build_vector_index,
+        load_searcher,
+    )
+    from lancedb_tpu.io.object_store import MemoryStore
+    from lancedb_tpu.storage.dataset import Dataset
+
+    log(f"[{tag}] {n} x {d} IVF_PQ({npart} parts, {nsub} sub, {nbits}-bit, {metric}) ...")
+    t0 = time.perf_counter()
+    x, q = make_clustered(rng, n, d, n_queries=nq)
+    if metric == "cosine":
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    cats = rng.integers(0, 10, n) if prefilter else None
+    cols = {
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "vector": pa.FixedSizeListArray.from_arrays(pa.array(x.ravel()), d),
+    }
+    if cats is not None:
+        cols["cat"] = pa.array(cats)
+    ds = Dataset.create(MemoryStore(), f"bench_{tag}.lance", pa.table(cols).schema,
+                        pa.table(cols))
+    log(f"[{tag}] datagen+dataset {time.perf_counter() - t0:.0f}s")
+
+    t0 = time.perf_counter()
+    meta = build_vector_index(
+        ds, "vector",
+        IvfPq(num_partitions=npart, num_sub_vectors=nsub, num_bits=nbits,
+              distance_type=metric),
+    )
+    build_s = time.perf_counter() - t0
+    details[f"{tag}_build_seconds"] = round(build_s, 1)
+    log(f"[{tag}] build {build_s:.0f}s (includes bf16 table upload over the tunnel)")
+
+    t0 = time.perf_counter()
+    gt_sets = host_gt(x, q, k=TOP_K, metric=metric)
+    log(f"[{tag}] host ground truth {time.perf_counter() - t0:.0f}s")
+
+    sp = load_searcher(ds, meta)
+    blocks = sp.nparts
+    logical = sp.params.get("num_logical_partitions", blocks)
+    pd = sp._device
+    dev = jax.devices()[0]
+    zero_pen = jax.device_put(jnp.zeros((1,), jnp.float32), dev)
+    npb = min(blocks, max(1, int(np.ceil(nprobes * blocks / logical))))
+    q_search = q  # already normalized for cosine (scan computes l2² on sphere)
+    qs = jax.device_put(jnp.asarray(np.stack([q_search, q_search * 1.000001])), dev)
+
+    qps = timed_loop(
+        lambda qq, c, cd, rn, cb, p: _ivf_pq_search_device(
+            qq, c, cd, rn, cb, p, k=TOP_K, nprobes=npb, metric="l2",
+            has_mask=False, exact_sel=False, use_pallas=_pallas_available(),
+        )[0],
+        (pd["centroids"], pd["codes"], pd["rnorms"], pd["codebooks"], zero_pen),
+        32, f"[{tag}] np={nprobes} scan", queries_per_batch=nq, qs=qs,
+    )
+
+    def recall_of(rid):
+        ids = (rid & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return float(np.mean(
+            [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(nq)]
+        ))
+
+    dists, rids = sp.search(q, SearchParams(k=TOP_K, nprobes=nprobes))
+    rec_raw = recall_of(rids)
+    d2, rid2 = sp.search(q, SearchParams(k=TOP_K, nprobes=nprobes, refine_factor=10))
+    t0 = time.perf_counter()
+    d3, rid3 = sp.refine(ds, "vector", q, d2, rid2, TOP_K)
+    refine_s = time.perf_counter() - t0
+    rec_rf = recall_of(rid3)
+    # refined-pipeline QPS: device scan time + host refine gather/rerank
+    scan_s_per_batch = nq / qps
+    details[f"{tag}_np{nprobes}"] = {
+        "qps": round(qps, 1),
+        "recall": round(rec_raw, 4),
+        "recall_refine10": round(rec_rf, 4),
+        "refine_cost_ms_per_batch": round(refine_s * 1e3, 1),
+        "refined_pipeline_qps": round(nq / (scan_s_per_batch + refine_s), 1),
+    }
+    log(f"[{tag}] recall={rec_raw:.4f} refine10={rec_rf:.4f} "
+        f"refine_cost={refine_s * 1e3:.0f}ms/{nq}q "
+        f"pipeline={details[f'{tag}_np{nprobes}']['refined_pipeline_qps']:.0f} qps")
+
+    if prefilter:
+        # SQL WHERE prefilter: 10% selectivity via the scalar scan →
+        # slot-penalty path (what tbl.search().where() drives)
+        pen_np = sp.slot_penalty(
+            np.sort(
+                ds.to_table(columns=["id"], predicate="cat = 3", with_row_id=True)
+                .column("_rowid").to_numpy().astype(np.uint64)
+            ),
+            None,
+        )
+        pen_d = jax.device_put(jnp.asarray(pen_np), dev)
+        fqps = timed_loop(
+            lambda qq, c, cd, rn, cb, p: _ivf_pq_search_device(
+                qq, c, cd, rn, cb, p, k=TOP_K, nprobes=npb, metric="l2",
+                has_mask=True, exact_sel=False, use_pallas=_pallas_available(),
+            )[0],
+            (pd["centroids"], pd["codes"], pd["rnorms"], pd["codebooks"], pen_d),
+            32, f"[{tag}] prefilter scan", queries_per_batch=nq, qs=qs,
+        )
+        dp, ridp = sp.search(q, SearchParams(k=TOP_K, nprobes=nprobes),
+                             slot_penalty=pen_np)
+        hit = (ridp[np.isfinite(dp)] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        ok = bool((cats[hit] == 3).all()) if len(hit) else False
+        details[f"{tag}_prefilter"] = {
+            "qps": round(fqps, 1), "selectivity": 0.1, "all_match_filter": ok,
+        }
+        log(f"[{tag}] prefilter {fqps:.0f} qps all-cat3={ok}")
+
+    del sp, pd, qs, x, q, ds
+    gc.collect()
+
+
+def run_hnsw_config(details, x, rng, n_h=None):
+    """IVF_HNSW_FLAT at 500k rows (VERDICT r2 weak #3): CAGRA-style
+    batched device build, host graph-walk serving."""
+    import gc
+
+    import pyarrow as pa
+
+    from lancedb_tpu.index import HnswFlat
+    from lancedb_tpu.index.hnsw import build_hnsw_index
+    from lancedb_tpu.index.vector import SearchParams, load_searcher
+    from lancedb_tpu.io.object_store import MemoryStore
+    from lancedb_tpu.storage.dataset import Dataset
+
+    if n_h is None:
+        n_h = min(500_000, len(x))
+    xh = np.ascontiguousarray(x[:n_h])
+    tbl = pa.table({
+        "id": pa.array(np.arange(n_h, dtype=np.int64)),
+        "vector": pa.FixedSizeListArray.from_arrays(pa.array(xh.ravel()), xh.shape[1]),
+    })
+    ds = Dataset.create(MemoryStore(), "bench_hnsw.lance", tbl.schema, tbl)
+    log(f"[hnsw] building IVF_HNSW_FLAT at {n_h} rows (m=20, device kNN graph) ...")
+    t0 = time.perf_counter()
+    meta = build_hnsw_index(ds, "vector", HnswFlat())
+    build_s = time.perf_counter() - t0
+    details["hnsw_500k_build_seconds"] = round(build_s, 1)
+    log(f"[hnsw] build {build_s:.0f}s")
+    s = load_searcher(ds, meta)
+    rng2 = np.random.default_rng(17)
+    qs = xh[rng2.integers(0, n_h, 128)] + 0.05 * rng2.standard_normal(
+        (128, xh.shape[1])).astype(np.float32)
+    gt_sets = host_gt(xh, qs[:64], k=TOP_K)
+    # warm + time single-query host walks (the HNSW serving model)
+    for i in range(4):
+        s.search(qs[i], SearchParams(k=TOP_K))
+    t0 = time.perf_counter()
+    for i in range(128):
+        s.search(qs[i], SearchParams(k=TOP_K))
+    dt = time.perf_counter() - t0
+    d64, rid64 = s.search(qs[:64], SearchParams(k=TOP_K))
+    ids = (rid64 & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    rec = float(np.mean(
+        [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(64)]
+    ))
+    details["hnsw_500k_single_query"] = {
+        "qps": round(128 / dt, 1), "recall": round(rec, 4),
+    }
+    log(f"[hnsw] single-query {128 / dt:.0f} qps recall@10={rec:.4f}")
+    del s, ds, xh
+    gc.collect()
+
+
+def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
+    """BASELINE config #5 single-chip slice: BM25 top-k + phrase QPS on
+    a 1M-doc corpus (native DAAT scorers) and hybrid vector+FTS RRF QPS
+    through the public API."""
+    import gc
+
+    import lancedb_tpu
+
+    if n_docs is None:
+        n_docs = 20_000 if _SMOKE else 1_000_000
+    if n_hybrid is None:
+        n_hybrid = 5_000 if _SMOKE else 100_000
+    db = lancedb_tpu.connect("memory://bench-fts")
+    log(f"[fts] corpus {n_docs} docs ...")
+    t0 = time.perf_counter()
+    docs = make_corpus(rng, n_docs)
+    t = db.create_table("fts_bench", {"id": np.arange(n_docs), "text": docs})
+    log(f"[fts] corpus+table {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    t.create_fts_index("text", with_position=True)
+    details["fts_1m_build_seconds"] = round(time.perf_counter() - t0, 1)
+    log(f"[fts] build {details['fts_1m_build_seconds']}s")
+
+    qterms = [f"w{r}" for r in rng.integers(50, 2000, size=200)]
+    queries = [f"{qterms[2 * i]} {qterms[2 * i + 1]}" for i in range(100)]
+    for qq in queries[:3]:
+        t.search(qq, query_type="fts").limit(10).to_arrow()
+    t0 = time.perf_counter()
+    for qq in queries:
+        t.search(qq, query_type="fts").limit(10).to_arrow()
+    details["fts_bm25_top10_qps"] = round(len(queries) / (time.perf_counter() - t0), 1)
+    log(f"[fts] BM25 OR top-10: {details['fts_bm25_top10_qps']} qps")
+    phrases = [f'"{qterms[2 * i]} {qterms[2 * i + 1]}"' for i in range(50)]
+    t0 = time.perf_counter()
+    for qq in phrases:
+        t.search(qq, query_type="fts").limit(10).to_arrow()
+    details["fts_phrase_top10_qps"] = round(len(phrases) / (time.perf_counter() - t0), 1)
+    log(f"[fts] phrase top-10: {details['fts_phrase_top10_qps']} qps")
+    db.drop_table("fts_bench")
+    del docs
+    gc.collect()
+
+    vecs = rng.standard_normal((n_hybrid, DIM)).astype(np.float32)
+    docs = make_corpus(rng, n_hybrid)
+    th = db.create_table("hybrid_bench", {
+        "id": np.arange(n_hybrid), "text": docs, "vector": list(vecs),
+    })
+    t0 = time.perf_counter()
+    th.create_fts_index("text", with_position=False)
+    th.create_index(index_type="IVF_PQ", num_partitions=256, num_sub_vectors=32,
+                    num_bits=4)
+    details["hybrid_build_seconds"] = round(time.perf_counter() - t0, 1)
+    qv = vecs[rng.integers(0, n_hybrid, 64)] + 0.05 * rng.standard_normal(
+        (64, DIM)).astype(np.float32)
+    qt = [f"w{r} w{r + 3}" for r in rng.integers(50, 2000, size=64)]
+    th.search((qv[0], qt[0]), query_type="hybrid").limit(10).to_arrow()
+    t0 = time.perf_counter()
+    for i in range(64):
+        th.search((qv[i], qt[i]), query_type="hybrid").limit(10).to_arrow()
+    details["hybrid_rrf_top10_qps"] = round(64 / (time.perf_counter() - t0), 1)
+    log(f"[hybrid] RRF top-10: {details['hybrid_rrf_top10_qps']} qps")
+    db.drop_table("hybrid_bench")
+    gc.collect()
 
 
 if __name__ == "__main__":
