@@ -605,22 +605,24 @@ def run_hnsw_config(details, x, rng, n_h=None):
     qs = xh[rng2.integers(0, n_h, 128)] + 0.05 * rng2.standard_normal(
         (128, xh.shape[1])).astype(np.float32)
     gt_sets = host_gt(xh, qs[:64], k=TOP_K)
-    # warm + time single-query host walks (the HNSW serving model)
+    # warm, then sweep ef: the recall/qps tradeoff knob (host walks —
+    # the HNSW serving model is low-latency single queries)
     for i in range(4):
         s.search(qs[i], SearchParams(k=TOP_K))
-    t0 = time.perf_counter()
-    for i in range(128):
-        s.search(qs[i], SearchParams(k=TOP_K))
-    dt = time.perf_counter() - t0
-    d64, rid64 = s.search(qs[:64], SearchParams(k=TOP_K))
-    ids = (rid64 & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    rec = float(np.mean(
-        [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(64)]
-    ))
-    details["hnsw_500k_single_query"] = {
-        "qps": round(128 / dt, 1), "recall": round(rec, 4),
-    }
-    log(f"[hnsw] single-query {128 / dt:.0f} qps recall@10={rec:.4f}")
+    for ef in (64, 128, 256):
+        t0 = time.perf_counter()
+        for i in range(128):
+            s.search(qs[i], SearchParams(k=TOP_K, ef=ef))
+        dt = time.perf_counter() - t0
+        d64, rid64 = s.search(qs[:64], SearchParams(k=TOP_K, ef=ef))
+        ids = (rid64 & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        rec = float(np.mean(
+            [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(64)]
+        ))
+        details[f"hnsw_500k_ef{ef}"] = {
+            "qps": round(128 / dt, 1), "recall": round(rec, 4),
+        }
+        log(f"[hnsw] ef={ef}: {128 / dt:.0f} qps recall@10={rec:.4f}")
     del s, ds, xh
     gc.collect()
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import io
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -41,7 +42,7 @@ _KNN_QUERY_CHUNK = 1024  # rows of the kNN graph computed per device dispatch
 _KNN_BLOCK = 8192  # database block per scan step (Q_CHUNK×B f32 = 32 MiB)
 
 
-def _knn_graph(vectors: np.ndarray, k: int, metric: str) -> np.ndarray:
+def _knn_graph(vectors: np.ndarray, k: int, metric: str, return_base: bool = False):
     """Exact self-excluded kNN ids ``(n, k)`` via blocked MXU matmuls.
 
     The base set lives on device once; queries stream through in chunks,
@@ -96,7 +97,96 @@ def _knn_graph(vectors: np.ndarray, k: int, metric: str) -> np.ndarray:
         for r in np.flatnonzero(keep.sum(1) == k_eff + 1):
             keep[r, k_eff] = False
         out[start:stop] = ids[keep].reshape(stop - start, k_eff)
+    if return_base:
+        return out, xb  # device-resident (padded) base for follow-up passes
     return out
+
+
+def _rng_prune(xb, cand: np.ndarray, deg: int) -> np.ndarray:
+    """Occlusion (RNG) pruning of kNN candidate edges, on device.
+
+    Exact-kNN edges of a clustered corpus all point into the node's own
+    blob — at 500k rows the layer-0 graph fragments into per-cluster
+    islands and recall goes ef-INDEPENDENT (the misses are unreachable,
+    not under-searched; measured 0.66 flat from ef=64 to 512). The fix
+    is the classic HNSW/CAGRA neighbor-selection heuristic (Malkov &
+    Yashunin Alg. 4; CAGRA's graph optimization): walk candidates in
+    distance order and keep an edge only if the candidate is closer to
+    the node than to every already-kept neighbor — forcing edges to
+    span DIRECTIONS instead of crowding one blob. Pruned slots backfill
+    with the nearest unkept candidates, so degree stays `deg`.
+
+    The greedy dependency chain runs as a lax.scan over candidates with
+    all pairwise distances on device — only the (n, deg) selected ids
+    come back (the (n, kc²) distance tensor would be ~13 GB of tunnel
+    traffic at 500k rows).
+
+    xb: (n_pad, D) device-resident base (from _knn_graph); cand:
+    (n, kc) HOST candidate ids sorted by distance. Returns (n, deg) ids.
+    """
+    import jax.numpy as jnp
+
+    n, kc = cand.shape
+    if kc <= deg:
+        return cand[:, :deg]
+    chunk = 4096
+    out = np.empty((n, deg), dtype=cand.dtype)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        node_ids = np.arange(start, stop)
+        cids = cand[start:stop]
+        if stop - start < chunk:  # static shapes: one compile
+            pad = chunk - (stop - start)
+            node_ids = np.pad(node_ids, (0, pad))
+            cids = np.pad(cids, ((0, pad), (0, 0)))
+        sel = np.asarray(
+            _prune_chunk_device(xb, jnp.asarray(node_ids), jnp.asarray(cids), deg)
+        )
+        out[start:stop] = sel[: stop - start]
+    return out
+
+
+def _prune_chunk_device(xb, node_ids, cand_ids, deg: int):
+    """One chunk of occlusion pruning on device (module-level so the jit
+    cache survives across layers/builds — an inner closure recompiled
+    per _rng_prune call, and each tunnel compile is a 2-500 s queue
+    draw)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("deg",))
+    def run(xb, node_ids, cand_ids, deg):
+        kc = cand_ids.shape[1]
+        u = jnp.take(xb, node_ids, axis=0)            # (c, D)
+        cv = jnp.take(xb, cand_ids, axis=0)           # (c, kc, D)
+        d_uc = jnp.sum(jnp.square(u[:, None, :] - cv), axis=-1)      # (c, kc)
+        # candidates must walk in distance order (2-hop pools arrive
+        # unsorted; duplicates self-occlude via d_cc = 0)
+        sort = jnp.argsort(d_uc, axis=1)
+        cand_ids = jnp.take_along_axis(cand_ids, sort, axis=1)
+        cv = jnp.take_along_axis(cv, sort[:, :, None], axis=1)
+        d_uc = jnp.take_along_axis(d_uc, sort, axis=1)
+        cn2 = jnp.sum(jnp.square(cv), axis=-1)                       # (c, kc)
+        dots = jnp.einsum("cid,cjd->cij", cv, cv,
+                          preferred_element_type=jnp.float32)
+        d_cc = jnp.maximum(cn2[:, :, None] - 2.0 * dots + cn2[:, None, :], 0.0)
+
+        def body(occl, j):
+            ok = d_uc[:, j] <= occl[:, j]
+            occl = jnp.minimum(
+                occl, jnp.where(ok[:, None], d_cc[:, j, :], jnp.inf)
+            )
+            return occl, ok
+
+        _, oks = jax.lax.scan(body, jnp.full((u.shape[0], kc), jnp.inf),
+                              jnp.arange(kc))
+        keep = oks.T                                   # (c, kc)
+        # kept candidates first (in distance order), then unkept backfill
+        key = jnp.where(keep, 0, kc) + jnp.arange(kc)[None, :]
+        order = jnp.argsort(key, axis=1)[:, :deg]
+        return jnp.take_along_axis(cand_ids, order, axis=1)
+
+    return run(xb, node_ids, cand_ids, deg)
 
 
 def _capped_reverse_edges(forward: np.ndarray, nodes: np.ndarray, cap: int):
@@ -154,7 +244,19 @@ def _build_layers(vectors: np.ndarray, m: int, metric: str, seed: int = 0):
         if len(nodes) < 2:
             layers.append((np.zeros(n + 1, dtype=np.int64), np.zeros(0, np.int32)))
             continue
-        local = _knn_graph(vectors[nodes], deg, metric)
+        # 2x candidates, then occlusion-prune to deg for edge diversity
+        kc = min(2 * deg, len(nodes) - 1)
+        cand, xb_dev = _knn_graph(vectors[nodes], kc, metric, return_base=True)
+        local = _rng_prune(xb_dev, cand, min(deg, kc))
+        if len(nodes) > 4 * deg:
+            # CAGRA-style 2-hop candidate expansion + re-prune: exact-kNN
+            # pools are blob-local on clustered data, so neighbors-of-
+            # neighbors widen the frontier before the diversity pruning
+            # picks direction-spanning edges
+            hop2 = local[local[:, : min(4, local.shape[1])]].reshape(len(nodes), -1)
+            pool = np.concatenate([cand, hop2], axis=1)
+            local = _rng_prune(xb_dev, pool, min(deg, kc))
+        del xb_dev
         forward = nodes[local]  # map layer-local ids back to global
         layers.append(_layer_adjacency(forward, nodes, n, cap_rev=deg))
     return layers, entry, levels

@@ -19,7 +19,8 @@ from lancedb_tpu.storage.dataset import Dataset  # noqa: E402
 
 def main():
     rng = np.random.default_rng(3)
-    n, d = 100_000, 128
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    d = 128
     x, q = make_clustered(rng, n, d, n_queries=64)
     tbl = pa.table({
         "id": pa.array(np.arange(n, dtype=np.int64)),
