@@ -102,6 +102,19 @@ def _knn_graph(vectors: np.ndarray, k: int, metric: str, return_base: bool = Fal
     return out
 
 
+def _mask_self_and_dups(pool: np.ndarray, self_ids: np.ndarray) -> np.ndarray:
+    """Replace self references and duplicate candidates with -1 (the
+    prune kernel treats negatives as +inf-distance padding)."""
+    order = np.argsort(pool, axis=1, kind="stable")
+    svals = np.take_along_axis(pool, order, axis=1)
+    dup_sorted = np.zeros_like(svals, dtype=bool)
+    dup_sorted[:, 1:] = svals[:, 1:] == svals[:, :-1]
+    dup = np.zeros_like(dup_sorted)
+    np.put_along_axis(dup, order, dup_sorted, axis=1)
+    mask = dup | (pool == self_ids[:, None])
+    return np.where(mask, -1, pool)
+
+
 def _rng_prune(xb, cand: np.ndarray, deg: int) -> np.ndarray:
     """Occlusion (RNG) pruning of kNN candidate edges, on device.
 
@@ -143,6 +156,12 @@ def _rng_prune(xb, cand: np.ndarray, deg: int) -> np.ndarray:
             _prune_chunk_device(xb, jnp.asarray(node_ids), jnp.asarray(cids), deg)
         )
         out[start:stop] = sel[: stop - start]
+    # rows with fewer than deg real candidates can backfill a masked
+    # (-1) slot: repeat the nearest neighbor instead (the adjacency
+    # builder dedupes edges)
+    neg = out < 0
+    if neg.any():
+        out = np.where(neg, cand[:, :1], out)
     return out
 
 
@@ -158,8 +177,10 @@ def _prune_chunk_device(xb, node_ids, cand_ids, deg: int):
     def run(xb, node_ids, cand_ids, deg):
         kc = cand_ids.shape[1]
         u = jnp.take(xb, node_ids, axis=0)            # (c, D)
-        cv = jnp.take(xb, cand_ids, axis=0)           # (c, kc, D)
+        pad = cand_ids < 0                            # masked self/dup slots
+        cv = jnp.take(xb, jnp.maximum(cand_ids, 0), axis=0)          # (c, kc, D)
         d_uc = jnp.sum(jnp.square(u[:, None, :] - cv), axis=-1)      # (c, kc)
+        d_uc = jnp.where(pad, jnp.inf, d_uc)
         # candidates must walk in distance order (2-hop pools arrive
         # unsorted; duplicates self-occlude via d_cc = 0)
         sort = jnp.argsort(d_uc, axis=1)
@@ -252,9 +273,12 @@ def _build_layers(vectors: np.ndarray, m: int, metric: str, seed: int = 0):
             # CAGRA-style 2-hop candidate expansion + re-prune: exact-kNN
             # pools are blob-local on clustered data, so neighbors-of-
             # neighbors widen the frontier before the diversity pruning
-            # picks direction-spanning edges
-            hop2 = local[local[:, : min(4, local.shape[1])]].reshape(len(nodes), -1)
+            # picks direction-spanning edges. The 2-hop pool contains the
+            # node itself and duplicates — mask them (a self edge sorts
+            # first at d=0 and would silently eat an out-degree slot).
+            hop2 = local[local[:, : min(8, local.shape[1])]].reshape(len(nodes), -1)
             pool = np.concatenate([cand, hop2], axis=1)
+            pool = _mask_self_and_dups(pool, np.arange(len(nodes)))
             local = _rng_prune(xb_dev, pool, min(deg, kc))
         del xb_dev
         forward = nodes[local]  # map layer-local ids back to global
@@ -486,9 +510,20 @@ class HnswSearcher:
         for qi in range(len(q)):
             dist_fn = self.storage.query_fn(q[qi])
             ep = self.entry
-            for lv in range(len(self.levels) - 1, 0, -1):
+            for lv in range(len(self.levels) - 1, 1, -1):
                 ep = self._greedy(dist_fn, ep, lv)
-            res = self._search_layer0(dist_fn, ep, max(ef, k * 3 if blocked else ef), slot_penalty)
+            if len(self.levels) > 1:
+                # beam (not greedy) at the LAST upper layer: clustered
+                # corpora punish single-entry descent — a wrong-basin
+                # entry is unrecoverable at layer 0, so seed it with
+                # several nearby basins instead of one
+                seeds = [n for _, n in self._search_layer(dist_fn, [ep], 8, None, level=1)]
+            else:
+                seeds = [ep]
+            res = self._search_layer(
+                dist_fn, seeds or [ep],
+                max(ef, k * 3 if blocked else ef), slot_penalty, level=0,
+            )
             res = res[:k]
             for j, (d, node) in enumerate(res):
                 out_d[qi, j] = d
@@ -511,18 +546,24 @@ class HnswSearcher:
                 improved = True
         return cur
 
-    def _search_layer0(self, dist_fn, ep: int, ef: int, penalty):
+    def _search_layer(self, dist_fn, eps: list[int], ef: int, penalty, level: int = 0):
+        """Beam search over one layer from one or more entry points."""
         import heapq as hq
 
-        d0 = dist_fn(np.array([ep]))[0]
-        visited = {ep}
-        candidates = [(d0, ep)]
-        results = [(-self._pen(d0, ep, penalty), ep)]
+        eps = list(dict.fromkeys(int(e) for e in eps))
+        d0s = dist_fn(np.asarray(eps))
+        visited = set(eps)
+        candidates = [(float(d), e) for d, e in zip(d0s, eps)]
+        hq.heapify(candidates)
+        results = [(-self._pen(float(d), e, penalty), e) for d, e in zip(d0s, eps)]
+        hq.heapify(results)
+        while len(results) > ef:
+            hq.heappop(results)
         while candidates:
             d, node = hq.heappop(candidates)
             if d > -results[0][0] and len(results) >= ef:
                 break
-            neigh = [n for n in self._adj(0, node) if n not in visited]
+            neigh = [n for n in self._adj(level, node) if n not in visited]
             if not neigh:
                 continue
             visited.update(neigh)

@@ -1306,5 +1306,5 @@ def brute_force_search(
         )
     )
     vals, idx = topk_smallest(jnp.asarray(d), k)
-    idx = np.asarray(idx)
-    return np.asarray(vals), row_ids[idx]
+    vals, idx = jax.device_get((vals, idx))  # one fused fetch
+    return vals, row_ids[idx]

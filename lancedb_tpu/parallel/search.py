@@ -232,8 +232,9 @@ class ShardedFlatIndex:
             self._steps[k] = make_sharded_flat_search(self.mesh, k, self.metric)
         qj = jax.device_put(q, NamedSharding(self.mesh, P(QUERY_AXIS, None)))
         vals, slots = self._steps[k](qj, self.x, self.norms2, self.slot_ids)
-        vals = np.asarray(vals)[:nq]
-        slots = np.asarray(slots)[:nq]
+        vals, slots = jax.device_get((vals, slots))  # one fused fetch
+        vals = vals[:nq]
+        slots = slots[:nq]
         ids = np.where(
             (slots >= 0) & (slots < self.n_real) & np.isfinite(vals),
             self.row_ids[np.clip(slots, 0, self.n_real - 1)],

@@ -1142,14 +1142,23 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
             vq.refine_factor(self._vq_opts["refine_factor"])
         if "metric" in self._vq_opts:
             vq.metric(self._vq_opts["metric"])
-        vector_results = vq.to_arrow()
 
         fts = LanceFtsQueryBuilder(self._table, self._text_query, self._fts_columns)
         fts._req.filter = self._req.filter
         fts._req.prefilter = self._req.prefilter
         fts._req.k = k
         fts._req.with_row_id = True
-        fts_results = fts.to_arrow()
+
+        # the two legs are independent: the FTS leg (host/native DAAT)
+        # overlaps the vector leg's device dispatch instead of queuing
+        # behind it (reference executes the legs concurrently too —
+        # query.rs:1372-1445 execute_hybrid join!s both futures)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1, thread_name_prefix="hybrid-fts") as ex:
+            fts_future = ex.submit(fts.to_arrow)
+            vector_results = vq.to_arrow()
+            fts_results = fts_future.result()
 
         reranker = self._reranker or RRFReranker()
         fused = reranker.rerank_hybrid(str(self._text_query), vector_results, fts_results)

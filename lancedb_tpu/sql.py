@@ -53,7 +53,7 @@ AGG_NAMES = {"count", "sum", "avg", "min", "max"}
 # statement parser stops expression parsing when it sees one)
 _CLAUSE_WORDS = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
-    "BY", "ASC", "DESC", "DISTINCT", "SELECT", "UNION",
+    "BY", "ASC", "DESC", "DISTINCT", "SELECT", "UNION", "INTERSECT", "EXCEPT",
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "ON",
 }
 
@@ -203,16 +203,22 @@ class Subquery(Expr):
 
 @dataclass
 class UnionStatement:
-    """UNION [ALL] chain (reference: DataFusion set operations). The
-    trailing ORDER BY/LIMIT/OFFSET of the final member bind to the
-    whole union, per standard SQL."""
+    """Set-operation chain: UNION / INTERSECT / EXCEPT, each [ALL]
+    (reference: DataFusion set operations; INTERSECT binds tighter, so
+    the parser nests it as a member). The trailing ORDER BY/LIMIT/
+    OFFSET of the final member bind to the whole expression, per
+    standard SQL."""
 
-    selects: list[SelectStatement]
+    selects: list  # SelectStatement | nested UnionStatement
     all: bool = False
     order_by: list[tuple[Expr, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
     ctes: list[tuple] = field(default_factory=list)
+    # pairwise operators, len == len(selects) - 1; None ⇒ all the same
+    # UNION [ALL] (backward form). Values: 'union'|'union all'|
+    # 'intersect'|'intersect all'|'except'|'except all'
+    ops: list[str] | None = None
 
 
 class _SelectParser(_Parser):
@@ -533,30 +539,60 @@ def parse_select(sql: str) -> "SelectStatement | UnionStatement":
 
 
 def _parse_set_expr(p: _SelectParser) -> "SelectStatement | UnionStatement":
-    """SELECT [UNION [ALL] SELECT]* — one set expression."""
-    stmt = p.parse_select()
-    selects = [stmt]
-    is_all = None
-    while p._eat_word("UNION"):
-        this_all = bool(p._eat_word("ALL"))
-        if not this_all:
-            p._eat_word("DISTINCT")
-        if is_all is None:
-            is_all = this_all
-        elif is_all != this_all:
-            raise SqlParseError("mixed UNION / UNION ALL is not supported")
-        selects.append(p.parse_select())
+    """One set expression: UNION / EXCEPT chains over INTERSECT chains
+    (INTERSECT binds tighter — standard SQL / DataFusion precedence),
+    each operator optionally ALL."""
+    first = _parse_intersect_chain(p)
+    selects = [first]
+    ops: list[str] = []
+    while True:
+        if p._eat_word("UNION"):
+            op = "union all" if p._eat_word("ALL") else "union"
+            if op == "union":
+                p._eat_word("DISTINCT")
+        elif p._eat_word("EXCEPT"):
+            op = "except all" if p._eat_word("ALL") else "except"
+            if op == "except":
+                p._eat_word("DISTINCT")
+        else:
+            break
+        selects.append(_parse_intersect_chain(p))
+        ops.append(op)
     if len(selects) == 1:
-        return stmt
+        if isinstance(first, UnionStatement):  # pure INTERSECT chain
+            first.order_by, first.limit, first.offset = _lift_tail(first)
+        return first
+    union = UnionStatement(selects, all=all(o == "union all" for o in ops), ops=ops)
     # standard SQL: the trailing ORDER BY/LIMIT of the text bind to the
-    # union, not the last member (the member parser consumed them)
-    last = selects[-1]
-    union = UnionStatement(
-        selects, all=bool(is_all),
-        order_by=last.order_by, limit=last.limit, offset=last.offset,
-    )
-    last.order_by, last.limit, last.offset = [], None, 0
+    # whole set expression, not the last member (which consumed them)
+    union.order_by, union.limit, union.offset = _lift_tail(union)
     return union
+
+
+def _parse_intersect_chain(p: _SelectParser) -> "SelectStatement | UnionStatement":
+    stmt = p.parse_select()
+    members = [stmt]
+    ops: list[str] = []
+    while p._eat_word("INTERSECT"):
+        op = "intersect all" if p._eat_word("ALL") else "intersect"
+        if op == "intersect":
+            p._eat_word("DISTINCT")
+        members.append(p.parse_select())
+        ops.append(op)
+    if len(members) == 1:
+        return stmt
+    return UnionStatement(members, all=False, ops=ops)
+
+
+def _lift_tail(node: "UnionStatement"):
+    """Steal ORDER BY/LIMIT/OFFSET from the deepest-last member (the
+    leaf SELECT that textually consumed them)."""
+    leaf = node
+    while isinstance(leaf, UnionStatement):
+        leaf = leaf.selects[-1]
+    out = leaf.order_by, leaf.limit, leaf.offset
+    leaf.order_by, leaf.limit, leaf.offset = [], None, 0
+    return out
 
 
 # --------------------------------------------------------------- analysis
@@ -1065,8 +1101,15 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
         raise InvalidInputError(f"unsupported window function {wf.func!r}")
 
     fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_end)
+    # FOLLOWING-only / PRECEDING-only frames can be empty near partition
+    # edges (fs > fe) and their raw offsets can leave [0, n): clamp the
+    # indices and mask empty frames to NULL/0 rather than letting the
+    # prefix-sum lookups wrap or overflow
+    empty = fs > fe
+    fs = np.clip(fs, 0, n - 1)
+    fe = np.clip(fe, 0, n - 1)
     if f == "count_all":
-        return scatter(np.maximum(fe - fs + 1, 0))
+        return scatter(np.where(empty, 0, fe - fs + 1))
 
     typ = sorted_vals.type
     numeric = pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_decimal(typ)
@@ -1079,11 +1122,11 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
         # prefix sums make every [fs, fe] range O(1)
         csum = np.concatenate([[0.0], np.cumsum(v0)])
         ccnt = np.concatenate([[0], np.cumsum(~isnull)])
-        cnt = ccnt[fe + 1] - ccnt[fs]
+        cnt = np.where(empty, 0, ccnt[fe + 1] - ccnt[fs])
         if f == "count":
             return scatter(cnt.astype(np.int64))
         if f in ("sum", "avg"):
-            s = csum[fe + 1] - csum[fs]
+            s = np.where(empty, 0.0, csum[fe + 1] - csum[fs])
             res = np.where(cnt > 0, s if f == "sum" else s / np.maximum(cnt, 1), np.nan)
             mask = cnt == 0
             if f == "sum" and pa.types.is_integer(typ):
@@ -1121,7 +1164,7 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
     pyvals = sorted_vals.to_pylist()
     res_list: list = []
     for i in range(n):
-        seg = [v for v in pyvals[fs[i] : fe[i] + 1] if v is not None]
+        seg = [] if empty[i] else [v for v in pyvals[fs[i] : fe[i] + 1] if v is not None]
         if f == "count":
             res_list.append(len(seg))
         elif not seg:
@@ -1673,13 +1716,28 @@ def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
     for t in parts[1:]:
         if t.num_columns != first.num_columns:
             raise InvalidInputError(
-                f"UNION members have {first.num_columns} vs {t.num_columns} columns"
+                f"set-operation members have {first.num_columns} vs {t.num_columns} columns"
             )
         aligned.append(t.rename_columns(first.column_names))
+    ops = stmt.ops or [("union all" if stmt.all else "union")] * (len(parts) - 1)
     with _op_timer("UnionExec") as tm:
-        out = pa.concat_tables(aligned, promote_options="default")
-        if not stmt.all:
-            out = out.group_by(out.column_names).aggregate([])
+        if all(o in ("union", "union all") for o in ops) and len(set(ops)) <= 1:
+            # homogeneous UNION chain: one concat (+ one distinct)
+            out = pa.concat_tables(aligned, promote_options="default")
+            if ops and ops[0] == "union":
+                out = out.group_by(out.column_names).aggregate([])
+        else:
+            # mixed chain folds left-to-right (the parser already nested
+            # INTERSECT tighter)
+            out = aligned[0]
+            for op, t in zip(ops, aligned[1:]):
+                if op == "union all":
+                    out = pa.concat_tables([out, t], promote_options="default")
+                elif op == "union":
+                    out = pa.concat_tables([out, t], promote_options="default")
+                    out = out.group_by(out.column_names).aggregate([])
+                else:
+                    out = _set_op(out, t, op)
         tm.set_rows(out.num_rows)
     if stmt.order_by:
         # reuse the SELECT sort machinery: expression keys evaluate
@@ -1696,6 +1754,33 @@ def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
     if stmt.limit is not None:
         out = out.slice(0, stmt.limit)
     return out
+
+
+def _set_op(left: pa.Table, right: pa.Table, op: str) -> pa.Table:
+    """INTERSECT / EXCEPT with bag ([ALL]) or set semantics, computed
+    from per-row multiplicities via ONE concat + group_by — no join, so
+    NULL key rows compare equal (SQL set-operation semantics; pyarrow
+    joins would drop them)."""
+    import numpy as np
+
+    cols = list(left.column_names)
+    lt = left.append_column("__side", pa.array(np.zeros(left.num_rows, np.int64)))
+    rt = right.append_column("__side", pa.array(np.ones(right.num_rows, np.int64)))
+    both = pa.concat_tables([lt, rt], promote_options="default")
+    g = both.group_by(cols).aggregate([("__side", "sum"), ([], "count_all")])
+    rc = g.column("__side_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+    lc = total - rc
+    if op == "intersect":
+        reps = ((lc > 0) & (rc > 0)).astype(np.int64)
+    elif op == "intersect all":
+        reps = np.minimum(lc, rc)
+    elif op == "except":
+        reps = ((lc > 0) & (rc == 0)).astype(np.int64)
+    else:  # except all
+        reps = np.maximum(lc - rc, 0)
+    idx = np.repeat(np.arange(len(reps)), reps)
+    return g.select(cols).take(pa.array(idx))
 
 
 # -------------------------------------------------------- explain/analyze
@@ -1720,7 +1805,12 @@ def plan_select(stmt) -> list[tuple[int, str, str]]:
         return lines + plan_select(inner)
 
     if isinstance(stmt, UnionStatement):
-        lines = [(0, "UnionExec", f"UnionExec: all={stmt.all}")]
+        label = (
+            f"SetOpExec: [{', '.join(stmt.ops)}]"
+            if stmt.ops and set(stmt.ops) - {"union", "union all"}
+            else f"UnionExec: all={stmt.all}"
+        )
+        lines = [(0, "UnionExec", label)]
         for sel in stmt.selects:
             for d, k, label in plan_select(sel):
                 lines.append((d + 1, k, label))
@@ -1987,16 +2077,26 @@ def _load_joined(stmt: SelectStatement, open_table) -> tuple[pa.Table, SelectSta
                 )
                 tm.set_rows(data.num_rows)
         else:
-            # chain: this join's output stream is the next join's left
+            # chain: this join's output stream is the next join's left.
+            # The joined SCHEMA is derivable without executing (left
+            # fields + non-key right fields, suffixed on collision), so
+            # a later outer join over an EMPTY intermediate stream can
+            # still synthesize its left side.
             def chained(prev=batches_factory, rf=right_factory, lk=list(lkeys),
                         rk=list(rkeys), how=j.how, sfx=suffix or None,
-                        ls=(lschema if data is None else None), rs=right_schema):
+                        ls=lschema, rs=right_schema):
                 return spilled_join(
                     prev(), rf(), lk, rk, how, budget,
                     right_suffix=sfx, left_schema=ls, right_schema=rs,
                 )
 
-            batches_factory, lschema = chained, None
+            batches_factory = chained
+            rkey_set = set(rkeys)
+            joined_fields = list(lschema) + [
+                pa.field(f"{f.name}{suffix}" if f.name in collide else f.name, f.type)
+                for f in right_schema if f.name not in rkey_set
+            ]
+            lschema = pa.schema(joined_fields)
         register(ralias, right_schema.names)
         if suffix:
             for c in collide:

@@ -11,6 +11,7 @@ plane is synchronous JAX dispatch.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, Literal
 
@@ -161,6 +162,10 @@ class Table:
         self._Table__dataset = dataset
         self._searchers: dict[str, Any] = {}
         self._fts_indexes: dict[str, Any] = {}
+        # serializes read-freshness refresh + cache invalidation between
+        # concurrent readers (hybrid search runs its two legs in
+        # parallel threads; the QueryServer also shares Table handles)
+        self._refresh_lock = threading.Lock()
         self._last_consistency_check = time.monotonic()
         self._embedding_functions: dict[str, Any] = {}
         self._load_embedding_config()
@@ -176,11 +181,17 @@ class Table:
         if interval is not None and not self._Table__dataset.pinned:
             now = time.monotonic()
             if interval == 0 or (now - self._last_consistency_check) >= interval:
-                old_version = self._Table__dataset.version
-                self._Table__dataset.checkout_latest()
-                self._last_consistency_check = now
-                if self._Table__dataset.version != old_version:
-                    self._invalidate_caches()
+                with self._refresh_lock:
+                    # re-check under the lock: another reader thread may
+                    # have refreshed while this one waited
+                    if interval == 0 or (
+                        time.monotonic() - self._last_consistency_check
+                    ) >= interval:
+                        old_version = self._Table__dataset.version
+                        self._Table__dataset.checkout_latest()
+                        self._last_consistency_check = time.monotonic()
+                        if self._Table__dataset.version != old_version:
+                            self._invalidate_caches()
         return self._Table__dataset
 
     # optional write listener (namespace read-freshness: a namespace-
@@ -202,11 +213,12 @@ class Table:
         consistency, reference utils/background_cache.rs)."""
         if self._Table__dataset.pinned:
             return
-        old = self._Table__dataset.version
-        self._Table__dataset.checkout_latest()
-        self._last_consistency_check = time.monotonic()
-        if self._Table__dataset.version != old:
-            self._invalidate_caches()
+        with self._refresh_lock:
+            old = self._Table__dataset.version
+            self._Table__dataset.checkout_latest()
+            self._last_consistency_check = time.monotonic()
+            if self._Table__dataset.version != old:
+                self._invalidate_caches()
 
     @property
     def schema(self) -> pa.Schema:
@@ -513,9 +525,10 @@ class Table:
     def enable_sharded_serving(self, mesh=None) -> None:
         """Serve this table's IVF_PQ index across a device mesh: probed
         scans shard over the mesh (per-device top-k, all_gather merge
-        over ICI — parallel/serving.py); prefiltered queries fall back
-        to single-device. ``mesh=None`` builds a 1-D mesh over all
-        devices. Call again after index rebuilds (caches invalidate
+        over ICI — parallel/serving.py). Prefiltered and deletion-masked
+        queries fan out too: each shard adds its slice of the slot
+        penalty before the scan. ``mesh=None`` builds a 1-D mesh over
+        all devices. Call again after index rebuilds (caches invalidate
         automatically on writes)."""
         if mesh is None:
             from .parallel.mesh import make_mesh

@@ -396,11 +396,14 @@ class TestCaseAndUnion:
         assert "UnionExec: all=True" in plan
         assert plan.count("ScanExec") == 2
 
-    def test_mixed_union_rejected(self, db):
-        from lancedb_tpu.errors import SqlParseError
-
-        with pytest.raises(SqlParseError, match="mixed"):
-            db.sql("SELECT id FROM sales UNION SELECT id FROM sales UNION ALL SELECT id FROM sales")
+    def test_mixed_union_folds_left_to_right(self, db):
+        # standard SQL allows mixing UNION and UNION ALL: each operator
+        # applies pairwise, left-to-right (was rejected pre-r3)
+        out = db.sql(
+            "SELECT id FROM sales WHERE id = 1 UNION SELECT id FROM sales WHERE id = 1 "
+            "UNION ALL SELECT id FROM sales WHERE id = 1"
+        )
+        assert sorted(out.column("id").to_pylist()) == [1, 1]
 
 
 class TestCaseSemantics:
@@ -488,9 +491,13 @@ def test_sql_fuzz_typed_errors(db):
     tokens = ["SELECT", "FROM", "sales", "WHERE", "id", "cat", "GROUP", "BY",
               "ORDER", "LIMIT", "UNION", "ALL", "JOIN", "ON", "CASE", "WHEN",
               "THEN", "END", "(", ")", ",", "*", "=", ">", "+", "'x'", "1",
-              "IN", "NOT", "NULL", "AND", "COUNT", "AS", "fts"]
-    for _ in range(300):
-        q = " ".join(rng.choice(tokens) for _ in range(rng.randint(1, 12)))
+              "IN", "NOT", "NULL", "AND", "COUNT", "AS", "fts",
+              # r3 surface: windows, CTEs, set ops, frames
+              "OVER", "PARTITION", "ROWS", "BETWEEN", "PRECEDING", "FOLLOWING",
+              "UNBOUNDED", "CURRENT", "ROW", "WITH", "RECURSIVE", "INTERSECT",
+              "EXCEPT", "rank", "row_number", "lag", "EXISTS"]
+    for _ in range(500):
+        q = " ".join(rng.choice(tokens) for _ in range(rng.randint(1, 14)))
         try:
             db.sql(q)
         except (LanceDBError, RecursionError):

@@ -350,3 +350,96 @@ class TestCorrelatedSubqueries:
             sqlmod.execute_select = orig
         assert len(calls) == 3  # one per distinct dept
         assert sorted(out.column("id").to_pylist()) == [1, 2, 5, 8]
+
+
+class TestSetOperations:
+    """INTERSECT / EXCEPT with [ALL] and DataFusion precedence
+    (INTERSECT binds tighter than UNION/EXCEPT)."""
+
+    @pytest.fixture
+    def sdb(self):
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://setops-{uuid.uuid4().hex}")
+        db.create_table("a", {"x": [1, 2, 2, 3, 3, 3, None]})
+        db.create_table("b", {"x": [2, 3, 3, 4, None]})
+        return db
+
+    @staticmethod
+    def _sorted(vals):
+        return sorted(vals, key=lambda v: (v is None, v))
+
+    def test_intersect_distinct_nulls_equal(self, sdb):
+        out = run(sdb, "SELECT x FROM a INTERSECT SELECT x FROM b")
+        assert self._sorted(out["x"]) == [2, 3, None]
+
+    def test_intersect_all_bag_semantics(self, sdb):
+        out = run(sdb, "SELECT x FROM a INTERSECT ALL SELECT x FROM b")
+        assert self._sorted(out["x"]) == [2, 3, 3, None]
+
+    def test_except_distinct(self, sdb):
+        out = run(sdb, "SELECT x FROM a EXCEPT SELECT x FROM b")
+        assert out["x"] == [1]
+
+    def test_except_all_subtracts_counts(self, sdb):
+        out = run(sdb, "SELECT x FROM a EXCEPT ALL SELECT x FROM b")
+        assert self._sorted(out["x"]) == [1, 2, 3]
+
+    def test_intersect_binds_tighter_than_union(self, sdb):
+        out = run(sdb, "SELECT x FROM a UNION SELECT x FROM a INTERSECT SELECT x FROM b")
+        assert self._sorted(out["x"]) == [1, 2, 3, None]  # a ∪ (a ∩ b)
+
+    def test_order_limit_bind_to_whole_expression(self, sdb):
+        out = run(sdb, "SELECT x FROM a EXCEPT ALL SELECT x FROM b ORDER BY x DESC LIMIT 2")
+        assert out["x"] == [3, 2]
+
+    def test_mixed_union_all_chain(self, sdb):
+        out = run(sdb, "SELECT x FROM a WHERE x = 1 UNION ALL SELECT x FROM a WHERE x = 1 "
+                       "UNION SELECT x FROM b WHERE x = 4")
+        assert self._sorted(out["x"]) == [1, 4]  # trailing UNION dedupes
+
+    def test_explain_set_op(self, sdb):
+        plan = explain_select("SELECT x FROM a INTERSECT ALL SELECT x FROM b")
+        assert "SetOpExec" in plan and "intersect all" in plan
+
+    def test_cte_with_set_op_body(self, sdb):
+        out = run(sdb, "WITH c AS (SELECT x FROM a INTERSECT SELECT x FROM b) "
+                       "SELECT count(*) n FROM c WHERE x IS NOT NULL")
+        assert out["n"] == [2]
+
+
+class TestWindowFrameEdges:
+    """Review regression: FOLLOWING-only / PRECEDING-only frames clamp
+    at partition edges instead of wrapping prefix-sum indices."""
+
+    @pytest.fixture
+    def tdb(self):
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://frames-{uuid.uuid4().hex}")
+        db.create_table("t", {"x": [10, 15, 1, 3, 7]})
+        return db
+
+    def test_following_only_frame(self, tdb):
+        out = run(tdb, "SELECT x, sum(x) OVER (ORDER BY x "
+                       "ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) s FROM t ORDER BY x")
+        assert out["s"] == [17, 25, 15, None, None]
+
+    def test_preceding_only_frame(self, tdb):
+        out = run(tdb, "SELECT x, sum(x) OVER (ORDER BY x "
+                       "ROWS BETWEEN 5 PRECEDING AND 3 PRECEDING) s FROM t ORDER BY x")
+        assert out["s"] == [None, None, None, 1, 4]
+
+    def test_empty_frame_count_is_zero(self, tdb):
+        out = run(tdb, "SELECT x, count(*) OVER (ORDER BY x "
+                       "ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) c FROM t ORDER BY x")
+        assert out["c"] == [2, 2, 1, 0, 0]
+
+    def test_following_min_over_strings_clamps(self, tdb):
+        import uuid
+
+        db2 = lancedb_tpu.connect(f"memory://frames2-{uuid.uuid4().hex}")
+        db2.create_table("s", {"w": ["b", "a", "c"]})
+        out = run(db2, "SELECT w, min(w) OVER (ORDER BY w "
+                       "ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) m FROM s ORDER BY w")
+        assert out["m"] == ["b", "c", None]

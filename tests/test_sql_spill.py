@@ -158,3 +158,26 @@ class TestWorkingSetBound:
             )
         )
         assert matched.num_rows == 50
+
+
+class TestGraceJoinChaining:
+    """Review regression: a later outer join over an EMPTY intermediate
+    stream synthesizes its left schema instead of erroring — the budget
+    changes strategy, never results."""
+
+    def test_outer_join_after_empty_intermediate(self):
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://gjc-{uuid.uuid4().hex}")
+        db.create_table("a", {"k": [1, 2]})
+        db.create_table("b", {"k": [3, 4]})  # a ⋈ b is empty
+        db.create_table("c", {"k2": [9, 9], "u": [5, 6]})
+        q = ("SELECT c.u FROM a JOIN b ON a.k = b.k "
+             "RIGHT OUTER JOIN c ON a.k = c.k2 ORDER BY c.u")
+        ref = db.sql(q).to_pydict()
+        set_sql_memory_budget(100_000)
+        try:
+            got = db.sql(q).to_pydict()
+        finally:
+            set_sql_memory_budget(None)
+        assert ref == got == {"u": [5, 6]}
