@@ -473,6 +473,12 @@ class RemoteTable:
     def optimize(self) -> dict:
         return self._c.post_json(self._p("optimize"))
 
+    def permutation_builder(self, dest: str | None = None) -> "RemotePermutationBuilder":
+        """Server-side dataloader permutation build (reference
+        nodejs/lancedb/permutation.ts PermutationBuilder; the engine is
+        data/permutation.py running inside the server)."""
+        return RemotePermutationBuilder(self._c, self.name, dest)
+
     # ---- branches (reference remote/table.rs branches/*) ----
     def list_branches(self) -> dict:
         return self._c.post_json(self._p("branches/list"))["branches"]
@@ -524,6 +530,59 @@ class RemoteTable:
                 outer._c.post_json(outer._p("tags/update"), {"tag": name, "version": version})
 
         return _Tags()
+
+
+class RemotePermutationBuilder:
+    """Fluent remote twin of data/permutation.py `PermutationBuilder`
+    (reference nodejs/lancedb/permutation.ts): accumulates the split/
+    shuffle/filter spec client-side, POSTs one /permutation request on
+    execute, and returns the created permutation table's handle + sizes."""
+
+    def __init__(self, client: "RestClient", table: str, dest: str | None = None):
+        self._c = client
+        self._table = table
+        self._body: dict = {"dest": dest}
+
+    def split_random(self, *, seed: int = 42, fractions=None, counts=None,
+                     clump_size=None) -> "RemotePermutationBuilder":
+        self._body["split"] = {
+            "kind": "random", "seed": seed, "fractions": fractions,
+            "counts": counts, "clump_size": clump_size,
+        }
+        return self
+
+    def split_hash(self, columns, split_weights, discard_weight: int = 0):
+        self._body["split"] = {
+            "kind": "hash", "columns": list(columns),
+            "split_weights": list(split_weights),
+            "discard_weight": discard_weight,
+        }
+        return self
+
+    def split_sequential(self, sizes=None) -> "RemotePermutationBuilder":
+        self._body["split"] = {"kind": "sequential", "sizes": sizes}
+        return self
+
+    def split_calculated(self, sql: str) -> "RemotePermutationBuilder":
+        self._body["split"] = {"kind": "calculated", "sql": sql}
+        return self
+
+    def shuffle(self, seed: int = 42, clump_size=None,
+                memory_budget_bytes: int = 100 << 20) -> "RemotePermutationBuilder":
+        self._body["shuffle"] = {
+            "seed": seed, "clump_size": clump_size,
+            "memory_budget_bytes": memory_budget_bytes,
+        }
+        return self
+
+    def filter(self, predicate: str) -> "RemotePermutationBuilder":
+        self._body["filter"] = predicate
+        return self
+
+    def execute(self) -> dict:
+        return self._c.post_json(
+            f"/v1/table/{urllib.parse.quote(self._table)}/permutation/", self._body
+        )
 
 
 class RemoteJob:

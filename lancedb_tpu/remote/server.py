@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..db import LanceDBConnection
-from ..errors import LanceDBError, TableNotFoundError
+from ..errors import InvalidInputError, LanceDBError, TableNotFoundError
 from ..query import VectorQueryRequest, execute_vector_query
 from .protocol import (
     CONTENT_ARROW,
@@ -552,6 +552,64 @@ class _Handler(BaseHTTPRequestHandler):
     def op_optimize(self, name):
         t = self.conn.open_table(name)
         self._respond(200, dumps(t.optimize()))
+
+    # -------------------------------------------------------- permutation
+    def op_permutation(self, name):
+        """Build a dataloader permutation table server-side (reference
+        nodejs permutation.ts PermutationBuilder over the native builder;
+        python data/permutation.py is the engine). Body:
+        ``{dest?, filter?, shuffle?: {seed, clump_size,
+        memory_budget_bytes}, split?: {kind: random|hash|sequential|
+        calculated, ...strategy args}}``. Returns the created table name
+        plus per-split sizes."""
+        from ..data.permutation import permutation_builder
+
+        body = loads(self._read_body())
+        t = self.conn.open_table(name)
+        b = permutation_builder(t, body.get("dest"))
+        split = body.get("split") or {}
+        kind = split.get("kind", "none")
+        if kind == "random":
+            b.split_random(
+                seed=split.get("seed", 42),
+                fractions=split.get("fractions"),
+                counts=split.get("counts"),
+                clump_size=split.get("clump_size"),
+            )
+        elif kind == "hash":
+            b.split_hash(
+                split["columns"],
+                split["split_weights"],
+                split.get("discard_weight", 0),
+            )
+        elif kind == "sequential":
+            b.split_sequential(split.get("sizes"))
+        elif kind == "calculated":
+            b.split_calculated(split["sql"])
+        elif kind != "none":
+            raise InvalidInputError(f"unknown split kind {kind!r}")
+        if body.get("shuffle") is not None:
+            sh = body["shuffle"] or {}
+            b.shuffle(
+                seed=sh.get("seed", 42),
+                clump_size=sh.get("clump_size"),
+                memory_budget_bytes=sh.get("memory_budget_bytes", 100 << 20),
+            )
+        if body.get("filter"):
+            b.filter(body["filter"])
+        perm = b.execute()
+        self._respond(
+            200,
+            dumps({
+                "table": perm.perm_table.name,
+                "num_rows": len(perm),
+                "num_splits": perm.num_splits,
+                "split_sizes": {
+                    str(s): perm.split_size(s)
+                    for s in sorted(perm._split_offsets)
+                },
+            }),
+        )
 
     # ---------------------------------------------------------- branches
     def op_branches_list(self, name):

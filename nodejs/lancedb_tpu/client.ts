@@ -22,6 +22,21 @@ export interface TlsConfig {
   rejectUnauthorized?: boolean;
 }
 
+import { HeaderProvider, resolveHeaders } from "./header.js";
+
+/** Observation hook for request metrics (otel.ts adapts this onto an
+ * OpenTelemetry meter; reference nodejs/lancedb/otel.ts). */
+export interface RequestObserver {
+  onRequest(info: {
+    method: string;
+    path: string;
+    status: number | "error";
+    durationMs: number;
+    attempt: number;
+    requestId: string;
+  }): void;
+}
+
 export interface ClientConfig {
   /** Base URL of the query server, e.g. http://127.0.0.1:8787 */
   baseUrl: string;
@@ -33,8 +48,13 @@ export interface ClientConfig {
   timeoutMs?: number;
   /** Extra headers (e.g. authorization). */
   headers?: Record<string, string>;
+  /** Dynamic per-request headers (OAuth bearer rotation etc. —
+   * header.ts). Resolved on every attempt, after `headers`. */
+  headerProviders?: HeaderProvider[];
   /** TLS / mTLS options for https servers. */
   tls?: TlsConfig;
+  /** Metrics hook observing every request attempt (otel.ts). */
+  observer?: RequestObserver;
 }
 
 const RETRYABLE = new Set([409, 429, 500, 502, 503, 504]);
@@ -50,9 +70,15 @@ export class HttpError extends Error {
 }
 
 export class RestClient {
-  private cfg: Required<Omit<ClientConfig, "headers" | "tls">> & {
+  private cfg: {
+    baseUrl: string;
+    retries: number;
+    backoffMs: number;
+    timeoutMs: number;
     headers: Record<string, string>;
+    headerProviders: HeaderProvider[];
     tls?: TlsConfig;
+    observer?: RequestObserver;
   };
   private dispatcher: unknown | null | undefined;
 
@@ -63,7 +89,9 @@ export class RestClient {
       backoffMs: cfg.backoffMs ?? 100,
       timeoutMs: cfg.timeoutMs ?? 30_000,
       headers: cfg.headers ?? {},
+      headerProviders: cfg.headerProviders ?? [],
       tls: cfg.tls,
+      observer: cfg.observer,
     };
   }
 
@@ -117,8 +145,22 @@ export class RestClient {
     for (let attempt = 0; attempt < this.cfg.retries; attempt++) {
       const ctl = new AbortController();
       const timer = setTimeout(() => ctl.abort(), this.cfg.timeoutMs);
+      const t0 = Date.now();
+      const observe = (status: number | "error") =>
+        this.cfg.observer?.onRequest({
+          method,
+          path,
+          status,
+          durationMs: Date.now() - t0,
+          attempt,
+          requestId,
+        });
       try {
         const dispatcher = await this.getDispatcher();
+        // dynamic providers resolve per attempt so rotated tokens apply
+        const dynamic = this.cfg.headerProviders.length
+          ? await resolveHeaders(this.cfg.headerProviders)
+          : {};
         const resp = await fetch(url, {
           method,
           body: payload,
@@ -127,10 +169,12 @@ export class RestClient {
           ...(dispatcher ? ({ dispatcher } as object) : {}),
           headers: {
             ...this.cfg.headers,
+            ...dynamic,
             "x-request-id": requestId,
             ...(ctype ? { "content-type": ctype } : {}),
           },
         });
+        observe(resp.status);
         if (resp.ok) return resp;
         if (!RETRYABLE.has(resp.status) || attempt === this.cfg.retries - 1) {
           const text = await resp.text();
@@ -144,6 +188,7 @@ export class RestClient {
         }
         lastErr = new HttpError(resp.status, `retryable ${resp.status}`);
       } catch (e) {
+        if (!(e instanceof HttpError)) observe("error");
         if (e instanceof HttpError && !RETRYABLE.has(e.status)) throw e;
         lastErr = e;
         if (attempt === this.cfg.retries - 1) throw e;

@@ -35,3 +35,33 @@ export {
   HashEmbedding,
 } from "./embeddings.js";
 export { Reranker, RRFReranker, LinearCombinationReranker } from "./rerankers.js";
+export { MergeInsertBuilder, MergeStats, WriteExecutionOptions } from "./merge.js";
+export {
+  PermutationBuilder,
+  permutationBuilder,
+  SplitRandomOptions,
+  SplitHashOptions,
+  SplitSequentialOptions,
+  SplitCalculatedOptions,
+  ShuffleOptions,
+  PermutationResult,
+} from "./permutation.js";
+export {
+  HeaderProvider,
+  StaticHeaderProvider,
+  CallbackHeaderProvider,
+  OAuthHeaderProvider,
+  OAuthConfig,
+  TokenResponse,
+  resolveHeaders,
+} from "./header.js";
+export { toSQL, packBits, TTLCache, IntoSql } from "./util.js";
+export {
+  sanitizeSchema,
+  sanitizeField,
+  sanitizeType,
+  sanitizeMetadata,
+  isDataTypeLike,
+} from "./sanitize.js";
+export { instrumentLanceDbMetrics, InMemoryMeter, MeterLike } from "./otel.js";
+export { RequestObserver } from "./client.js";

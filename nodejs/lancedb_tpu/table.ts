@@ -13,6 +13,8 @@ import { EmbeddingFunction, getRegistry } from "./embeddings.js";
 import { FtsQueryNode } from "./fts.js";
 import { Index } from "./indices.js";
 import { JobInfo, RemoteJob } from "./jobs.js";
+import { MergeInsertBuilder } from "./merge.js";
+import { PermutationBuilder } from "./permutation.js";
 import { FtsQuery, HybridQuery, PlainQuery, VectorQuery } from "./query.js";
 
 export interface FieldDescriptor {
@@ -111,7 +113,27 @@ export class Table {
     return r.deleted_rows;
   }
 
-  async mergeInsert(
+  /** Upsert. With only `on`: returns a fluent MergeInsertBuilder
+   * (reference table.mergeInsert → MergeInsertBuilder). With data:
+   * one-shot convenience form. */
+  mergeInsert(on: string | string[]): MergeInsertBuilder;
+  mergeInsert(
+    on: string | string[],
+    data: TableData,
+    options?: MergeInsertOptions,
+  ): Promise<object>;
+  mergeInsert(
+    on: string | string[],
+    data?: TableData,
+    options: MergeInsertOptions = {},
+  ): MergeInsertBuilder | Promise<object> {
+    if (data === undefined) {
+      return new MergeInsertBuilder(this.client, this.name, on);
+    }
+    return this.mergeInsertNow(on, data, options);
+  }
+
+  private async mergeInsertNow(
     on: string | string[],
     data: TableData,
     options: MergeInsertOptions = {},
@@ -136,6 +158,12 @@ export class Table {
       }
     }
     return this.client.postArrow(`${this.p("merge_insert")}?${params}`, toIpc(data));
+  }
+
+  /** Dataloader permutation build (splits/shuffle/filter) executed
+   * server-side — permutation.ts (reference permutationBuilder). */
+  permutationBuilder(): PermutationBuilder {
+    return new PermutationBuilder(this.client, this.name);
   }
 
   async createIndex(column: string, index: Index): Promise<void> {

@@ -298,6 +298,38 @@ class TestRemoteParity:
         t.drop_columns(["p2"])
         assert "p2" not in t.schema.names
 
+    def test_permutation_endpoint(self, remote_db):
+        """Server-side dataloader permutation build (reference
+        nodejs/lancedb/permutation.ts PermutationBuilder)."""
+        remote_db.create_table("t", make_vector_table(100))
+        t = remote_db.open_table("t")
+        res = (
+            t.permutation_builder(dest="perm")
+            .split_random(fractions=[0.7, 0.3], seed=7)
+            .shuffle(seed=3)
+            .execute()
+        )
+        assert res["table"] == "perm"
+        assert res["num_rows"] == 100
+        assert res["num_splits"] == 2
+        sizes = res["split_sizes"]
+        assert sizes["0"] + sizes["1"] == 100 and sizes["0"] == 70
+        # the permutation table is a real remote table
+        perm = remote_db.open_table("perm")
+        assert perm.count_rows() == 100
+
+        # calculated split + filter; sequential too
+        res2 = (
+            t.permutation_builder()
+            .split_calculated("CASE WHEN price < 50 THEN 0 ELSE 1 END")
+            .filter("id >= 10")
+            .execute()
+        )
+        assert res2["num_rows"] == 90
+        assert res2["num_splits"] == 2
+        res3 = t.permutation_builder().split_sequential([40, 60]).execute()
+        assert res3["split_sizes"] == {"0": 40, "1": 60}
+
     def test_multipart_insert(self, tmp_path):
         from lancedb_tpu.remote import QueryServer, connect_remote
         from lancedb_tpu.remote.client import ClientConfig
