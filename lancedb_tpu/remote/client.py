@@ -405,6 +405,8 @@ class RemoteTable:
                 "metric_type": metric,
                 "num_partitions": num_partitions,
                 "num_sub_vectors": num_sub_vectors,
+                **{k: v for k, v in kw.items()
+                   if k in ("num_bits", "sample_rate", "max_iterations")},
             },
         )
 
@@ -428,6 +430,8 @@ class RemoteTable:
                 "metric_type": metric,
                 "num_partitions": num_partitions,
                 "num_sub_vectors": num_sub_vectors,
+                **{k: v for k, v in kw.items()
+                   if k in ("num_bits", "sample_rate", "max_iterations")},
             },
         )
         return RemoteJob(self._c, doc["job"])

@@ -434,20 +434,53 @@ class _Handler(BaseHTTPRequestHandler):
         t = self.conn.open_table(name)
         index_type = body.get("index_type", "IVF_PQ").upper()
         if index_type == "FTS":
-            t.create_fts_index(
-                body["column"],
-                with_position=body.get("with_position", True),
-                base_tokenizer=body.get("base_tokenizer", "simple"),
-            )
-        elif index_type in ("BTREE", "BITMAP", "LABEL_LIST"):
+            fts_kw = {
+                k: body[k]
+                for k in (
+                    "with_position", "tokenizer_name", "base_tokenizer",
+                    "language", "max_token_length", "lower_case", "stem",
+                    "remove_stop_words", "ascii_folding",
+                    "ngram_min_length", "ngram_max_length", "prefix_only",
+                )
+                if k in body
+            }
+            t.create_fts_index(body["column"], **fts_kw)
+        elif index_type in ("BTREE", "BITMAP", "LABEL_LIST", "FM"):
             t.create_scalar_index(body["column"], index_type=index_type)
+        elif index_type.startswith("IVF_HNSW") and (
+            body.get("m") is not None or body.get("ef_construction") is not None
+        ):
+            # graph knobs live on the Hnsw* config dataclasses
+            from ..index import HnswFlat, HnswPq, HnswSq
+
+            cls = {
+                "IVF_HNSW_FLAT": HnswFlat,
+                "IVF_HNSW_SQ": HnswSq,
+                "IVF_HNSW_PQ": HnswPq,
+            }[index_type]
+            kw = {"distance_type": body.get("metric_type", "l2")}
+            if body.get("num_partitions") is not None:
+                kw["num_partitions"] = body["num_partitions"]
+            if body.get("m") is not None:
+                kw["m"] = body["m"]
+            if body.get("ef_construction") is not None:
+                kw["ef_construction"] = body["ef_construction"]
+            if index_type == "IVF_HNSW_PQ" and body.get("num_sub_vectors") is not None:
+                kw["num_sub_vectors"] = body["num_sub_vectors"]
+            t.create_index(vector_column_name=body.get("column"), config=cls(**kw))
         else:
+            extra = {
+                k: body[k]
+                for k in ("num_bits", "sample_rate", "max_iterations")
+                if body.get(k) is not None
+            }
             t.create_index(
                 metric=body.get("metric_type", body.get("distance_type", "l2")),
                 num_partitions=body.get("num_partitions"),
                 num_sub_vectors=body.get("num_sub_vectors"),
                 vector_column_name=body.get("column"),
                 index_type=index_type,
+                **extra,
             )
 
     def op_create_index(self, name):

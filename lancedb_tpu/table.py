@@ -837,6 +837,13 @@ class Table:
             "index_type": ix.index_type,
             "distance_type": ix.params.get("metric"),
             "num_indices": 1,
+            # index-specific build params (reference IndexStatistics
+            # carries the index config; only JSON-scalar fields)
+            "params": {
+                k: v
+                for k, v in ix.params.items()
+                if isinstance(v, (str, int, float, bool)) and k not in ("metric",)
+            },
         }
 
     def drop_index(self, name: str) -> None:

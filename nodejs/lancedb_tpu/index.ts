@@ -65,3 +65,4 @@ export {
 } from "./sanitize.js";
 export { instrumentLanceDbMetrics, InMemoryMeter, MeterLike } from "./otel.js";
 export { RequestObserver } from "./client.js";
+export { Scannable, ScannableOptions, addScannable } from "./scannable.js";

@@ -16,6 +16,7 @@ import { JobInfo, RemoteJob } from "./jobs.js";
 import { MergeInsertBuilder } from "./merge.js";
 import { PermutationBuilder } from "./permutation.js";
 import { FtsQuery, HybridQuery, PlainQuery, VectorQuery } from "./query.js";
+import { addScannable, Scannable } from "./scannable.js";
 
 export interface FieldDescriptor {
   name: string;
@@ -350,6 +351,15 @@ export class Table {
       await this.client.postJson(`${this.p("multipart_abort")}?id=${id}`).catch(() => {});
       throw e;
     }
+  }
+
+  /** Stream a Scannable source in as bounded multipart inserts
+   * committed atomically (scannable.ts; python scannable.py model). */
+  async addScannable(
+    source: Scannable,
+    opts: { partRows?: number; mode?: "append" | "overwrite" } = {},
+  ): Promise<object> {
+    return addScannable(this.client, this.name, source, opts);
   }
 
   // ---- embeddings (cross-SDK schema-metadata contract) -----------------

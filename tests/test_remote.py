@@ -298,6 +298,27 @@ class TestRemoteParity:
         t.drop_columns(["p2"])
         assert "p2" not in t.schema.names
 
+    def test_create_index_options_wire_through(self, remote_db):
+        """num_bits / sample_rate reach the server-side build (the
+        server previously dropped every option beyond partitions and
+        subvectors); index_stats echoes the build params."""
+        remote_db.create_table("t", make_vector_table(600))
+        t = remote_db.open_table("t")
+        t.create_index(num_partitions=4, num_sub_vectors=4, num_bits=4,
+                       sample_rate=128)
+        stats = t.index_stats("vector_idx")
+        assert stats["params"]["num_bits"] == 4
+        assert stats["params"]["num_sub_vectors"] == 4
+        # FTS tokenizer options wire through too
+        remote_db.create_table(
+            "docs", {"id": [1, 2], "text": ["Running quickly", "runs fast"]}
+        )
+        d = remote_db.open_table("docs")
+        d.create_fts_index("text", stem=False, with_position=False)
+        hits = d.search("Running", query_type="fts").limit(5).to_arrow()
+        ids = hits.column("id").to_pylist()
+        assert ids == [1]  # stem=False: "runs" must not match "running"
+
     def test_permutation_endpoint(self, remote_db):
         """Server-side dataloader permutation build (reference
         nodejs/lancedb/permutation.ts PermutationBuilder)."""
