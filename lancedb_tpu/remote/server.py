@@ -741,6 +741,57 @@ class _Handler(BaseHTTPRequestHandler):
             self._uploads.pop(params["id"], None)
         self._respond(200, dumps({}))
 
+    # ------------------------------------------------------------- blobs
+    def op_blob_describe(self, name):
+        """Blob descriptors by row address (reference
+        remote/table/blobs.rs): {column, row_ids} → {blobs: [{file,
+        position, size} | null]} — the client builds range-backed
+        lazy handles from these."""
+        from ..blob import fetch_blob_files
+
+        body = loads(self._read_body())
+        t = self._open(name, body)
+        files = fetch_blob_files(
+            t._dataset, body["column"], np.asarray(body["row_ids"], dtype=np.uint64)
+        )
+        root = t._dataset.root
+        self._respond(
+            200,
+            dumps({
+                "blobs": [
+                    None if bf is None
+                    else {
+                        "file": bf._path[len(root) + 1:],
+                        "position": bf._base,
+                        "size": bf.size(),
+                    }
+                    for bf in files
+                ]
+            }),
+        )
+
+    def op_blob_read(self, name):
+        """Blob payloads (optionally ranged) as one Arrow IPC stream
+        with a nullable `data: binary` column — {column, row_ids,
+        ranges?: [[start, length] | null]}."""
+        from ..blob import fetch_blob_files
+
+        body = loads(self._read_body())
+        t = self._open(name, body)
+        files = fetch_blob_files(
+            t._dataset, body["column"], np.asarray(body["row_ids"], dtype=np.uint64)
+        )
+        ranges = body.get("ranges")
+        payloads: list[bytes | None] = []
+        for i, bf in enumerate(files):
+            if bf is None:
+                payloads.append(None)
+                continue
+            r = ranges[i] if ranges is not None else None
+            payloads.append(bf.read() if r is None else bf.read_range(int(r[0]), int(r[1])))
+        out = pa.table({"data": pa.array(payloads, type=pa.large_binary())})
+        self._respond(200, table_to_ipc(out), CONTENT_ARROW)
+
 
 class QueryServer:
     """A lancedb-tpu server over one database directory."""

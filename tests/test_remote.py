@@ -298,6 +298,44 @@ class TestRemoteParity:
         t.drop_columns(["p2"])
         assert "p2" not in t.schema.names
 
+    def test_remote_blobs(self, remote_db):
+        """Blob fetch over the wire (reference remote/table/blobs.rs):
+        full reads, range reads, and lazy seekable handles."""
+        import pyarrow as pa
+
+        from lancedb_tpu.blob import blob_field
+
+        payloads = [b"hello world", b"\x00\x01\x02" * 500, None]
+        schema = pa.schema([pa.field("id", pa.int64()), blob_field("media")])
+        tbl = pa.table(
+            {"id": list(range(3)), "media": payloads},
+            schema=pa.schema(
+                [pa.field("id", pa.int64()), pa.field("media", pa.large_binary())]
+            ),
+        )
+        # declare the blob column through schema metadata on create
+        tbl = tbl.cast(
+            pa.schema([schema.field("id"), schema.field("media").with_type(pa.large_binary())])
+        )
+        remote_db.create_table("b", tbl)
+        t = remote_db.open_table("b")
+        rids = (
+            t.search(None).with_row_id(True).limit(10).to_arrow()
+            .column("_rowid").to_pylist()
+        )
+        blobs = t.fetch_blobs("media", rids)
+        assert blobs[0] == payloads[0] and blobs[1] == payloads[1]
+        assert blobs[2] is None
+        ranged = t.fetch_blob_ranges("media", rids[:2], [(0, 5), (3, 6)])
+        assert ranged[0] == b"hello"
+        assert ranged[1] == (b"\x00\x01\x02" * 500)[3:9]
+        files = t.fetch_blob_files("media", rids)
+        assert files[2] is None
+        with files[0] as bf:
+            assert bf.size() == len(payloads[0])
+            bf.seek(6)
+            assert bf.read() == b"world"
+
     def test_create_index_options_wire_through(self, remote_db):
         """num_bits / sample_rate reach the server-side build (the
         server previously dropped every option beyond partitions and
