@@ -1374,6 +1374,45 @@ class AsyncTable:
     async def blob_columns(self) -> list[str]:
         return await self._run(lambda: self._t.blob_columns)
 
+    async def fetch_blobs(self, column: str, row_ids) -> list:
+        return await self._run(self._t.fetch_blobs, column, row_ids)
+
+    async def fetch_blob_files(self, column: str, row_ids) -> list:
+        return await self._run(self._t.fetch_blob_files, column, row_ids)
+
+    async def fetch_blob_ranges(self, column: str, row_ids, ranges) -> list:
+        return await self._run(self._t.fetch_blob_ranges, column, row_ids, ranges)
+
+    @property
+    def tags(self):
+        """Async tags facade (reference AsyncTable.tags: list/create/
+        delete/update run on the executor)."""
+        run, sync_tags = self._run, self._t.tags
+
+        class _AsyncTags:
+            async def list(self):
+                return await run(sync_tags.list)
+
+            async def create(self, tag, version=None):
+                return await run(sync_tags.create, tag, version)
+
+            async def delete(self, tag):
+                return await run(sync_tags.delete, tag)
+
+            async def update(self, tag, version):
+                return await run(sync_tags.update, tag, version)
+
+        return _AsyncTags()
+
+    async def create_branch(self, name: str, version: int | None = None) -> None:
+        return await self._run(self._t.create_branch, name, version)
+
+    async def checkout_branch(self, name: str) -> None:
+        return await self._run(self._t.checkout_branch, name)
+
+    async def prewarm_index(self, name: str) -> None:
+        return await self._run(self._t.prewarm_index, name)
+
     async def branches(self) -> dict:
         return await self._run(self._t.list_branches)
 

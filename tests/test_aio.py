@@ -121,6 +121,56 @@ class TestAsyncTableSurface:
 
         arun(main())
 
+    def test_tags_branches_prewarm(self, tmp_path):
+        """Async facade for tags/branches/prewarm (reference AsyncTable
+        tags + branch ops, python/python/lancedb/table.py async surface)."""
+
+        async def main():
+            db = await ldb.connect_async(str(tmp_path / "db"))
+            t = await db.create_table("t", make_vector_table(20, dim=8))
+            v1 = await t.version()
+            await t.tags.create("v1-tag", v1)
+            tags = await t.tags.list()
+            assert "v1-tag" in tags
+            await t.tags.update("v1-tag", v1)
+            await t.tags.delete("v1-tag")
+            assert "v1-tag" not in await t.tags.list()
+
+            await t.create_branch("experiment", v1)
+            assert "experiment" in await t.branches()
+            await t.checkout_branch("experiment")
+            await t.add(make_vector_table(5, dim=8, seed=3))
+            assert await t.count_rows() == 25
+
+        arun(main())
+
+    def test_async_blob_fetch(self, tmp_path):
+        async def main():
+            import pyarrow as pa
+
+            from lancedb_tpu.blob import blob_field
+
+            db = await ldb.connect_async(str(tmp_path / "db"))
+            payloads = [b"a" * 64, b"b" * 64, None]
+            schema = pa.schema([pa.field("id", pa.int64()), blob_field("doc")])
+            data = pa.table(
+                {
+                    "id": pa.array([0, 1, 2], pa.int64()),
+                    "doc": pa.array(payloads, pa.large_binary()),
+                },
+                schema=schema,
+            )
+            t = await db.create_table("t", data)
+            assert await t.blob_columns() == ["doc"]
+            blobs = await t.fetch_blobs("doc", [0, 2])
+            assert blobs[0] == payloads[0] and blobs[1] is None
+            ranged = await t.fetch_blob_ranges("doc", [1], [(8, 16)])
+            assert ranged[0] == payloads[1][8 : 8 + 16]
+            files = await t.fetch_blob_files("doc", [0])
+            assert files[0].read(4) == b"aaaa"
+
+        arun(main())
+
     def test_concurrent_queries_bounded_executor(self, tmp_path):
         """A burst of concurrent queries completes on the shared
         bounded pool (no unbounded thread creation)."""
