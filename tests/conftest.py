@@ -9,10 +9,14 @@ run separately on the real chip via bench.py.
 
 import os
 
-# Must be set before jax initializes its backends.
+# Must be set before jax initializes its backends. Exported (not just
+# jax.config) so subprocesses spawned by tests — e.g. the query-node
+# script in test_misc — inherit the CPU platform instead of a
+# tunnel-backed plugin platform they cannot initialize.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
