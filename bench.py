@@ -688,6 +688,17 @@ def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
         th.search((qv[i], qt[i]), query_type="hybrid").limit(10).to_arrow()
     details["hybrid_rrf_top10_qps"] = round(64 / (time.perf_counter() - t0), 1)
     log(f"[hybrid] RRF top-10: {details['hybrid_rrf_top10_qps']} qps")
+    # batched hybrid: all 64 vector legs in ONE device dispatch
+    # (query.py LanceHybridQueryBuilder.add_query), FTS legs on host
+    # threads — the serving throughput path
+    b = th.search((qv[0], qt[0]), query_type="hybrid").limit(10)
+    for i in range(1, 64):
+        b.add_query(qv[i], qt[i])
+    b.to_arrow()  # warm
+    t0 = time.perf_counter()
+    b.to_arrow()
+    details["hybrid_rrf_batch64_qps"] = round(64 / (time.perf_counter() - t0), 1)
+    log(f"[hybrid] RRF batched-64 top-10: {details['hybrid_rrf_batch64_qps']} qps")
     db.drop_table("hybrid_bench")
     gc.collect()
 

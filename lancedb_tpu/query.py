@@ -1076,6 +1076,24 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         self._reranker = None
         self._norm = "score"
         self._vq_opts: dict[str, Any] = {}
+        # extra (vector, text) pairs beyond the first — one fused
+        # device dispatch executes every vector leg (the hybrid analog
+        # of the reference's multi-query-vector union, table/query.rs:334)
+        self._extra_queries: list[tuple[Any, Any]] = []
+
+    def add_query(self, vector=None, text=None) -> "LanceHybridQueryBuilder":
+        """Add another (vector, text) hybrid query to this builder.
+
+        All vector legs execute as ONE batched device dispatch (queries
+        are rows of the Q matrix on the MXU) and the FTS legs run
+        concurrently on host threads; results carry a ``query_index``
+        column, mirroring the reference's multi-query-vector union
+        semantics (reference table/query.rs:334 create_multi_vector_plan).
+        """
+        if vector is None and text is None:
+            raise InvalidInputError("add_query needs a vector and/or text")
+        self._extra_queries.append((vector, text if text is not None else self._text_query))
+        return self
 
     def rerank(self, reranker=None, normalize: str = "score") -> "LanceHybridQueryBuilder":
         self._reranker = reranker
@@ -1122,19 +1140,11 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         obj["vector_options"] = dict(self._vq_opts)
         return obj
 
-    def to_arrow(self) -> pa.Table:
-        self._check_scan_only_flags()
-        from .rerankers.rrf import RRFReranker
-
-        if self._vector is None:
-            self._vector = self._table._embed_query(
-                self._text_query, self._vector_column
-            )
-        k = self._req.k
-        vq = LanceVectorQueryBuilder(self._table, self._vector, self._vector_column)
+    def _vector_leg(self, query_vectors) -> "LanceVectorQueryBuilder":
+        vq = LanceVectorQueryBuilder(self._table, query_vectors, self._vector_column)
         vq._req.filter = self._req.filter
         vq._req.prefilter = self._req.prefilter
-        vq._req.k = k
+        vq._req.k = self._req.k
         vq._req.with_row_id = True
         if "nprobes" in self._vq_opts:
             vq.nprobes(self._vq_opts["nprobes"])
@@ -1142,12 +1152,84 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
             vq.refine_factor(self._vq_opts["refine_factor"])
         if "metric" in self._vq_opts:
             vq.metric(self._vq_opts["metric"])
+        return vq
 
-        fts = LanceFtsQueryBuilder(self._table, self._text_query, self._fts_columns)
+    def _fts_leg(self, text_query) -> pa.Table:
+        fts = LanceFtsQueryBuilder(self._table, text_query, self._fts_columns)
         fts._req.filter = self._req.filter
         fts._req.prefilter = self._req.prefilter
-        fts._req.k = k
+        fts._req.k = self._req.k
         fts._req.with_row_id = True
+        return fts.to_arrow()
+
+    def _to_arrow_batched(self) -> pa.Table:
+        """Execute every (vector, text) pair in this builder at once:
+        the vector legs stack into ONE device dispatch (rows of the Q
+        matrix on the MXU — amortizes the host→device round trip that
+        dominates single-query hybrid latency) and the FTS legs fan out
+        on host threads (the native DAAT scorers release the GIL).
+        Results carry a ``query_index`` column, mirroring the
+        reference's multi-query-vector union (table/query.rs:334)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .rerankers.rrf import RRFReranker
+
+        pairs = [(self._vector, self._text_query)] + list(self._extra_queries)
+        vectors, texts = [], []
+        for vec, txt in pairs:
+            if vec is None:
+                vec = self._table._embed_query(txt, self._vector_column)
+            vectors.append(np.asarray(vec, dtype=np.float32).reshape(-1))
+            texts.append(txt)
+        k = self._req.k
+
+        vq = self._vector_leg(np.stack(vectors))
+        with ThreadPoolExecutor(
+            max_workers=min(8, len(texts)), thread_name_prefix="hybrid-fts"
+        ) as ex:
+            fts_futures = [ex.submit(self._fts_leg, t) for t in texts]
+            vector_all = vq.to_arrow()
+            fts_results = [f.result() for f in fts_futures]
+
+        reranker = self._reranker or RRFReranker()
+        qidx = vector_all.column(QUERY_INDEX_COL).to_numpy(zero_copy_only=False)
+        parts = []
+        for qi, (txt, fts_res) in enumerate(zip(texts, fts_results)):
+            vres = vector_all.filter(pa.array(qidx == qi)).drop_columns(
+                [QUERY_INDEX_COL]
+            )
+            fused = reranker.rerank_hybrid(str(txt), vres, fts_res).slice(0, k)
+            fused = self._sorted(fused)
+            fused = fused.append_column(
+                QUERY_INDEX_COL, pa.array(np.full(len(fused), qi, dtype=np.int32))
+            )
+            parts.append(fused)
+        out = pa.concat_tables(parts, promote_options="permissive")
+        if not self._req.with_row_id and ROW_ID_COL in out.column_names:
+            out = out.drop_columns([ROW_ID_COL])
+        if self._req.select is not None and not isinstance(self._req.select, dict):
+            keep = [
+                c
+                for c in out.column_names
+                if c
+                in set(self._req.select)
+                | {DIST_COL, SCORE_COL, RELEVANCE_COL, ROW_ID_COL, QUERY_INDEX_COL}
+            ]
+            out = out.select(keep)
+        return out
+
+    def to_arrow(self) -> pa.Table:
+        self._check_scan_only_flags()
+        from .rerankers.rrf import RRFReranker
+
+        if self._extra_queries:
+            return self._to_arrow_batched()
+        if self._vector is None:
+            self._vector = self._table._embed_query(
+                self._text_query, self._vector_column
+            )
+        k = self._req.k
+        vq = self._vector_leg(self._vector)
 
         # the two legs are independent: the FTS leg (host/native DAAT)
         # overlaps the vector leg's device dispatch instead of queuing
@@ -1156,7 +1238,7 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=1, thread_name_prefix="hybrid-fts") as ex:
-            fts_future = ex.submit(fts.to_arrow)
+            fts_future = ex.submit(self._fts_leg, self._text_query)
             vector_results = vq.to_arrow()
             fts_results = fts_future.result()
 

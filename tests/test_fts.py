@@ -172,6 +172,42 @@ class TestHybrid:
         res = fts_table.search((q, "fox"), query_type="hybrid").limit(3).to_arrow()
         assert res.num_rows == 3
 
+    def test_hybrid_batched_matches_sequential(self, fts_table):
+        rng = np.random.default_rng(7)
+        pairs = [
+            (rng.standard_normal(8).astype(np.float32), "fox"),
+            (rng.standard_normal(8).astype(np.float32), "vector database"),
+            (rng.standard_normal(8).astype(np.float32), "lazy dog"),
+        ]
+        seq = [
+            fts_table.search((v, t), query_type="hybrid").limit(3).to_arrow()
+            for v, t in pairs
+        ]
+        b = fts_table.search(pairs[0], query_type="hybrid").limit(3)
+        for v, t in pairs[1:]:
+            b.add_query(v, t)
+        batched = b.to_arrow()
+        assert "query_index" in batched.column_names
+        for qi, expect in enumerate(seq):
+            got = batched.filter(
+                pa.compute.equal(batched.column("query_index"), qi)
+            )
+            assert got.column("id").to_pylist() == expect.column("id").to_pylist()
+            np.testing.assert_allclose(
+                got.column("_relevance_score").to_numpy(zero_copy_only=False),
+                expect.column("_relevance_score").to_numpy(zero_copy_only=False),
+                rtol=1e-5,
+            )
+
+    def test_hybrid_batched_text_only_add(self, fts_table):
+        # add_query with only a vector reuses the builder's text leg
+        rng = np.random.default_rng(3)
+        v0, v1 = (rng.standard_normal(8).astype(np.float32) for _ in range(2))
+        b = fts_table.search((v0, "fox"), query_type="hybrid").limit(2)
+        b.add_query(vector=v1)
+        out = b.to_arrow()
+        assert set(out.column("query_index").to_pylist()) == {0, 1}
+
 
 class TestRerankers:
     def _mk(self, ids, dists=None, scores=None):
