@@ -421,9 +421,15 @@ def explain_vector_plan(table, req: VectorQueryRequest) -> str:
     lines.append("    TakeExec: late materialization via row addresses")
     if index_meta is not None:
         ix = index_meta
+        nprobes = (
+            f"{req.minimum_nprobes}..{req.maximum_nprobes}"
+            if req.maximum_nprobes not in (None, req.minimum_nprobes)
+            else f"{req.minimum_nprobes}"
+        )
+        ef = f" ef={req.ef}" if req.ef is not None else ""
         lines.append(
             f"      ANNSubIndexExec: {ix.index_type} column={column} "
-            f"nprobes={req.minimum_nprobes} refine={req.refine_factor or 0} "
+            f"nprobes={nprobes} refine={req.refine_factor or 0}{ef} "
             f"metric={ix.params.get('metric')} partitions={ix.params.get('num_partitions')}"
         )
         covered = set(ix.fragment_ids)

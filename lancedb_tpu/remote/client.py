@@ -274,17 +274,22 @@ class RemoteTable:
     def _query(self, body: dict) -> pa.Table:
         return self._c.post_arrow_out(self._p("query"), {**self._read_params(), **body})
 
-    def explain_plan(self, vector, k: int = 10) -> str:
+    def explain_plan(self, vector, k: int = 10, **options) -> str:
+        """Extra keyword options (nprobes, minimum_nprobes,
+        maximum_nprobes, ef, refine_factor, filter, ...) pass through to
+        the plan request body."""
         return self._c.post_json(
-            self._p("explain_plan"), {"vector": list(map(float, vector)), "k": k}
+            self._p("explain_plan"),
+            {"vector": list(map(float, vector)), "k": k, **options},
         )["plan"]
 
-    def analyze_plan(self, vector, k: int = 10, mode: str = "aggregate") -> str:
+    def analyze_plan(self, vector, k: int = 10, mode: str = "aggregate", **options) -> str:
         """mode: 'aggregate' (merged plan), 'per_worker' or 'full'
         (one section per worker — reference analyze_plan distributed
         display modes, query.rs:671-693)."""
         doc = self._c.post_json(
-            self._p("analyze_plan"), {"vector": list(map(float, vector)), "k": k}
+            self._p("analyze_plan"),
+            {"vector": list(map(float, vector)), "k": k, **options},
         )
         mode = mode.lower()
         if mode in ("per_worker", "full") and doc.get("workers"):

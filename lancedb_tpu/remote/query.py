@@ -61,6 +61,21 @@ class RemoteQueryBuilder:
         self._body["nprobes"] = int(n)
         return self
 
+    def minimum_nprobes(self, n: int):
+        """Lower bound for adaptive probing (reference minimum_nprobes)."""
+        self._body["minimum_nprobes"] = int(n)
+        return self
+
+    def maximum_nprobes(self, n: int):
+        """Upper bound for adaptive probing (reference maximum_nprobes)."""
+        self._body["maximum_nprobes"] = int(n)
+        return self
+
+    def ef(self, n: int):
+        """HNSW search beam width (reference VectorQuery.ef)."""
+        self._body["ef"] = int(n)
+        return self
+
     def refine_factor(self, rf: int):
         self._body["refine_factor"] = int(rf)
         return self

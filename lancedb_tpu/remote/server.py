@@ -37,6 +37,33 @@ from .protocol import (
 )
 
 
+def _vector_req_from_body(body: dict, vectors: list) -> VectorQueryRequest:
+    """Wire body → VectorQueryRequest. `nprobes` sets both bounds unless
+    `minimum_nprobes`/`maximum_nprobes` override it; `ef` reaches HNSW
+    sub-indexes (reference VectorQueryRequest fields, query.rs:1067-1114,
+    serialized by remote/table.rs)."""
+    nprobes = body.get("nprobes", 20)
+    return VectorQueryRequest(
+        column=body.get("vector_column"),
+        query_vectors=[np.asarray(v, np.float32) for v in vectors],
+        k=body.get("k", 10),
+        offset=body.get("offset", 0),
+        filter=body.get("filter"),
+        prefilter=body.get("prefilter", True),
+        minimum_nprobes=body.get("minimum_nprobes", nprobes),
+        maximum_nprobes=body.get("maximum_nprobes", nprobes),
+        refine_factor=body.get("refine_factor"),
+        distance_type=body.get("distance_type"),
+        lower_bound=body.get("lower_bound"),
+        upper_bound=body.get("upper_bound"),
+        ef=body.get("ef"),
+        use_index=not body.get("bypass_vector_index", False),
+        fast_search=body.get("fast_search", False),
+        with_row_id=body.get("with_row_id", False),
+        select=body.get("columns"),
+    )
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "lancedb-tpu-server/0.1"
     conn: LanceDBConnection = None  # injected by make_server
@@ -283,24 +310,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not multi and self._batchable(body):
                 out = self._batched_vector_query(name, body, vec)
                 return self._respond(200, table_to_ipc(_maybe_sort(out)), CONTENT_ARROW)
-            req = VectorQueryRequest(
-                column=body.get("vector_column"),
-                query_vectors=[np.asarray(v, np.float32) for v in (vec if multi else [vec])],
-                k=body.get("k", 10),
-                offset=body.get("offset", 0),
-                filter=body.get("filter"),
-                prefilter=body.get("prefilter", True),
-                minimum_nprobes=body.get("nprobes", 20),
-                maximum_nprobes=body.get("nprobes", 20),
-                refine_factor=body.get("refine_factor"),
-                distance_type=body.get("distance_type"),
-                lower_bound=body.get("lower_bound"),
-                upper_bound=body.get("upper_bound"),
-                use_index=not body.get("bypass_vector_index", False),
-                fast_search=body.get("fast_search", False),
-                with_row_id=body.get("with_row_id", False),
-                select=body.get("columns"),
-            )
+            req = _vector_req_from_body(body, vec if multi else [vec])
             out = execute_vector_query(t, req)
         self._respond(200, table_to_ipc(_maybe_sort(out)), CONTENT_ARROW)
 
@@ -321,7 +331,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _batched_vector_query(self, name: str, body: dict, vec: list) -> pa.Table:
         key = (
             name, body.get("vector_column"), body.get("k", 10),
-            body.get("nprobes", 20), body.get("refine_factor"),
+            body.get("nprobes", 20), body.get("minimum_nprobes"),
+            body.get("maximum_nprobes"), body.get("ef"),
+            body.get("refine_factor"),
             body.get("distance_type"), body.get("lower_bound"),
             body.get("upper_bound"), body.get("bypass_vector_index", False),
             body.get("fast_search", False), body.get("with_row_id", False),
@@ -330,22 +342,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         def run_batch(vectors: list) -> list[pa.Table]:
             t = self._open(name, body)
-            req = VectorQueryRequest(
-                column=body.get("vector_column"),
-                query_vectors=[np.asarray(v, np.float32) for v in vectors],
-                k=body.get("k", 10),
-                filter=None,
-                minimum_nprobes=body.get("nprobes", 20),
-                maximum_nprobes=body.get("nprobes", 20),
-                refine_factor=body.get("refine_factor"),
-                distance_type=body.get("distance_type"),
-                lower_bound=body.get("lower_bound"),
-                upper_bound=body.get("upper_bound"),
-                use_index=not body.get("bypass_vector_index", False),
-                fast_search=body.get("fast_search", False),
-                with_row_id=body.get("with_row_id", False),
-                select=body.get("columns"),
-            )
+            req = _vector_req_from_body(body, vectors)
             out = execute_vector_query(t, req)
             if len(vectors) == 1:
                 return [out]
@@ -361,12 +358,7 @@ class _Handler(BaseHTTPRequestHandler):
     def op_explain_plan(self, name):
         body = loads(self._read_body())
         t = self.conn.open_table(name)
-        req = VectorQueryRequest(
-            column=body.get("vector_column"),
-            query_vectors=[np.asarray(body.get("vector"), np.float32)],
-            k=body.get("k", 10),
-            filter=body.get("filter"),
-        )
+        req = _vector_req_from_body(body, [body.get("vector")])
         from ..query import explain_vector_plan
 
         self._respond(200, dumps({"plan": explain_vector_plan(t, req)}))
@@ -381,12 +373,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         body = loads(self._read_body())
         t = self._open(name)
-        req = VectorQueryRequest(
-            column=body.get("vector_column"),
-            query_vectors=[np.asarray(body.get("vector"), np.float32)],
-            k=body.get("k", 10),
-            filter=body.get("filter"),
-        )
+        req = _vector_req_from_body(body, [body.get("vector")])
         from ..query import analyze_vector_plan
 
         plan = analyze_vector_plan(t, req)

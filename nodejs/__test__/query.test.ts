@@ -124,6 +124,66 @@ test("hybrid search reranks vector + fts legs", async () => {
   assert.ok("_relevance_score" in hits[0]);
 });
 
+test("nprobes bounds + ef reach the plan; multi-vector union tags query_index", async () => {
+  const db = await connect(URL);
+  await db.dropTable("q_np").catch(() => {});
+  const rows = Array.from({ length: 300 }, (_, i) => ({
+    id: i,
+    vector: randVec(8, i + 1),
+  }));
+  const tbl = await db.createTable("q_np", rows);
+  await tbl.createIndex("vector", Index.ivfFlat({ numPartitions: 8 }));
+
+  const plan = await tbl
+    .search(rows[0].vector)
+    .minimumNprobes(2)
+    .maximumNprobes(6)
+    .explainPlan();
+  assert.ok(plan.includes("nprobes=2..6"));
+  const plan2 = await tbl.search(rows[0].vector).nprobes(4).ef(37).explainPlan();
+  assert.ok(plan2.includes("ef=37"));
+
+  const multi = await tbl
+    .search(rows[3].vector)
+    .addQueryVector(rows[9].vector)
+    .limit(2)
+    .toArray();
+  const byQuery = new Map<number, number[]>();
+  for (const r of multi) {
+    const qi = Number(r.query_index);
+    byQuery.set(qi, [...(byQuery.get(qi) ?? []), Number(r.id)]);
+  }
+  assert.equal(byQuery.get(0)?.[0], 3);
+  assert.equal(byQuery.get(1)?.[0], 9);
+});
+
+test("batched hybrid: addQuery fuses per query with query_index", async () => {
+  const db = await connect(URL);
+  await db.dropTable("q_hybrid_batch").catch(() => {});
+  const rows = Array.from({ length: 60 }, (_, i) => ({
+    id: i,
+    text:
+      i === 7
+        ? "relevant document seven"
+        : i === 21
+          ? "special item twentyone"
+          : `filler number ${i}`,
+    vector: randVec(8, i + 1),
+  }));
+  const tbl = await db.createTable("q_hybrid_batch", rows);
+  await tbl.createFtsIndex("text");
+  const hy = await tbl.hybridSearch("relevant seven", { vector: rows[7].vector });
+  hy.addQuery(rows[21].vector, "special twentyone").limit(3);
+  const hits = await hy.toArray();
+  const byQuery = new Map<number, unknown[]>();
+  for (const r of hits) {
+    const qi = Number(r.query_index);
+    byQuery.set(qi, [...(byQuery.get(qi) ?? []), r.id]);
+  }
+  assert.equal(byQuery.get(0)?.[0], 7);
+  assert.equal(byQuery.get(1)?.[0], 21);
+});
+
 test("explain and analyze plans render", async () => {
   const db = await connect(URL);
   await db.dropTable("q_plan").catch(() => {});

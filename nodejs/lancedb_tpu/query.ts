@@ -8,7 +8,13 @@
 import { RecordBatch, Table as ArrowTable, tableFromIPC } from "apache-arrow";
 import { RestClient } from "./client.js";
 import { FtsQueryNode, FullTextQuery } from "./fts.js";
-import { Reranker, RRFReranker } from "./rerankers.js";
+import {
+  Reranker,
+  RRFReranker,
+  ScoredRow,
+  scoredFromRow,
+  tableToScored,
+} from "./rerankers.js";
 
 interface QueryBody {
   vector?: number[] | number[][];
@@ -18,6 +24,9 @@ interface QueryBody {
   filter?: string;
   prefilter?: boolean;
   nprobes?: number;
+  minimum_nprobes?: number;
+  maximum_nprobes?: number;
+  ef?: number;
   refine_factor?: number;
   distance_type?: string;
   lower_bound?: number;
@@ -109,6 +118,42 @@ abstract class QueryBase<T extends QueryBase<T>> {
     }
     return out;
   }
+
+  /** Textual physical plan without executing (reference
+   * ExecutableQuery.explainPlan). */
+  async explainPlan(): Promise<string> {
+    const res = await this.client.postJson<{ plan: string }>(
+      `/v1/table/${encodeURIComponent(this.tableName)}/explain_plan`,
+      this.body,
+    );
+    return res.plan;
+  }
+
+  /**
+   * Execute and return the plan annotated with per-operator metrics
+   * (reference ExecutableQuery.analyzePlan). `mode` controls the
+   * distributed display: "aggregate" merges workers, "per_worker" and
+   * "full" show one section per worker (reference query.rs:671-693).
+   */
+  async analyzePlan(
+    mode: "aggregate" | "per_worker" | "full" = "aggregate",
+  ): Promise<string> {
+    const res = await this.client.postJson<{
+      plan: string;
+      workers?: Array<{ worker: string; plan: string }>;
+    }>(
+      `/v1/table/${encodeURIComponent(this.tableName)}/analyze_plan`,
+      this.body,
+    );
+    if (mode !== "aggregate" && res.workers && res.workers.length > 0) {
+      const sections = res.workers.map(
+        (w) => `--- worker ${w.worker} ---\n${w.plan}`,
+      );
+      if (mode === "full") sections.unshift(`--- aggregate ---\n${res.plan}`);
+      return sections.join("\n");
+    }
+    return res.plan;
+  }
 }
 
 export class VectorQuery extends QueryBase<VectorQuery> {
@@ -137,6 +182,41 @@ export class VectorQuery extends QueryBase<VectorQuery> {
 
   nprobes(n: number): VectorQuery {
     this.body.nprobes = n;
+    return this;
+  }
+
+  /** Lower bound for adaptive probing (reference minimumNprobes). */
+  minimumNprobes(n: number): VectorQuery {
+    this.body.minimum_nprobes = n;
+    return this;
+  }
+
+  /** Upper bound for adaptive probing (reference maximumNprobes). */
+  maximumNprobes(n: number): VectorQuery {
+    this.body.maximum_nprobes = n;
+    return this;
+  }
+
+  /** HNSW search beam width (reference VectorQuery.ef). */
+  ef(n: number): VectorQuery {
+    this.body.ef = n;
+    return this;
+  }
+
+  /**
+   * Add another query vector: all vectors execute as one batched
+   * device dispatch and rows carry a `query_index` column (reference
+   * addQueryVector / multi-query-vector union, table/query.rs:334).
+   */
+  addQueryVector(vector: number[]): VectorQuery {
+    const cur = this.body.vector;
+    if (cur === undefined) {
+      this.body.vector = vector;
+    } else if (Array.isArray(cur[0])) {
+      (cur as number[][]).push(vector);
+    } else {
+      this.body.vector = [cur as number[], vector];
+    }
     return this;
   }
 
@@ -200,6 +280,13 @@ export class HybridQuery {
   private rerankerImpl: Reranker = new RRFReranker();
   private overfetch = 4;
   private nprobesN: number | undefined;
+  private refineFactorN: number | undefined;
+  private distanceTypeS: string | undefined;
+  /** extra (vector, text) pairs beyond the first — executed as ONE
+   * multi-vector server dispatch plus concurrent FTS legs (mirrors
+   * python HybridQueryBuilder.add_query / the reference's
+   * multi-query-vector union, table/query.rs:334) */
+  private extra: Array<{ vector: number[]; text: string }> = [];
 
   constructor(
     private client: RestClient,
@@ -225,24 +312,88 @@ export class HybridQuery {
     return this;
   }
 
+  refineFactor(rf: number): HybridQuery {
+    this.refineFactorN = rf;
+    return this;
+  }
+
+  distanceType(metric: string): HybridQuery {
+    this.distanceTypeS = metric;
+    return this;
+  }
+
   rerank(reranker: Reranker): HybridQuery {
     this.rerankerImpl = reranker;
     return this;
   }
 
-  async toArray(): Promise<Record<string, unknown>[]> {
-    const fetchK = this.k * this.overfetch;
-    let vq = new VectorQuery(this.client, this.tableName, this.vector)
+  /** Add another (vector, text) hybrid query; `text` defaults to the
+   * builder's text leg. Results gain a `query_index` field. */
+  addQuery(vector: number[], text?: string): HybridQuery {
+    this.extra.push({ vector, text: text ?? this.text });
+    return this;
+  }
+
+  private vectorLeg(vector: number[] | number[][], fetchK: number): VectorQuery {
+    let vq = new VectorQuery(this.client, this.tableName, vector)
       .limit(fetchK)
       .withRowId();
     if (this.vectorColumn) vq = vq.column(this.vectorColumn);
     if (this.nprobesN) vq = vq.nprobes(this.nprobesN);
+    if (this.refineFactorN) vq = vq.refineFactor(this.refineFactorN);
+    if (this.distanceTypeS) vq = vq.distanceType(this.distanceTypeS);
     if (this.filterSql) vq = vq.where(this.filterSql);
-    let fq = new FtsQuery(this.client, this.tableName, this.text, this.ftsColumns)
+    return vq;
+  }
+
+  private ftsLeg(text: string, fetchK: number): FtsQuery {
+    let fq = new FtsQuery(this.client, this.tableName, text, this.ftsColumns)
       .limit(fetchK)
       .withRowId();
     if (this.filterSql) fq = fq.where(this.filterSql);
-    const [vres, fres] = await Promise.all([vq.toArrow(), fq.toArrow()]);
+    return fq;
+  }
+
+  async toArray(): Promise<Record<string, unknown>[]> {
+    const fetchK = this.k * this.overfetch;
+    if (this.extra.length > 0) return this.toArrayBatched(fetchK);
+    const [vres, fres] = await Promise.all([
+      this.vectorLeg(this.vector, fetchK).toArrow(),
+      this.ftsLeg(this.text, fetchK).toArrow(),
+    ]);
     return this.rerankerImpl.rerankHybrid(this.text, vres, fres, this.k);
+  }
+
+  /** Batched execution: one multi-vector dispatch for every vector leg
+   * (rows come back tagged `query_index`), FTS legs concurrent; each
+   * query fuses independently and the output rows keep `query_index`. */
+  private async toArrayBatched(fetchK: number): Promise<Record<string, unknown>[]> {
+    const pairs = [{ vector: this.vector, text: this.text }, ...this.extra];
+    const vq = this.vectorLeg(
+      pairs.map((p) => p.vector),
+      fetchK,
+    );
+    const [vres, ...ftsRes] = await Promise.all([
+      vq.toArrow(),
+      ...pairs.map((p) => this.ftsLeg(p.text, fetchK).toArrow()),
+    ]);
+    const groups: ScoredRow[][] = pairs.map(() => []);
+    for (const rec of vres) {
+      const row = rec!.toJSON() as Record<string, unknown>;
+      const qi = Number(row.query_index ?? 0);
+      delete row.query_index;
+      if (groups[qi]) groups[qi].push(scoredFromRow(row));
+    }
+    const out: Record<string, unknown>[] = [];
+    pairs.forEach((p, qi) => {
+      const fused = this.rerankerImpl.rerankHybridRows(
+        p.text,
+        groups[qi],
+        tableToScored(ftsRes[qi]),
+        this.k,
+      );
+      for (const row of fused) out.push({ ...row, query_index: qi });
+    });
+    return out;
   }
 }

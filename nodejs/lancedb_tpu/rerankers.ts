@@ -15,29 +15,50 @@ export interface ScoredRow {
   score?: number;
 }
 
-function tableToScored(tbl: ArrowTable): ScoredRow[] {
+export function tableToScored(tbl: ArrowTable): ScoredRow[] {
   const out: ScoredRow[] = [];
   for (const rec of tbl) {
     const row = rec!.toJSON() as Record<string, unknown>;
-    out.push({
-      row,
-      rowId: row._rowid ?? JSON.stringify(row),
-      distance: row._distance as number | undefined,
-      score: row._score as number | undefined,
-    });
+    out.push(scoredFromRow(row));
   }
   return out;
 }
 
+export function scoredFromRow(row: Record<string, unknown>): ScoredRow {
+  return {
+    row,
+    rowId: row._rowid ?? JSON.stringify(row),
+    distance: row._distance as number | undefined,
+    score: row._score as number | undefined,
+  };
+}
+
 export abstract class Reranker {
-  /** Fuse one vector and one FTS result table into ranked rows with a
-   * `_relevance_score` (descending). */
-  abstract rerankHybrid(
+  /** Fuse one vector and one FTS result list into ranked rows with a
+   * `_relevance_score` (descending). The row-list form is the primitive
+   * so batched hybrid queries can fuse per-query groups without
+   * rebuilding Arrow tables. */
+  abstract rerankHybridRows(
+    query: string,
+    vectorResults: ScoredRow[],
+    ftsResults: ScoredRow[],
+    limit: number,
+  ): Record<string, unknown>[];
+
+  /** Arrow-table convenience wrapper over {@link rerankHybridRows}. */
+  rerankHybrid(
     query: string,
     vectorResults: ArrowTable,
     ftsResults: ArrowTable,
     limit: number,
-  ): Record<string, unknown>[];
+  ): Record<string, unknown>[] {
+    return this.rerankHybridRows(
+      query,
+      tableToScored(vectorResults),
+      tableToScored(ftsResults),
+      limit,
+    );
+  }
 }
 
 /** Reciprocal-rank fusion: score = Σ 1/(k + rank) over each list the
@@ -47,14 +68,14 @@ export class RRFReranker extends Reranker {
     super();
   }
 
-  rerankHybrid(
+  rerankHybridRows(
     _query: string,
-    vectorResults: ArrowTable,
-    ftsResults: ArrowTable,
+    vectorResults: ScoredRow[],
+    ftsResults: ScoredRow[],
     limit: number,
   ): Record<string, unknown>[] {
     const scores = new Map<unknown, { score: number; row: Record<string, unknown> }>();
-    for (const list of [tableToScored(vectorResults), tableToScored(ftsResults)]) {
+    for (const list of [vectorResults, ftsResults]) {
       list.forEach((r, rank) => {
         const cur = scores.get(r.rowId) ?? { score: 0, row: r.row };
         cur.score += 1 / (this.k + rank + 1);
@@ -76,14 +97,14 @@ export class LinearCombinationReranker extends Reranker {
     super();
   }
 
-  rerankHybrid(
+  rerankHybridRows(
     _query: string,
-    vectorResults: ArrowTable,
-    ftsResults: ArrowTable,
+    vectorResults: ScoredRow[],
+    ftsResults: ScoredRow[],
     limit: number,
   ): Record<string, unknown>[] {
-    const vec = tableToScored(vectorResults);
-    const fts = tableToScored(ftsResults);
+    const vec = vectorResults;
+    const fts = ftsResults;
     const dists = vec.map((r) => r.distance ?? 0);
     const lo = Math.min(...dists, 0);
     const hi = Math.max(...dists, 1e-9);

@@ -120,6 +120,32 @@ class TestRemote:
         plan = t.explain_plan(np.zeros(16))
         assert "KnnFlat" in plan
 
+    def test_nprobes_bounds_and_ef_over_rest(self, remote_db):
+        # minimum/maximum_nprobes + ef travel the wire and reach the
+        # plan (reference remote/table.rs serializes these knobs)
+        remote_db.create_table("t", make_vector_table(300))
+        t = remote_db.open_table("t")
+        t.create_index(index_type="IVF_FLAT", num_partitions=8)
+        plan = t.explain_plan(
+            np.zeros(16), minimum_nprobes=2, maximum_nprobes=6
+        )
+        assert "nprobes=2..6" in plan
+        plan = t.explain_plan(np.zeros(16), nprobes=4, ef=37)
+        assert "nprobes=4" in plan and "ef=37" in plan
+        # the query path accepts them too (round-trips, exact result)
+        from lancedb_tpu.arrow import fsl_to_numpy
+
+        row7 = t.search(None).where("id = 7").limit(1).to_arrow()
+        q = fsl_to_numpy(row7.column("vector"))[0]
+        res = (
+            t.search(q)
+            .minimum_nprobes(2)
+            .maximum_nprobes(8)
+            .limit(3)
+            .to_arrow()
+        )
+        assert res.column("id")[0].as_py() == 7
+
     def test_retry_on_unreachable(self):
         cfg = ClientConfig(retry_config=RetryConfig(retries=1, connect_retries=1, backoff_factor=0.01))
         db = connect_remote("http://127.0.0.1:1", config=cfg)
