@@ -164,6 +164,38 @@ class ColumnFtsIndex:
             self._term_ub = idf * segmax
         return self._term_ub
 
+    BLOCK = 128  # postings per block-max block (matches LDB_FTS_BLK)
+
+    def block_maxes(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-term block-max table (Ding & Suel BMW): for each
+        BLOCK-posting block of every term, the max raw BM25
+        contribution tf*(k1+1)/(tf+norm) WITHOUT idf, plus a per-term
+        CSR offset array. Computed once per load in one vectorized
+        pass; lets the native MaxScore scorer skip whole blocks."""
+        cached = getattr(self, "_block_max", None)
+        if cached is not None:
+            return cached
+        off = np.asarray(self.postings_offsets, dtype=np.int64)
+        lens = off[1:] - off[:-1]
+        nblk = (lens + self.BLOCK - 1) // self.BLOCK
+        blk_off = np.concatenate([[0], np.cumsum(nblk)]).astype(np.int64)
+        total = int(blk_off[-1])
+        if total == 0:
+            self._block_max = (np.zeros(0, np.float32), blk_off)
+            return self._block_max
+        within = np.arange(total, dtype=np.int64) - np.repeat(blk_off[:-1], nblk)
+        starts = np.repeat(off[:-1], nblk) + within * self.BLOCK
+        norm = (K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))).astype(
+            np.float32
+        )
+        tfs = self.postings_tf.astype(np.float32)
+        contrib = tfs * (K1 + 1.0) / (tfs + norm[self.postings_docs])
+        self._block_max = (
+            np.maximum.reduceat(contrib, starts).astype(np.float32),
+            blk_off,
+        )
+        return self._block_max
+
     def topk_match_native(
         self, query: str, k: int, dead: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray] | None:
@@ -179,9 +211,12 @@ class ColumnFtsIndex:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         idf = np.array([self.idf(t) for t in tids], dtype=np.float32)
         norm = self._doc_norm()
+        block_max, block_off = self.block_maxes()
         return bm25_maxscore_topk_native(
             self.postings_docs, self.postings_tf, self.postings_offsets,
             np.asarray(tids, dtype=np.int32), idf, norm, k, K1, dead,
+            qub=self.term_upper_bounds()[tids],
+            block_max=block_max, block_offsets=block_off,
         )
 
     def topk_and_native(

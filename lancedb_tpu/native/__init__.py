@@ -108,8 +108,8 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ldb_varint_decode.argtypes = [u8p, i64, i64, i64p]
         lib.ldb_bm25_maxscore_topk.restype = i64
         lib.ldb_bm25_maxscore_topk.argtypes = [
-            i64p, i64p, i64p, i32p, f32p, ctypes.c_int32, f32p, u8p, i64,
-            ctypes.c_int32, ctypes.c_float, i64p, f32p,
+            i64p, i64p, i64p, i32p, f32p, f32p, f32p, i64p, ctypes.c_int32,
+            f32p, u8p, i64, ctypes.c_int32, ctypes.c_float, i64p, f32p,
         ]
         lib.ldb_bm25_and_topk.restype = i64
         lib.ldb_bm25_and_topk.argtypes = [
@@ -386,10 +386,18 @@ def bm25_maxscore_topk_native(
     k: int,
     k1: float,
     dead: np.ndarray | None = None,
+    qub: np.ndarray | None = None,
+    block_max: np.ndarray | None = None,
+    block_offsets: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Exact BM25 top-k via DAAT MaxScore over the CSR postings
     (native ldb_bm25_maxscore_topk). Returns (doc_idx, scores) sorted
-    by descending score, or None when the native lib is unavailable."""
+    by descending score, or None when the native lib is unavailable.
+
+    qub: cached per-query-term upper bounds (idf folded) — skips the
+    per-query full posting scan that dominates on common terms.
+    block_max/block_offsets: per-term 128-posting block maxima (raw
+    contribution, no idf) enabling block-max skipping."""
     lib = get_lib()
     if lib is None or len(qterms) == 0:
         return None
@@ -403,6 +411,16 @@ def bm25_maxscore_topk_native(
     if dead is not None:
         dead = np.ascontiguousarray(dead, dtype=np.uint8)
         dead_ptr = _np_ptr(dead, ctypes.c_uint8)
+    qub_ptr = None
+    if qub is not None:
+        qub = np.ascontiguousarray(qub, dtype=np.float32)
+        qub_ptr = _np_ptr(qub, ctypes.c_float)
+    bmax_ptr = boff_ptr = None
+    if block_max is not None and block_offsets is not None:
+        block_max = np.ascontiguousarray(block_max, dtype=np.float32)
+        block_offsets = np.ascontiguousarray(block_offsets, dtype=np.int64)
+        bmax_ptr = _np_ptr(block_max, ctypes.c_float)
+        boff_ptr = _np_ptr(block_offsets, ctypes.c_int64)
     out_docs = np.zeros(max(1, k), dtype=np.int64)
     out_scores = np.zeros(max(1, k), dtype=np.float32)
     n = lib.ldb_bm25_maxscore_topk(
@@ -411,6 +429,9 @@ def bm25_maxscore_topk_native(
         _np_ptr(postings_offsets, ctypes.c_int64),
         _np_ptr(qterms, ctypes.c_int32),
         _np_ptr(qidf, ctypes.c_float),
+        qub_ptr,
+        bmax_ptr,
+        boff_ptr,
         len(qterms),
         _np_ptr(doc_norm, ctypes.c_float),
         dead_ptr,

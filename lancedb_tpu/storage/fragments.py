@@ -64,6 +64,12 @@ class FragmentReader:
         self._reader = ipc.open_file(self._source)
         self._num_batches = self._reader.num_record_batches
         self._batch_offsets: list[int] | None = None
+        # LRU of decoded batches as Tables: get_batch re-parses the IPC
+        # message each call, which dominates point lookups (take of
+        # k≈10 rows decodes k batches). Entries reference the mmap /
+        # shared buffer, so the cache costs metadata, not data.
+        self._batch_cache: dict[int, pa.Table] = {}
+        self._batch_cache_cap = 64
 
     @property
     def schema(self) -> pa.Schema:
@@ -94,6 +100,15 @@ class FragmentReader:
                 b = b.select(columns)
             yield b
 
+    def _batch_table(self, bid: int) -> pa.Table:
+        t = self._batch_cache.get(bid)
+        if t is None:
+            t = pa.Table.from_batches([self._reader.get_batch(bid)])
+            if len(self._batch_cache) >= self._batch_cache_cap:
+                self._batch_cache.pop(next(iter(self._batch_cache)))
+            self._batch_cache[bid] = t
+        return t
+
     def take(self, offsets: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         """Take rows by physical offset within this fragment.
 
@@ -117,10 +132,10 @@ class FragmentReader:
         for bid in np.unique(batch_ids[order]):
             sel = np.nonzero(batch_ids == bid)[0]
             local = offs[sel] - boundaries[bid]
-            batch = self._reader.get_batch(int(bid))
+            tbl = self._batch_table(int(bid))
             if columns is not None:
-                batch = batch.select(columns)
-            piece = pa.Table.from_batches([batch]).take(pa.array(local))
+                tbl = tbl.select(columns)
+            piece = tbl.take(pa.array(local))
             pieces.append(piece)
             inv_positions[sel] = np.arange(pos, pos + len(sel))
             pos += len(sel)

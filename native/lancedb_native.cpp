@@ -424,12 +424,24 @@ int64_t ldb_varint_decode(const uint8_t* data, int64_t nbytes, int64_t n,
 //
 // postings_docs/postings_tf: the index's global CSR arrays (int64).
 // dead: optional per-doc skip bitmap (deleted rows / dead fragments).
+// qub: optional per-query-term score upper bound (idf folded in) — the
+//   caller's cached MaxScore table; when null the exact bound is
+//   recomputed here by scanning each term's postings (slow for common
+//   terms, kept as a fallback).
+// block_max / block_offsets: optional block-max table (Ding & Suel
+//   BMW adapted to MaxScore): block_max holds, per LDB_FTS_BLK-posting
+//   block of each term, the max raw contribution tf*(k1+1)/(tf+norm)
+//   WITHOUT idf; block_offsets is a per-term CSR into it. When present
+//   the essential-cursor loop skips whole blocks that provably cannot
+//   beat the running kth score.
 // Returns the number of results written (<= k), docs/scores sorted by
 // descending score.
+#define LDB_FTS_BLK 128
 int64_t ldb_bm25_maxscore_topk(
     const int64_t* postings_docs, const int64_t* postings_tf,
     const int64_t* postings_offsets, const int32_t* qterms,
-    const float* qidf, int32_t n_q, const float* doc_norm,
+    const float* qidf, const float* qub, const float* block_max,
+    const int64_t* block_offsets, int32_t n_q, const float* doc_norm,
     const uint8_t* dead, int64_t num_docs, int32_t k, float k1,
     int64_t* out_docs, float* out_scores) {
   if (n_q <= 0 || k <= 0) return 0;
@@ -440,6 +452,7 @@ int64_t ldb_bm25_maxscore_topk(
     int64_t pos;
     float idf;
     float ub;
+    const float* bmax;  // this term's block maxima (null: no table)
   };
   std::vector<Cursor> cur;
   cur.reserve(n_q);
@@ -447,15 +460,21 @@ int64_t ldb_bm25_maxscore_topk(
     int64_t s = postings_offsets[qterms[i]];
     int64_t e = postings_offsets[qterms[i] + 1];
     if (e <= s) continue;
-    Cursor c{postings_docs + s, postings_tf + s, e - s, 0, qidf[i], 0.0f};
-    // exact upper bound: max contribution over this term's postings
-    float best = 0.0f;
-    for (int64_t j = s; j < e; j++) {
-      float tf = (float)postings_tf[j];
-      float v = tf * (k1 + 1.0f) / (tf + doc_norm[postings_docs[j]]);
-      if (v > best) best = v;
+    const float* bm =
+        block_max != nullptr ? block_max + block_offsets[qterms[i]] : nullptr;
+    Cursor c{postings_docs + s, postings_tf + s, e - s, 0, qidf[i], 0.0f, bm};
+    if (qub != nullptr) {
+      c.ub = qub[i];
+    } else {
+      // exact upper bound: max contribution over this term's postings
+      float best = 0.0f;
+      for (int64_t j = s; j < e; j++) {
+        float tf = (float)postings_tf[j];
+        float v = tf * (k1 + 1.0f) / (tf + doc_norm[postings_docs[j]]);
+        if (v > best) best = v;
+      }
+      c.ub = c.idf * best;
     }
-    c.ub = c.idf * best;
     cur.push_back(c);
   }
   if (cur.empty()) return 0;
@@ -486,6 +505,12 @@ int64_t ldb_bm25_maxscore_topk(
     return c.idf * tf * (k1 + 1.0f) / (tf + doc_norm[c.docs[at]]);
   };
 
+  // last doc id of the block containing relative position `pos`
+  auto block_last = [&](const Cursor& c) -> int64_t {
+    int64_t bend = (c.pos / LDB_FTS_BLK + 1) * LDB_FTS_BLK;
+    return c.docs[(bend < c.len ? bend : c.len) - 1];
+  };
+
   while (true) {
     // next doc = min current doc among essential cursors
     int64_t d = INT64_MAX;
@@ -494,6 +519,38 @@ int64_t ldb_bm25_maxscore_topk(
         d = cur[i].docs[cur[i].pos];
     }
     if (d == INT64_MAX) break;
+    if (block_max != nullptr && theta > 0.0f) {
+      // Block-max shallow check: every doc in [d, d') — d' being the
+      // first doc past the earliest-ending current block — scores at
+      // most prefix[ess-1] (non-essential) plus each essential
+      // cursor's current-block max. Below theta, the whole range skips
+      // without scoring a single doc.
+      float ceiling = ess > 0 ? prefix[ess - 1] : 0.0f;
+      int64_t dprime = INT64_MAX;
+      for (int i = ess; i < n; i++) {
+        Cursor& c = cur[i];
+        if (c.pos >= c.len) continue;
+        ceiling += c.idf * c.bmax[c.pos / LDB_FTS_BLK];
+        int64_t bl = block_last(c);
+        if (bl < dprime) dprime = bl;
+      }
+      if (ceiling <= theta) {
+        dprime += 1;  // > every essential cursor's current doc, so the
+                      // seek below always advances at least one cursor
+        for (int i = ess; i < n; i++) {
+          Cursor& c = cur[i];
+          if (c.pos >= c.len || c.docs[c.pos] >= dprime) continue;
+          // hop whole blocks via their last-doc, then settle in-block
+          while (c.pos < c.len && block_last(c) < dprime)
+            c.pos = (c.pos / LDB_FTS_BLK + 1) * LDB_FTS_BLK;
+          if (c.pos > c.len) c.pos = c.len;
+          const int64_t* lo =
+              std::lower_bound(c.docs + c.pos, c.docs + c.len, dprime);
+          c.pos = lo - c.docs;
+        }
+        continue;
+      }
+    }
     bool skip = dead != nullptr && dead[d];
     float score = 0.0f;
     for (int i = ess; i < n; i++) {

@@ -174,6 +174,42 @@ class TestNativeDaatMaxScore:
             np_top = part[np.argsort(-dense[part], kind="stable")]
             np.testing.assert_allclose(s, dense[np_top], rtol=1e-4)
 
+    def test_parity_randomized_blockmax(self, big_index):
+        """50 random queries through the block-max skip path (Zipf
+        terms, mixed k, with/without dead mask) must score identically
+        to the dense numpy scorer — guards the BMW block-skip logic."""
+        from lancedb_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        _, _, idx = big_index
+        col = idx._col("text")
+        assert col.block_maxes()[0].size > 0
+        rng = np.random.default_rng(7)
+        for trial in range(50):
+            n_terms = int(rng.integers(1, 6))
+            toks = [f"w{(rng.zipf(1.3) - 1) % 2000}" for _ in range(n_terms)]
+            q = " ".join(toks)
+            k = int(rng.choice([1, 5, 10, 100]))
+            dead = None
+            if trial % 3 == 0:
+                dead = (rng.random(col.num_docs) < 0.1).astype(np.uint8)
+            docs, s = col.topk_match_native(q, k, dead)
+            dense = col.score_match_topk(q, k)
+            if dead is not None:
+                dense = dense.copy()
+                dense[dead.astype(bool)] = 0.0
+            kk = min(k, int((dense > 0).sum()))
+            assert len(docs) >= kk
+            if kk == 0:
+                continue
+            part = np.argpartition(-dense, kk - 1)[:kk]
+            np_top = part[np.argsort(-dense[part], kind="stable")]
+            np.testing.assert_allclose(
+                s[:kk], dense[np_top], rtol=1e-4,
+                err_msg=f"q={q!r} k={k} dead={dead is not None}",
+            )
+
     def test_dead_mask_skips_docs(self, big_index):
         from lancedb_tpu.native import native_available
 
