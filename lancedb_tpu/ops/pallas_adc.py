@@ -199,6 +199,181 @@ def ivf_pq_adc_scan_pallas(
     return out.reshape(q, np_, pmax)
 
 
+def _adc_group_cell_kernel_onehot(
+    gpid_ref,    # scalar prefetch: (G,) int32 — partition per group
+    base_ref,    # scalar prefetch: (SPAD,) f32 — qn2[q] − 2·(q·c_p) per slot
+    dlutg_ref,   # (1, QPC, S*K) f32 — the group's flattened dot-LUTs
+    codes_ref,   # (1, S, PB) uint8 — the group's partition block
+    rnorms_ref,  # (1, 1, PB) f32 (+penalty, +inf padding)
+    out_ref,     # (1, QPC, PB) f32
+    *,
+    k: int,
+):
+    """Shared-decode ADC: ONE in-VMEM one-hot of the partition's codes
+    serves every query in the group via an MXU matmul —
+      qdotr (QPC, PB) = dlut_g (QPC, S·K) @ onehot (S·K, PB)
+    The old XLA formulation materialized this one-hot per QUERY in HBM
+    (~150 MB per probe step at SIFT1M shapes); here it is built once
+    per PARTITION and never leaves VMEM."""
+    gi = pl.program_id(0)
+    qpc = out_ref.shape[1]
+    codes = codes_ref[0].astype(jnp.int32)        # (S, PB)
+    s, pb = codes.shape
+    steps = jax.lax.broadcasted_iota(jnp.int32, (s, k, pb), 1)
+    # bf16 one-hot: halves the VMEM transient and feeds the MXU at
+    # full rate; the LUT values accumulate in f32
+    oh = (codes[:, None, :] == steps).astype(jnp.bfloat16).reshape(s * k, pb)
+    dots = jax.lax.dot_general(
+        dlutg_ref[0].astype(jnp.bfloat16), oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (QPC, PB)
+    rn = rnorms_ref[0]                             # (1, PB)
+    for gq in range(qpc):
+        base = base_ref[gi * qpc + gq]
+        out_ref[0, gq] = base - 2.0 * dots[gq] + rn[0]
+
+
+def _adc_group_cell_kernel_gather(
+    gpid_ref,    # scalar prefetch: (G,) int32
+    qidx_ref,    # scalar prefetch: (SPAD,) int32 — query per slot
+    base_ref,    # scalar prefetch: (SPAD,) f32
+    dlut_ref,    # (Q, NT, S, 128) f32 — ALL queries' lane tables, resident
+    codes_ref,   # (1, S, PB) uint8
+    rnorms_ref,  # (1, 1, PB) f32
+    out_ref,     # (1, QPC, PB) f32
+):
+    """Grouped lane-gather ADC for big codebooks (K > SELECT_MAX_K,
+    e.g. 8-bit): the full dot-LUT array stays VMEM-resident across
+    cells (constant index_map → one DMA), each group slot gathers its
+    own query's tables. Amortizes the codes DMA and grid overhead by
+    QPC like the one-hot variant without an S·K-row decode."""
+    gi = pl.program_id(0)
+    qpc = out_ref.shape[1]
+    codes = codes_ref[0].astype(jnp.int32)        # (S, PB)
+    s, pb = codes.shape
+    nt = dlut_ref.shape[1]
+    rn = rnorms_ref[0]
+    for gq in range(qpc):
+        sidx = gi * qpc + gq
+        qid = qidx_ref[sidx]
+        base = base_ref[sidx]
+        for c in range(pb // LANE):
+            cj = codes[:, c * LANE : (c + 1) * LANE]
+            if nt == 1:
+                g = jnp.take_along_axis(dlut_ref[qid, 0], cj, axis=1)
+            else:
+                cm = jax.lax.bitwise_and(cj, LANE - 1)
+                g = jnp.take_along_axis(dlut_ref[qid, 0], cm, axis=1)
+                for t in range(1, nt):
+                    gt = jnp.take_along_axis(dlut_ref[qid, t], cm, axis=1)
+                    g = jnp.where(jax.lax.shift_right_logical(cj, 7) == t, gt, g)
+            qdotr = jnp.sum(g, axis=0)            # (128,)
+            out_ref[0, gq, c * LANE : (c + 1) * LANE] = (
+                base - 2.0 * qdotr + rn[0, c * LANE : (c + 1) * LANE]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("qpc", "interpret"))
+def ivf_pq_adc_grouped_scan_pallas(
+    probe_ids: jax.Array,  # (Q, NP) int32
+    dlut: jax.Array,       # (Q, S, K) f32
+    codes: jax.Array,      # (P, S, pmax) uint8, pmax % 128 == 0, S % 8 == 0
+    rnorms: jax.Array,     # (P, pmax) f32 (+inf padding; penalties pre-added)
+    qc_dots: jax.Array,    # (Q, NP) f32 — q·c_p per probe
+    qn2: jax.Array,        # (Q,) f32
+    qpc: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Query-grouped fused probe-scan distances → (Q, NP, pmax) f32.
+
+    Restructures the (query, probe) grid of ivf_pq_adc_scan_pallas the
+    way pallas_group_scan does for IVF_FLAT: pairs sort by partition,
+    each group of qpc slots shares one partition block DMA. Small
+    codebooks decode the block to a one-hot ONCE per group and ride the
+    MXU; big codebooks keep every query's lane tables VMEM-resident and
+    gather per slot."""
+    from .util import group_probe_pairs
+
+    q, np_ = probe_ids.shape
+    p, s, pmax = codes.shape
+    k = dlut.shape[2]
+    if pmax % PMAX_ALIGN:
+        raise ValueError(f"pmax {pmax} must be a multiple of {PMAX_ALIGN}")
+    if s % S_ALIGN:
+        raise ValueError(f"padded subvector count {s} must be a multiple of {S_ALIGN}")
+
+    gpid, qidx, slot, order, g, spad = group_probe_pairs(probe_ids, p, qpc)
+    # per-slot affine base: qn2[q] − 2·(q·c_p), scattered to padded layout
+    pair_base = (qn2[:, None] - 2.0 * qc_dots).reshape(-1).astype(jnp.float32)
+    base = jnp.zeros((spad,), jnp.float32).at[slot].set(pair_base[order])
+
+    # one whole-pmax block per cell when the one-hot transient fits
+    # VMEM comfortably — grid cells carry fixed Mosaic overhead, so
+    # fewer, fatter cells win (bf16 one-hot: S·K·pmax·2 bytes)
+    if k <= SELECT_MAX_K and s * k * pmax * 2 <= (4 << 20):
+        pb = pmax
+    else:
+        pb = 512 if pmax % 512 == 0 else (256 if pmax % 256 == 0 else 128)
+    nb = pmax // pb
+    rnorms_in = rnorms.reshape(p, 1, pmax).astype(jnp.float32)
+
+    if k <= SELECT_MAX_K:
+        # group LUTs gathered to slot layout, flattened (S·K) for the
+        # in-kernel one-hot matmul (row s·K + c ↔ code c of subvector s)
+        dlutg = (
+            dlut.astype(jnp.float32)[qidx]
+            .reshape(g, qpc, s * k)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g, nb),
+            in_specs=[
+                pl.BlockSpec((1, qpc, s * k), lambda gi, b, gp, ba: (gi, 0, 0)),
+                pl.BlockSpec((1, s, pb), lambda gi, b, gp, ba: (gp[gi], 0, b)),
+                pl.BlockSpec((1, 1, pb), lambda gi, b, gp, ba: (gp[gi], 0, b)),
+            ],
+            out_specs=pl.BlockSpec((1, qpc, pb), lambda gi, b, gp, ba: (gi, 0, b)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_adc_group_cell_kernel_onehot, k=k),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((g, qpc, pmax), jnp.float32),
+            interpret=interpret,
+        )(gpid, base, dlutg, codes, rnorms_in)
+    else:
+        nt = max(1, -(-k // LANE))
+        dlut_in = dlut.astype(jnp.float32)
+        if k < nt * LANE:
+            dlut_in = jnp.pad(dlut_in, ((0, 0), (0, 0), (0, nt * LANE - k)))
+        dlut_in = dlut_in.reshape(q, s, nt, LANE).transpose(0, 2, 1, 3)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g, nb),
+            in_specs=[
+                pl.BlockSpec(
+                    (q, nt, s, LANE), lambda gi, b, gp, qi_, ba: (0, 0, 0, 0)
+                ),
+                pl.BlockSpec((1, s, pb), lambda gi, b, gp, qi_, ba: (gp[gi], 0, b)),
+                pl.BlockSpec((1, 1, pb), lambda gi, b, gp, qi_, ba: (gp[gi], 0, b)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, qpc, pb), lambda gi, b, gp, qi_, ba: (gi, 0, b)
+            ),
+        )
+        out = pl.pallas_call(
+            _adc_group_cell_kernel_gather,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((g, qpc, pmax), jnp.float32),
+            interpret=interpret,
+        )(gpid, qidx, base, dlut_in, codes, rnorms_in)
+
+    # scatter back to (Q, NP, pmax)
+    res_sorted = out.reshape(g * qpc, pmax)[slot]
+    inv = jnp.argsort(order)
+    return res_sorted[inv].reshape(q, np_, pmax)
+
+
 def pad_codes_for_pallas(codes_psp: np.ndarray) -> np.ndarray:
     """Pad a (P, S, pmax) code array to kernel alignment (S→8, pmax→128).
 

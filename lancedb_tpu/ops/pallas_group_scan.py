@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .util import group_probe_pairs
+
 
 def _group_cell_kernel(
     gpid_ref,    # scalar prefetch: (G,) int32 — partition per group
@@ -76,34 +78,9 @@ def ivf_flat_grouped_scan_pallas(
     p, pmax, d = vectors.shape
     if d % 128:
         raise ValueError(f"dim {d} must be a multiple of 128 for the fused scan")
-    s = q * np_
 
-    # ---- in-jit grouping (all static shapes) --------------------------
-    flat = probe_ids.reshape(-1).astype(jnp.int32)
-    order = jnp.argsort(flat)                     # pair indices, pid-sorted
-    spids = flat[order]                           # (S,)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), spids[1:] != spids[:-1]]
-    )
-    start_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, jnp.arange(s), 0)
-    )
-    rank = jnp.arange(s) - start_idx              # rank within the pid run
-    counts = jnp.zeros((p,), jnp.int32).at[flat].add(1)
-    padded = ((counts + qpc - 1) // qpc) * qpc
-    poff = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
-    )
-    slot = poff[spids] + rank                     # position in padded layout
-
-    # static bound: at most min(P, S) partitions are probed, each padded
-    # by < qpc slots
-    spad = ((s + min(p, s) * (qpc - 1)) + qpc - 1) // qpc * qpc
-    g = spad // qpc
-    qidx = jnp.zeros((spad,), jnp.int32).at[slot].set(order // np_)
-    # unused tail groups point at the LAST real partition so Pallas's
-    # revisit cache skips their DMA (compute is masked by the scatter)
-    gpid = jnp.full((g,), spids[-1], jnp.int32).at[slot // qpc].set(spids)
+    # ---- in-jit grouping (all static shapes; shared helper) -----------
+    gpid, qidx, slot, order, g, spad = group_probe_pairs(probe_ids, p, qpc)
     qgrp = queries.astype(jnp.float32)[qidx].reshape(g, qpc, d)
     coef = jnp.stack(
         [alpha.astype(jnp.float32)[qidx], gamma.astype(jnp.float32)[qidx]], axis=1

@@ -6,6 +6,7 @@ import numpy as np
 
 from lancedb_tpu.ops.pallas_adc import (
     build_dlut_padded,
+    ivf_pq_adc_grouped_scan_pallas,
     ivf_pq_adc_scan_pallas,
     pad_codes_for_pallas,
 )
@@ -13,7 +14,7 @@ from lancedb_tpu.ops.pallas_adc import (
 RNG = np.random.default_rng(5)
 
 
-def _run_case(P, PMAX, S, K, DSUB, Q, NP):
+def _run_case(P, PMAX, S, K, DSUB, Q, NP, kernel=ivf_pq_adc_scan_pallas):
     codebooks = RNG.standard_normal((S, K, DSUB)).astype(np.float32)
     codes = RNG.integers(0, K, (P, S, PMAX), dtype=np.uint8)  # (P, S, pmax)
     centroids = RNG.standard_normal((P, S * DSUB)).astype(np.float32)
@@ -36,7 +37,7 @@ def _run_case(P, PMAX, S, K, DSUB, Q, NP):
     padded = pad_codes_for_pallas(codes)
     dlut = build_dlut_padded(q, codebooks, padded.shape[1])
     out = np.asarray(
-        ivf_pq_adc_scan_pallas(
+        kernel(
             jnp.asarray(probe_ids), jnp.asarray(dlut), jnp.asarray(padded),
             jnp.asarray(rnorms), jnp.asarray(qc), jnp.asarray(qn2),
             interpret=True,
@@ -56,6 +57,46 @@ def test_adc_scan_matches_reference_8bit():
 
 def test_adc_scan_matches_reference_4bit():
     out, q, recon, probe_ids = _run_case(P=4, PMAX=128, S=16, K=16, DSUB=2, Q=3, NP=2)
+    for i in range(out.shape[0]):
+        for j in range(out.shape[1]):
+            pid = probe_ids[i, j]
+            expected = ((q[i][None, :] - recon[pid]) ** 2).sum(1)
+            np.testing.assert_allclose(out[i, j], expected, rtol=2e-2, atol=0.5)
+
+
+def test_adc_grouped_scan_matches_reference_4bit():
+    """Grouped one-hot-matmul variant (shared per-partition decode)."""
+    out, q, recon, probe_ids = _run_case(
+        P=4, PMAX=128, S=16, K=16, DSUB=2, Q=3, NP=2,
+        kernel=ivf_pq_adc_grouped_scan_pallas,
+    )
+    for i in range(out.shape[0]):
+        for j in range(out.shape[1]):
+            pid = probe_ids[i, j]
+            expected = ((q[i][None, :] - recon[pid]) ** 2).sum(1)
+            np.testing.assert_allclose(out[i, j], expected, rtol=2e-2, atol=0.5)
+
+
+def test_adc_grouped_scan_matches_reference_8bit():
+    """Grouped lane-gather variant (resident LUTs, K=256)."""
+    out, q, recon, probe_ids = _run_case(
+        P=6, PMAX=128, S=8, K=256, DSUB=4, Q=4, NP=3,
+        kernel=ivf_pq_adc_grouped_scan_pallas,
+    )
+    for i in range(out.shape[0]):
+        for j in range(out.shape[1]):
+            pid = probe_ids[i, j]
+            expected = ((q[i][None, :] - recon[pid]) ** 2).sum(1)
+            np.testing.assert_allclose(out[i, j], expected, rtol=2e-2, atol=0.5)
+
+
+def test_adc_grouped_shared_partitions():
+    """Many queries probing the SAME partitions (the amortization case)
+    still yield per-pair-exact distances after scatter-back."""
+    out, q, recon, probe_ids = _run_case(
+        P=3, PMAX=128, S=16, K=16, DSUB=2, Q=8, NP=3,
+        kernel=ivf_pq_adc_grouped_scan_pallas,
+    )
     for i in range(out.shape[0]):
         for j in range(out.shape[1]):
             pid = probe_ids[i, j]
