@@ -51,8 +51,54 @@ N_PARENTS = 65_536
 NPART = 1024
 
 
+_LAST_PROGRESS = [time.monotonic()]
+_DETAILS: dict = {}
+
+
 def log(*args):
+    _LAST_PROGRESS[0] = time.monotonic()
     print(*args, file=sys.stderr, flush=True)
+
+
+def _start_watchdog(stall_s: float) -> None:
+    """Abort with a parseable headline if the run stops making progress.
+
+    The axon tunnel can wedge hard enough that even ``import jax``
+    blocks in a futex wait — no Python exception ever fires, SIGALRM
+    never gets a bytecode boundary to run on, and the driver records
+    NOTHING for the round. A daemon thread dodges both: it watches the
+    ``log()`` heartbeat and, past ``stall_s`` of silence, dumps the
+    partial details and one honest JSON error line, then ``os._exit``
+    (works regardless of what the main thread is blocked in). The
+    budget must exceed the longest silent stage: first compile through
+    the tunnel (≤ ~500 s) and the HNSW 500k build (~900 s)."""
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(15.0)
+            idle = time.monotonic() - _LAST_PROGRESS[0]
+            if idle > stall_s:
+                try:
+                    with open("bench_details.json", "w") as f:
+                        json.dump(
+                            dict(_DETAILS, watchdog_stall_s=int(idle)), f, indent=2
+                        )
+                except Exception:
+                    pass
+                print(
+                    f"bench watchdog: no progress for {int(idle)}s, aborting",
+                    file=sys.stderr, flush=True,
+                )
+                print(json.dumps({
+                    "metric": "IVF_PQ4bit np=20 QPS at refined recall@10>=0.95 (1M x 128)",
+                    "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+                    "error": f"watchdog: no progress for {int(idle)}s "
+                             "(tpu tunnel unresponsive?)",
+                }), flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
 
 
 def make_clustered(rng, n, dim, n_coarse=N_COARSE, n_parents=N_PARENTS, n_queries=None):
@@ -129,7 +175,7 @@ def main() -> None:
 
     from lancedb_tpu.ops.topk import approx_topk_smallest, topk_smallest
 
-    details = {}
+    details = _DETAILS  # module-level so the watchdog can dump partials
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     rng = np.random.default_rng(42)
     log("generating hierarchical clustered data ...")
@@ -711,4 +757,5 @@ def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
 
 
 if __name__ == "__main__":
+    _start_watchdog(float(os.environ.get("BENCH_STALL_S", "1500")))
     main()
