@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -1094,6 +1095,62 @@ class VectorSearcher:
             penalty[dead] = PAD_PENALTY
         return penalty
 
+    @property
+    def device_refine_active(self) -> bool:
+        """True once prepare_device_refine has a resident refine table —
+        search(refine_factor=rf) then returns already-refined results
+        and the host refine pass must be skipped."""
+        return "refine_vecs" in self._device
+
+    def prepare_device_refine(
+        self, dataset, column: str, precision: str | None = None
+    ) -> bool:
+        """Upload a device-resident copy of the original vectors for the
+        fused refine rerank (_device_refine_step). bf16 by default
+        (halves HBM; exact f32 norms keep the l2 expansion accurate —
+        among ~k·refine candidates the bf16 dot misranks only near-ties);
+        precision='float32' for exact reranks when HBM allows.
+
+        Returns False (and stays on the host refine path) for
+        non-quantized indexes, when LANCEDB_TPU_DEVICE_REFINE=0, or when
+        the table would exceed LANCEDB_TPU_DEVICE_REFINE_BUDGET bytes
+        (default 6e9). Rows deleted after the index build map to row 0 —
+        harmless, their slots are +inf-penalized before refine."""
+        if self.device_refine_active:
+            return True
+        if os.environ.get("LANCEDB_TPU_DEVICE_REFINE", "1") == "0":
+            return False
+        if self.index_type not in ("IVF_PQ", "IVF_SQ", "IVF_RQ"):
+            return False
+        dtype = jnp.float32 if precision == "float32" else matmul_dtype()
+        bytes_per = np.dtype("float32").itemsize if dtype == jnp.float32 else 2
+        n_live = dataset.count_rows() if hasattr(dataset, "count_rows") else None
+        budget = float(os.environ.get("LANCEDB_TPU_DEVICE_REFINE_BUDGET", 6e9))
+        if n_live is not None and n_live * self.dim * bytes_per > budget:
+            return False
+        tbl = dataset.to_table(columns=[column], with_row_id=True)
+        rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
+        mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
+        if mat.shape[0] * mat.shape[1] * bytes_per > budget:
+            return False
+        order = np.argsort(rid)
+        rid, mat = rid[order], mat[order]
+        if self.metric == "cosine":
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        pos = np.searchsorted(rid, self.row_ids_flat)
+        pos = np.clip(pos, 0, max(0, len(rid) - 1)).astype(np.int64)
+        found = rid[pos] == self.row_ids_flat if len(rid) else np.zeros_like(pos, bool)
+        slotmap = np.where(found & self.row_ids_valid, pos, 0).astype(np.int32)
+        if len(rid) == 0:
+            return False
+        self._device["refine_slotmap"] = jnp.asarray(slotmap)
+        self._device["refine_vecs"] = jnp.asarray(mat, dtype=dtype)
+        if self.metric not in ("dot", "cosine"):
+            self._device["refine_norms2"] = jnp.asarray(
+                np.sum(mat.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            )
+        return True
+
     def _vectors_lp(self) -> jax.Array:
         """Device-resident low-precision copy of the FLAT table for the
         coarse scan (created on first bf16-mode search; +2 B/element of
@@ -1216,6 +1273,25 @@ class VectorSearcher:
                     exact_sel=params.approx_mode == "accurate",
                     rotation=self._device.get("rotation"),
                 )
+        fused_refined = False
+        if (
+            params.refine_factor is not None
+            and self.device_refine_active
+            and self.index_type in ("IVF_PQ", "IVF_SQ", "IVF_RQ")
+        ):
+            # fused on-device refine: a second async jit chained on the
+            # scan's outputs — the host never sees the k·refine
+            # candidates, and the single device_get below still pays
+            # only one tunnel round trip
+            vals, slots = _device_refine_step(
+                qj, vals, slots,
+                self._device["refine_slotmap"],
+                self._device["refine_vecs"],
+                self._device.get("refine_norms2", jnp.zeros((1,), jnp.float32)),
+                k=min(params.k, k_eff),
+                metric=self.metric,
+            )
+            fused_refined = True
         # ONE device_get for both outputs: through the axon tunnel each
         # separate fetch pays a full round trip (~27 ms); fused they
         # ride one
@@ -1226,7 +1302,11 @@ class VectorSearcher:
         invalid = vals >= PAD_PENALTY / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
         vals = np.where(invalid, np.float32(np.inf), vals)
-        if self.metric == "cosine" and self.index_type in ("IVF_SQ", "IVF_PQ", "IVF_RQ"):
+        if (
+            self.metric == "cosine"
+            and not fused_refined
+            and self.index_type in ("IVF_SQ", "IVF_PQ", "IVF_RQ")
+        ):
             # those scans compute l2² on the unit sphere = 2·(1−cos);
             # FLAT / IVF_FLAT already produce cosine distance directly
             vals = np.where(np.isfinite(vals), vals / 2.0, vals)
@@ -1245,6 +1325,41 @@ class VectorSearcher:
         vectors from the dataset (late materialization, reference
         SURVEY.md §3.2 refine) and recompute distances."""
         return refine_candidates(dataset, column, queries, row_ids, k, self.metric)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _device_refine_step(q, vals, slots, slotmap, table, cnorms2, k: int, metric: str):
+    """Fused on-device refine: rerank the scan's k·refine candidates
+    against a device-resident copy of the original vectors, inside the
+    same dispatch chain as the scan (no host gather, no extra round
+    trip — the host-side ``refine_candidates`` gather costs ~1.5 ms per
+    query at SIFT1M shapes, capping the refined pipeline at ~650 qps
+    regardless of batch size).
+
+    q (Q, D) f32 (unit-norm for cosine); vals/slots (Q, kc) from the
+    probed scan; slotmap (num_slots,) int32 slot → row in ``table``;
+    table (M, D) bf16 or f32 (rows sorted by row id, unit-norm for
+    cosine); cnorms2 (M,) exact f32 squared norms (l2 only). Candidates
+    already penalized out (padding / filter / delete) carry
+    vals >= PAD_PENALTY/2 and stay +inf. Reference parity: refine_factor
+    rerank, reference query.rs:1329 — but gathering from HBM at MXU
+    rate instead of late-materializing through the dataset."""
+    rows = slotmap[slots]                           # (Q, kc)
+    cand = jnp.take(table, rows, axis=0)            # (Q, kc, D)
+    dots = jnp.einsum(
+        "qd,qcd->qc", q.astype(table.dtype), cand,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "dot":
+        exact = -dots
+    elif metric == "cosine":
+        exact = 1.0 - dots                          # both sides unit-norm
+    else:
+        qn2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1, keepdims=True)
+        exact = jnp.maximum(qn2 - 2.0 * dots + cnorms2[rows], 0.0)
+    exact = jnp.where(vals >= PAD_PENALTY / 2, jnp.float32(np.inf), exact)
+    v, pos = topk_smallest(exact, k)
+    return v, jnp.take_along_axis(slots, pos, axis=1)
 
 
 def refine_candidates(

@@ -125,6 +125,11 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
     # ---- search ----------------------------------------------------------
     if searcher is not None:
         pen = searcher.slot_penalty(allowed, deleted, vanished_fragments=vanished)
+        if req.refine_factor is not None and hasattr(searcher, "prepare_device_refine"):
+            # fused on-device refine when a resident copy of the column
+            # fits HBM — search() then returns already-refined results
+            # in one dispatch chain instead of a host gather per batch
+            searcher.prepare_device_refine(ds, column)
 
         def run(nprobes: int):
             params = SearchParams(
@@ -135,7 +140,9 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
                 precision=req.precision,
             )
             d, r = searcher.search(queries, params, slot_penalty=pen)
-            if req.refine_factor is not None:
+            if req.refine_factor is not None and not getattr(
+                searcher, "device_refine_active", False
+            ):
                 d, r = searcher.refine(ds, column, queries, d, r, k_search)
             return d, r
 
