@@ -197,7 +197,9 @@ class ShardedIvfPqIndex:
         self._rotation = None if rotation is None else np.asarray(rotation, np.float32)
         self._steps: dict[tuple[int, int], callable] = {}
 
-    def _make_step(self, k: int, nprobes: int, has_mask: bool = False):
+    def _make_step(
+        self, k: int, nprobes: int, has_mask: bool = False, refine_k: int | None = None
+    ):
         mesh = self.mesh
         nsub = self._codebooks.shape[0]
         dsub = self._codebooks.shape[2]
@@ -213,8 +215,8 @@ class ShardedIvfPqIndex:
         budget = min(nprobes, nblocks_loc, 2 * (-(-nprobes // shard_n)) + 4)
         use_pallas = _pallas_available()
 
-        def step(q, q_lut, centroids, codebooks, codes, rnorms, pen):
-            def local(q_blk, q_lut_blk, cents, cbs, codes_loc, rn_loc, pen_loc):
+        def step(q, q_lut, centroids, codebooks, codes, rnorms, pen, *refine_args):
+            def local(q_blk, q_lut_blk, cents, cbs, codes_loc, rn_loc, pen_loc, *ref_loc):
                 if has_mask:
                     # prefilter/deletion penalty is additive into the
                     # residual-norm term of the ADC expansion, so a
@@ -278,15 +280,48 @@ class ShardedIvfPqIndex:
                 # for small nprobes x refine_factor combinations)
                 k_local = min(k, budget * pmax)
                 vals, pos = topk_smallest(d.reshape(qb, -1), k_local)
+                # local block index (into this shard's dealt arrays) and
                 # global slot = block * pmax + offset
+                lb = jnp.take_along_axis(local_ids, pos // pmax, axis=1)
                 blk = jnp.take_along_axis(sel_ids, pos // pmax, axis=1)
                 slots_out = blk * pmax + pos % pmax
+                if refine_k is not None:
+                    # mesh-native refine: each shard's candidates are its
+                    # OWN rows, so the resident refine table shards with
+                    # the blocks (zero replication). Rerank the local
+                    # k·refine pool exactly, keep the local top-refine_k,
+                    # and merge shards by EXACT distance — the union of
+                    # local pools is a superset of the global PQ top
+                    # pool, so recall >= the single-device fused refine.
+                    rvec_loc, rn2_loc = ref_loc
+                    off = pos % pmax
+                    cand = rvec_loc[lb, off]                   # (Q, kl, D)
+                    dots_r = jnp.einsum(
+                        "qd,qcd->qc", qf.astype(rvec_loc.dtype), cand,
+                        preferred_element_type=jnp.float32,
+                    )
+                    if self.metric == "cosine":
+                        exact = 1.0 - dots_r                   # unit-norm both sides
+                    else:
+                        exact = jnp.maximum(
+                            qn2[:, None] - 2.0 * dots_r + rn2_loc[lb, off], 0.0
+                        )
+                    exact = jnp.where(vals >= PAD / 2, PAD, exact)
+                    kk = min(refine_k, exact.shape[1])
+                    vals, rpos = topk_smallest(exact, kk)
+                    slots_out = jnp.take_along_axis(slots_out, rpos, axis=1)
+                k_merge = refine_k if refine_k is not None else k
                 all_v = jax.lax.all_gather(vals, SHARD_AXIS, axis=1, tiled=True)
                 all_s = jax.lax.all_gather(slots_out, SHARD_AXIS, axis=1, tiled=True)
-                k_final = min(k, all_v.shape[1] if all_v.shape[1] else k)
+                k_final = min(k_merge, all_v.shape[1] if all_v.shape[1] else k_merge)
                 mv, mp = topk_smallest(all_v, min(k_final, all_v.shape[1]))
                 return mv, jnp.take_along_axis(all_s, mp, axis=1)
 
+            extra_specs = (
+                ()
+                if refine_k is None
+                else (P(SHARD_AXIS, None, None), P(SHARD_AXIS, None))
+            )
             return jax.shard_map(
                 local,
                 mesh=mesh,
@@ -294,12 +329,37 @@ class ShardedIvfPqIndex:
                     P(QUERY_AXIS), P(QUERY_AXIS), P(), P(),
                     P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
                     P(SHARD_AXIS, None),
-                ),
+                ) + extra_specs,
                 out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
                 check_vma=False,
-            )(q, q_lut, centroids, codebooks, codes, rnorms, pen)
+            )(q, q_lut, centroids, codebooks, codes, rnorms, pen, *refine_args)
 
         return jax.jit(step)
+
+    def attach_refine_table(self, vecs_slot: np.ndarray, norms2_slot: np.ndarray) -> None:
+        """Shard a refine table over the mesh for the fused per-shard
+        rerank. ``vecs_slot`` (num_slots, D) holds the ORIGINAL vectors
+        in slot order (unit-norm for cosine, zeros on padding/dead
+        slots); ``norms2_slot`` (num_slots,) their exact f32 squared
+        norms. Dealt like codes/rnorms, so every shard reranks its own
+        rows with zero replication."""
+        if vecs_slot.shape[0] != self.num_slots:
+            raise ValueError(
+                f"refine table has {vecs_slot.shape[0]} slots, index has {self.num_slots}"
+            )
+        shard3 = NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
+        vec_b = vecs_slot.reshape(self.nblocks, self.pmax, -1)[self._deal]
+        self._refine_vecs = jax.device_put(
+            jnp.asarray(vec_b, dtype=matmul_dtype()), shard3
+        )
+        self._refine_norms2 = jax.device_put(
+            norms2_slot.astype(np.float32).reshape(self.nblocks, self.pmax)[self._deal],
+            self._shard2,
+        )
+
+    @property
+    def refine_attached(self) -> bool:
+        return getattr(self, "_refine_vecs", None) is not None
 
     def slot_penalty(
         self,
@@ -327,7 +387,8 @@ class ShardedIvfPqIndex:
         return penalty
 
     def search(self, queries: np.ndarray, k: int, nprobes: int = 20,
-               slot_penalty: np.ndarray | None = None):
+               slot_penalty: np.ndarray | None = None,
+               refine_k: int | None = None):
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if self.metric == "cosine":
             # the persisted index quantizes unit-normalized vectors; the
@@ -345,9 +406,13 @@ class ShardedIvfPqIndex:
             max(1, int(np.ceil(nprobes * self.nblocks / self.num_logical_partitions))),
         )
         has_mask = slot_penalty is not None
-        key = (k, npb, has_mask)
+        if refine_k is not None and not self.refine_attached:
+            raise ValueError("refine_k requires attach_refine_table first")
+        key = (k, npb, has_mask, refine_k)
         if key not in self._steps:
-            self._steps[key] = self._make_step(k, npb, has_mask=has_mask)
+            self._steps[key] = self._make_step(
+                k, npb, has_mask=has_mask, refine_k=refine_k
+            )
         if has_mask:
             pen = np.zeros(self.num_slots, dtype=np.float32)
             pen[: len(slot_penalty)] = slot_penalty  # single-device layouts are a prefix
@@ -363,8 +428,12 @@ class ShardedIvfPqIndex:
         qj = jax.device_put(q, qspec)
         q_lut = q if self._rotation is None else q @ self._rotation.T
         qlj = jax.device_put(np.ascontiguousarray(q_lut), qspec)
+        refine_args = (
+            () if refine_k is None else (self._refine_vecs, self._refine_norms2)
+        )
         vals, slots = self._steps[key](
-            qj, qlj, self._centroids, self._codebooks, self._codes, self._rnorms, pen_j
+            qj, qlj, self._centroids, self._codebooks, self._codes, self._rnorms,
+            pen_j, *refine_args,
         )
         vals, slots = jax.device_get((vals, slots))  # one fused fetch
         vals = vals[:nq]
@@ -373,9 +442,11 @@ class ShardedIvfPqIndex:
         invalid = vals >= np.float32(3.0e38) / 2
         rids = np.where(invalid, np.uint64(np.iinfo(np.uint64).max), rids)
         vals = np.where(invalid, np.inf, vals)
-        if self.metric == "cosine":
-            # unit-sphere l2² → cosine distance (matches single-device)
+        if self.metric == "cosine" and refine_k is None:
+            # unit-sphere l2² → cosine distance (matches single-device);
+            # refined values are already true cosine distances
             vals = np.where(np.isfinite(vals), vals / 2.0, vals)
+        k = refine_k if refine_k is not None else k
         if vals.shape[1] < k:
             # candidate pool smaller than requested k: pad (callers pad-
             # tolerate via the invalid markers, matching single-device)

@@ -49,10 +49,60 @@ class ShardedServingSearcher:
         # refine reranks k_eff candidates, mirroring the single-device
         # searcher (index/vector.py k_eff expansion)
         k_eff = params.k if params.refine_factor is None else params.k * params.refine_factor
+        refine_k = (
+            params.k
+            if params.refine_factor is not None and self.device_refine_active
+            else None
+        )
         return self._sharded.search(
             np.asarray(queries, np.float32), k=k_eff, nprobes=params.nprobes,
-            slot_penalty=slot_penalty,
+            slot_penalty=slot_penalty, refine_k=refine_k,
         )
+
+    # -- fused per-shard refine (mirrors VectorSearcher) ------------------
+    @property
+    def device_refine_active(self) -> bool:
+        return self._sharded.refine_attached
+
+    def prepare_device_refine(
+        self, dataset, column: str, precision: str | None = None
+    ) -> bool:
+        """Shard a resident copy of the column over the mesh so
+        search(refine_factor=rf) reranks per shard before the all_gather
+        merge (parallel/build.py attach_refine_table). Same guards as
+        the single-device path; the budget scales with the mesh (each
+        shard holds 1/ndev of the table)."""
+        import os
+
+        if self.device_refine_active:
+            return True
+        if os.environ.get("LANCEDB_TPU_DEVICE_REFINE", "1") == "0":
+            return False
+        sh = self._sharded
+        from ..arrow import fsl_to_numpy
+        from ..ops.util import matmul_dtype
+        from .mesh import SHARD_AXIS
+
+        bytes_per = 2 if matmul_dtype() != np.float32 else 4
+        shard_n = sh.mesh.shape[SHARD_AXIS]
+        budget = float(os.environ.get("LANCEDB_TPU_DEVICE_REFINE_BUDGET", 6e9))
+        tbl = dataset.to_table(columns=[column], with_row_id=True)
+        rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
+        mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
+        dim = mat.shape[1]
+        if sh.num_slots * dim * bytes_per > budget * max(1, shard_n):
+            return False
+        order = np.argsort(rid)
+        rid, mat = rid[order], mat[order]
+        if self.metric == "cosine":
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        pos = np.searchsorted(rid, sh.row_ids)
+        pos = np.clip(pos, 0, max(0, len(rid) - 1)).astype(np.int64)
+        found = rid[pos] == sh.row_ids if len(rid) else np.zeros_like(pos, bool)
+        vecs_slot = np.where(found[:, None], mat[pos], 0.0).astype(np.float32)
+        norms2 = np.sum(vecs_slot.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        sh.attach_refine_table(vecs_slot, norms2)
+        return True
 
     def refine(self, dataset, column, queries, dists, row_ids, k):
         from ..index.vector import refine_candidates

@@ -457,6 +457,47 @@ class TestShardedServing:
         assert all(r["cat"] == 0 for r in res)
         assert not calls, "filtered+refined serving must stay on the mesh path"
 
+    def test_fused_refine_matches_host_refine(self, mem_db):
+        """Per-shard device refine (build.py refine_k) returns the same
+        ids/distances as the host refine path it replaces (exact f32 on
+        the CPU mesh), and deletes stay masked through the rerank."""
+        t, vecs, rng = self._table(mem_db)
+        q = vecs[55] + 0.02 * rng.standard_normal(vecs.shape[1]).astype(np.float32)
+        import os
+
+        os.environ["LANCEDB_TPU_DEVICE_REFINE"] = "0"
+        try:
+            t.enable_sharded_serving(make_mesh())
+            host = t.search(q).nprobes(16).refine_factor(8).limit(10).to_list()
+        finally:
+            del os.environ["LANCEDB_TPU_DEVICE_REFINE"]
+        t.disable_sharded_serving()
+        t.enable_sharded_serving(make_mesh())
+        fused = t.search(q).nprobes(16).refine_factor(8).limit(10).to_list()
+        # searcher must actually be on the fused path
+        assert any(
+            getattr(s, "device_refine_active", False) for s in t._searchers.values()
+        )
+        # the per-shard pool is a SUPERSET of the global PQ top-k_eff
+        # (each shard reranks its own local top pool), so fused may
+        # surface strictly closer rows the host path never saw: require
+        # high overlap and element-wise no-worse exact distances
+        overlap = len({r["id"] for r in fused} & {r["id"] for r in host})
+        assert overlap >= 9, overlap
+        hd = np.array([r["_distance"] for r in host])
+        fd = np.array([r["_distance"] for r in fused])
+        assert np.all(fd <= hd * (1 + 1e-4) + 1e-4), (fd, hd)
+
+    def test_fused_refine_respects_deletes_and_filters(self, mem_db):
+        t, vecs, rng = self._table(mem_db)
+        t.enable_sharded_serving(make_mesh(4))
+        t.delete("id = 21")
+        res = (
+            t.search(vecs[21]).where("cat = 0").nprobes(16)
+            .refine_factor(8).limit(5).to_list()
+        )
+        assert all(r["id"] != 21 and r["cat"] == 0 for r in res)
+
     def test_deletion_mask_serves_sharded(self, mem_db):
         t, vecs, rng = self._table(mem_db)
         t.enable_sharded_serving(make_mesh(4))
