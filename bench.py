@@ -484,6 +484,20 @@ def main() -> None:
         details["host_dispatch_latency_s"] = round(float(np.median(lat)), 3)
         log(f"single-query p50 {details['single_query_p50_ms']} ms "
             f"(one tunnel RTT ~{rtt_s * 1e3:.0f} ms is the floor on this rig)")
+        if sp.device_refine_active:
+            # refined single query rides the same single dispatch chain
+            # now that the rerank is fused on device
+            params_rf1 = SearchParams(k=TOP_K, nprobes=20, refine_factor=10)
+            sp.search(q0[:1], params_rf1)  # warm
+            lat = []
+            for _ in range(21):
+                t0 = time.perf_counter()
+                sp.search(q0[:1], params_rf1)
+                lat.append(time.perf_counter() - t0)
+            details["single_query_refined_p50_ms"] = round(
+                float(np.median(lat)) * 1e3, 1
+            )
+            log(f"single-query refined p50 {details['single_query_refined_p50_ms']} ms")
 
         # ---- configs #3/#4: large-D IVF_PQ (GIST-class + OpenAI-class)
         _parts3 = 64 if _SMOKE else 2048
