@@ -91,8 +91,9 @@ class WindowFunc(Expr):
     Reference surface: the DataFusion window operators the reference
     exposes through SQL (table/datafusion.rs registers BaseTable as a
     TableProvider; the dialect is DataFusion 54's). `frame` is
-    (start, end) row offsets relative to the current row with None for
-    UNBOUNDED (ROWS mode); frame=None means the SQL default frame
+    (start, end) offsets relative to the current row with None for
+    UNBOUNDED — rows for ROWS mode, peer groups for GROUPS, ORDER-BY-key
+    values for RANGE; frame=None means the SQL default frame
     (RANGE UNBOUNDED PRECEDING..CURRENT ROW when ORDER BY is present,
     the whole partition otherwise)."""
 
@@ -100,7 +101,8 @@ class WindowFunc(Expr):
     args: tuple = ()
     partition_by: tuple = ()
     order_by: tuple = ()          # ((expr, desc), ...)
-    frame: tuple | None = None    # (start|None, end|None) in ROWS mode
+    frame: tuple | None = None    # (start|None, end|None); offsets per frame_mode
+    frame_mode: str = "ROWS"      # ROWS | RANGE | GROUPS
 
     def sql(self) -> str:
         if self.func == "count_all":
@@ -122,7 +124,10 @@ class WindowFunc(Expr):
                 if v == 0:
                     return "CURRENT ROW"
                 return f"{abs(v)} {'PRECEDING' if v < 0 else 'FOLLOWING'}"
-            parts.append(f"ROWS BETWEEN {b(self.frame[0], 'PRECEDING')} AND {b(self.frame[1], 'FOLLOWING')}")
+            parts.append(
+                f"{self.frame_mode} BETWEEN {b(self.frame[0], 'PRECEDING')} "
+                f"AND {b(self.frame[1], 'FOLLOWING')}"
+            )
         return f"{head} OVER ({' '.join(parts)})"
 
 
@@ -323,12 +328,11 @@ class _SelectParser(_Parser):
                     self.next()
                     continue
                 break
+        frame_mode = "ROWS"
         if self._at_word("ROWS", "RANGE", "GROUPS"):
-            mode = self.next().text.upper()
-            if mode != "ROWS":
-                raise SqlParseError(f"only ROWS window frames are supported (got {mode})")
+            frame_mode = self.next().text.upper()
 
-            def bound(first: bool) -> int | None:
+            def bound(first: bool) -> int | float | None:
                 if self._eat_word("UNBOUNDED"):
                     if not self._eat_word("PRECEDING" if first else "FOLLOWING"):
                         # UNBOUNDED FOLLOWING as a start / PRECEDING as an
@@ -340,7 +344,10 @@ class _SelectParser(_Parser):
                     if not self._eat_word("ROW"):
                         raise SqlParseError("expected ROW after CURRENT")
                     return 0
-                n = int(self.expect("number").text)
+                txt = self.expect("number").text
+                # RANGE offsets are values in ORDER-BY-key units and may
+                # be fractional; ROWS/GROUPS offsets count rows/groups
+                n = float(txt) if frame_mode == "RANGE" and "." in txt else int(txt)
                 if self._eat_word("PRECEDING"):
                     return -n
                 if self._eat_word("FOLLOWING"):
@@ -358,9 +365,17 @@ class _SelectParser(_Parser):
             if start is not None and end is not None and start > end:
                 raise SqlParseError("window frame start is after frame end")
             frame = (start, end)
+            has_offset = any(v not in (None, 0) for v in frame)
+            if frame_mode == "GROUPS" and not order_by:
+                raise SqlParseError("GROUPS window frames require ORDER BY")
+            if frame_mode == "RANGE" and has_offset and len(order_by) != 1:
+                raise SqlParseError(
+                    "RANGE frames with numeric offsets require exactly one "
+                    "ORDER BY expression"
+                )
         self.expect("rparen")
         return WindowFunc(
-            func, args, tuple(partition_by), tuple(order_by), frame
+            func, args, tuple(partition_by), tuple(order_by), frame, frame_mode
         )
 
     def parse_expr_list(self) -> list[Expr]:
@@ -693,6 +708,7 @@ def _replace(e: Expr, table: dict[str, Expr], into_subqueries: bool = False) -> 
             tuple(r(p) for p in e.partition_by),
             tuple((r(o), d) for o, d in e.order_by),
             e.frame,
+            e.frame_mode,
         )
         # re-check after child substitution: grouped queries bind window
         # placeholders by their aggregate-bound sql form
@@ -888,6 +904,7 @@ def _strip_qualifier(e: Expr | None, quals: set[str]) -> Expr | None:
             e.func, tuple(s(a) for a in e.args),
             tuple(s(p) for p in e.partition_by),
             tuple((s(o), d) for o, d in e.order_by), e.frame,
+            e.frame_mode,
         )
     return e
 
@@ -1004,6 +1021,26 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
     perm, ps, part_end, peer_first, peer_end, newpeer = _window_sort(data, wf)
     idx = np.arange(n, dtype=np.int64)
 
+    def order_key():
+        """Sorted ORDER-BY key as f64 (DESC negated) for RANGE offsets."""
+        if len(wf.order_by) != 1:
+            raise InvalidInputError(
+                "RANGE frames with numeric offsets require exactly one "
+                "ORDER BY expression"
+            )
+        e, desc = wf.order_by[0]
+        sk = _as_array(evaluate_expression(data, e), n).take(pa.array(perm))
+        t = sk.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)):
+            raise InvalidInputError(
+                f"RANGE frame offsets require a numeric ORDER BY key (got {t})"
+            )
+        kn = np.asarray(pc.is_null(sk)).astype(bool)
+        kv = pc.cast(sk, pa.float64()).to_numpy(zero_copy_only=False)
+        if desc:
+            kv = -kv
+        return np.where(kn, 0.0, kv), kn
+
     def lit_arg(i, default, name):
         if len(wf.args) <= i:
             return default
@@ -1080,7 +1117,7 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
         out_idx[perm] = idx
         return res.take(pa.array(out_idx))
     if f in ("first_value", "last_value", "nth_value"):
-        fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_end)
+        fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_first, peer_end, newpeer, order_key)
         if f == "first_value":
             pick, valid = fs, fs <= fe
         elif f == "last_value":
@@ -1100,7 +1137,7 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
     if f not in ("sum", "avg", "min", "max", "count", "count_all"):
         raise InvalidInputError(f"unsupported window function {wf.func!r}")
 
-    fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_end)
+    fs, fe = _frame_bounds(wf, idx, ps, part_end, peer_first, peer_end, newpeer, order_key)
     # FOLLOWING-only / PRECEDING-only frames can be empty near partition
     # edges (fs > fe) and their raw offsets can leave [0, n): clamp the
     # indices and mask empty frames to NULL/0 rather than letting the
@@ -1174,8 +1211,16 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
     return scatter_list(res_list)
 
 
-def _frame_bounds(wf: WindowFunc, idx, ps, part_end, peer_end):
-    """Per-row [start, end] frame indices in sorted order (inclusive)."""
+def _frame_bounds(wf: WindowFunc, idx, ps, part_end, peer_first, peer_end,
+                  newpeer, order_key):
+    """Per-row [start, end] frame indices in sorted order (inclusive).
+
+    ROWS offsets count rows; GROUPS offsets count ORDER-BY peer groups;
+    RANGE offsets are values in ORDER-BY-key units (standard SQL /
+    DataFusion semantics: CURRENT ROW in RANGE/GROUPS means the peer
+    group boundary, and NULL-key rows frame with their null peers).
+    ``order_key`` lazily yields (key_f64, isnull) in sorted order with
+    DESC keys negated so every partition run is ascending."""
     import numpy as np
 
     if wf.frame is None:
@@ -1184,8 +1229,70 @@ def _frame_bounds(wf: WindowFunc, idx, ps, part_end, peer_end):
         # whole partition (peer_end == part_end in that case)
         return ps, peer_end
     start, end = wf.frame
-    fs = ps if start is None else np.maximum(idx + start, ps)
-    fe = part_end if end is None else np.minimum(idx + end, part_end)
+    n = len(idx)
+    if wf.frame_mode == "ROWS" or n == 0:
+        fs = ps if start is None else np.maximum(idx + start, ps)
+        fe = part_end if end is None else np.minimum(idx + end, part_end)
+        return fs, fe
+
+    if wf.frame_mode == "GROUPS":
+        peer_starts = np.flatnonzero(newpeer)
+        ng = len(peer_starts)
+        gi = np.searchsorted(peer_starts, idx, side="right") - 1
+        g_first, g_last = gi[ps], gi[part_end]
+        if start is None:
+            fs = ps.copy()
+        elif start == 0:
+            fs = peer_first.copy()
+        else:
+            tg = gi + start
+            fs = np.where(
+                tg > g_last,
+                part_end + 1,  # frame starts past the partition: empty
+                peer_starts[np.clip(np.maximum(tg, g_first), 0, ng - 1)],
+            )
+        if end is None:
+            fe = part_end.copy()
+        elif end == 0:
+            fe = peer_end.copy()
+        else:
+            te = gi + end
+            fe = np.where(
+                te >= g_last,
+                part_end,
+                np.where(
+                    te < g_first,
+                    ps - 1,  # frame ends before the partition: empty
+                    peer_starts[np.clip(te + 1, 0, ng - 1)] - 1,
+                ),
+            )
+        return fs, fe
+
+    # RANGE with value offsets: per-partition binary search over the
+    # (ascending) non-null key prefix; null-key rows frame with their
+    # null peer group, and non-null frames never include nulls
+    key, knull = order_key()
+    fs = np.empty(n, dtype=np.int64)
+    fe = np.empty(n, dtype=np.int64)
+    starts = np.flatnonzero(ps == idx)
+    bounds = list(starts) + [n]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        nn = b - a - int(knull[a:b].sum())  # nulls sort last
+        kv = key[a : a + nn]
+        if start is None:
+            fs[a:b] = a
+        elif start == 0:
+            fs[a:b] = peer_first[a:b]
+        else:
+            fs[a : a + nn] = a + np.searchsorted(kv, kv + start, side="left")
+            fs[a + nn : b] = peer_first[a + nn : b]
+        if end is None:
+            fe[a:b] = b - 1
+        elif end == 0:
+            fe[a:b] = peer_end[a:b]
+        else:
+            fe[a : a + nn] = a + np.searchsorted(kv, kv + end, side="right") - 1
+            fe[a + nn : b] = peer_end[a + nn : b]
     return fs, fe
 
 
@@ -1701,6 +1808,7 @@ def _bind_correlated_expr(
                 node.func, tuple(rw(a) for a in node.args),
                 tuple(rw(p) for p in node.partition_by),
                 tuple((rw(o), d) for o, d in node.order_by), node.frame,
+                node.frame_mode,
             )
         return node
 

@@ -86,3 +86,31 @@ def full_grouped(qq, qpc=8):
 
 for qpc in (8, 16):
     bench(lambda qq, q_=qpc: full_grouped(qq, q_), f"full grouped qpc={qpc}")
+
+# fused device refine at the real build: end-to-end sp.search vs raw
+# scan, plus the refined public path cost
+from lancedb_tpu.index.vector import SearchParams
+
+params_rf = SearchParams(k=10, nprobes=20, refine_factor=10)
+print("preparing device refine ...")
+t0 = time.perf_counter()
+ok = sp.prepare_device_refine(ds, "vector")
+print(f"prepare_device_refine={ok} {time.perf_counter() - t0:.1f}s")
+if ok:
+    qh = q[:Q].astype(np.float32)
+    sp.search(qh, params_rf)  # warm
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sp.search(qh, params_rf)
+        reps.append(time.perf_counter() - t0)
+    med = float(np.median(reps))
+    print(f"  fused refined sp.search: {med * 1e3:.1f} ms/batch  {Q / med:.0f} qps")
+    sp.search(qh, SearchParams(k=10, nprobes=20))  # warm plain
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sp.search(qh, SearchParams(k=10, nprobes=20))
+        reps.append(time.perf_counter() - t0)
+    med = float(np.median(reps))
+    print(f"  plain sp.search:        {med * 1e3:.1f} ms/batch  {Q / med:.0f} qps")

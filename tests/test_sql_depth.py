@@ -443,3 +443,91 @@ class TestWindowFrameEdges:
         out = run(db2, "SELECT w, min(w) OVER (ORDER BY w "
                        "ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) m FROM s ORDER BY w")
         assert out["m"] == ["b", "c", None]
+
+
+class TestRangeAndGroupsFrames:
+    """RANGE value-offset and GROUPS peer-offset frames (DataFusion
+    dialect; previously only ROWS was accepted)."""
+
+    @pytest.fixture
+    def tdb(self):
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://rframes-{uuid.uuid4().hex}")
+        # x has a tie (5,5) and a gap (9→20)
+        db.create_table("t", {"x": [1, 5, 5, 9, 20], "g": ["a", "a", "a", "b", "b"]})
+        return db
+
+    def test_range_value_window(self, tdb):
+        # frame = rows with key in [x-4, x+4]
+        out = run(tdb, "SELECT x, sum(x) OVER (ORDER BY x "
+                       "RANGE BETWEEN 4 PRECEDING AND 4 FOLLOWING) s FROM t ORDER BY x")
+        assert out["s"] == [11, 20, 20, 19, 20]
+
+    def test_range_current_row_includes_peers(self, tdb):
+        # CURRENT ROW in RANGE = peer-group edge: both 5s share a frame
+        out = run(tdb, "SELECT x, sum(x) OVER (ORDER BY x "
+                       "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) s FROM t ORDER BY x")
+        assert out["s"] == [1, 10, 10, 9, 20]
+
+    def test_range_desc_order(self, tdb):
+        out = run(tdb, "SELECT x, sum(x) OVER (ORDER BY x DESC "
+                       "RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) s FROM t ORDER BY x")
+        # DESC: frame = rows with key in [x, x+4]
+        assert out["s"] == [11, 19, 19, 9, 20]
+
+    def test_range_partitioned(self, tdb):
+        out = run(tdb, "SELECT x, count(*) OVER (PARTITION BY g ORDER BY x "
+                       "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) c FROM t ORDER BY x")
+        assert out["c"] == [1, 3, 3, 1, 1]  # 20 is >10 away from 9
+
+    def test_range_requires_single_numeric_key(self, tdb):
+        with pytest.raises(SqlParseError, match="exactly one"):
+            parse_select("SELECT sum(x) OVER (ORDER BY x, g "
+                         "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+        with pytest.raises(InvalidInputError, match="numeric ORDER BY"):
+            run(tdb, "SELECT sum(x) OVER (ORDER BY g "
+                     "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) s FROM t")
+
+    def test_range_fractional_offset(self, tdb):
+        out = run(tdb, "SELECT x, count(*) OVER (ORDER BY x "
+                       "RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING) c FROM t ORDER BY x")
+        assert out["c"] == [1, 2, 2, 1, 1]
+
+    def test_groups_window(self, tdb):
+        # peer groups in x order: {1}, {5,5}, {9}, {20}
+        out = run(tdb, "SELECT x, sum(x) OVER (ORDER BY x "
+                       "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) s FROM t ORDER BY x")
+        assert out["s"] == [11, 20, 20, 39, 29]
+
+    def test_groups_following_only_empty_at_edge(self, tdb):
+        out = run(tdb, "SELECT x, count(*) OVER (ORDER BY x "
+                       "GROUPS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) c FROM t ORDER BY x")
+        # frames: {5,5,9}, {9,20}, {9,20}, {20}, {}
+        assert out["c"] == [3, 2, 2, 1, 0]
+
+    def test_groups_requires_order_by(self, tdb):
+        with pytest.raises(SqlParseError, match="GROUPS.*ORDER BY"):
+            parse_select("SELECT sum(x) OVER (GROUPS BETWEEN 1 PRECEDING "
+                         "AND CURRENT ROW) FROM t")
+
+    def test_first_last_value_with_range_frame(self, tdb):
+        out = run(tdb, "SELECT x, first_value(x) OVER (ORDER BY x "
+                       "RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) f, "
+                       "last_value(x) OVER (ORDER BY x "
+                       "RANGE BETWEEN CURRENT ROW AND 4 FOLLOWING) l "
+                       "FROM t ORDER BY x")
+        assert out["f"] == [1, 1, 1, 5, 20]
+        assert out["l"] == [5, 9, 9, 9, 20]
+
+    def test_range_null_keys_frame_with_peers(self, tdb):
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://rnull-{uuid.uuid4().hex}")
+        db.create_table("t", {"x": [1, 2, None, None]})
+        out = run(db, "SELECT x, count(*) OVER (ORDER BY x "
+                      "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) c FROM t")
+        by_x = dict(zip(out["x"], out["c"]))
+        assert by_x[1] == 1 and by_x[2] == 2
+        # null rows are peers of each other only
+        assert out["c"].count(2) >= 1 and sum(1 for x, c in zip(out["x"], out["c"]) if x is None and c == 2) == 2
