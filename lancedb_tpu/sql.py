@@ -84,6 +84,32 @@ _RANKING_FUNCS = {
 }
 
 
+_INTERVAL_UNITS = ("second", "minute", "hour", "day", "week")
+_INTERVAL_SCALE = {
+    "second": 1.0, "minute": 60.0, "hour": 3600.0,
+    "day": 86400.0, "week": 604800.0,
+}
+
+
+def _interval_seconds(text: str, unit: str | None) -> float:
+    """Parse an SQL interval body to seconds: INTERVAL '1 day',
+    INTERVAL '2 hours 30 minutes', or INTERVAL '2' HOUR."""
+    parts = text.strip().lower().split()
+    if unit is not None:
+        if len(parts) != 1:
+            raise SqlParseError(f"malformed interval {text!r} with unit {unit}")
+        return float(parts[0]) * _INTERVAL_SCALE[unit]
+    if len(parts) % 2 or not parts:
+        raise SqlParseError(f"malformed interval literal {text!r}")
+    total = 0.0
+    for val, u in zip(parts[::2], parts[1::2]):
+        u = u.rstrip("s")
+        if u not in _INTERVAL_SCALE:
+            raise SqlParseError(f"unsupported interval unit {u!r} in {text!r}")
+        total += float(val) * _INTERVAL_SCALE[u]
+    return total
+
+
 @dataclass(frozen=True)
 class WindowFunc(Expr):
     """fn(args) OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...]).
@@ -103,6 +129,7 @@ class WindowFunc(Expr):
     order_by: tuple = ()          # ((expr, desc), ...)
     frame: tuple | None = None    # (start|None, end|None); offsets per frame_mode
     frame_mode: str = "ROWS"      # ROWS | RANGE | GROUPS
+    frame_temporal: bool = False  # RANGE offsets are INTERVAL seconds
 
     def sql(self) -> str:
         if self.func == "count_all":
@@ -123,7 +150,12 @@ class WindowFunc(Expr):
                     return f"UNBOUNDED {side}"
                 if v == 0:
                     return "CURRENT ROW"
-                return f"{abs(v)} {'PRECEDING' if v < 0 else 'FOLLOWING'}"
+                mag = (
+                    f"INTERVAL '{abs(v)} seconds'"
+                    if self.frame_temporal
+                    else f"{abs(v)}"
+                )
+                return f"{mag} {'PRECEDING' if v < 0 else 'FOLLOWING'}"
             parts.append(
                 f"{self.frame_mode} BETWEEN {b(self.frame[0], 'PRECEDING')} "
                 f"AND {b(self.frame[1], 'FOLLOWING')}"
@@ -329,10 +361,12 @@ class _SelectParser(_Parser):
                     continue
                 break
         frame_mode = "ROWS"
+        frame_temporal = False
         if self._at_word("ROWS", "RANGE", "GROUPS"):
             frame_mode = self.next().text.upper()
 
             def bound(first: bool) -> int | float | None:
+                nonlocal frame_temporal
                 if self._eat_word("UNBOUNDED"):
                     if not self._eat_word("PRECEDING" if first else "FOLLOWING"):
                         # UNBOUNDED FOLLOWING as a start / PRECEDING as an
@@ -344,10 +378,23 @@ class _SelectParser(_Parser):
                     if not self._eat_word("ROW"):
                         raise SqlParseError("expected ROW after CURRENT")
                     return 0
-                txt = self.expect("number").text
-                # RANGE offsets are values in ORDER-BY-key units and may
-                # be fractional; ROWS/GROUPS offsets count rows/groups
-                n = float(txt) if frame_mode == "RANGE" and "." in txt else int(txt)
+                if frame_mode == "RANGE" and self._eat_word("INTERVAL"):
+                    # INTERVAL '1 day' / INTERVAL '2' HOUR — offset in
+                    # seconds against a temporal ORDER BY key
+                    s = self.expect("string").text
+                    unit = None
+                    for u in _INTERVAL_UNITS:
+                        if self._eat_word(u.upper()) or self._eat_word(u.upper() + "S"):
+                            unit = u
+                            break
+                    n = _interval_seconds(s, unit)
+                    frame_temporal = True
+                else:
+                    txt = self.expect("number").text
+                    # RANGE offsets are values in ORDER-BY-key units and
+                    # may be fractional; ROWS/GROUPS offsets count
+                    # rows/groups
+                    n = float(txt) if frame_mode == "RANGE" and "." in txt else int(txt)
                 if self._eat_word("PRECEDING"):
                     return -n
                 if self._eat_word("FOLLOWING"):
@@ -375,7 +422,8 @@ class _SelectParser(_Parser):
                 )
         self.expect("rparen")
         return WindowFunc(
-            func, args, tuple(partition_by), tuple(order_by), frame, frame_mode
+            func, args, tuple(partition_by), tuple(order_by), frame, frame_mode,
+            frame_temporal,
         )
 
     def parse_expr_list(self) -> list[Expr]:
@@ -709,6 +757,7 @@ def _replace(e: Expr, table: dict[str, Expr], into_subqueries: bool = False) -> 
             tuple((r(o), d) for o, d in e.order_by),
             e.frame,
             e.frame_mode,
+            e.frame_temporal,
         )
         # re-check after child substitution: grouped queries bind window
         # placeholders by their aggregate-bound sql form
@@ -904,7 +953,7 @@ def _strip_qualifier(e: Expr | None, quals: set[str]) -> Expr | None:
             e.func, tuple(s(a) for a in e.args),
             tuple(s(p) for p in e.partition_by),
             tuple((s(o), d) for o, d in e.order_by), e.frame,
-            e.frame_mode,
+            e.frame_mode, e.frame_temporal,
         )
     return e
 
@@ -1031,12 +1080,31 @@ def _eval_window(data: pa.Table, wf: WindowFunc) -> pa.Array:
         e, desc = wf.order_by[0]
         sk = _as_array(evaluate_expression(data, e), n).take(pa.array(perm))
         t = sk.type
-        if not (pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)):
+        temporal = (
+            pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t)
+        )
+        if wf.frame_temporal and not temporal:
             raise InvalidInputError(
-                f"RANGE frame offsets require a numeric ORDER BY key (got {t})"
+                f"INTERVAL frame offsets require a temporal ORDER BY key (got {t})"
             )
         kn = np.asarray(pc.is_null(sk)).astype(bool)
-        kv = pc.cast(sk, pa.float64()).to_numpy(zero_copy_only=False)
+        if temporal:
+            # epoch units → seconds so INTERVAL offsets line up
+            scale = {
+                "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9,
+            }.get(getattr(t, "unit", None), 86400.0 if pa.types.is_date32(t) else 1e-3)
+            kv = (
+                pc.fill_null(pc.cast(sk, pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * scale
+            )
+        elif pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+            kv = pc.cast(sk, pa.float64()).to_numpy(zero_copy_only=False)
+        else:
+            raise InvalidInputError(
+                f"RANGE frame offsets require a numeric or temporal ORDER BY key (got {t})"
+            )
         if desc:
             kv = -kv
         return np.where(kn, 0.0, kv), kn
@@ -1808,7 +1876,7 @@ def _bind_correlated_expr(
                 node.func, tuple(rw(a) for a in node.args),
                 tuple(rw(p) for p in node.partition_by),
                 tuple((rw(o), d) for o, d in node.order_by), node.frame,
-                node.frame_mode,
+                node.frame_mode, node.frame_temporal,
             )
         return node
 

@@ -485,7 +485,7 @@ class TestRangeAndGroupsFrames:
         with pytest.raises(SqlParseError, match="exactly one"):
             parse_select("SELECT sum(x) OVER (ORDER BY x, g "
                          "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
-        with pytest.raises(InvalidInputError, match="numeric ORDER BY"):
+        with pytest.raises(InvalidInputError, match="numeric or temporal ORDER BY"):
             run(tdb, "SELECT sum(x) OVER (ORDER BY g "
                      "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) s FROM t")
 
@@ -531,3 +531,42 @@ class TestRangeAndGroupsFrames:
         assert by_x[1] == 1 and by_x[2] == 2
         # null rows are peers of each other only
         assert out["c"].count(2) >= 1 and sum(1 for x, c in zip(out["x"], out["c"]) if x is None and c == 2) == 2
+
+
+class TestTemporalRangeFrames:
+    """RANGE BETWEEN INTERVAL ... over timestamp ORDER BY keys."""
+
+    @pytest.fixture
+    def tdb(self):
+        import datetime as dt
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://tframes-{uuid.uuid4().hex}")
+        base = dt.datetime(2026, 1, 1)
+        ts = [base, base + dt.timedelta(hours=1), base + dt.timedelta(hours=2),
+              base + dt.timedelta(days=2)]
+        tbl = pa.table({"ts": pa.array(ts), "v": [1, 2, 4, 8]})
+        db.create_table("ev", tbl)
+        return db
+
+    def test_interval_window(self, tdb):
+        out = run(tdb, "SELECT v, sum(v) OVER (ORDER BY ts RANGE BETWEEN "
+                       "INTERVAL '90 minutes' PRECEDING AND CURRENT ROW) s "
+                       "FROM ev ORDER BY ts")
+        assert out["s"] == [1, 3, 6, 8]
+
+    def test_interval_unit_keyword(self, tdb):
+        out = run(tdb, "SELECT v, count(*) OVER (ORDER BY ts RANGE BETWEEN "
+                       "INTERVAL '1' DAY PRECEDING AND INTERVAL '1' DAY FOLLOWING) c "
+                       "FROM ev ORDER BY ts")
+        assert out["c"] == [3, 3, 3, 1]
+
+    def test_interval_requires_temporal_key(self, tdb):
+        with pytest.raises(InvalidInputError, match="temporal"):
+            run(tdb, "SELECT sum(v) OVER (ORDER BY v RANGE BETWEEN "
+                     "INTERVAL '1 hour' PRECEDING AND CURRENT ROW) s FROM ev")
+
+    def test_malformed_interval(self, tdb):
+        with pytest.raises(SqlParseError, match="interval"):
+            parse_select("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN "
+                         "INTERVAL '1 fortnight' PRECEDING AND CURRENT ROW) FROM ev")
