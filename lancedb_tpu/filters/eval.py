@@ -65,7 +65,7 @@ _FUNCTIONS = {
     "regexp_match": lambda a, b: pc.match_substring_regex(a, pattern=_scalar(b)),
     "is_nan": lambda a: pc.is_nan(a),
     "array_length": lambda a: pc.list_value_length(a),
-    "array_has": lambda a, b: pc.list_element(a, 0) if False else _array_has(a, b),
+    "array_has": lambda a, b: _array_has(a, b),
     "date_part": lambda part, a: _date_part(_scalar(part), a),
     "to_timestamp": lambda a: pc.cast(a, pa.timestamp("us")),
     "timestamp": lambda a: pc.cast(a, pa.timestamp("us")),
@@ -73,6 +73,44 @@ _FUNCTIONS = {
     "greatest": lambda *args: pc.max_element_wise(*args),
     "least": lambda *args: pc.min_element_wise(*args),
     "concat": lambda *args: _concat(*args, null_handling="skip"),
+    # string surface (DataFusion names; 1-based SQL indexing)
+    "substr": lambda a, start, ln=None: _substr(a, start, ln),
+    "substring": lambda a, start, ln=None: _substr(a, start, ln),
+    "replace": lambda a, pat, rep: pc.replace_substring(
+        a, pattern=_scalar(pat), replacement=_scalar(rep)
+    ),
+    "strpos": lambda a, sub: pc.add(pc.find_substring(a, pattern=_scalar(sub)), 1),
+    "position": lambda a, sub: pc.add(pc.find_substring(a, pattern=_scalar(sub)), 1),
+    "left": lambda a, n: pc.utf8_slice_codeunits(a, 0, max(int(_scalar(n)), 0)),
+    "right": lambda a, n: _right(a, n),
+    "lpad": lambda a, n, fill=" ": pc.utf8_lpad(
+        a, width=int(_scalar(n)), padding=_scalar(fill)
+    ),
+    "rpad": lambda a, n, fill=" ": pc.utf8_rpad(
+        a, width=int(_scalar(n)), padding=_scalar(fill)
+    ),
+    "reverse": lambda a: pc.utf8_reverse(a),
+    "initcap": lambda a: pc.utf8_title(a),
+    "split_part": lambda a, sep, n: _split_part(a, sep, n),
+    # numeric / conditional
+    "nullif": lambda a, b: pc.if_else(
+        pc.equal(a, b), pa.scalar(None, type=getattr(a, "type", None) or pa.null()), a
+    ),
+    "ifnull": lambda a, b: pc.coalesce(a, b),
+    "nvl": lambda a, b: pc.coalesce(a, b),
+    "sign": lambda a: pc.sign(a),
+    "trunc": lambda a: pc.trunc(a),
+    "log": lambda base, a=None: pc.log10(base) if a is None else pc.logb(a, base),
+    "log2": lambda a: pc.log2(a),
+    "sin": lambda a: pc.sin(a),
+    "cos": lambda a: pc.cos(a),
+    "tan": lambda a: pc.tan(a),
+    "asin": lambda a: pc.asin(a),
+    "acos": lambda a: pc.acos(a),
+    "atan": lambda a: pc.atan(a),
+    "atan2": lambda a, b: pc.atan2(a, b),
+    # temporal
+    "date_trunc": lambda part, a: pc.floor_temporal(a, unit=_scalar(part).lower()),
 }
 
 
@@ -94,10 +132,57 @@ def _scalar(v):
     return v
 
 
+def _substr(a, start, ln=None):
+    """SQL substr: 1-based start, optional length (codeunit slicing)."""
+    s = int(_scalar(start)) - 1
+    if s < 0:
+        s = 0
+    stop = None if ln is None else s + max(int(_scalar(ln)), 0)
+    return pc.utf8_slice_codeunits(a, s, stop)
+
+
+def _right(a, n):
+    k = int(_scalar(n))
+    if k <= 0:
+        return pc.utf8_slice_codeunits(a, 0, 0)
+    return pc.utf8_reverse(pc.utf8_slice_codeunits(pc.utf8_reverse(a), 0, k))
+
+
+def _split_part(a, sep, n):
+    """split_part(s, sep, n): 1-based nth field, '' past the end."""
+    k = int(_scalar(n))
+    if k <= 0:
+        raise InvalidInputError("split_part() field index must be positive")
+    splits = pc.split_pattern(a, pattern=_scalar(sep))
+    lens = pc.list_value_length(splits)
+    valid = pc.and_(pc.is_valid(lens), pc.greater_equal(lens, k))
+    picked = pc.if_else(
+        valid, pc.list_element(_pad_lists(splits, k), k - 1), pa.scalar("", pa.string())
+    )
+    return pc.if_else(pc.is_valid(a), picked, pa.scalar(None, pa.string()))
+
+
+def _pad_lists(splits, k):
+    """Pad each list to length >= k so list_element(k-1) never throws."""
+    lens = pc.list_value_length(splits)
+    if pc.min(pc.fill_null(lens, k)).as_py() >= k:
+        return splits
+    py = splits.to_pylist()
+    return pa.array([(v or []) + [""] * (k - len(v or [])) for v in py])
+
+
 def _array_has(arr, val):
-    # list-column membership: does list contain val?
+    """list-column membership: does the list contain val? (NULL list → NULL)"""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = _scalar(val)
     flat = pc.list_flatten(arr)
-    raise SqlParseError("array_has is not supported yet")
+    parent = pc.list_parent_indices(arr)
+    hit = np.asarray(pc.fill_null(pc.equal(flat, pa.scalar(v)), False))
+    out = np.zeros(len(arr), dtype=bool)
+    out[parent.to_numpy(zero_copy_only=False)[hit]] = True
+    isnull = np.asarray(pc.is_null(arr))
+    return pa.array(out, mask=isnull)
 
 
 def _date_part(part: str, a):

@@ -114,3 +114,50 @@ def test_sql_roundtrip():
     ]
     for e in exprs:
         assert parse_sql_expr(e).sql() == parse_sql_expr(parse_sql_expr(e).sql()).sql()
+
+
+def test_string_functions_extended(data):
+    def ev(e):
+        return evaluate_expression(data, e).to_pylist()
+
+    assert ev("substr(s, 1, 3)") == ["app", "ban", "Che", None, "app"]
+    assert ev("substring(s, 7)") == ["", "", "", None, "pie"]
+    assert ev("replace(s, 'a', '@')") == ["@pple", "b@n@n@", "Cherry", None, "@pple pie"]
+    assert ev("strpos(s, 'an')") == [0, 2, 0, None, 0]
+    assert ev("left(s, 2)") == ["ap", "ba", "Ch", None, "ap"]
+    assert ev("right(s, 3)") == ["ple", "ana", "rry", None, "pie"]
+    assert ev("reverse(left(s, 3))") == ["ppa", "nab", "ehC", None, "ppa"]
+    assert ev("initcap(s)") == ["Apple", "Banana", "Cherry", None, "Apple Pie"]
+    assert ev("split_part(s, ' ', 2)") == ["", "", "", None, "pie"]
+    assert ev("lpad('7', 3, '0')")[0] == "007"
+
+
+def test_numeric_conditional_functions(data):
+    def ev(e):
+        return evaluate_expression(data, e).to_pylist()
+
+    assert ev("nullif(i, 2)") == [0, 1, None, 3, 4]
+    assert ev("ifnull(f, 0.0)") == [0.5, 1.5, 2.5, 0.0, 4.5]
+    assert ev("nvl(f, -1.0)")[3] == -1.0
+    assert ev("sign(f - 1.0)") == [-1.0, 1.0, 1.0, None, 1.0]
+    assert ev("trunc(f)") == [0.0, 1.0, 2.0, None, 4.0]
+    import math
+
+    got = ev("atan2(1.0, 1.0)")[0]
+    assert abs(got - math.pi / 4) < 1e-12
+    assert abs(ev("log(2.0, 8.0)")[0] - 3.0) < 1e-12
+    assert ev("log(100.0)")[0] == 2.0
+
+
+def test_array_has_and_date_trunc():
+    data = pa.table({
+        "tags": pa.array([["red", "blue"], ["green"], None, []]),
+        "ts": pa.array([1755400000000000] * 4, type=pa.timestamp("us")),
+    })
+
+    def ev(e):
+        return evaluate_expression(data, e).to_pylist()
+
+    assert ev("array_has(tags, 'red')") == [True, False, None, False]
+    d = ev("date_trunc('day', ts)")[0]
+    assert (d.hour, d.minute, d.second) == (0, 0, 0)
