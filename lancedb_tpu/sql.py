@@ -48,7 +48,11 @@ from .filters.sql import (
     _Parser,
 )
 
-AGG_NAMES = {"count", "sum", "avg", "min", "max"}
+AGG_NAMES = {
+    "count", "sum", "avg", "min", "max",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    "median", "array_agg", "bool_and", "bool_or",
+}
 # clause-boundary words (not reserved in the expression grammar, so the
 # statement parser stops expression parsing when it sees one)
 _CLAUSE_WORDS = {
@@ -1378,14 +1382,36 @@ def _per_partition_accumulate(vals, ps, acc):
 
 # --------------------------------------------------------------- execution
 
+class _VarOpts(pc.VarianceOptions):
+    """VarianceOptions that remembers its ddof (the C options object is
+    write-only) for the streaming/ungrouped fallback paths."""
+
+    def __init__(self, ddof: int):
+        super().__init__(ddof=ddof)
+        self.ddof = ddof
+
+
+# func -> (pyarrow hash-aggregate name, FunctionOptions | None).
+# stddev/variance default to SAMPLE (ddof=1) like DataFusion/Postgres;
+# median is pyarrow's t-digest approximate_median (exact on small groups).
 _PA_AGG = {
-    "count": "count",
-    "count_distinct": "count_distinct",
-    "count_all": "count_all",
-    "sum": "sum",
-    "avg": "mean",
-    "min": "min",
-    "max": "max",
+    "count": ("count", None),
+    "count_distinct": ("count_distinct", None),
+    "count_all": ("count_all", None),
+    "sum": ("sum", None),
+    "avg": ("mean", None),
+    "min": ("min", None),
+    "max": ("max", None),
+    "stddev": ("stddev", _VarOpts(1)),
+    "stddev_samp": ("stddev", _VarOpts(1)),
+    "stddev_pop": ("stddev", _VarOpts(0)),
+    "variance": ("variance", _VarOpts(1)),
+    "var_samp": ("variance", _VarOpts(1)),
+    "var_pop": ("variance", _VarOpts(0)),
+    "median": ("approximate_median", None),
+    "array_agg": ("list", None),
+    "bool_and": ("all", None),
+    "bool_or": ("any", None),
 }
 
 
@@ -2509,7 +2535,7 @@ def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
     agg_specs: list[tuple] = []
     n_count_all = 0
     for j, ag in enumerate(aggs):
-        pa_fn = _PA_AGG[ag.func]
+        pa_fn, pa_opts = _PA_AGG[ag.func]
         if ag.func == "count_all":
             if n_count_all == 0:
                 agg_specs.append(([], "count_all"))
@@ -2518,7 +2544,9 @@ def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
         else:
             name = f"__ain{j}"
             agg_inputs.append((name, ag.arg))
-            agg_specs.append((name, pa_fn))
+            agg_specs.append(
+                (name, pa_fn) if pa_opts is None else (name, pa_fn, pa_opts)
+            )
             binding[ag.sql()] = Column(f"{name}_{pa_fn}")
     return key_exprs, agg_inputs, agg_specs, binding, key_names
 
@@ -2540,7 +2568,8 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
         # single implicit group
         env_cols: dict[str, pa.Array] = {}
         for spec in agg_specs:
-            col, fn = spec
+            col, fn = spec[0], spec[1]
+            opts = spec[2] if len(spec) > 2 else None
             if fn == "count_all":
                 env_cols["count_all"] = pa.array([data.num_rows], type=pa.int64())
                 continue
@@ -2551,6 +2580,11 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
                 val = pc.count_distinct(arr).as_py()
             elif fn == "mean":
                 val = pc.mean(arr).as_py()
+            elif fn in ("stddev", "variance"):
+                val = getattr(pc, fn)(arr, ddof=opts.ddof if opts else 0).as_py()
+            elif fn == "list":
+                env_cols[f"{col}_{fn}"] = pa.array([arr.drop_null().to_pylist()])
+                continue
             else:
                 val = getattr(pc, fn)(arr).as_py()
             env_cols[f"{col}_{fn}"] = pa.array([val])
@@ -2593,12 +2627,21 @@ def _execute_grouped_streaming(
         env = spilled_group_by(pre_batches(), key_names, agg_specs, budget, stats=stats)
         return _grouped_finish(stmt, env, binding)
 
-    # keyless: one global group, O(1) state per aggregate
+    # keyless: one global group, O(1) state per aggregate (sum/sum² for
+    # stddev/variance; bool_and/bool_or fold; median/array_agg
+    # accumulate their column — bounded by that column's size, which the
+    # result must hold anyway for array_agg)
     n_rows = 0
     state: dict[str, dict] = {
-        name: {"sum": 0, "cnt": 0, "min": None, "max": None, "distinct": set(), "saw": False}
+        name: {"sum": 0, "sum2": 0.0, "cnt": 0, "min": None, "max": None,
+               "distinct": set(), "saw": False, "all": True, "any": False,
+               "vals": []}
         for name, _ in agg_inputs
     }
+    spec_fns = {}
+    for spec in agg_specs:
+        if spec[1] != "count_all":
+            spec_fns.setdefault(spec[0], set()).add(spec[1])
     for b in batches:
         tb = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
         n_rows += tb.num_rows
@@ -2611,9 +2654,13 @@ def _execute_grouped_streaming(
             if cnt:
                 st["cnt"] += cnt
                 st["saw"] = True
-                fns = {fn for nm, fn in agg_specs if nm == name}
-                if "sum" in fns or "mean" in fns:
+                fns = spec_fns.get(name, set())
+                if fns & {"sum", "mean", "stddev", "variance"}:
                     st["sum"] += pc.sum(arr).as_py()
+                if fns & {"stddev", "variance"}:
+                    st["sum2"] += pc.sum(
+                        pc.multiply(pc.cast(arr, pa.float64()), pc.cast(arr, pa.float64()))
+                    ).as_py()
                 if "min" in fns:
                     m = pc.min(arr).as_py()
                     st["min"] = m if st["min"] is None else min(st["min"], m)
@@ -2622,9 +2669,16 @@ def _execute_grouped_streaming(
                     st["max"] = m if st["max"] is None else max(st["max"], m)
                 if "count_distinct" in fns:
                     st["distinct"].update(v for v in arr.to_pylist() if v is not None)
+                if "all" in fns:
+                    st["all"] = st["all"] and bool(pc.all(arr).as_py())
+                if "any" in fns:
+                    st["any"] = st["any"] or bool(pc.any(arr).as_py())
+                if fns & {"approximate_median", "list"}:
+                    st["vals"].extend(v for v in arr.to_pylist() if v is not None)
     env_cols: dict[str, pa.Array] = {}
     for spec in agg_specs:
-        col, fn = spec
+        col, fn = spec[0], spec[1]
+        opts = spec[2] if len(spec) > 2 else None
         if fn == "count_all":
             env_cols["count_all"] = pa.array([n_rows], type=pa.int64())
             continue
@@ -2639,8 +2693,27 @@ def _execute_grouped_streaming(
             val = st["sum"] if st["saw"] else None
         elif fn == "min":
             val = st["min"]
-        else:
+        elif fn == "max":
             val = st["max"]
+        elif fn in ("stddev", "variance"):
+            ddof = opts.ddof if opts else 0
+            c = st["cnt"]
+            if c <= ddof:
+                val = None
+            else:
+                var = max(st["sum2"] - st["sum"] * st["sum"] / c, 0.0) / (c - ddof)
+                val = var if fn == "variance" else var ** 0.5
+        elif fn == "approximate_median":
+            val = pc.approximate_median(pa.array(st["vals"])).as_py() if st["vals"] else None
+        elif fn == "list":
+            env_cols[f"{col}_{fn}"] = pa.array([st["vals"]])
+            continue
+        elif fn == "all":
+            val = st["all"] if st["saw"] else None
+        elif fn == "any":
+            val = st["any"] if st["saw"] else None
+        else:
+            raise InvalidInputError(f"unsupported streaming aggregate {fn!r}")
         env_cols[f"{col}_{fn}"] = pa.array([val])
     env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
     return _grouped_finish(stmt, env, binding)

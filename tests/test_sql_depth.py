@@ -570,3 +570,63 @@ class TestTemporalRangeFrames:
         with pytest.raises(SqlParseError, match="interval"):
             parse_select("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN "
                          "INTERVAL '1 fortnight' PRECEDING AND CURRENT ROW) FROM ev")
+
+
+class TestExtendedAggregates:
+    """stddev/variance (sample + population), median, array_agg,
+    bool_and/bool_or — grouped, keyless, and streaming paths."""
+
+    @pytest.fixture
+    def adb(self):
+        import uuid
+
+        db = lancedb_tpu.connect(f"memory://aggs-{uuid.uuid4().hex}")
+        db.create_table("t", {
+            "g": ["a", "a", "a", "b", "b"],
+            "x": [1.0, 2.0, 3.0, 10.0, 30.0],
+            "ok": [True, True, False, True, True],
+        })
+        return db
+
+    def test_grouped(self, adb):
+        out = run(adb, "SELECT g, stddev(x) s, var_pop(x) v, median(x) m, "
+                       "array_agg(x) a, bool_and(ok) ba, bool_or(ok) bo "
+                       "FROM t GROUP BY g ORDER BY g")
+        assert out["s"][0] == pytest.approx(1.0)
+        assert out["v"] == [pytest.approx(2.0 / 3), pytest.approx(100.0)]
+        assert out["m"] == [2.0, 10.0]
+        assert out["a"] == [[1.0, 2.0, 3.0], [10.0, 30.0]]
+        assert out["ba"] == [False, True]
+        assert out["bo"] == [True, True]
+
+    def test_keyless(self, adb):
+        out = run(adb, "SELECT stddev(x) s, stddev_pop(x) sp, variance(x) v, "
+                       "median(x) m, bool_and(ok) b FROM t")
+        assert out["s"][0] == pytest.approx(12.1531888819)
+        assert out["sp"][0] == pytest.approx(10.8701425934)
+        assert out["v"][0] == pytest.approx(147.7)
+        assert out["m"] == [3.0]
+        assert out["b"] == [False]
+
+    def test_streaming_keyless_matches(self, adb):
+        """Batch-streamed accumulators agree with the one-shot path."""
+        import pyarrow as pa
+
+        from lancedb_tpu.sql import _execute_grouped_streaming, _find_aggs, parse_select
+
+        stmt = parse_select(
+            "SELECT stddev(x) s, var_pop(x) vp, median(x) m, count(*) c FROM t"
+        )
+        aggs = _find_aggs([it.expr for it in stmt.items])
+        tbl = pa.table({"x": [1.0, 2.0, 3.0, 10.0, 30.0]})
+        out = _execute_grouped_streaming(
+            stmt, iter(tbl.to_batches(max_chunksize=2)), aggs, 1 << 20
+        ).to_pydict()
+        assert out["s"][0] == pytest.approx(12.1531888819)
+        assert out["vp"][0] == pytest.approx(118.16)
+        assert out["m"] == [3.0]
+        assert out["c"] == [5]
+
+    def test_having_on_stddev(self, adb):
+        out = run(adb, "SELECT g FROM t GROUP BY g HAVING stddev(x) > 5")
+        assert out["g"] == ["b"]
