@@ -51,7 +51,7 @@ from .filters.sql import (
 AGG_NAMES = {
     "count", "sum", "avg", "min", "max",
     "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
-    "median", "array_agg", "bool_and", "bool_or",
+    "median", "array_agg", "bool_and", "bool_or", "string_agg",
 }
 # clause-boundary words (not reserved in the expression grammar, so the
 # statement parser stops expression parsing when it sees one)
@@ -70,14 +70,17 @@ class Star(Expr):
 
 @dataclass(frozen=True)
 class Aggregate(Expr):
-    func: str          # count | count_distinct | count_all | sum | avg | min | max
+    func: str          # count | count_distinct | count_all | sum | ... (AGG_NAMES)
     arg: Expr | None   # None for count(*)
+    arg2: Expr | None = None  # second argument (string_agg separator)
 
     def sql(self) -> str:
         if self.func == "count_all":
             return "COUNT(*)"
         if self.func == "count_distinct":
             return f"COUNT(DISTINCT {self.arg.sql()})"
+        if self.arg2 is not None:
+            return f"{self.func.upper()}({self.arg.sql()}, {self.arg2.sql()})"
         return f"{self.func.upper()}({self.arg.sql()})"
 
 
@@ -324,8 +327,16 @@ class _SelectParser(_Parser):
                     self.next()
                     distinct = True
                 arg = self.parse_or()
+                arg2 = None
+                if self.peek().kind == "comma":
+                    if fname != "string_agg":
+                        raise SqlParseError(f"{fname}() takes one argument")
+                    self.next()
+                    arg2 = self.parse_or()
+                elif fname == "string_agg":
+                    raise SqlParseError("string_agg() requires a separator argument")
                 self.expect("rparen")
-                return Aggregate("count_distinct" if distinct else fname, arg)
+                return Aggregate("count_distinct" if distinct else fname, arg, arg2)
         return super().parse_primary()
 
     def _parse_over(self, operand: Expr) -> WindowFunc:
@@ -750,7 +761,7 @@ def _replace(e: Expr, table: dict[str, Expr], into_subqueries: bool = False) -> 
             r(e.else_) if e.else_ is not None else None,
         )
     if isinstance(e, Aggregate) and e.arg is not None:
-        return Aggregate(e.func, r(e.arg))
+        return Aggregate(e.func, r(e.arg), e.arg2)
     if isinstance(e, (Subquery, Exists)) and into_subqueries:
         return type(e)(_substitute_stmt(e.stmt, table))
     if isinstance(e, WindowFunc):
@@ -951,7 +962,7 @@ def _strip_qualifier(e: Expr | None, quals: set[str]) -> Expr | None:
             s(e.else_) if e.else_ is not None else None,
         )
     if isinstance(e, Aggregate):
-        return Aggregate(e.func, s(e.arg) if e.arg is not None else None)
+        return Aggregate(e.func, s(e.arg) if e.arg is not None else None, e.arg2)
     if isinstance(e, WindowFunc):
         return WindowFunc(
             e.func, tuple(s(a) for a in e.args),
@@ -1410,6 +1421,7 @@ _PA_AGG = {
     "var_pop": ("variance", _VarOpts(0)),
     "median": ("approximate_median", None),
     "array_agg": ("list", None),
+    "string_agg": ("list", None),  # joined post-aggregation (_apply_agg_transforms)
     "bool_and": ("all", None),
     "bool_or": ("any", None),
 }
@@ -1896,7 +1908,7 @@ def _bind_correlated_expr(
                 rw(node.else_) if node.else_ is not None else None,
             )
         if isinstance(node, Aggregate) and node.arg is not None:
-            return Aggregate(node.func, rw(node.arg))
+            return Aggregate(node.func, rw(node.arg), node.arg2)
         if isinstance(node, WindowFunc):
             return WindowFunc(
                 node.func, tuple(rw(a) for a in node.args),
@@ -2533,6 +2545,7 @@ def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
         key_names.append(name)
     agg_inputs: list[tuple[str, Expr]] = []
     agg_specs: list[tuple] = []
+    transforms: list[tuple[str, str, object]] = []
     n_count_all = 0
     for j, ag in enumerate(aggs):
         pa_fn, pa_opts = _PA_AGG[ag.func]
@@ -2548,7 +2561,13 @@ def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
                 (name, pa_fn) if pa_opts is None else (name, pa_fn, pa_opts)
             )
             binding[ag.sql()] = Column(f"{name}_{pa_fn}")
-    return key_exprs, agg_inputs, agg_specs, binding, key_names
+            if ag.func == "string_agg":
+                if not isinstance(ag.arg2, Literal) or not isinstance(ag.arg2.value, str):
+                    raise InvalidInputError(
+                        "string_agg() separator must be a string literal"
+                    )
+                transforms.append((f"{name}_{pa_fn}", "join", ag.arg2.value))
+    return key_exprs, agg_inputs, agg_specs, binding, key_names, transforms
 
 
 def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate]) -> pa.Table:
@@ -2556,7 +2575,7 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
         if isinstance(it.expr, Star):
             raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
 
-    key_exprs, agg_inputs, agg_specs, binding, key_names = _grouped_prelude(stmt, aggs)
+    key_exprs, agg_inputs, agg_specs, binding, key_names, transforms = _grouped_prelude(stmt, aggs)
     pre: dict[str, pa.Array] = {}
     for name, e in key_exprs + agg_inputs:
         pre[name] = _as_array(evaluate_expression(data, e), data.num_rows)
@@ -2590,6 +2609,7 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
             env_cols[f"{col}_{fn}"] = pa.array([val])
         env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
 
+    env = _apply_agg_transforms(env, transforms)
     return _grouped_finish(stmt, env, binding)
 
 
@@ -2609,7 +2629,7 @@ def _execute_grouped_streaming(
     for it in stmt.items:
         if isinstance(it.expr, Star):
             raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
-    key_exprs, agg_inputs, agg_specs, binding, key_names = _grouped_prelude(stmt, aggs)
+    key_exprs, agg_inputs, agg_specs, binding, key_names, transforms = _grouped_prelude(stmt, aggs)
     arg_of = dict(agg_inputs)
 
     if key_names:
@@ -2625,6 +2645,7 @@ def _execute_grouped_streaming(
                 yield pa.table(cols)
 
         env = spilled_group_by(pre_batches(), key_names, agg_specs, budget, stats=stats)
+        env = _apply_agg_transforms(env, transforms)
         return _grouped_finish(stmt, env, binding)
 
     # keyless: one global group, O(1) state per aggregate (sum/sum² for
@@ -2716,7 +2737,28 @@ def _execute_grouped_streaming(
             raise InvalidInputError(f"unsupported streaming aggregate {fn!r}")
         env_cols[f"{col}_{fn}"] = pa.array([val])
     env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
+    env = _apply_agg_transforms(env, transforms)
     return _grouped_finish(stmt, env, binding)
+
+
+def _apply_agg_transforms(env: pa.Table, transforms: list[tuple[str, str, object]]) -> pa.Table:
+    """Post-aggregation column rewrites: string_agg joins its collected
+    list with the separator (NULL elements skipped, Postgres-style;
+    NULL group stays NULL)."""
+    for col, kind, param in transforms:
+        if kind != "join":
+            continue
+        arr = env.column(col)
+        joined = pa.array(
+            [
+                None if v is None
+                else str(param).join(str(x) for x in v if x is not None)
+                for v in arr.to_pylist()
+            ],
+            type=pa.string(),
+        )
+        env = env.set_column(env.schema.get_field_index(col), col, joined)
+    return env
 
 
 def _grouped_finish(stmt: SelectStatement, env: pa.Table, binding: dict[str, Expr]) -> pa.Table:

@@ -630,3 +630,13 @@ class TestExtendedAggregates:
     def test_having_on_stddev(self, adb):
         out = run(adb, "SELECT g FROM t GROUP BY g HAVING stddev(x) > 5")
         assert out["g"] == ["b"]
+
+    def test_string_agg(self, adb):
+        out = run(adb, "SELECT g, string_agg(g, '/') j, count(*) c FROM t GROUP BY g ORDER BY g")
+        assert out["j"] == ["a/a/a", "b/b"]
+        out = run(adb, "SELECT string_agg(g, '-') j FROM t")
+        assert out["j"] == ["a-a-a-b-b"]
+        with pytest.raises(SqlParseError, match="separator"):
+            run(adb, "SELECT string_agg(g) FROM t")
+        with pytest.raises(SqlParseError, match="one argument"):
+            run(adb, "SELECT sum(x, 2) FROM t")
