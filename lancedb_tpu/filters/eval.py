@@ -81,7 +81,7 @@ _FUNCTIONS = {
     ),
     "strpos": lambda a, sub: pc.add(pc.find_substring(a, pattern=_scalar(sub)), 1),
     "position": lambda a, sub: pc.add(pc.find_substring(a, pattern=_scalar(sub)), 1),
-    "left": lambda a, n: pc.utf8_slice_codeunits(a, 0, max(int(_scalar(n)), 0)),
+    "left": lambda a, n: _left(a, n),
     "right": lambda a, n: _right(a, n),
     "lpad": lambda a, n, fill=" ": pc.utf8_lpad(
         a, width=int(_scalar(n)), padding=_scalar(fill)
@@ -133,18 +133,31 @@ def _scalar(v):
 
 
 def _substr(a, start, ln=None):
-    """SQL substr: 1-based start, optional length (codeunit slicing)."""
-    s = int(_scalar(start)) - 1
-    if s < 0:
-        s = 0
-    stop = None if ln is None else s + max(int(_scalar(ln)), 0)
-    return pc.utf8_slice_codeunits(a, s, stop)
+    """SQL substr: 1-based start; non-positive starts count from the
+    virtual position (Postgres: substr('apple', 0, 3) = 'ap')."""
+    s = int(_scalar(start)) - 1  # 0-based, may be negative
+    if ln is None:
+        return pc.utf8_slice_codeunits(a, max(s, 0), None)
+    stop = s + max(int(_scalar(ln)), 0)  # exclusive end in virtual coords
+    s = max(s, 0)
+    return pc.utf8_slice_codeunits(a, s, max(stop, s))
+
+
+def _left(a, n):
+    k = int(_scalar(n))
+    if k >= 0:
+        return pc.utf8_slice_codeunits(a, 0, k)
+    # negative n: everything except the last |n| chars (Postgres)
+    return pc.utf8_reverse(pc.utf8_slice_codeunits(pc.utf8_reverse(a), -k, None))
 
 
 def _right(a, n):
     k = int(_scalar(n))
-    if k <= 0:
+    if k == 0:
         return pc.utf8_slice_codeunits(a, 0, 0)
+    if k < 0:
+        # negative n: everything except the first |n| chars (Postgres)
+        return pc.utf8_slice_codeunits(a, -k, None)
     return pc.utf8_reverse(pc.utf8_slice_codeunits(pc.utf8_reverse(a), 0, k))
 
 
@@ -165,10 +178,13 @@ def _split_part(a, sep, n):
 def _pad_lists(splits, k):
     """Pad each list to length >= k so list_element(k-1) never throws."""
     lens = pc.list_value_length(splits)
-    if pc.min(pc.fill_null(lens, k)).as_py() >= k:
+    shortest = pc.min(pc.fill_null(lens, k)).as_py()  # None on empty input
+    if shortest is not None and shortest >= k:
         return splits
     py = splits.to_pylist()
-    return pa.array([(v or []) + [""] * (k - len(v or [])) for v in py])
+    return pa.array(
+        [(v or []) + [""] * (k - len(v or [])) for v in py], type=pa.list_(pa.string())
+    )
 
 
 def _array_has(arr, val):

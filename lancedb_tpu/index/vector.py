@@ -1102,6 +1102,21 @@ class VectorSearcher:
         and the host refine pass must be skipped."""
         return "refine_vecs" in self._device
 
+    def will_fuse_refine(self, params: SearchParams) -> bool:
+        """Whether search(params) will return already-refined results.
+        The query layer consults this to decide if the host refine pass
+        is needed — a precision='float32' request only fuses against an
+        f32 resident table (never silently against bf16)."""
+        return (
+            params.refine_factor is not None
+            and self.device_refine_active
+            and self.index_type in ("IVF_PQ", "IVF_SQ", "IVF_RQ")
+            and (
+                params.precision != "float32"
+                or self._device["refine_vecs"].dtype == jnp.float32
+            )
+        )
+
     def prepare_device_refine(
         self, dataset, column: str, precision: str | None = None
     ) -> bool:
@@ -1118,20 +1133,25 @@ class VectorSearcher:
         harmless, their slots are +inf-penalized before refine."""
         if self.device_refine_active:
             return True
+        if getattr(self, "_refine_unavailable", False):
+            return False  # memoized: don't re-scan the column per query
         if os.environ.get("LANCEDB_TPU_DEVICE_REFINE", "1") == "0":
             return False
         if self.index_type not in ("IVF_PQ", "IVF_SQ", "IVF_RQ"):
+            self._refine_unavailable = True
             return False
         dtype = jnp.float32 if precision == "float32" else matmul_dtype()
         bytes_per = np.dtype("float32").itemsize if dtype == jnp.float32 else 2
         n_live = dataset.count_rows() if hasattr(dataset, "count_rows") else None
         budget = float(os.environ.get("LANCEDB_TPU_DEVICE_REFINE_BUDGET", 6e9))
         if n_live is not None and n_live * self.dim * bytes_per > budget:
+            self._refine_unavailable = True
             return False
         tbl = dataset.to_table(columns=[column], with_row_id=True)
         rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
         mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
         if mat.shape[0] * mat.shape[1] * bytes_per > budget:
+            self._refine_unavailable = True
             return False
         order = np.argsort(rid)
         rid, mat = rid[order], mat[order]
@@ -1274,11 +1294,7 @@ class VectorSearcher:
                     rotation=self._device.get("rotation"),
                 )
         fused_refined = False
-        if (
-            params.refine_factor is not None
-            and self.device_refine_active
-            and self.index_type in ("IVF_PQ", "IVF_SQ", "IVF_RQ")
-        ):
+        if self.will_fuse_refine(params):
             # fused on-device refine: a second async jit chained on the
             # scan's outputs — the host never sees the k·refine
             # candidates, and the single device_get below still pays

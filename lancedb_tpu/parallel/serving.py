@@ -49,11 +49,7 @@ class ShardedServingSearcher:
         # refine reranks k_eff candidates, mirroring the single-device
         # searcher (index/vector.py k_eff expansion)
         k_eff = params.k if params.refine_factor is None else params.k * params.refine_factor
-        refine_k = (
-            params.k
-            if params.refine_factor is not None and self.device_refine_active
-            else None
-        )
+        refine_k = params.k if self.will_fuse_refine(params) else None
         return self._sharded.search(
             np.asarray(queries, np.float32), k=k_eff, nprobes=params.nprobes,
             slot_penalty=slot_penalty, refine_k=refine_k,
@@ -63,6 +59,18 @@ class ShardedServingSearcher:
     @property
     def device_refine_active(self) -> bool:
         return self._sharded.refine_attached
+
+    def will_fuse_refine(self, params) -> bool:
+        """Mirror of VectorSearcher.will_fuse_refine: precision='float32'
+        requests never silently rerank against a lower-precision table."""
+        if params.refine_factor is None or not self.device_refine_active:
+            return False
+        import jax.numpy as jnp
+
+        return (
+            getattr(params, "precision", "default") != "float32"
+            or self._sharded._refine_vecs.dtype == jnp.float32
+        )
 
     def prepare_device_refine(
         self, dataset, column: str, precision: str | None = None
@@ -76,6 +84,8 @@ class ShardedServingSearcher:
 
         if self.device_refine_active:
             return True
+        if getattr(self, "_refine_unavailable", False):
+            return False  # memoized: no per-query column rescan
         if os.environ.get("LANCEDB_TPU_DEVICE_REFINE", "1") == "0":
             return False
         sh = self._sharded
@@ -86,11 +96,16 @@ class ShardedServingSearcher:
         bytes_per = 2 if matmul_dtype() != np.float32 else 4
         shard_n = sh.mesh.shape[SHARD_AXIS]
         budget = float(os.environ.get("LANCEDB_TPU_DEVICE_REFINE_BUDGET", 6e9))
+        # precheck on index geometry BEFORE materializing the column
+        dim = int(sh._centroids.shape[1])
+        if sh.num_slots * dim * bytes_per > budget * max(1, shard_n):
+            self._refine_unavailable = True
+            return False
         tbl = dataset.to_table(columns=[column], with_row_id=True)
         rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
         mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
-        dim = mat.shape[1]
-        if sh.num_slots * dim * bytes_per > budget * max(1, shard_n):
+        if len(rid) == 0:
+            self._refine_unavailable = True
             return False
         order = np.argsort(rid)
         rid, mat = rid[order], mat[order]

@@ -128,8 +128,12 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
         if req.refine_factor is not None and hasattr(searcher, "prepare_device_refine"):
             # fused on-device refine when a resident copy of the column
             # fits HBM — search() then returns already-refined results
-            # in one dispatch chain instead of a host gather per batch
-            searcher.prepare_device_refine(ds, column)
+            # in one dispatch chain instead of a host gather per batch.
+            # float32-precision requests upload an exact f32 table.
+            searcher.prepare_device_refine(
+                ds, column,
+                precision="float32" if req.precision == "float32" else None,
+            )
 
         def run(nprobes: int):
             params = SearchParams(
@@ -139,10 +143,11 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
                 ef=req.ef,
                 precision=req.precision,
             )
+            fused = hasattr(searcher, "will_fuse_refine") and searcher.will_fuse_refine(
+                params
+            )
             d, r = searcher.search(queries, params, slot_penalty=pen)
-            if req.refine_factor is not None and not getattr(
-                searcher, "device_refine_active", False
-            ):
+            if req.refine_factor is not None and not fused:
                 d, r = searcher.refine(ds, column, queries, d, r, k_search)
             return d, r
 

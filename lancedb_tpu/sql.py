@@ -101,11 +101,17 @@ _INTERVAL_SCALE = {
 def _interval_seconds(text: str, unit: str | None) -> float:
     """Parse an SQL interval body to seconds: INTERVAL '1 day',
     INTERVAL '2 hours 30 minutes', or INTERVAL '2' HOUR."""
+    def num(v: str) -> float:
+        try:
+            return float(v)
+        except ValueError:
+            raise SqlParseError(f"malformed interval value {v!r} in {text!r}")
+
     parts = text.strip().lower().split()
     if unit is not None:
         if len(parts) != 1:
             raise SqlParseError(f"malformed interval {text!r} with unit {unit}")
-        return float(parts[0]) * _INTERVAL_SCALE[unit]
+        return num(parts[0]) * _INTERVAL_SCALE[unit]
     if len(parts) % 2 or not parts:
         raise SqlParseError(f"malformed interval literal {text!r}")
     total = 0.0
@@ -113,7 +119,7 @@ def _interval_seconds(text: str, unit: str | None) -> float:
         u = u.rstrip("s")
         if u not in _INTERVAL_SCALE:
             raise SqlParseError(f"unsupported interval unit {u!r} in {text!r}")
-        total += float(val) * _INTERVAL_SCALE[u]
+        total += num(val) * _INTERVAL_SCALE[u]
     return total
 
 
@@ -409,7 +415,16 @@ class _SelectParser(_Parser):
                     # RANGE offsets are values in ORDER-BY-key units and
                     # may be fractional; ROWS/GROUPS offsets count
                     # rows/groups
-                    n = float(txt) if frame_mode == "RANGE" and "." in txt else int(txt)
+                    try:
+                        n = (
+                            float(txt)
+                            if frame_mode == "RANGE" and "." in txt
+                            else int(txt)
+                        )
+                    except ValueError:
+                        raise SqlParseError(
+                            f"{frame_mode} frame offsets must be integers (got {txt!r})"
+                        )
                 if self._eat_word("PRECEDING"):
                     return -n
                 if self._eat_word("FOLLOWING"):
@@ -1349,6 +1364,14 @@ def _frame_bounds(wf: WindowFunc, idx, ps, part_end, peer_first, peer_end,
                     peer_starts[np.clip(te + 1, 0, ng - 1)] - 1,
                 ),
             )
+        return fs, fe
+
+    # RANGE with only UNBOUNDED/CURRENT ROW bounds is the default-frame
+    # family: pure peer/partition arithmetic, valid over ANY ORDER BY
+    # (string keys, multiple keys) — don't touch the key values
+    if start in (None, 0) and end in (None, 0):
+        fs = ps if start is None else peer_first
+        fe = part_end if end is None else peer_end
         return fs, fe
 
     # RANGE with value offsets: per-partition binary search over the
@@ -2602,7 +2625,9 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
             elif fn in ("stddev", "variance"):
                 val = getattr(pc, fn)(arr, ddof=opts.ddof if opts else 0).as_py()
             elif fn == "list":
-                env_cols[f"{col}_{fn}"] = pa.array([arr.drop_null().to_pylist()])
+                # keep NULL elements (pyarrow hash 'list' and Postgres
+                # array_agg do); string_agg's join transform skips them
+                env_cols[f"{col}_{fn}"] = pa.array([arr.to_pylist()])
                 continue
             else:
                 val = getattr(pc, fn)(arr).as_py()
@@ -2671,6 +2696,10 @@ def _execute_grouped_streaming(
         for name, e in agg_inputs:
             arr = _as_array(evaluate_expression(tb, e), tb.num_rows)
             st = state[name]
+            fns0 = spec_fns.get(name, set())
+            if "list" in fns0 and len(arr):
+                # all-NULL batches still contribute NULL elements
+                st["vals"].extend(arr.to_pylist())
             cnt = pc.count(arr).as_py()
             if cnt:
                 st["cnt"] += cnt
@@ -2694,7 +2723,7 @@ def _execute_grouped_streaming(
                     st["all"] = st["all"] and bool(pc.all(arr).as_py())
                 if "any" in fns:
                     st["any"] = st["any"] or bool(pc.any(arr).as_py())
-                if fns & {"approximate_median", "list"}:
+                if "approximate_median" in fns and "list" not in fns:
                     st["vals"].extend(v for v in arr.to_pylist() if v is not None)
     env_cols: dict[str, pa.Array] = {}
     for spec in agg_specs:

@@ -640,3 +640,93 @@ class TestExtendedAggregates:
             run(adb, "SELECT string_agg(g) FROM t")
         with pytest.raises(SqlParseError, match="one argument"):
             run(adb, "SELECT sum(x, 2) FROM t")
+
+
+class TestReviewFixes:
+    """Regressions from the r3 code review of the window/aggregate work."""
+
+    def test_range_default_frame_over_string_key(self, db):
+        # no value offsets → pure peer arithmetic, any ORDER BY type
+        out = run(db, "SELECT dept, count(*) OVER (ORDER BY dept RANGE BETWEEN "
+                      "UNBOUNDED PRECEDING AND CURRENT ROW) c FROM emp ORDER BY id")
+        assert out["c"][:3] == [3, 3, 3]
+        out2 = run(db, "SELECT id, count(*) OVER (ORDER BY dept, salary RANGE BETWEEN "
+                       "UNBOUNDED PRECEDING AND CURRENT ROW) c FROM emp WHERE dept='a' "
+                       "ORDER BY id")
+        assert out2["c"] == [1, 3, 3]
+
+    def test_fractional_rows_offset_is_parse_error(self, db):
+        with pytest.raises(SqlParseError, match="must be integers"):
+            parse_select("SELECT sum(salary) OVER (ORDER BY id ROWS BETWEEN "
+                         "1.5 PRECEDING AND CURRENT ROW) FROM emp")
+
+    def test_array_agg_keeps_nulls_everywhere(self, db):
+        import pyarrow as pa
+
+        from lancedb_tpu.sql import _execute_grouped_streaming, _find_aggs, parse_select
+
+        grouped = run(db, "SELECT dept, array_agg(salary) a FROM emp "
+                          "WHERE dept = 'c' GROUP BY dept")
+        assert grouped["a"] == [[1, 2, 3, None]]
+        keyless = run(db, "SELECT array_agg(salary) a FROM emp WHERE dept = 'c'")
+        assert keyless["a"] == [[1, 2, 3, None]]
+        stmt = parse_select("SELECT array_agg(x) a FROM t")
+        aggs = _find_aggs([it.expr for it in stmt.items])
+        tbl = pa.table({"x": [1, 2, None, 3]})
+        out = _execute_grouped_streaming(
+            stmt, iter(tbl.to_batches(max_chunksize=2)), aggs, 1 << 20
+        ).to_pydict()
+        assert out["a"] == [[1, 2, None, 3]]
+
+
+def test_split_part_zero_rows():
+    import pyarrow as pa
+
+    from lancedb_tpu.filters import evaluate_expression
+
+    empty = pa.table({"s": pa.array([], type=pa.string())})
+    assert evaluate_expression(empty, "split_part(s, ' ', 2)").to_pylist() == []
+
+
+def test_substr_left_right_negative_semantics():
+    import pyarrow as pa
+
+    from lancedb_tpu.filters import evaluate_expression
+
+    data = pa.table({"s": ["apple"]})
+    ev = lambda e: evaluate_expression(data, e).to_pylist()[0]
+    assert ev("substr(s, 0, 3)") == "ap"      # Postgres virtual-position
+    assert ev("substr(s, -1, 3)") == "a"
+    assert ev("left(s, -2)") == "app"         # all but last 2
+    assert ev("right(s, -2)") == "ple"        # all but first 2
+
+
+def test_f32_precision_never_fuses_against_bf16():
+    import uuid
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import lancedb_tpu
+    from lancedb_tpu.index import IvfPq
+    from lancedb_tpu.index.vector import SearchParams, build_vector_index, load_searcher
+    from lancedb_tpu.io.object_store import MemoryStore
+    from lancedb_tpu.storage.dataset import Dataset
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    tbl = pa.table({
+        "id": pa.array(np.arange(500, dtype=np.int64)),
+        "vector": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), 16),
+    })
+    ds = Dataset.create(MemoryStore(), "t.lance", tbl.schema, tbl)
+    meta = build_vector_index(ds, "vector", IvfPq(num_partitions=4, num_sub_vectors=4, num_bits=4))
+    s = load_searcher(ds, meta)
+    assert s.prepare_device_refine(ds, "vector")
+    # simulate a TPU bf16 resident table
+    s._device["refine_vecs"] = s._device["refine_vecs"].astype(jnp.bfloat16)
+    p_default = SearchParams(k=5, nprobes=4, refine_factor=5)
+    p_f32 = SearchParams(k=5, nprobes=4, refine_factor=5, precision="float32")
+    assert s.will_fuse_refine(p_default)
+    assert not s.will_fuse_refine(p_f32)
