@@ -52,7 +52,11 @@ AGG_NAMES = {
     "count", "sum", "avg", "min", "max",
     "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
     "median", "array_agg", "bool_and", "bool_or", "string_agg",
+    "corr", "covar_samp", "covar_pop",
 }
+
+#: aggregates taking a second argument
+_TWO_ARG_AGGS = {"string_agg", "corr", "covar_samp", "covar_pop"}
 # clause-boundary words (not reserved in the expression grammar, so the
 # statement parser stops expression parsing when it sees one)
 _CLAUSE_WORDS = {
@@ -335,12 +339,12 @@ class _SelectParser(_Parser):
                 arg = self.parse_or()
                 arg2 = None
                 if self.peek().kind == "comma":
-                    if fname != "string_agg":
+                    if fname not in _TWO_ARG_AGGS:
                         raise SqlParseError(f"{fname}() takes one argument")
                     self.next()
                     arg2 = self.parse_or()
-                elif fname == "string_agg":
-                    raise SqlParseError("string_agg() requires a separator argument")
+                elif fname in _TWO_ARG_AGGS:
+                    raise SqlParseError(f"{fname}() requires two arguments")
                 self.expect("rparen")
                 return Aggregate("count_distinct" if distinct else fname, arg, arg2)
         return super().parse_primary()
@@ -712,8 +716,11 @@ def _walk(e: Expr):
             yield from _walk(v)
         if e.else_ is not None:
             yield from _walk(e.else_)
-    elif isinstance(e, Aggregate) and e.arg is not None:
-        yield from _walk(e.arg)
+    elif isinstance(e, Aggregate):
+        if e.arg is not None:
+            yield from _walk(e.arg)
+        if e.arg2 is not None:
+            yield from _walk(e.arg2)
     elif isinstance(e, WindowFunc):
         for a in e.args:
             yield from _walk(a)
@@ -776,7 +783,9 @@ def _replace(e: Expr, table: dict[str, Expr], into_subqueries: bool = False) -> 
             r(e.else_) if e.else_ is not None else None,
         )
     if isinstance(e, Aggregate) and e.arg is not None:
-        return Aggregate(e.func, r(e.arg), e.arg2)
+        return Aggregate(
+            e.func, r(e.arg), r(e.arg2) if e.arg2 is not None else None
+        )
     if isinstance(e, (Subquery, Exists)) and into_subqueries:
         return type(e)(_substitute_stmt(e.stmt, table))
     if isinstance(e, WindowFunc):
@@ -977,7 +986,11 @@ def _strip_qualifier(e: Expr | None, quals: set[str]) -> Expr | None:
             s(e.else_) if e.else_ is not None else None,
         )
     if isinstance(e, Aggregate):
-        return Aggregate(e.func, s(e.arg) if e.arg is not None else None, e.arg2)
+        return Aggregate(
+            e.func,
+            s(e.arg) if e.arg is not None else None,
+            s(e.arg2) if e.arg2 is not None else None,
+        )
     if isinstance(e, WindowFunc):
         return WindowFunc(
             e.func, tuple(s(a) for a in e.args),
@@ -1931,7 +1944,10 @@ def _bind_correlated_expr(
                 rw(node.else_) if node.else_ is not None else None,
             )
         if isinstance(node, Aggregate) and node.arg is not None:
-            return Aggregate(node.func, rw(node.arg), node.arg2)
+            return Aggregate(
+                node.func, rw(node.arg),
+                rw(node.arg2) if node.arg2 is not None else None,
+            )
         if isinstance(node, WindowFunc):
             return WindowFunc(
                 node.func, tuple(rw(a) for a in node.args),
@@ -2571,6 +2587,34 @@ def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
     transforms: list[tuple[str, str, object]] = []
     n_count_all = 0
     for j, ag in enumerate(aggs):
+        if ag.func in ("corr", "covar_samp", "covar_pop"):
+            # pairwise stats: NULL-pair-masked x/y/x·y (+ squares for
+            # corr) reduce to sums+count; a post-transform combines them
+            # (Postgres semantics: pairs with either side NULL excluded)
+            if ag.arg2 is None:
+                raise InvalidInputError(f"{ag.func}() requires two arguments")
+            either_null = BinaryOp(
+                "or", UnaryOp("is_null", ag.arg), UnaryOp("is_null", ag.arg2)
+            )
+            xm = Case(whens=((either_null, Literal(None)),), else_=ag.arg)
+            ym = Case(whens=((either_null, Literal(None)),), else_=ag.arg2)
+            base = f"__ain{j}"
+            parts = {"x": xm, "y": ym, "xy": BinaryOp("mul", xm, ym)}
+            if ag.func == "corr":
+                parts["xx"] = BinaryOp("mul", xm, xm)
+                parts["yy"] = BinaryOp("mul", ym, ym)
+            names = {}
+            for kx, ex in parts.items():
+                nm = f"{base}_{kx}"
+                agg_inputs.append((nm, ex))
+                agg_specs.append((nm, "sum"))
+                names[kx] = f"{nm}_sum"
+            agg_specs.append((f"{base}_xy", "count"))
+            names["n"] = f"{base}_xy_count"
+            out_col = f"{base}__{ag.func}"
+            binding[ag.sql()] = Column(out_col)
+            transforms.append((out_col, ag.func, names))
+            continue
         pa_fn, pa_opts = _PA_AGG[ag.func]
         if ag.func == "count_all":
             if n_count_all == 0:
@@ -2774,19 +2818,45 @@ def _apply_agg_transforms(env: pa.Table, transforms: list[tuple[str, str, object
     """Post-aggregation column rewrites: string_agg joins its collected
     list with the separator (NULL elements skipped, Postgres-style;
     NULL group stays NULL)."""
+    import numpy as np
+
     for col, kind, param in transforms:
-        if kind != "join":
+        if kind == "join":
+            arr = env.column(col)
+            joined = pa.array(
+                [
+                    None if v is None
+                    else str(param).join(str(x) for x in v if x is not None)
+                    for v in arr.to_pylist()
+                ],
+                type=pa.string(),
+            )
+            env = env.set_column(env.schema.get_field_index(col), col, joined)
             continue
-        arr = env.column(col)
-        joined = pa.array(
-            [
-                None if v is None
-                else str(param).join(str(x) for x in v if x is not None)
-                for v in arr.to_pylist()
-            ],
-            type=pa.string(),
+        # corr / covar_samp / covar_pop from sums + pair count
+        names = param
+
+        def fcol(nm):
+            return pc.cast(env.column(nm), pa.float64()).to_numpy(zero_copy_only=False)
+
+        n = fcol(names["n"])
+        sx, sy, sxy = fcol(names["x"]), fcol(names["y"]), fcol(names["xy"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if kind == "covar_pop":
+                val = (sxy - sx * sy / n) / n
+                bad = n < 1
+            elif kind == "covar_samp":
+                val = (sxy - sx * sy / n) / (n - 1)
+                bad = n < 2
+            else:  # corr
+                sxx, syy = fcol(names["xx"]), fcol(names["yy"])
+                den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                val = (n * sxy - sx * sy) / den
+                bad = n < 2
+        bad = bad | ~np.isfinite(val)
+        env = env.append_column(
+            col, pa.array(np.where(bad, 0.0, val), mask=bad)
         )
-        env = env.set_column(env.schema.get_field_index(col), col, joined)
     return env
 
 

@@ -636,7 +636,7 @@ class TestExtendedAggregates:
         assert out["j"] == ["a/a/a", "b/b"]
         out = run(adb, "SELECT string_agg(g, '-') j FROM t")
         assert out["j"] == ["a-a-a-b-b"]
-        with pytest.raises(SqlParseError, match="separator"):
+        with pytest.raises(SqlParseError, match="two arguments"):
             run(adb, "SELECT string_agg(g) FROM t")
         with pytest.raises(SqlParseError, match="one argument"):
             run(adb, "SELECT sum(x, 2) FROM t")
@@ -730,3 +730,18 @@ def test_f32_precision_never_fuses_against_bf16():
     p_f32 = SearchParams(k=5, nprobes=4, refine_factor=5, precision="float32")
     assert s.will_fuse_refine(p_default)
     assert not s.will_fuse_refine(p_f32)
+
+
+    def test_corr_and_covar(self, adb):
+        import numpy as np
+
+        out = run(adb, "SELECT corr(x, x) c1, covar_samp(x, x) cs, covar_pop(x, x) cp FROM t")
+        assert out["c1"][0] == pytest.approx(1.0)
+        xa = np.array([1.0, 2.0, 3.0, 10.0, 30.0])
+        assert out["cs"][0] == pytest.approx(float(np.cov(xa, xa, ddof=1)[0, 1]))
+        assert out["cp"][0] == pytest.approx(float(np.cov(xa, xa, ddof=0)[0, 1]))
+        # pairs with either side NULL are excluded; single-pair group -> NULL corr
+        out = run(adb, "SELECT g, corr(x, x) c FROM t GROUP BY g ORDER BY g")
+        assert out["c"][0] == pytest.approx(1.0)
+        with pytest.raises(SqlParseError, match="two arguments"):
+            run(adb, "SELECT corr(x) FROM t")
