@@ -207,6 +207,10 @@ class AsyncVectorQuery(AsyncQueryBase):
 class AsyncFTSQuery(AsyncQueryBase):
     """Reference python query.py AsyncFTSQuery."""
 
+    def get_query(self):
+        """The query text or FTS AST node (reference query.py:3458)."""
+        return self._b.get_query()
+
     def rerank(self, reranker) -> "AsyncFTSQuery":
         self._b.rerank(reranker)
         return self

@@ -91,10 +91,14 @@ class LanceDBConnection(DBConnection):
         storage_options: dict | None = None,
         store: ObjectStore | None = None,
         session=None,
+        storage_options_provider=None,
     ):
         self.uri = uri
         self.read_consistency_interval = read_consistency_interval
         self.storage_options = storage_options or {}
+        # optional zero-arg callable returning refreshed storage options
+        # (credential vending; reference table.py latest_storage_options)
+        self.storage_options_provider = storage_options_provider
         from .session import BackgroundRefresher, Session
 
         self.session = session or Session()
@@ -395,6 +399,15 @@ class AsyncConnection:
     def uri(self) -> str:
         return self._c.uri
 
+    @property
+    def session(self):
+        return getattr(self._c, "session", None)
+
+    async def get_read_consistency_interval(self) -> float | None:
+        """Read-consistency interval in seconds, or None for strong
+        consistency at open (reference db.py:1358)."""
+        return getattr(self._c, "read_consistency_interval", None)
+
     async def _run(self, fn, *args, **kw):
         from .aio import _run
 
@@ -455,6 +468,7 @@ def connect(
         read_consistency_interval=read_consistency_interval,
         storage_options=storage_options,
         session=session,
+        storage_options_provider=unused.pop("storage_options_provider", None),
     )
 
 

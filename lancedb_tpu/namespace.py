@@ -128,11 +128,15 @@ class LanceNamespaceConnection:
     def create_table(self, ident: list[str], data: Any = None, schema: pa.Schema | None = None, **kw):
         ident = _validate_id(ident)
         ns, name = ident[:-1], ident[-1]
-        return self._table_conn(ns).create_table(name, data, schema, **kw)
+        tbl = self._table_conn(ns).create_table(name, data, schema, **kw)
+        tbl._namespace_path = list(ns)
+        return tbl
 
     def open_table(self, ident: list[str], **kw):
         ident = _validate_id(ident)
-        return self._table_conn(ident[:-1]).open_table(ident[-1], **kw)
+        tbl = self._table_conn(ident[:-1]).open_table(ident[-1], **kw)
+        tbl._namespace_path = list(ident[:-1])
+        return tbl
 
     def drop_table(self, ident: list[str]) -> None:
         ident = _validate_id(ident)

@@ -1030,6 +1030,10 @@ class LanceFtsQueryBuilder(LanceQueryBuilder):
         self._query = query
         return self
 
+    def get_query(self):
+        """The query text or FTS AST node (reference query.py:3458)."""
+        return self._query
+
     def to_query_object(self) -> dict:
         obj = super().to_query_object()
         obj["query_type"] = "fts"

@@ -156,9 +156,11 @@ class MergeInsertBuilder:
 class Table:
     """A handle on one table of a database."""
 
-    def __init__(self, connection, name: str, dataset: Dataset):
+    def __init__(self, connection, name: str, dataset: Dataset,
+                 namespace_path: list[str] | None = None):
         self._conn = connection
         self.name = name
+        self._namespace_path = list(namespace_path or [])
         self._Table__dataset = dataset
         self._searchers: dict[str, Any] = {}
         self._fts_indexes: dict[str, Any] = {}
@@ -219,6 +221,50 @@ class Table:
             self._last_consistency_check = time.monotonic()
             if self._Table__dataset.version != old:
                 self._invalidate_caches()
+
+    @property
+    def namespace(self) -> list[str]:
+        """Namespace path of the table (reference table.py:2184)."""
+        return self._namespace_path
+
+    @property
+    def id(self) -> str:
+        """Full identifier ``namespace$name`` (reference table.py:2189)."""
+        if self._namespace_path:
+            return "$".join(self._namespace_path + [self.name])
+        return self.name
+
+    @classmethod
+    def open(cls, db, name: str, **kw) -> "Table":
+        """Open an existing table through a connection (reference
+        LanceTable.open, table.py:2212)."""
+        return db.open_table(name, **kw)
+
+    @classmethod
+    def create(cls, db, name: str, data=None, schema=None, **kw) -> "Table":
+        """Create a table through a connection (reference
+        LanceTable.create, table.py:3541)."""
+        return db.create_table(name, data, schema, **kw)
+
+    def initial_storage_options(self) -> dict | None:
+        """Storage options the connection was opened with (reference
+        table.py:3044; internal API)."""
+        opts = getattr(self._conn, "storage_options", None)
+        return dict(opts) if opts else None
+
+    def latest_storage_options(self) -> dict | None:
+        """Refresh storage options from the connection's provider when
+        one is configured (credential vending; reference table.py:3059),
+        else the initial static options."""
+        provider = getattr(self._conn, "storage_options_provider", None)
+        if provider is not None:
+            fresh = provider()
+            if fresh:
+                merged = dict(getattr(self._conn, "storage_options", {}) or {})
+                merged.update(fresh)
+                self._conn.storage_options = merged
+                return dict(merged)
+        return self.initial_storage_options()
 
     @property
     def schema(self) -> pa.Schema:
@@ -1247,6 +1293,22 @@ class AsyncTable:
     @property
     def name(self) -> str:
         return self._t.name
+
+    @property
+    def namespace(self) -> list[str]:
+        return self._t.namespace
+
+    @property
+    def id(self) -> str:
+        return self._t.id
+
+    async def initial_storage_options(self) -> dict | None:
+        """Reference AsyncTable.initial_storage_options (table.py:5171)."""
+        return self._t.initial_storage_options()
+
+    async def latest_storage_options(self) -> dict | None:
+        """Reference AsyncTable.latest_storage_options (table.py:5186)."""
+        return await self._run(self._t.latest_storage_options)
 
     async def _run(self, fn, *args, **kwargs):
         from .aio import _run

@@ -690,3 +690,81 @@ class TestReviewFindings:
         # the token is NOT refetched immediately
         assert prov() == h1
         assert len(calls) == n
+
+
+class TestIdentityAndStorageOptions:
+    """Parity shims: Table.id/namespace, storage-options accessors,
+    LanceTable.open/create classmethods, FTS get_query (reference
+    table.py:2184-2212,3044-3072, query.py:3458, db.py:1358)."""
+
+    def test_table_id_and_namespace(self, mem_db):
+        t = mem_db.create_table("plain", {"id": [1, 2]})
+        assert t.namespace == []
+        assert t.id == "plain"
+
+    def test_namespace_table_id(self, tmp_path):
+        from lancedb_tpu.namespace import connect_namespace
+
+        ns = connect_namespace(str(tmp_path))
+        ns.create_namespace(["a"])
+        ns.create_namespace(["a", "b"])
+        t = ns.create_table(["a", "b", "t1"], {"id": [1]})
+        assert t.namespace == ["a", "b"]
+        assert t.id == "a$b$t1"
+        t2 = ns.open_table(["a", "b", "t1"])
+        assert t2.id == "a$b$t1"
+
+    def test_open_create_classmethods(self, mem_db):
+        from lancedb_tpu.table import Table
+
+        t = Table.create(mem_db, "viacls", {"id": [1, 2, 3]})
+        assert t.count_rows() == 3
+        t2 = Table.open(mem_db, "viacls")
+        assert t2.count_rows() == 3
+
+    def test_storage_options_provider(self, tmp_path):
+        import lancedb_tpu
+
+        calls = []
+
+        def provider():
+            calls.append(1)
+            return {"token": f"tok{len(calls)}"}
+
+        db = lancedb_tpu.connect(
+            str(tmp_path),
+            storage_options={"region": "us-east-1"},
+            storage_options_provider=provider,
+        )
+        t = db.create_table("t", {"id": [1]})
+        assert t.initial_storage_options() == {"region": "us-east-1"}
+        latest = t.latest_storage_options()
+        assert latest == {"region": "us-east-1", "token": "tok1"}
+        # refresh pulls a new credential each call
+        assert t.latest_storage_options()["token"] == "tok2"
+        # no provider → latest falls back to initial
+        db2 = lancedb_tpu.connect(str(tmp_path))
+        t2 = db2.open_table("t")
+        assert t2.latest_storage_options() == t2.initial_storage_options()
+
+    def test_fts_get_query(self, mem_db):
+        t = mem_db.create_table("docs", {"id": [1, 2], "text": ["hello world", "bye"]})
+        t.create_fts_index("text")
+        b = t.search("hello", query_type="fts")
+        assert b.get_query() == "hello"
+
+    def test_async_accessors(self, mem_db):
+        import asyncio
+
+        from lancedb_tpu.db import AsyncConnection
+
+        async def go():
+            conn = AsyncConnection(mem_db)
+            assert await conn.get_read_consistency_interval() is None
+            t = await conn.create_table("at", {"id": [1], "text": ["x"]})
+            assert t.id == "at"
+            assert t.namespace == []
+            assert await t.initial_storage_options() is None
+            assert await t.latest_storage_options() is None
+
+        asyncio.run(go())
