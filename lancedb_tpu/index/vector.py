@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -43,6 +44,8 @@ from ..ops.distance import normalize_metric, pairwise_distance, refine_distances
 from ..ops.kmeans import assign_residuals_device, ivf_train_assign_device, kmeans_fit
 from ..ops.pallas_adc import PMAX_ALIGN, S_ALIGN, ivf_pq_adc_scan_pallas
 from ..ops.pallas_group_scan import ivf_flat_grouped_scan_pallas
+
+logger = logging.getLogger("lancedb_tpu.index")
 from ..ops.pq import (
     default_num_sub_vectors,
     opq_train,
@@ -241,7 +244,11 @@ def _balanced_layout(
     order = np.argsort(assign, kind="stable")
     counts = np.bincount(assign, minlength=num_partitions)
     mean = max(1.0, float(len(assign)) / max(1, (counts > 0).sum()))
-    cap = int(round_up(max(pad_multiple, int(1.25 * mean)), pad_multiple))
+    # cap factor is sweepable for perf probing: scan cost per probe is
+    # ∝ pmax while probe count rescales by blocks/logical, so the fill
+    # fraction N/(blocks·pmax) decides wasted MXU/HBM work
+    cap_factor = float(os.environ.get("LANCEDB_TPU_BLOCK_CAP_FACTOR", "1.25"))
+    cap = int(round_up(max(pad_multiple, int(cap_factor * mean)), pad_multiple))
     block_counts, block_pids = [], []
     for pid in range(num_partitions):
         c = int(counts[pid])
@@ -253,6 +260,11 @@ def _balanced_layout(
     block_counts = np.asarray(block_counts, dtype=np.int64)
     block_pids = np.asarray(block_pids, dtype=np.int32)
     pmax = int(round_up(max(1, block_counts.max()), pad_multiple))
+    fill = len(assign) / max(1, len(block_counts) * pmax)
+    logger.debug(
+        "ivf layout: %d logical -> %d blocks, pmax=%d, fill=%.3f (cap=%d)",
+        num_partitions, len(block_counts), pmax, fill, cap,
+    )
     return order, centroids[block_pids], block_counts, pmax
 
 
