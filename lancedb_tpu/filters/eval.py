@@ -93,8 +93,12 @@ _FUNCTIONS = {
     "initcap": lambda a: pc.utf8_title(a),
     "split_part": lambda a, sep, n: _split_part(a, sep, n),
     # numeric / conditional
+    # NULLIF(a, b) = NULL only when a = b is TRUE; a null comparison
+    # (either side NULL) keeps a, so coalesce the condition to false
     "nullif": lambda a, b: pc.if_else(
-        pc.equal(a, b), pa.scalar(None, type=getattr(a, "type", None) or pa.null()), a
+        pc.fill_null(pc.equal(a, b), False),
+        pa.scalar(None, type=getattr(a, "type", None) or pa.null()),
+        a,
     ),
     "ifnull": lambda a, b: pc.coalesce(a, b),
     "nvl": lambda a, b: pc.coalesce(a, b),

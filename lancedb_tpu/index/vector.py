@@ -1114,6 +1114,30 @@ class VectorSearcher:
         and the host refine pass must be skipped."""
         return "refine_vecs" in self._device
 
+    @staticmethod
+    def refine_column_slots(dataset, column: str, metric: str, slot_row_ids):
+        """Materialize ``column`` with row ids and map index slots to row
+        positions: returns (mat, pos, found) where ``mat`` is the
+        rowid-sorted f32 matrix (unit-norm for cosine), ``pos[i]`` the
+        row of ``slot_row_ids[i]`` in ``mat`` and ``found[i]`` whether
+        that row id still exists. Shared by the single-device and
+        mesh-sharded fused-refine preparers."""
+        tbl = dataset.to_table(columns=[column], with_row_id=True)
+        rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
+        mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
+        order = np.argsort(rid)
+        rid, mat = rid[order], mat[order]
+        if metric == "cosine":
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        slot_row_ids = np.asarray(slot_row_ids, dtype=np.uint64)
+        pos = np.searchsorted(rid, slot_row_ids)
+        pos = np.clip(pos, 0, max(0, len(rid) - 1)).astype(np.int64)
+        if len(rid):
+            found = rid[pos] == slot_row_ids
+        else:
+            found = np.zeros_like(pos, bool)
+        return mat, pos, found
+
     def will_fuse_refine(self, params: SearchParams) -> bool:
         """Whether search(params) will return already-refined results.
         The query layer consults this to decide if the host refine pass
@@ -1159,21 +1183,14 @@ class VectorSearcher:
         if n_live is not None and n_live * self.dim * bytes_per > budget:
             self._refine_unavailable = True
             return False
-        tbl = dataset.to_table(columns=[column], with_row_id=True)
-        rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
-        mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
+        mat, pos, found = self.refine_column_slots(
+            dataset, column, self.metric, self.row_ids_flat
+        )
         if mat.shape[0] * mat.shape[1] * bytes_per > budget:
             self._refine_unavailable = True
             return False
-        order = np.argsort(rid)
-        rid, mat = rid[order], mat[order]
-        if self.metric == "cosine":
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        pos = np.searchsorted(rid, self.row_ids_flat)
-        pos = np.clip(pos, 0, max(0, len(rid) - 1)).astype(np.int64)
-        found = rid[pos] == self.row_ids_flat if len(rid) else np.zeros_like(pos, bool)
         slotmap = np.where(found & self.row_ids_valid, pos, 0).astype(np.int32)
-        if len(rid) == 0:
+        if mat.shape[0] == 0:
             return False
         self._device["refine_slotmap"] = jnp.asarray(slotmap)
         self._device["refine_vecs"] = jnp.asarray(mat, dtype=dtype)

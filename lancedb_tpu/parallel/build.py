@@ -336,13 +336,15 @@ class ShardedIvfPqIndex:
 
         return jax.jit(step)
 
-    def attach_refine_table(self, vecs_slot: np.ndarray, norms2_slot: np.ndarray) -> None:
+    def attach_refine_table(self, vecs_slot: np.ndarray, norms2_slot: np.ndarray,
+                            dtype=None) -> None:
         """Shard a refine table over the mesh for the fused per-shard
         rerank. ``vecs_slot`` (num_slots, D) holds the ORIGINAL vectors
         in slot order (unit-norm for cosine, zeros on padding/dead
         slots); ``norms2_slot`` (num_slots,) their exact f32 squared
         norms. Dealt like codes/rnorms, so every shard reranks its own
-        rows with zero replication."""
+        rows with zero replication. ``dtype`` overrides the resident
+        precision (jnp.float32 for exact reranks; default matmul bf16)."""
         if vecs_slot.shape[0] != self.num_slots:
             raise ValueError(
                 f"refine table has {vecs_slot.shape[0]} slots, index has {self.num_slots}"
@@ -350,7 +352,8 @@ class ShardedIvfPqIndex:
         shard3 = NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
         vec_b = vecs_slot.reshape(self.nblocks, self.pmax, -1)[self._deal]
         self._refine_vecs = jax.device_put(
-            jnp.asarray(vec_b, dtype=matmul_dtype()), shard3
+            jnp.asarray(vec_b, dtype=dtype if dtype is not None else matmul_dtype()),
+            shard3,
         )
         self._refine_norms2 = jax.device_put(
             norms2_slot.astype(np.float32).reshape(self.nblocks, self.pmax)[self._deal],

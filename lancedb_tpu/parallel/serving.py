@@ -89,11 +89,14 @@ class ShardedServingSearcher:
         if os.environ.get("LANCEDB_TPU_DEVICE_REFINE", "1") == "0":
             return False
         sh = self._sharded
-        from ..arrow import fsl_to_numpy
+        import jax.numpy as jnp
+
+        from ..index.vector import VectorSearcher
         from ..ops.util import matmul_dtype
         from .mesh import SHARD_AXIS
 
-        bytes_per = 2 if matmul_dtype() != np.float32 else 4
+        dtype = jnp.float32 if precision == "float32" else matmul_dtype()
+        bytes_per = 4 if dtype == jnp.float32 else 2
         shard_n = sh.mesh.shape[SHARD_AXIS]
         budget = float(os.environ.get("LANCEDB_TPU_DEVICE_REFINE_BUDGET", 6e9))
         # precheck on index geometry BEFORE materializing the column
@@ -101,22 +104,15 @@ class ShardedServingSearcher:
         if sh.num_slots * dim * bytes_per > budget * max(1, shard_n):
             self._refine_unavailable = True
             return False
-        tbl = dataset.to_table(columns=[column], with_row_id=True)
-        rid = tbl.column("_rowid").to_numpy().astype(np.uint64)
-        mat = fsl_to_numpy(tbl.column(column)).astype(np.float32)
-        if len(rid) == 0:
+        mat, pos, found = VectorSearcher.refine_column_slots(
+            dataset, column, self.metric, sh.row_ids
+        )
+        if mat.shape[0] == 0:
             self._refine_unavailable = True
             return False
-        order = np.argsort(rid)
-        rid, mat = rid[order], mat[order]
-        if self.metric == "cosine":
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        pos = np.searchsorted(rid, sh.row_ids)
-        pos = np.clip(pos, 0, max(0, len(rid) - 1)).astype(np.int64)
-        found = rid[pos] == sh.row_ids if len(rid) else np.zeros_like(pos, bool)
         vecs_slot = np.where(found[:, None], mat[pos], 0.0).astype(np.float32)
         norms2 = np.sum(vecs_slot.astype(np.float64) ** 2, axis=1).astype(np.float32)
-        sh.attach_refine_table(vecs_slot, norms2)
+        sh.attach_refine_table(vecs_slot, norms2, dtype=dtype)
         return True
 
     def refine(self, dataset, column, queries, dists, row_ids, k):

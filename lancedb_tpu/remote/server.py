@@ -803,7 +803,12 @@ class QueryServer:
         serve HTTPS; ``tls_client_ca`` additionally REQUIRES a client
         certificate signed by that CA (mTLS — the server face of the
         reference's ClientConfig TLS identity, remote/client.rs:66-285)."""
-        mtls = tls_client_ca is not None
+        if tls_client_ca is not None and tls_cert is None:
+            raise ValueError(
+                "tls_client_ca requires tls_cert/tls_key: client-cert "
+                "enforcement only happens on a TLS-wrapped socket"
+            )
+        mtls = tls_client_ca is not None and tls_cert is not None
         if api_key is None and not mtls and host not in ("127.0.0.1", "localhost", "::1"):
             raise ValueError(
                 "QueryServer exposes mutating endpoints (drop/delete/update/"

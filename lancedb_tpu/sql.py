@@ -1674,7 +1674,9 @@ def _try_streaming_grouped(stmt: SelectStatement, open_table, budget: int) -> pa
     if scan_cols:
         qb = qb.select(scan_cols)
     with _op_timer("AggregateExec") as tm:
-        out = _execute_grouped_streaming(stmt, qb.to_batches(), aggs, budget)
+        out = _execute_grouped_streaming(
+            stmt, qb.to_batches(), aggs, budget, source_schema=obj.schema
+        )
         tm.set_rows(out.num_rows)
     return out
 
@@ -1994,10 +1996,16 @@ def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
         tm.set_rows(out.num_rows)
     if stmt.order_by:
         # reuse the SELECT sort machinery: expression keys evaluate
-        # against the union output, DESC honored
+        # against the union output, DESC honored. The first member can
+        # itself be a nested set-operation chain (INTERSECT binds
+        # tighter than UNION), so descend to the first leaf SELECT for
+        # a source context.
+        first = stmt.selects[0]
+        while not isinstance(first, SelectStatement):
+            first = first.selects[0]
         sorter = SelectStatement(
             items=[SelectItem(Star(), None)],
-            source=stmt.selects[0].source,
+            source=first.source,
             order_by=stmt.order_by,
         )
         with _op_timer("SortExec"):
@@ -2688,6 +2696,7 @@ def _execute_grouped_streaming(
     aggs: list[Aggregate],
     budget: int,
     stats: dict | None = None,
+    source_schema: pa.Schema | None = None,
 ) -> pa.Table:
     """Grouped aggregation over a batch stream in bounded memory.
 
@@ -2713,7 +2722,23 @@ def _execute_grouped_streaming(
                 }
                 yield pa.table(cols)
 
-        env = spilled_group_by(pre_batches(), key_names, agg_specs, budget, stats=stats)
+        # empty scans yield NO batches (zero-row batches are
+        # suppressed), so precompute the pre-columns schema from a
+        # 0-row source table for the empty-stream fallback
+        empty_pre = None
+        if source_schema is not None:
+            try:
+                et = source_schema.empty_table()
+                empty_pre = pa.table({
+                    name: _as_array(evaluate_expression(et, e), 0)
+                    for name, e in key_exprs + agg_inputs
+                }).schema
+            except Exception:
+                empty_pre = None
+        env = spilled_group_by(
+            pre_batches(), key_names, agg_specs, budget, stats=stats,
+            schema=empty_pre,
+        )
         env = _apply_agg_transforms(env, transforms)
         return _grouped_finish(stmt, env, binding)
 

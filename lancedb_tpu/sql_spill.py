@@ -203,15 +203,17 @@ def spilled_group_by(
     budget_bytes: int,
     tmp_dir: str | None = None,
     stats: dict | None = None,
+    schema: pa.Schema | None = None,
 ) -> pa.Table:
     """Exact grouped aggregation over a batch stream in bounded memory.
     All rows of a key land in one partition, so each per-partition
     pyarrow group_by is final — no merge pass; count_distinct and mean
-    stay exact."""
+    stay exact. ``schema`` is the fallback batch schema for an empty
+    stream (scans suppress zero-row batches, so an empty table never
+    yields one)."""
     own_tmp = tmp_dir is None
     tmp = tmp_dir or tempfile.mkdtemp(prefix="lancedb-sql-spill-")
     results: list[pa.Table] = []
-    schema: pa.Schema | None = None
 
     def capture(bs):
         nonlocal schema

@@ -104,8 +104,14 @@ class FragmentReader:
         t = self._batch_cache.get(bid)
         if t is None:
             t = pa.Table.from_batches([self._reader.get_batch(bid)])
-            if len(self._batch_cache) >= self._batch_cache_cap:
-                self._batch_cache.pop(next(iter(self._batch_cache)))
+            # readers are shared across QueryServer request threads;
+            # evict defensively so two threads racing at the cap can't
+            # pop the same key (pop(k, None) instead of pop(k))
+            while len(self._batch_cache) >= self._batch_cache_cap:
+                oldest = next(iter(self._batch_cache), None)
+                if oldest is None:
+                    break
+                self._batch_cache.pop(oldest, None)
             self._batch_cache[bid] = t
         return t
 

@@ -537,6 +537,39 @@ class TestShardedServing:
             srv.stop()
 
 
+    def test_refine_precision_honored(self, mem_db, monkeypatch):
+        """precision='float32' must upload an exact f32 mesh refine
+        table even when the matmul dtype is bf16 (TPU); a bf16 table
+        must NOT fuse float32-precision requests (serving.py
+        prepare_device_refine / will_fuse_refine)."""
+        import jax.numpy as jnp
+
+        import lancedb_tpu.ops.util as util
+        from lancedb_tpu.index.vector import SearchParams
+
+        t, vecs, rng = self._table(mem_db)
+        q = vecs[3] + 0.02 * rng.standard_normal(vecs.shape[1]).astype(np.float32)
+        t.enable_sharded_serving(make_mesh())
+        t.search(q).nprobes(8).limit(1).to_list()  # materialize searcher
+        s = next(ss for ss in t._searchers.values() if hasattr(ss, "_sharded"))
+        monkeypatch.setattr(util, "matmul_dtype", lambda: jnp.bfloat16)
+        assert s.prepare_device_refine(t._dataset, "vector", precision="float32")
+        assert s._sharded._refine_vecs.dtype == jnp.float32
+        assert s.will_fuse_refine(SearchParams(k=5, nprobes=8, refine_factor=4,
+                                               precision="float32"))
+        # fresh serving state, default precision: bf16 table, so a
+        # float32 request must refuse to fuse (falls back to host refine)
+        t.disable_sharded_serving()
+        t.enable_sharded_serving(make_mesh())
+        t.search(q).nprobes(8).limit(1).to_list()
+        s2 = next(ss for ss in t._searchers.values() if hasattr(ss, "_sharded"))
+        assert s2.prepare_device_refine(t._dataset, "vector")
+        assert s2._sharded._refine_vecs.dtype == jnp.bfloat16
+        assert not s2.will_fuse_refine(SearchParams(k=5, nprobes=8, refine_factor=4,
+                                                    precision="float32"))
+        assert s2.will_fuse_refine(SearchParams(k=5, nprobes=8, refine_factor=4))
+
+
 class TestShardedServingEdgeCases:
     """Post-review: k exceeding the per-shard candidate pool pads with
     invalid markers; non-l2 metrics fall back to single-device results."""

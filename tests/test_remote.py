@@ -971,3 +971,15 @@ class TestRemoteStructuredFts:
         t.create_fts_index("a")
         with pytest.raises(Exception, match="no FTS index covers"):
             t.search(MultiMatchQuery("x", ["a", "b"]), query_type="fts").limit(1).to_arrow()
+
+
+class TestTlsConfigGuards:
+    def test_client_ca_without_cert_rejected(self, tmp_path):
+        """tls_client_ca alone must not count as mTLS: client-cert
+        enforcement only happens on a TLS-wrapped socket, so accepting
+        it would expose unauthenticated plain HTTP on a public bind."""
+        from lancedb_tpu.remote.server import QueryServer
+
+        with pytest.raises(ValueError, match="tls_client_ca requires"):
+            QueryServer(str(tmp_path / "db"), host="0.0.0.0",
+                        tls_client_ca=str(tmp_path / "ca.pem"))

@@ -745,3 +745,24 @@ def test_f32_precision_never_fuses_against_bf16():
         assert out["c"][0] == pytest.approx(1.0)
         with pytest.raises(SqlParseError, match="two arguments"):
             run(adb, "SELECT corr(x) FROM t")
+
+
+class TestSetOpOrderByNested:
+    def test_intersect_then_union_order_by(self, mem_db):
+        mem_db.create_table("soa", {"a": [1, 2, 3]})
+        mem_db.create_table("sob", {"a": [2, 3, 4]})
+        mem_db.create_table("soc", {"a": [9, 3]})
+        out = mem_db.sql(
+            "SELECT a FROM soa INTERSECT SELECT a FROM sob "
+            "UNION SELECT a FROM soc ORDER BY a DESC"
+        ).to_pydict()
+        assert out["a"] == [9, 3, 2]
+
+    def test_nullif_null_argument(self, mem_db):
+        import pyarrow as pa
+
+        mem_db.create_table("nt", pa.table({
+            "a": [1, 2, 3], "b": pa.array([2, None, 3], pa.int64()),
+        }))
+        out = mem_db.sql("SELECT nullif(a, b) AS n FROM nt").to_pydict()
+        assert out["n"] == [1, 2, None]

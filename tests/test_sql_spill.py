@@ -181,3 +181,32 @@ class TestGraceJoinChaining:
         finally:
             set_sql_memory_budget(None)
         assert ref == got == {"u": [5, 6]}
+
+
+class TestEmptyScanBudget:
+    def test_keyed_group_by_empty_table(self, db):
+        import lancedb_tpu
+
+        conn = lancedb_tpu.connect("memory://")
+        conn.create_table("empty", pa.table({
+            "x": pa.array([], pa.int64()), "y": pa.array([], pa.float64()),
+        }))
+        set_sql_memory_budget(10_000_000)
+        try:
+            out = conn.sql("SELECT x, count(*) AS c FROM empty GROUP BY x")
+            assert out.num_rows == 0
+            assert out.column_names == ["x", "c"]
+        finally:
+            set_sql_memory_budget(None)
+
+    def test_keyed_group_by_where_matches_nothing(self, db):
+        import lancedb_tpu
+
+        conn = lancedb_tpu.connect("memory://")
+        conn.create_table("t2", pa.table({"x": [1, 1, 2], "y": [1.0, 2.0, 3.0]}))
+        set_sql_memory_budget(10_000_000)
+        try:
+            out = conn.sql("SELECT x, sum(y) AS s FROM t2 WHERE y > 99 GROUP BY x")
+            assert out.num_rows == 0
+        finally:
+            set_sql_memory_budget(None)
