@@ -301,6 +301,13 @@ class Evaluator:
             if not isinstance(values, (list, tuple)):
                 raise SqlParseError("IN requires a literal list")
             res = pc.is_in(left, value_set=pa.array(list(values)))
+            # SQL 3VL: NULL IN (...) is NULL (is_in says false), and an
+            # unmatched x against a list containing NULL is NULL too;
+            # invert then propagates NULL for NOT IN (Kleene negation)
+            null_b = pa.scalar(None, pa.bool_())
+            if any(v is None for v in values):
+                res = pc.if_else(res, pa.scalar(True), null_b)
+            res = pc.if_else(pc.is_valid(left), res, null_b)
             return pc.invert(res) if op == "not_in" else res
         if op in ("like", "not_like"):
             left = self.evaluate(e.left)
@@ -372,6 +379,21 @@ class Evaluator:
                 v = pc.cast(v, out_type)
             arrays.append(v)
         if not arrays:
+            # no branch matched any row (e.g. zero-row input): a bare
+            # pa.nulls(n) is null-typed and breaks downstream kernels
+            # (coalesce/equal have no (int64, null) variants), so infer
+            # the output type by evaluating a branch on the empty slice
+            empty = Evaluator(self.data.slice(0, 0))
+            for _, val in branches:
+                if val is None:
+                    continue
+                try:
+                    v = empty.evaluate(val)
+                except Exception:
+                    continue
+                t = v.type
+                if not pa.types.is_null(t):
+                    return pa.nulls(n, type=t)
             return pa.nulls(n)
         combined = pa.concat_arrays(arrays)
         order = np.empty(n, dtype=np.int64)

@@ -390,9 +390,18 @@ class _Parser:
                 self.next()
                 vals.append(self.parse_or())
         self.expect("rparen")
-        # list of literals → single Literal list; else keep as function
-        if all(isinstance(v, Literal) for v in vals):
-            return Literal([v.value for v in vals])  # type: ignore[union-attr]
+        # list of literals → single Literal list; else keep as function.
+        # Unary minus parses as UnaryOp('neg', Literal), so fold signed
+        # numbers back into literals (IN (-1, 2) is valid SQL).
+        folded: list[Expr] = []
+        for v in vals:
+            if (isinstance(v, UnaryOp) and v.op == "neg"
+                    and isinstance(v.operand, Literal)
+                    and isinstance(v.operand.value, (int, float))):
+                v = Literal(-v.operand.value)
+            folded.append(v)
+        if all(isinstance(v, Literal) for v in folded):
+            return Literal([v.value for v in folded])  # type: ignore[union-attr]
         raise SqlParseError("IN list must contain literals")
 
     def parse_additive(self) -> Expr:
