@@ -91,8 +91,13 @@ def build_scalar_index(dataset, column: str, config, name: str | None = None) ->
         _save_npy(store, f"{prefix}/null_rowids.npy", rids[null_mask].view(np.int64))
     elif index_type == "BITMAP":
         vals = col.to_numpy(zero_copy_only=False)
+        # nulls get their own posting (np.unique cannot sort str/None
+        # mixes, and = NULL must never match anyway — IS NULL reads
+        # null_rowids, mirroring the BTREE layout)
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        nn_idx = np.flatnonzero(~null_mask)
         uniques, inverse = np.unique(
-            np.asarray(vals, dtype=object), return_inverse=True
+            np.asarray(vals, dtype=object)[nn_idx], return_inverse=True
         )
         order = np.argsort(inverse, kind="stable")
         counts = np.bincount(inverse, minlength=len(uniques))
@@ -100,7 +105,8 @@ def build_scalar_index(dataset, column: str, config, name: str | None = None) ->
         np.cumsum(counts, out=offsets[1:])
         _save_npy(store, f"{prefix}/keys.npy", uniques)
         _save_npy(store, f"{prefix}/offsets.npy", offsets)
-        _save_npy(store, f"{prefix}/rowids.npy", rids[order].view(np.int64))
+        _save_npy(store, f"{prefix}/rowids.npy", rids[nn_idx][order].view(np.int64))
+        _save_npy(store, f"{prefix}/null_rowids.npy", rids[null_mask].view(np.int64))
     elif index_type == "LABEL_LIST":
         if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
             raise InvalidInputError("LABEL_LIST requires a list column")
@@ -201,6 +207,10 @@ class ScalarIndexReader:
             self.keys = np.asarray(_load_npy(store, f"{prefix}/keys.npy"))
             self.offsets = np.asarray(_load_npy(store, f"{prefix}/offsets.npy"))
             self.rowids = np.asarray(_load_npy(store, f"{prefix}/rowids.npy")).view(np.uint64)
+            if self.index_type == "BITMAP":
+                self.null_rowids = np.asarray(
+                    _load_npy(store, f"{prefix}/null_rowids.npy")
+                ).view(np.uint64)
 
     # ---- predicate resolution -----------------------------------------
     def lookup_range(self, lo=None, hi=None, lo_incl=True, hi_incl=True) -> np.ndarray:
@@ -212,6 +222,8 @@ class ScalarIndexReader:
         return np.sort(self.sorted_rowids[left:right])
 
     def lookup_eq(self, value) -> np.ndarray:
+        if value is None:  # SQL: = NULL never matches (use IS NULL)
+            return np.empty(0, dtype=np.uint64)
         if self.index_type == "BTREE":
             return self.lookup_range(value, value)
         idx = np.searchsorted(self.keys, value)
@@ -275,9 +287,9 @@ class ScalarIndexReader:
         return np.sort(np.unique(self.doc_rowids[doc[keep]]))
 
     def lookup_is_null(self) -> np.ndarray:
-        if self.index_type == "BTREE":
+        if self.index_type in ("BTREE", "BITMAP"):
             return np.sort(self.null_rowids)
-        return self.lookup_eq(None)
+        return np.empty(0, dtype=np.uint64)
 
 
 def try_scalar_prefilter(table, ast: Expr) -> np.ndarray | None:
@@ -345,7 +357,9 @@ def try_scalar_prefilter(table, ast: Expr) -> np.ndarray | None:
             return None
         if isinstance(e, UnaryOp) and e.op == "is_null" and isinstance(e.operand, Column):
             r = reader_for(e.operand.name)
-            return r.lookup_is_null() if r is not None else None
+            if r is None or r.index_type not in ("BTREE", "BITMAP"):
+                return None  # other index kinds don't track nulls: scan
+            return r.lookup_is_null()
         return None
 
     return resolve(ast)

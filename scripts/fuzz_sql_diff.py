@@ -93,10 +93,23 @@ class Gen:
             if pick < 0.9:
                 lo = r.randint(-4, 4)
                 return f"{r.choice(self.NUM_COLS)} BETWEEN {lo} AND {lo + r.randint(0, 6)}"
-            return f"s {'<>' if r.random() < 0.5 else '='} '{r.choice(['ant', 'bee', 'cat'])}'"
+            return f"{self.text_expr()} {'<>' if r.random() < 0.5 else '='} '{r.choice(['ant', 'bee', 'cat', 'ANT'])}'"
         op = self.r.choice(["AND", "OR"])
         neg = "NOT " if self.r.random() < 0.2 else ""
         return f"{neg}({self.pred(depth + 1)} {op} {self.pred(depth + 1)})"
+
+    def text_expr(self) -> str:
+        r = self.r
+        pick = r.random()
+        if pick < 0.4:
+            return "s"
+        if pick < 0.55:
+            return "upper(s)"
+        if pick < 0.7:
+            return "lower(s)"
+        if pick < 0.85:
+            return "substr(s, 1, 2)"
+        return "s || 'x'"
 
     def agg(self) -> str:
         r = self.r
@@ -142,11 +155,17 @@ class Gen:
 
     def grouped(self) -> str:
         r = self.r
-        key = r.choice(["b", "a", "s"])
+        key = r.choice(["b", "a", "s", "length(s)", "abs(a)"])
+        key_alias = f"{key} AS k" if "(" in key else key
         aggs = [f"{self.agg()} AS g{i}" for i in range(r.randint(1, 3))]
         where = f" WHERE {self.pred()}" if r.random() < 0.6 else ""
-        having = f" HAVING count(*) > {r.randint(0, 3)}" if r.random() < 0.4 else ""
-        return f"SELECT {key}, {', '.join(aggs)} FROM t1{where} GROUP BY {key}{having}"
+        having = ""
+        if r.random() < 0.4:
+            hv = r.choice([f"count(*) > {r.randint(0, 3)}",
+                           f"max({r.choice(self.NUM_COLS)}) >= {r.randint(-2, 5)}",
+                           f"sum({r.choice(self.NUM_COLS)}) < {r.randint(5, 60)}"])
+            having = f" HAVING {hv}"
+        return f"SELECT {key_alias}, {', '.join(aggs)} FROM t1{where} GROUP BY {key}{having}"
 
     def windowed(self) -> str:
         r = self.r
@@ -156,8 +175,8 @@ class Gen:
 
     def joined(self) -> str:
         r = self.r
-        jt = r.choice(["JOIN", "LEFT JOIN"])
-        where = f" WHERE {self.pred()}" if r.random() < 0.5 else ""
+        jt = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN"])
+        where = f" WHERE {self.pred()}" if r.random() < 0.5 and jt == "JOIN" else ""
         return (f"SELECT t1.id, t1.a, t2.d FROM t1 {jt} t2 ON t1.a = t2.a{where}")
 
     def setop(self) -> str:
@@ -243,14 +262,21 @@ def compare(sql: str, ours: list[tuple], theirs: list[tuple]) -> str | None:
 # -------------------------------------------------------------- driver
 
 
-def setup(seed: int):
+def setup(seed: int, indexes: bool = False):
     import lancedb_tpu
 
     rng = random.Random(seed)
     t1, t2 = make_tables(rng)
     db = lancedb_tpu.connect("memory://")
-    db.create_table("t1", pa.table({k: pa.array(v) for k, v in t1.items()}), mode="overwrite")
+    tb1 = db.create_table("t1", pa.table({k: pa.array(v) for k, v in t1.items()}), mode="overwrite")
     db.create_table("t2", pa.table({k: pa.array(v) for k, v in t2.items()}), mode="overwrite")
+    if indexes:
+        # exercise the scalar-index WHERE pushdown path: results must
+        # be identical to the unindexed scan (and to sqlite)
+        tb1.create_scalar_index("id", index_type="BTREE")
+        tb1.create_scalar_index("a", index_type="BTREE")
+        tb1.create_scalar_index("b", index_type="BITMAP")
+        tb1.create_scalar_index("s", index_type="BITMAP")
 
     con = sqlite3.connect(":memory:")
     cur = con.cursor()
@@ -262,8 +288,9 @@ def setup(seed: int):
     return db, cur, Gen(rng)
 
 
-def fuzz(n: int, seed: int, verbose: bool = False) -> list[tuple[str, str]]:
-    db, cur, gen = setup(seed)
+def fuzz(n: int, seed: int, verbose: bool = False,
+         indexes: bool = False) -> list[tuple[str, str]]:
+    db, cur, gen = setup(seed, indexes=indexes)
     failures = []
     for i in range(n):
         sql = gen.statement()

@@ -57,3 +57,26 @@ class TestFuzzFoundRegressions:
         )
         assert out.num_rows == 0
         assert out.schema.field("e").type == pa.int64()
+
+
+@pytest.mark.parametrize("seed", [12])
+def test_differential_with_scalar_indexes(seed):
+    """Same oracle check with BTree/Bitmap indexes on every t1 column:
+    the WHERE pushdown path must return scan-identical results."""
+    failures = fuzz(150, seed, indexes=True)
+    assert not failures, failures[:5]
+
+
+class TestBitmapNulls:
+    def test_bitmap_index_on_nullable_strings(self):
+        import lancedb_tpu
+
+        conn = lancedb_tpu.connect("memory://")
+        t = conn.create_table("bm", pa.table({
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+            "s": pa.array(["x", None, "y", None], pa.string()),
+        }), mode="overwrite")
+        t.create_scalar_index("s", index_type="BITMAP")  # used to crash
+        assert {r["id"] for r in t.search(None).where("s = 'x'").to_list()} == {0}
+        assert {r["id"] for r in t.search(None).where("s IS NULL").to_list()} == {1, 3}
+        assert {r["id"] for r in t.search(None).where("s IS NOT NULL").to_list()} == {0, 2}
