@@ -20,6 +20,21 @@ from .errors import InvalidInputError, SchemaError
 VECTOR_COLUMN_NAME = "vector"
 
 
+def flatten_columns(tbl: pa.Table, flatten=None) -> pa.Table:
+    """Flatten struct columns: ``True`` flattens until no structs
+    remain, a positive int flattens that many levels, None/False is a
+    no-op (reference util.py:160 flatten_columns)."""
+    if flatten is True:
+        while any(pa.types.is_struct(f.type) for f in tbl.schema):
+            tbl = tbl.flatten()
+    elif isinstance(flatten, int) and not isinstance(flatten, bool):
+        if flatten <= 0:
+            raise ValueError("flatten must be a positive integer or True")
+        for _ in range(flatten):
+            tbl = tbl.flatten()
+    return tbl
+
+
 def vector(dim: int, value_type: pa.DataType = pa.float32()) -> pa.DataType:
     """Schema helper: a vector column type (reference python schema.py `vector`)."""
     return pa.list_(value_type, dim)

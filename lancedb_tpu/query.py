@@ -660,8 +660,10 @@ class LanceQueryBuilder:
         self._req.prefilter = False
         return self
 
-    def to_pandas(self):
-        return self.to_arrow().to_pandas()
+    def to_pandas(self, flatten=None):
+        from .arrow import flatten_columns
+
+        return flatten_columns(self.to_arrow(), flatten).to_pandas()
 
     def to_df(self):  # reference alias
         return self.to_pandas()

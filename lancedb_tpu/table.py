@@ -290,8 +290,10 @@ class Table:
     def to_arrow(self) -> pa.Table:
         return self._dataset.to_table()
 
-    def to_pandas(self):
-        return self.to_arrow().to_pandas()
+    def to_pandas(self, flatten=None):
+        from .arrow import flatten_columns
+
+        return flatten_columns(self.to_arrow(), flatten).to_pandas()
 
     def to_polars(self):
         import polars as pl

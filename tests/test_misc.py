@@ -364,3 +364,34 @@ class TestPyarrowIntegration:
         out = ds_adapter.head(10, filter=pc.field("id") >= 50)
         assert out.num_rows == 10
         assert all(i >= 50 for i in out.column("id").to_pylist())
+
+
+class TestFlattenColumns:
+    """to_pandas(flatten=) struct flattening (reference util.py:160)."""
+
+    def test_flatten_levels(self, mem_db):
+        import pyarrow as pa
+
+        from lancedb_tpu.arrow import flatten_columns
+
+        inner = pa.StructArray.from_arrays(
+            [pa.array([1, 2]), pa.array(["a", "b"])], names=["x", "y"])
+        outer = pa.StructArray.from_arrays([inner], names=["inner"])
+        tbl = pa.table({"id": [10, 20], "st": outer})
+        one = flatten_columns(tbl, 1)
+        assert "st.inner" in one.column_names
+        full = flatten_columns(tbl, True)
+        assert {"st.inner.x", "st.inner.y", "id"} == set(full.column_names)
+        assert flatten_columns(tbl, None).column_names == tbl.column_names
+        assert flatten_columns(tbl, False).column_names == tbl.column_names
+        with pytest.raises(ValueError):
+            flatten_columns(tbl, 0)
+
+    def test_to_pandas_flatten(self, mem_db):
+        import pyarrow as pa
+
+        t = mem_db.create_table("fl", pa.table({
+            "id": [1], "meta": pa.StructArray.from_arrays([pa.array([5])], names=["k"]),
+        }))
+        df = t.to_pandas(flatten=True)
+        assert "meta.k" in df.columns
