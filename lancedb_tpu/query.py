@@ -522,6 +522,10 @@ class LanceQueryBuilder:
     def limit(self, k: int) -> "LanceQueryBuilder":
         self._limit_set = True
         if k is None or k <= 0:
+            # reference query.py:1183-1187: ANN/KNN queries require a
+            # limit; plain scans treat None/0 as "all rows"
+            if isinstance(self, LanceVectorQueryBuilder):
+                raise ValueError("Limit is required for ANN/KNN queries")
             self._req.k = max(self._table.count_rows(), 1)
         else:
             self._req.k = int(k)
@@ -660,10 +664,10 @@ class LanceQueryBuilder:
         self._req.prefilter = False
         return self
 
-    def to_pandas(self, flatten=None):
+    def to_pandas(self, flatten=None, **kwargs):
         from .arrow import flatten_columns
 
-        return flatten_columns(self.to_arrow(), flatten).to_pandas()
+        return flatten_columns(self.to_arrow(), flatten).to_pandas(**kwargs)
 
     def to_df(self):  # reference alias
         return self.to_pandas()

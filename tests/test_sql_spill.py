@@ -190,7 +190,7 @@ class TestEmptyScanBudget:
         conn = lancedb_tpu.connect("memory://")
         conn.create_table("empty", pa.table({
             "x": pa.array([], pa.int64()), "y": pa.array([], pa.float64()),
-        }))
+        }), mode="overwrite")
         set_sql_memory_budget(10_000_000)
         try:
             out = conn.sql("SELECT x, count(*) AS c FROM empty GROUP BY x")
@@ -203,7 +203,7 @@ class TestEmptyScanBudget:
         import lancedb_tpu
 
         conn = lancedb_tpu.connect("memory://")
-        conn.create_table("t2", pa.table({"x": [1, 1, 2], "y": [1.0, 2.0, 3.0]}))
+        conn.create_table("t2", pa.table({"x": [1, 1, 2], "y": [1.0, 2.0, 3.0]}), mode="overwrite")
         set_sql_memory_budget(10_000_000)
         try:
             out = conn.sql("SELECT x, sum(y) AS s FROM t2 WHERE y > 99 GROUP BY x")

@@ -768,3 +768,19 @@ class TestIdentityAndStorageOptions:
             assert await t.latest_storage_options() is None
 
         asyncio.run(go())
+
+
+class TestLimitSemantics:
+    def test_vector_query_requires_limit(self, mem_db):
+        t = mem_db.create_table("lim", {"id": [1, 2], "vector": [[1.0, 0.0], [0.0, 1.0]]})
+        with pytest.raises(ValueError, match="Limit is required"):
+            t.search([1.0, 0.0]).limit(0).to_list()
+        with pytest.raises(ValueError, match="Limit is required"):
+            t.search([1.0, 0.0]).limit(None).to_list()
+        # plain scans: None/0 means every row (reference query.py:1183)
+        assert len(t.search(None).limit(None).to_list()) == 2
+
+    def test_to_pandas_kwargs_passthrough(self, mem_db):
+        t = mem_db.create_table("pdk", {"id": [1, 2], "vector": [[1.0, 0.0], [0.0, 1.0]]})
+        df = t.search([1.0, 0.0]).limit(1).to_pandas(use_threads=False)
+        assert len(df) == 1
