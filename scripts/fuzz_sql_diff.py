@@ -127,14 +127,23 @@ class Gen:
         order = "ORDER BY id"
         fn = r.choice([
             "row_number()", "rank()", "dense_rank()",
+            "percent_rank()", "cume_dist()", f"ntile({r.randint(1, 5)})",
             f"sum({r.choice(self.NUM_COLS)})",
             f"min({r.choice(self.NUM_COLS)})",
+            f"max({r.choice(self.NUM_COLS)})",
+            f"avg({r.choice(self.NUM_COLS)})",
             f"count({r.choice(self.NUM_COLS)})",
             f"lag({r.choice(self.NUM_COLS)})",
+            f"lag({r.choice(self.NUM_COLS)}, {r.randint(1, 3)})",
             f"lead({r.choice(self.NUM_COLS)})",
+            f"first_value({r.choice(self.NUM_COLS)})",
+            f"last_value({r.choice(self.NUM_COLS)})",
+            f"nth_value({r.choice(self.NUM_COLS)}, {r.randint(1, 3)})",
         ])
+        frameable = fn.startswith(("sum", "min", "max", "avg", "count",
+                                   "first_value", "last_value", "nth_value"))
         frame = ""
-        if fn.startswith(("sum", "min", "count")) and r.random() < 0.5:
+        if frameable and r.random() < 0.5:
             lo = r.choice(["UNBOUNDED PRECEDING", "2 PRECEDING", "CURRENT ROW"])
             hi = r.choice(["CURRENT ROW", "1 FOLLOWING", "UNBOUNDED FOLLOWING"])
             if (lo, hi) != ("CURRENT ROW", "CURRENT ROW"):
