@@ -153,6 +153,83 @@ class MergeInsertBuilder:
         return stats
 
 
+class _ProgressAdapter:
+    """Normalize the reference ``progress=`` forms into the internal
+    on_progress event callback: a user callable gets reference-shaped
+    dicts (reference test_table.py test_add_progress_callback keys), a
+    tqdm-like object gets total/update/set_postfix_str, and ``True``
+    builds a bar (tqdm when importable, else a stderr line)."""
+
+    def __init__(self, progress):
+        self._t0 = time.time()
+        self._rows = 0
+        self._bytes = 0
+        self._total = None
+        self._cb = None
+        self._bar = None
+        self._own_bar = False
+        if progress is True:
+            try:
+                from tqdm import tqdm  # type: ignore
+
+                self._bar = tqdm(unit="rows")
+                self._own_bar = True
+            except Exception:
+                import sys as _sys
+
+                self._cb = lambda p: print(
+                    f"add: {p['output_rows']} rows"
+                    + (" done" if p["done"] else ""),
+                    file=_sys.stderr,
+                )
+        elif callable(progress):
+            self._cb = progress
+        elif hasattr(progress, "update"):
+            self._bar = progress
+        else:
+            raise InvalidInputError(
+                "progress must be a callable, a tqdm-like object, or a bool"
+            )
+
+    def __call__(self, ev: dict) -> None:
+        stage = ev.get("stage")
+        rows = int(ev.get("rows", 0))
+        nbytes = int(ev.get("bytes", 0))
+        if stage == "start":
+            self._total = rows
+            if self._bar is not None and getattr(self._bar, "total", None) is None:
+                try:
+                    self._bar.total = rows
+                except Exception:
+                    pass
+            return
+        if stage in ("fragment", "committed"):
+            self._rows += rows
+            self._bytes += nbytes
+        done = stage == "committed"
+        elapsed = max(time.time() - self._t0, 1e-9)
+        if self._cb is not None:
+            self._cb({
+                "output_rows": self._rows,
+                "output_bytes": self._bytes,
+                "total_rows": self._total if self._total is not None else self._rows,
+                "elapsed_seconds": elapsed,
+                "active_tasks": 0 if done else 1,
+                "total_tasks": 1,
+                "done": done,
+            })
+        if self._bar is not None:
+            if rows:
+                self._bar.update(rows)
+            if hasattr(self._bar, "set_postfix_str"):
+                mbs = self._bytes / elapsed / 1e6
+                self._bar.set_postfix_str(f"{mbs:.1f} MB/s, 1 workers")
+            if hasattr(self._bar, "refresh"):
+                self._bar.refresh()
+            if done and self._own_bar and hasattr(self._bar, "close"):
+                self._bar.close()
+
+
 class Table:
     """A handle on one table of a database."""
 
@@ -345,10 +422,19 @@ class Table:
         on_bad_vectors: str = "error",
         fill_value: float = 0.0,
         on_progress=None,
+        progress=None,
     ) -> None:
         """on_progress: optional callback(dict) per written batch
-        (reference table/write_progress.rs callbacks)."""
+        (reference table/write_progress.rs callbacks). progress: the
+        reference-shaped knob — a callback receiving {output_rows,
+        output_bytes, total_rows, elapsed_seconds, active_tasks,
+        total_tasks, done} dicts, a tqdm-like object (update/
+        set_postfix_str), or True for an auto bar (reference python
+        table.py add(progress=...))."""
         from .blob import blob_columns, encode_blobs
+
+        if progress is not None and progress is not False and on_progress is None:
+            on_progress = _ProgressAdapter(progress)
 
         # streaming ingest: a RecordBatchReader, pyarrow Dataset/Scanner,
         # or batch generator appends fragment-by-fragment in bounded
@@ -372,6 +458,9 @@ class Table:
                         yield sanitize_vectors(t, on_bad_vectors, fill_value)
 
                 self._dataset.append_stream(_clean(data), on_batch=on_progress)
+                if on_progress is not None:
+                    on_progress({"stage": "committed", "rows": 0, "bytes": 0,
+                                 "version": self._dataset.version})
                 self._invalidate_caches()
                 return
             # embedding/blob tables need per-chunk transformation: wrap

@@ -784,3 +784,63 @@ class TestLimitSemantics:
         t = mem_db.create_table("pdk", {"id": [1, 2], "vector": [[1.0, 0.0], [0.0, 1.0]]})
         df = t.search([1.0, 0.0]).limit(1).to_pandas(use_threads=False)
         assert len(df) == 1
+
+
+class TestAddProgress:
+    """Reference progress= forms on add (reference test_table.py
+    test_add_progress_callback / _tqdm_like / _bool)."""
+
+    def test_callback_dict_shape(self, mem_db):
+        t = mem_db.create_table("pg1", [{"id": 1}, {"id": 2}], mode="overwrite")
+        updates = []
+        t.add([{"id": 3}, {"id": 4}], progress=lambda p: updates.append(dict(p)))
+        assert t.count_rows() == 4
+        assert len(updates) >= 1
+        for p in updates:
+            for key in ("output_rows", "output_bytes", "total_rows",
+                        "elapsed_seconds", "active_tasks", "total_tasks", "done"):
+                assert key in p
+        assert updates[-1]["done"] is True
+        assert updates[-1]["output_rows"] == 2
+
+    def test_tqdm_like(self, mem_db):
+        class FakeBar:
+            def __init__(self):
+                self.total = None
+                self.n = 0
+                self.postfix = None
+
+            def update(self, n):
+                self.n += n
+
+            def set_postfix_str(self, s):
+                self.postfix = s
+
+            def refresh(self):
+                pass
+
+        t = mem_db.create_table("pg2", [{"id": 1}], mode="overwrite")
+        bar = FakeBar()
+        t.add([{"id": 2}, {"id": 3}], progress=bar)
+        assert bar.n == 2
+        assert bar.total == 2
+        assert "MB/s" in bar.postfix and "workers" in bar.postfix
+
+    def test_bool_and_none(self, mem_db):
+        t = mem_db.create_table("pg3", [{"id": 1}], mode="overwrite")
+        t.add([{"id": 2}], progress=True)  # must not raise without tqdm
+        t.add([{"id": 3}], progress=False)
+        assert t.count_rows() == 3
+
+    def test_streaming_add_fires_done(self, mem_db):
+        import pyarrow as pa
+
+        t = mem_db.create_table("pg4", [{"id": 1}], mode="overwrite")
+        updates = []
+
+        def gen():
+            yield pa.record_batch([pa.array([2, 3])], names=["id"])
+
+        t.add(gen(), progress=lambda p: updates.append(dict(p)))
+        assert t.count_rows() == 3
+        assert updates and updates[-1]["done"] is True
