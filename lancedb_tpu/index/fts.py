@@ -534,6 +534,8 @@ def _build_column_index(
     use_native = (
         tokenizer.base == "simple"
         and tokenizer.language.lower() == "english"
+        # list<string> docs need per-element position gaps (python path)
+        and not any(isinstance(t, (list, tuple)) for t in texts)
     )
     if use_native:
         from ..native import fts_build_native
@@ -569,9 +571,23 @@ def _build_column_index(
     post: list[dict[int, list[int]]] = []  # tid -> {doc: positions}
     doc_lens_l: list[int] = []
     for doc_idx, text in enumerate(texts):
-        toks = tokenizer.tokenize(text)
+        if isinstance(text, (list, tuple)):
+            # list<string> doc: tokenize each element separately with a
+            # +1 position gap so phrase queries never match across
+            # element boundaries (reference fts-on-list semantics)
+            toks: list[str] = []
+            tok_positions: list[int] = []
+            pos_base = 0
+            for el in text:
+                el_toks = tokenizer.tokenize(el)
+                toks.extend(el_toks)
+                tok_positions.extend(pos_base + j for j in range(len(el_toks)))
+                pos_base += len(el_toks) + 1
+        else:
+            toks = tokenizer.tokenize(text)
+            tok_positions = list(range(len(toks)))
         doc_lens_l.append(len(toks))
-        for pos, tok in enumerate(toks):
+        for pos, tok in zip(tok_positions, toks):
             tid = vocab.get(tok)
             if tid is None:
                 tid = len(vocab)
@@ -639,8 +655,14 @@ def build_fts_index(dataset, columns: list[str], config, name: str | None = None
         f = dataset.schema.field(c) if c in dataset.schema.names else None
         if f is None:
             raise InvalidInputError(f"no column {c!r}")
-        if not (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)):
-            raise InvalidInputError(f"FTS column {c!r} must be a string column, got {f.type}")
+        ok = pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+        if not ok and (pa.types.is_list(f.type) or pa.types.is_large_list(f.type)):
+            vt = f.type.value_type
+            ok = pa.types.is_string(vt) or pa.types.is_large_string(vt)
+        if not ok:
+            raise InvalidInputError(
+                f"FTS column {c!r} must be a string or list<string> column, got {f.type}"
+            )
     uuid = new_uuid()
     store = dataset.store
     prefix = dataset.index_dir(uuid)

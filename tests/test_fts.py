@@ -356,3 +356,27 @@ class TestTokenizerShorthand:
         t = mem_db.create_table("tv", {"id": np.arange(300), "vector": list(rng.standard_normal((300, 16)).astype(np.float32))})
         t.create_index(index_type="IVF_PQ", num_partitions=4, accelerator="cuda")
         assert len(t.list_indices()) == 1
+
+
+class TestFtsOnList:
+    """FTS over list<string> columns (reference test_fts.py
+    test_fts_on_list): each element tokenized with a position gap so
+    phrase queries never match across element boundaries."""
+
+    def test_match_and_phrase(self, mem_db):
+        import pyarrow as pa
+
+        from lancedb_tpu.query_fts import PhraseQuery
+
+        data = pa.table({
+            "text": [["lance database", "the", "search"], ["lance database"],
+                     ["lance", "search"], ["database", "search"],
+                     ["unrelated", "doc"]],
+            "vector": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0], [9.0, 0.0]],
+        })
+        t = mem_db.create_table("ftslist", data=data, mode="overwrite")
+        t.create_fts_index("text", with_position=True)
+        assert len(t.search("lance", query_type="fts").limit(5).to_list()) == 3
+        assert len(t.search(PhraseQuery("lance database", "text")).limit(5).to_list()) == 2
+        # cross-element phrase must NOT match
+        assert len(t.search(PhraseQuery("lance search", "text")).limit(5).to_list()) == 0
