@@ -176,6 +176,19 @@ def _tokenize(src: str) -> list[_Token]:
         if c.isspace():
             i += 1
             continue
+        if c in ("X", "x") and i + 1 < n and src[i + 1] == "'":
+            # blob hex literal X'0AFF' (DataFusion/standard SQL)
+            j = src.find("'", i + 2)
+            if j < 0:
+                raise SqlParseError(f"unterminated hex literal at {i}")
+            hexstr = src[i + 2 : j]
+            try:
+                value = bytes.fromhex(hexstr)
+            except ValueError:
+                raise SqlParseError(f"invalid hex literal X'{hexstr}' at {i}") from None
+            toks.append(_Token("bytes", value, i))
+            i = j + 1
+            continue
         if c == "'":  # string literal w/ '' escape
             j = i + 1
             buf = []
@@ -446,6 +459,8 @@ class _Parser:
             return Literal(int(text))
         if t.kind == "string":
             return Literal(t.text)
+        if t.kind == "bytes":
+            return Literal(t.text)  # already bytes (X'..' hex literal)
         if t.kind == "kw":
             if t.text == "NULL":
                 return Literal(None)

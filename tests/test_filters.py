@@ -161,3 +161,29 @@ def test_array_has_and_date_trunc():
     assert ev("array_has(tags, 'red')") == [True, False, None, False]
     d = ev("date_trunc('day', ts)")[0]
     assert (d.hour, d.minute, d.second) == (0, 0, 0)
+
+
+class TestHexLiterals:
+    """X'..' blob literals (DataFusion/standard SQL binary syntax)."""
+
+    def test_binary_equality_and_index(self, mem_db):
+        import pyarrow as pa
+
+        fsb = pa.table({
+            "id": pa.array([1, 2, 3]),
+            "h": pa.array([b"aa", b"bb", b"aa"], pa.binary(2)),
+        })
+        t = mem_db.create_table("hexlit", fsb, mode="overwrite")
+        assert t.count_rows("h = X'6161'") == 2
+        t.create_scalar_index("h", index_type="BITMAP")
+        assert t.count_rows("h = X'6161'") == 2
+        assert t.count_rows("h = x'6262'") == 1
+        # identifiers starting with x are unaffected
+        t2 = mem_db.create_table("xcol_t", pa.table({"xcol": [1, 2]}), mode="overwrite")
+        assert t2.count_rows("xcol = 1") == 1
+        import pytest as _pytest
+
+        from lancedb_tpu.errors import SqlParseError
+
+        with _pytest.raises(SqlParseError):
+            t.count_rows("h = X'zz'")
