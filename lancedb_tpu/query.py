@@ -87,6 +87,16 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
 
     if column in ds.schema.names and is_multivector_type(ds.schema.field(column).type):
         return _execute_multivector_query(table, req, column)
+    # nprobes validation (reference query.rs minimum/maximum_nprobes;
+    # maximum_nprobes=0 means "no limit")
+    if req.minimum_nprobes <= 0:
+        raise InvalidInputError("minimum_nprobes must be greater than 0")
+    if req.maximum_nprobes == 0:
+        req.maximum_nprobes = None
+    if req.maximum_nprobes is not None and req.maximum_nprobes < req.minimum_nprobes:
+        raise InvalidInputError(
+            "maximum_nprobes must be greater than or equal to minimum_nprobes"
+        )
     queries = np.stack([np.asarray(v, dtype=np.float32).reshape(-1) for v in req.query_vectors])
     multi = len(req.query_vectors) > 1
 
@@ -156,7 +166,10 @@ def execute_vector_query(table, req: VectorQueryRequest) -> pa.Table:
             # adaptive expansion (reference minimum/maximum_nprobes,
             # query.rs:1215-1283): when filters starve the probed partitions,
             # retry once at maximum_nprobes before falling back
-            max_np = req.maximum_nprobes or req.minimum_nprobes
+            # None = no limit (maximum_nprobes=0): expand to every
+            # partition; the searcher clamps to its block count
+            max_np = (req.maximum_nprobes if req.maximum_nprobes is not None
+                      else max(req.minimum_nprobes, 1 << 20))
             if max_np > req.minimum_nprobes:
                 underfull = (rowids == _INVALID_ROWID).sum(axis=1) > 0
                 if underfull.any():
@@ -1132,6 +1145,26 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         self._vq_opts["nprobes"] = n
         return self
 
+    def minimum_nprobes(self, n: int) -> "LanceHybridQueryBuilder":
+        self._vq_opts["minimum_nprobes"] = n
+        return self
+
+    def maximum_nprobes(self, n: int) -> "LanceHybridQueryBuilder":
+        self._vq_opts["maximum_nprobes"] = n
+        return self
+
+    def distance_range(
+        self, lower_bound: float | None = None, upper_bound: float | None = None
+    ) -> "LanceHybridQueryBuilder":
+        """Bound the vector leg's distances before fusion (reference
+        hybrid distance_range, test_hybrid_query.py:219)."""
+        self._vq_opts["distance_range"] = (lower_bound, upper_bound)
+        return self
+
+    def ef(self, ef: int) -> "LanceHybridQueryBuilder":
+        self._vq_opts["ef"] = ef
+        return self
+
     def refine_factor(self, rf: int) -> "LanceHybridQueryBuilder":
         self._vq_opts["refine_factor"] = rf
         return self
@@ -1176,6 +1209,14 @@ class LanceHybridQueryBuilder(LanceQueryBuilder):
         vq._req.with_row_id = True
         if "nprobes" in self._vq_opts:
             vq.nprobes(self._vq_opts["nprobes"])
+        if "minimum_nprobes" in self._vq_opts:
+            vq.minimum_nprobes(self._vq_opts["minimum_nprobes"])
+        if "maximum_nprobes" in self._vq_opts:
+            vq.maximum_nprobes(self._vq_opts["maximum_nprobes"])
+        if "distance_range" in self._vq_opts:
+            vq.distance_range(*self._vq_opts["distance_range"])
+        if "ef" in self._vq_opts:
+            vq.ef(self._vq_opts["ef"])
         if "refine_factor" in self._vq_opts:
             vq.refine_factor(self._vq_opts["refine_factor"])
         if "metric" in self._vq_opts:

@@ -844,3 +844,42 @@ class TestAddProgress:
         t.add(gen(), progress=lambda p: updates.append(dict(p)))
         assert t.count_rows() == 3
         assert updates and updates[-1]["done"] is True
+
+
+class TestNprobesValidationAndHybridRange:
+    """Reference test_query.py:917 nprobes validation and
+    test_hybrid_query.py:219 hybrid distance_range."""
+
+    def _t(self, mem_db):
+        rng = np.random.default_rng(0)
+        t = mem_db.create_table("npv", [
+            {"id": i, "text": f"word{i} common",
+             "vector": list(rng.standard_normal(8).astype(float))}
+            for i in range(50)
+        ], mode="overwrite")
+        t.create_fts_index("text")
+        return t, rng.standard_normal(8).astype(np.float32)
+
+    def test_invalid_nprobes(self, mem_db):
+        t, q = self._t(mem_db)
+        with pytest.raises(ValueError, match="minimum_nprobes must be greater than 0"):
+            t.search(q).nprobes(0).limit(2).to_list()
+        with pytest.raises(ValueError, match="minimum_nprobes must be greater than 0"):
+            t.search(q).minimum_nprobes(0).limit(2).to_list()
+        with pytest.raises(ValueError, match="maximum_nprobes must be greater"):
+            t.search(q).minimum_nprobes(100).limit(2).to_list()
+
+    def test_maximum_nprobes_zero_is_unlimited(self, mem_db):
+        t, q = self._t(mem_db)
+        t.create_index(index_type="IVF_FLAT", num_partitions=4)
+        res = t.search(q).minimum_nprobes(2).maximum_nprobes(0).limit(3).to_list()
+        assert len(res) == 3
+
+    def test_hybrid_distance_range(self, mem_db):
+        t, q = self._t(mem_db)
+        assert len(t.search((q, "common"), query_type="hybrid")
+                   .limit(5).distance_range(upper_bound=100.0).to_list()) == 5
+        # zero upper bound empties the vector leg; fts leg still returns
+        res = t.search((q, "common"), query_type="hybrid") \
+               .limit(5).distance_range(upper_bound=0.0).to_list()
+        assert len(res) > 0
