@@ -16,6 +16,7 @@ MultiVector `:166`, pydantic→arrow conversion `:487`). Usage::
 from __future__ import annotations
 
 import datetime
+import enum
 import types
 import typing
 from typing import get_args, get_origin
@@ -138,6 +139,19 @@ def _pytype_to_arrow(py_type, field_info=None) -> tuple[pa.DataType, bool]:
         return _SCALARS[py_type], False
     if py_type is np.ndarray:
         return pa.list_(pa.float32()), False
+    if isinstance(py_type, type) and issubclass(py_type, enum.Enum):
+        # enums map to the Arrow type of their value mixin: str enums
+        # become dictionary<utf8> (low cardinality), int enums int64
+        # (reference pydantic.py, test_pydantic.py test_enum_types)
+        if issubclass(py_type, str):
+            return pa.dictionary(pa.int32(), pa.utf8()), False
+        if issubclass(py_type, int):
+            return pa.int64(), False
+        vals = [m.value for m in py_type]
+        if vals and all(isinstance(v, str) for v in vals):
+            return pa.dictionary(pa.int32(), pa.utf8()), False
+        if vals and all(isinstance(v, int) for v in vals):
+            return pa.int64(), False
     raise InvalidInputError(f"cannot convert python type {py_type!r} to arrow")
 
 

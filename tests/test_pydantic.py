@@ -114,3 +114,43 @@ class TestContextualizer:
     def test_arrow_output(self):
         tbl = contextualize(self.DOCS).text_col("text").window(3).stride(3).to_arrow()
         assert "text" in tbl.column_names
+
+
+class TestEnumTypes:
+    """Enum fields map to their value-mixin Arrow type (reference
+    test_pydantic.py test_enum_types / issue #1846)."""
+
+    def test_enum_schema_and_roundtrip(self, mem_db):
+        from enum import Enum
+        from typing import Optional
+
+        import pydantic
+
+        from lancedb_tpu.pydantic import LanceModel, Vector, pydantic_to_schema
+
+        class StrStatus(str, Enum):
+            PENDING = "pending"
+            DONE = "done"
+
+        class IntPriority(int, Enum):
+            LOW = 1
+            HIGH = 3
+
+        class M(pydantic.BaseModel):
+            status: StrStatus
+            priority: IntPriority
+            opt_status: Optional[StrStatus] = None
+
+        s = pydantic_to_schema(M)
+        assert s.field("status").type == pa.dictionary(pa.int32(), pa.utf8())
+        assert s.field("priority").type == pa.int64()
+        assert s.field("opt_status").nullable
+
+        class Doc(LanceModel):
+            id: int
+            status: StrStatus
+            vector: Vector(2)
+
+        t = mem_db.create_table("enum_rt", schema=Doc, mode="overwrite")
+        t.add([Doc(id=1, status=StrStatus.PENDING, vector=[1.0, 0.0])])
+        assert t.to_arrow().column("status").to_pylist() == ["pending"]
