@@ -128,9 +128,12 @@ class ColumnFtsIndex:
     ):
         self.vocab = vocab
         self.df = df
-        self.postings_offsets = postings_offsets
-        self.postings_docs = postings_docs
-        self.postings_tf = postings_tf
+        # the native scorers take int64 CSR arrays; normalize ONCE here
+        # so per-query ascontiguousarray calls are views, not copies of
+        # the whole postings (a fresh build produces int32/float32)
+        self.postings_offsets = np.ascontiguousarray(postings_offsets, dtype=np.int64)
+        self.postings_docs = np.ascontiguousarray(postings_docs, dtype=np.int64)
+        self.postings_tf = np.ascontiguousarray(postings_tf, dtype=np.int64)
         self.doc_lens = doc_lens
         self.doc_rowids = doc_rowids
         self.tokenizer = tokenizer

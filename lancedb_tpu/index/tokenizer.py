@@ -10,6 +10,7 @@ environment); the tokenizer registry is the extension point.
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 from dataclasses import dataclass
@@ -24,8 +25,11 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
+@functools.lru_cache(maxsize=65536)
 def _porter_stem(w: str) -> str:
-    """Compact Porter stemmer (standard algorithm, steps 1a–5b)."""
+    """Compact Porter stemmer (standard algorithm, steps 1a–5b).
+    Memoized: query terms and corpus vocabulary repeat heavily, and the
+    pure-python steps cost ~30µs per distinct word."""
     if len(w) <= 2:
         return w
 

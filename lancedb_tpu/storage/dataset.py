@@ -20,6 +20,7 @@ table/optimize.rs (compact/prune).
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable, Iterator
@@ -106,6 +107,10 @@ class Dataset:
         self.pinned = pinned
         self._readers: dict[int, FragmentReader] = {}
         self._deletion_cache: dict[tuple[int, str | None], np.ndarray | None] = {}
+        # take_rows hydration fast path: (version, columns) → either
+        # (sorted_rowids, rowid-sorted table) or "skip" (too large)
+        self._hydration_cache: dict[tuple, object] = {}
+        self._hydration_hits: dict[tuple, int] = {}
 
     # ------------------------------------------------------------ basic
 
@@ -606,11 +611,52 @@ class Dataset:
             fields.append(pa.field(ROW_ID_COL, pa.uint64()))
         return pa.schema(fields).empty_table()
 
+    def _hydration_fastpath(self, columns: list[str] | None):
+        """A rowid-sorted resident copy of the projection, built after a
+        few take_rows calls hit the same (version, columns) key. Serving
+        hydrates k≈10 rows per query; the per-fragment/per-batch take
+        path costs ~6 Arrow kernel calls per query while this is ONE
+        pc.take. Bounded by LANCEDB_TPU_HYDRATION_CACHE_BYTES (4e9);
+        larger projections are marked "skip" and use the slow path."""
+        key = (self.version, self.branch, tuple(columns) if columns else None)
+        ent = self._hydration_cache.get(key)
+        if ent == "skip":
+            return None
+        if ent is not None:
+            return ent
+        hits = self._hydration_hits.get(key, 0) + 1
+        self._hydration_hits[key] = hits
+        if hits < 8:
+            return None
+        tbl = self.to_table(columns=columns, with_row_id=True)
+        cap = float(os.environ.get("LANCEDB_TPU_HYDRATION_CACHE_BYTES", 4e9))
+        if tbl.nbytes > cap:
+            ent = "skip"
+        else:
+            rid = tbl.column(ROW_ID_COL).to_numpy().astype(np.uint64)
+            order = np.argsort(rid)
+            sorted_tbl = tbl.drop_columns([ROW_ID_COL]).take(pa.array(order)).combine_chunks()
+            ent = (rid[order], sorted_tbl)
+        # one live version per dataset handle: drop stale entries
+        self._hydration_cache = {
+            k: v for k, v in self._hydration_cache.items() if k[0] == self.version
+        }
+        self._hydration_cache[key] = ent
+        return None if ent == "skip" else ent
+
     def take_rows(self, row_ids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         """Take by stable row address, preserving request order."""
         row_ids = np.asarray(row_ids, dtype=np.uint64)
         if len(row_ids) == 0:
             return self._empty_projection(columns, with_row_id=False)
+        fast = self._hydration_fastpath(columns)
+        if fast is not None:
+            rid_sorted, tbl = fast
+            pos = np.searchsorted(rid_sorted, row_ids)
+            pos = np.clip(pos, 0, max(0, len(rid_sorted) - 1))
+            if len(rid_sorted) and bool(np.all(rid_sorted[pos] == row_ids)):
+                return tbl.take(pa.array(pos.astype(np.int64)))
+            # unknown row id (caller bug or raced delete): slow path
         frag_ids = (row_ids >> np.uint64(32)).astype(np.int64)
         offsets = (row_ids & np.uint64(0xFFFFFFFF)).astype(np.int64)
         pieces = []
