@@ -544,6 +544,16 @@ def main() -> None:
         traceback.print_exc(file=sys.stderr)
         details["fts_error"] = f"{type(e).__name__}: {e}"
 
+    # ---- streaming dataloader throughput (the reference's only
+    # concrete in-repo benchmark: python/benchmarks/bench_streaming_dataloader.py)
+    try:
+        run_dataloader_config(details)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        details["dataloader_error"] = f"{type(e).__name__}: {e}"
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
     log("details written to bench_details.json")
@@ -753,6 +763,47 @@ def run_hnsw_config(details, x, rng, n_h=None):
         log(f"[hnsw] ef={ef}: {128 / dt:.0f} qps recall@10={rec:.4f}")
     del s, ds, xh
     gc.collect()
+
+
+def run_dataloader_config(details, n_rows=None, row_bytes=4096, steps=4096):
+    """StreamingDataset sample throughput at the reference benchmark's
+    geometry (24 splits, 4 KiB payload rows, read_batch_size=256 — the
+    sweet spot of the sweep; reference
+    python/benchmarks/bench_streaming_dataloader.py:1-48)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import lancedb_tpu
+    from lancedb_tpu.data import StreamingDataset, permutation_builder
+
+    if n_rows is None:
+        n_rows = 12_288 if _SMOKE else 49_152
+    rng = np.random.default_rng(0)
+    blob = rng.integers(0, 256, size=(n_rows, row_bytes), dtype=np.uint8).tobytes()
+    with tempfile.TemporaryDirectory() as td:
+        db = lancedb_tpu.connect(td)
+        tbl = pa.table({
+            "id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "payload": pa.array(
+                [blob[i * row_bytes:(i + 1) * row_bytes] for i in range(n_rows)],
+                pa.binary(),
+            ),
+        })
+        t = db.create_table("dl_bench", tbl)
+        perm = permutation_builder(t).split_random(seed=7).shuffle(seed=7).execute()
+        ds = StreamingDataset(perm, num_splits=24, read_batch_size=256)
+        it = iter(ds)
+        for _ in range(512):  # warm
+            next(it)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            next(it)
+        dt = time.perf_counter() - t0
+        details["dataloader_rows_per_s"] = round(steps / dt, 1)
+        details["dataloader_mib_per_s"] = round(steps * row_bytes / dt / 2**20, 1)
+        log(f"[dataloader] {details['dataloader_rows_per_s']} rows/s "
+            f"{details['dataloader_mib_per_s']} MiB/s (read_batch_size=256)")
 
 
 def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
