@@ -452,6 +452,20 @@ def connect(
         build; api_key from the LANCEDB_API_KEY env var if unset)
       * anything else  → local/memory listing database
     """
+    if uri.startswith("s3://"):
+        # S3 buckets with dots break virtual-hosted-style region
+        # detection (reference __init__.py:36-66, lancedb issue #1898)
+        from urllib.parse import urlparse
+
+        bucket = urlparse(uri).netloc
+        if "." in bucket and not (
+            storage_options and ({"region", "aws_region"} & set(storage_options))
+        ):
+            raise InvalidInputError(
+                f"S3 bucket name {bucket!r} contains dots, which prevents "
+                "automatic region detection; pass storage_options="
+                "{'region': '<your-region>'}"
+            )
     if uri.startswith("db://"):
         import os
 

@@ -883,3 +883,10 @@ class TestNprobesValidationAndHybridRange:
         res = t.search((q, "common"), query_type="hybrid") \
                .limit(5).distance_range(upper_bound=0.0).to_list()
         assert len(res) > 0
+
+
+def test_s3_bucket_with_dots_requires_region():
+    """S3 buckets with dots break virtual-hosted-style region detection
+    (reference __init__.py:36-66, lancedb issue #1898)."""
+    with pytest.raises(InvalidInputError, match="contains dots"):
+        ldb.connect("s3://my.bucket/db")
