@@ -16,8 +16,15 @@ echo "=== verify_e2e $(date) ===" >> "$LOG"
 timeout 1500 env PYTHONPATH=/root/repo:/root/.axon_site python -u \
   scripts/verify_e2e.py >> "$LOG" 2>&1
 echo "verify_e2e exit=$?" >> "$LOG"
-echo "=== probe_pq_real $(date) ===" >> "$LOG"
-timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site python -u \
-  scripts/probe_pq_real.py >> "$LOG" 2>&1
-echo "probe_pq_real exit=$?" >> "$LOG"
+for CAP in 1.25 1.0; do
+  echo "=== probe_pq_real cap=$CAP $(date) ===" >> "$LOG"
+  timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+    LANCEDB_TPU_BLOCK_CAP_FACTOR=$CAP python -u \
+    scripts/probe_pq_real.py >> "$LOG" 2>&1
+  echo "probe_pq_real cap=$CAP exit=$?" >> "$LOG"
+done
+echo "=== full bench $(date) ===" >> "$LOG"
+cd /root/repo && timeout 5400 env PYTHONPATH=/root/repo:/root/.axon_site \
+  python -u bench.py > /tmp/bench_headline.json 2>> "$LOG"
+echo "bench exit=$? headline: $(cat /tmp/bench_headline.json)" >> "$LOG"
 echo "=== done $(date) ===" >> "$LOG"
