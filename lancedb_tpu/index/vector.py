@@ -1243,7 +1243,13 @@ class VectorSearcher:
         k_eff = min(k_eff, self.num_slots)
         qj = jnp.asarray(q)
         has_mask = slot_penalty is not None
-        pen = jnp.asarray(slot_penalty) if has_mask else jnp.zeros((1,), jnp.float32)
+        # the no-mask penalty and empty norms are per-searcher constants:
+        # allocating them per query costs one eager dispatch each (a full
+        # tunnel RTT on hardware for single-query serving)
+        zero = self._device.get("zero_pen")
+        if zero is None:
+            zero = self._device["zero_pen"] = jnp.zeros((1,), jnp.float32)
+        pen = jnp.asarray(slot_penalty) if has_mask else zero
 
         if self.index_type == "FLAT":
             mode = params.precision
@@ -1254,7 +1260,8 @@ class VectorSearcher:
                 self._device["vectors"],
                 self._device["vectors"] if mode == "float32" else self._vectors_lp(),
                 self._device["norms2"],
-                self._device["penalty"] + (pen if has_mask else 0.0),
+                (self._device["penalty"] + pen) if has_mask
+                else self._device["penalty"],
                 k=k_eff,
                 metric=self.metric,
                 mode=mode,
@@ -1332,7 +1339,7 @@ class VectorSearcher:
                 qj, vals, slots,
                 self._device["refine_slotmap"],
                 self._device["refine_vecs"],
-                self._device.get("refine_norms2", jnp.zeros((1,), jnp.float32)),
+                self._device.get("refine_norms2", zero),
                 k=min(params.k, k_eff),
                 metric=self.metric,
             )
