@@ -54,8 +54,8 @@ def fuzz(n_ops: int, seed: int, verbose: bool = False) -> list[str]:
 
     for step in range(n_ops):
         op = rng.choices(
-            ["add", "delete", "update", "merge", "compact", "noopt"],
-            weights=[4, 3, 3, 3, 1, 1], k=1)[0]
+            ["add", "delete", "update", "merge", "compact", "noopt", "restore"],
+            weights=[4, 3, 3, 3, 1, 1, 1], k=1)[0]
         if op == "add":
             n = rng.randint(1, 20)
             batch = []
@@ -97,6 +97,16 @@ def fuzz(n_ops: int, seed: int, verbose: bool = False) -> list[str]:
             next_id = max(next_id, max(row["id"] for row in batch) + 1)
         elif op == "compact":
             t.optimize()
+        elif op == "restore":
+            # checkout an old version and restore it as the new head
+            # (reference table.rs restore): contents revert, history
+            # keeps going forward
+            version, want = rng.choice(snapshots)
+            t.checkout(version)
+            t.restore()
+            oracle = {i: {"val": v, "cat": c} for i, v, c in want}
+            if oracle:
+                next_id = max(next_id, max(oracle) + 1)
         elif op == "noopt":
             # prunes every non-latest version: past snapshots are gone
             t.cleanup_old_versions()
