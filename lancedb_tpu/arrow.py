@@ -105,9 +105,32 @@ def infer_vector_columns(table: pa.Table) -> pa.Table:
             continue
         if not (pa.types.is_list(field.type) or pa.types.is_large_list(field.type)):
             continue
-        if not pa.types.is_floating(field.type.value_type) and not pa.types.is_integer(
-            field.type.value_type
-        ):
+        vt = field.type.value_type
+        if pa.types.is_list(vt) or pa.types.is_large_list(vt):
+            # list<list<numeric>> with constant inner length → a
+            # multivector column list<fixed_size_list<float, d>>
+            # (reference MultiVector pydantic type; late-interaction
+            # search needs the fsl inner shape)
+            ivt = vt.value_type
+            if not (pa.types.is_floating(ivt) or pa.types.is_integer(ivt)):
+                continue
+            col = table.column(i)
+            if col.null_count:
+                continue
+            inner = pa.compute.list_flatten(col.combine_chunks())
+            if len(inner) == 0 or inner.null_count:
+                continue
+            ilen = pa.compute.unique(pa.compute.list_value_length(inner))
+            if len(ilen) != 1 or not ilen[0].as_py():
+                continue
+            d = ilen[0].as_py()
+            itype = ivt if pa.types.is_floating(ivt) else pa.float32()
+            mv_type = pa.list_(pa.list_(itype, d))
+            out = out.set_column(
+                i, pa.field(field.name, mv_type), col.cast(mv_type)
+            )
+            continue
+        if not pa.types.is_floating(vt) and not pa.types.is_integer(vt):
             continue
         col = table.column(i)
         if col.null_count:

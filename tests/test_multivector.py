@@ -77,3 +77,23 @@ class TestMultivector:
         q[0] = 1.0
         res = mv_table.search([q.tolist()]).limit(3).to_arrow()
         assert res.num_rows == 3
+
+
+class TestMultivectorInference:
+    def test_nested_python_lists_become_multivector(self, mem_db):
+        """list<list<float>> input with constant inner length is
+        promoted to list<fixed_size_list> so late-interaction search
+        works on tables created from plain python data."""
+        t = mem_db.create_table("mvinf", {"id": [1, 2], "emb": [
+            [[1.0, 0.0], [0.5, 0.5]], [[0.0, 1.0]],
+        ]}, mode="overwrite")
+        ftype = t.schema.field("emb").type
+        assert pa.types.is_fixed_size_list(ftype.value_type)
+        r = t.search([[0.0, 1.0]], vector_column_name="emb").limit(1).to_list()
+        assert r[0]["id"] == 2
+
+    def test_ragged_inner_lengths_stay_plain_lists(self, mem_db):
+        t = mem_db.create_table("mvrag", {"id": [1], "emb": [
+            [[1.0, 0.0], [0.5]],
+        ]}, mode="overwrite")
+        assert not pa.types.is_fixed_size_list(t.schema.field("emb").type.value_type)
