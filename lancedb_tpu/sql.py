@@ -223,6 +223,9 @@ class SelectStatement:
     group_by: list[Expr] = field(default_factory=list)
     having: Expr | None = None
     order_by: list[tuple[Expr, bool]] = field(default_factory=list)  # (expr, desc)
+    # per-key NULLS FIRST/LAST: "first" | "last" | None (None = the
+    # DataFusion/Postgres default: last for ASC, first for DESC)
+    order_nulls: list = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
     distinct: bool = False
@@ -266,6 +269,7 @@ class UnionStatement:
     selects: list  # SelectStatement | nested UnionStatement
     all: bool = False
     order_by: list[tuple[Expr, bool]] = field(default_factory=list)
+    order_nulls: list = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
     ctes: list[tuple] = field(default_factory=list)
@@ -380,6 +384,10 @@ class _SelectParser(_Parser):
                 desc = bool(self._eat_word("DESC"))
                 if not desc:
                     self._eat_word("ASC")
+                if self._at_word("NULLS"):
+                    raise SqlParseError(
+                        "NULLS FIRST/LAST in window ORDER BY is not supported"
+                    )
                 order_by.append((e, desc))
                 if self.peek().kind == "comma":
                     self.next()
@@ -524,6 +532,7 @@ class _SelectParser(_Parser):
             group_by = self.parse_expr_list()
         having = self.parse_or() if self._eat_word("HAVING") else None
         order_by: list[tuple[Expr, bool]] = []
+        order_nulls: list = []
         if self._eat_word("ORDER"):
             if not self._eat_word("BY"):
                 raise SqlParseError("expected BY after ORDER")
@@ -534,7 +543,16 @@ class _SelectParser(_Parser):
                     desc = True
                 else:
                     self._eat_word("ASC")
+                nulls = None
+                if self._eat_word("NULLS"):
+                    if self._eat_word("FIRST"):
+                        nulls = "first"
+                    elif self._eat_word("LAST"):
+                        nulls = "last"
+                    else:
+                        raise SqlParseError("expected FIRST or LAST after NULLS")
                 order_by.append((e, desc))
+                order_nulls.append(nulls)
                 if self.peek().kind == "comma":
                     self.next()
                     continue
@@ -547,7 +565,8 @@ class _SelectParser(_Parser):
             offset = int(self.expect("number").text)
         return SelectStatement(
             items=items, source=source, joins=joins, where=where, group_by=group_by,
-            having=having, order_by=order_by, limit=limit, offset=offset,
+            having=having, order_by=order_by, order_nulls=order_nulls,
+            limit=limit, offset=offset,
             distinct=distinct,
         )
 
@@ -657,12 +676,12 @@ def _parse_set_expr(p: _SelectParser) -> "SelectStatement | UnionStatement":
         ops.append(op)
     if len(selects) == 1:
         if isinstance(first, UnionStatement):  # pure INTERSECT chain
-            first.order_by, first.limit, first.offset = _lift_tail(first)
+            first.order_by, first.order_nulls, first.limit, first.offset = _lift_tail(first)
         return first
     union = UnionStatement(selects, all=all(o == "union all" for o in ops), ops=ops)
     # standard SQL: the trailing ORDER BY/LIMIT of the text bind to the
     # whole set expression, not the last member (which consumed them)
-    union.order_by, union.limit, union.offset = _lift_tail(union)
+    union.order_by, union.order_nulls, union.limit, union.offset = _lift_tail(union)
     return union
 
 
@@ -687,8 +706,8 @@ def _lift_tail(node: "UnionStatement"):
     leaf = node
     while isinstance(leaf, UnionStatement):
         leaf = leaf.selects[-1]
-    out = leaf.order_by, leaf.limit, leaf.offset
-    leaf.order_by, leaf.limit, leaf.offset = [], None, 0
+    out = leaf.order_by, leaf.order_nulls, leaf.limit, leaf.offset
+    leaf.order_by, leaf.order_nulls, leaf.limit, leaf.offset = [], [], None, 0
     return out
 
 
@@ -2007,6 +2026,7 @@ def _execute_union(stmt: UnionStatement, open_table) -> pa.Table:
             items=[SelectItem(Star(), None)],
             source=first.source,
             order_by=stmt.order_by,
+            order_nulls=list(getattr(stmt, "order_nulls", ()) or ()),
         )
         with _op_timer("SortExec"):
             out = _apply_order(sorter, out, env=out)
@@ -2968,23 +2988,50 @@ def _apply_order(
     sort_cols = []
     aux: dict[str, pa.Array] = {}
     alias_map = {it.name: it.expr for it in stmt.items if not isinstance(it.expr, Star)}
+    order_nulls = list(getattr(stmt, "order_nulls", ()) or ())
+
+    def add_key(idx: int, name: str, arr, direction: str, desc: bool) -> None:
+        # SQL null placement (DataFusion/Postgres: nulls sort HIGH, so
+        # ASC → last, DESC → first; explicit NULLS FIRST/LAST wins).
+        # pyarrow always puts nulls at the end, so a null flag key is
+        # prepended whenever the column has nulls and the wanted
+        # placement differs per key.
+        nulls = order_nulls[idx] if idx < len(order_nulls) else None
+        if nulls is None:
+            nulls = "first" if desc else "last"
+        col_arr = arr if arr is not None else out.column(name)
+        null_count = (
+            col_arr.null_count if hasattr(col_arr, "null_count") else 0
+        )
+        if null_count:
+            flag = pc.is_null(col_arr)
+            fname = f"__nullord{idx}"
+            aux[fname] = flag
+            sort_cols.append(
+                (fname, "descending" if nulls == "first" else "ascending")
+            )
+        if arr is not None:
+            aux[name] = arr
+        sort_cols.append((name, direction))
+
     for idx, (e, desc) in enumerate(stmt.order_by):
         direction = "descending" if desc else "ascending"
         # alias or projected column reference → sort the output column
         if isinstance(e, Column) and e.name in out.column_names:
-            sort_cols.append((e.name, direction))
+            add_key(idx, e.name, None, direction, desc)
+            continue
+        if isinstance(e, Column) and e.name in alias_map and e.name in out.column_names:
+            add_key(idx, e.name, None, direction, desc)
             continue
         if isinstance(e, Column) and e.name in alias_map:
             sort_cols.append((e.name, direction))
             continue
         be = _replace(e, binding) if binding else e
         arr = _as_array(evaluate_expression(env, be), env.num_rows)
-        name = f"__ord{idx}"
-        aux[name] = arr
-        sort_cols.append((name, direction))
-    if aux:
         if out.num_rows != env.num_rows:
             raise InvalidInputError("ORDER BY expression must be computable on the result")
+        add_key(idx, f"__ord{idx}", arr, direction, desc)
+    if aux:
         combined = out
         for n, a in aux.items():
             combined = combined.append_column(n, a)

@@ -211,10 +211,21 @@ class Gen:
         return ("SELECT id, a, (SELECT max(d) FROM t2 WHERE t2.a = t1.a) AS m "
                 "FROM t1 WHERE b IS NOT NULL")
 
+    def nulls_ordered(self) -> str:
+        # explicit NULLS FIRST/LAST on a nullable key, id tiebreak makes
+        # the total order deterministic for exact row comparison
+        r = self.r
+        key = r.choice(["a", "b", "c"])
+        d1 = r.choice(["ASC", "DESC"])
+        fl = r.choice(["FIRST", "LAST"])
+        return (f"SELECT id, {key} FROM t1 ORDER BY {key} {d1} NULLS {fl}, "
+                f"id ASC LIMIT {r.randint(5, 40)}")
+
     def statement(self) -> str:
         shapes = [self.simple_select, self.grouped, self.windowed, self.joined,
-                  self.setop, self.cte, self.correlated, self.scalar_sub]
-        w = [4, 3, 3, 2, 2, 2, 2, 1]
+                  self.setop, self.cte, self.correlated, self.scalar_sub,
+                  self.nulls_ordered]
+        w = [4, 3, 3, 2, 2, 2, 2, 1, 2]
         return self.r.choices(shapes, weights=w, k=1)[0]()
 
 
@@ -250,8 +261,12 @@ def run_sqlite(cur, sql: str) -> list[tuple]:
 
 
 def ordered_prefix(sql: str) -> bool:
-    """Top-level ORDER BY id ... LIMIT → row order is deterministic."""
-    return "ORDER BY id" in sql and "LIMIT" in sql
+    """Deterministic row order: ORDER BY with the unique id column as a
+    key (leading or tiebreak) plus LIMIT."""
+    if "LIMIT" not in sql or "ORDER BY" not in sql:
+        return False
+    tail = sql.rsplit("ORDER BY", 1)[1]
+    return tail.lstrip().startswith("id") or ", id" in tail
 
 
 def compare(sql: str, ours: list[tuple], theirs: list[tuple]) -> str | None:

@@ -766,3 +766,26 @@ class TestSetOpOrderByNested:
         }))
         out = mem_db.sql("SELECT nullif(a, b) AS n FROM nt").to_pydict()
         assert out["n"] == [1, 2, None]
+
+
+class TestNullsOrdering:
+    def test_nulls_first_last(self, mem_db):
+        import pyarrow as pa
+
+        mem_db.create_table("no1", pa.table({"a": pa.array([3, None, 1], pa.int64())}))
+        sql = mem_db.sql
+        assert sql("SELECT a FROM no1 ORDER BY a").to_pydict()["a"] == [1, 3, None]
+        # DataFusion/Postgres default: DESC puts nulls first
+        assert sql("SELECT a FROM no1 ORDER BY a DESC").to_pydict()["a"] == [None, 3, 1]
+        assert sql("SELECT a FROM no1 ORDER BY a NULLS FIRST").to_pydict()["a"] == [None, 1, 3]
+        assert sql("SELECT a FROM no1 ORDER BY a DESC NULLS LAST").to_pydict()["a"] == [3, 1, None]
+        assert sql("SELECT a FROM no1 ORDER BY a + 1 NULLS FIRST").to_pydict()["a"] == [None, 1, 3]
+
+    def test_window_order_nulls_rejected(self, mem_db):
+        import pytest as _pytest
+
+        from lancedb_tpu.errors import SqlParseError
+
+        mem_db.create_table("no2", {"a": [1, 2]})
+        with _pytest.raises(SqlParseError, match="window ORDER BY"):
+            mem_db.sql("SELECT sum(a) OVER (ORDER BY a NULLS FIRST) AS s FROM no2")
