@@ -47,6 +47,16 @@ _INVALID_ROWID = np.uint64(np.iinfo(np.uint64).max)
 
 
 @dataclass
+class ColumnOrdering:
+    """One ORDER BY key for query results (reference query.py:361
+    ColumnOrdering pydantic model)."""
+
+    column_name: str
+    ascending: bool = True
+    nulls_first: bool = False
+
+
+@dataclass
 class VectorQueryRequest:
     """Accumulated query state (reference VectorQueryRequest, query.rs:1067-1114)."""
 
@@ -620,23 +630,50 @@ class LanceQueryBuilder:
         the sort applies to the k results (e.g. re-order an ANN result
         set by a metadata column)."""
         out = []
+        nulls = []
         for c in columns:
             if isinstance(c, str):
                 out.append((c, "ascending"))
+                nulls.append(None)
+            elif isinstance(c, ColumnOrdering):
+                out.append((c.column_name, "ascending" if c.ascending else "descending"))
+                nulls.append("first" if c.nulls_first else "last")
             else:
                 name, direction = c
                 out.append(
                     (name, "descending" if str(direction).lower().startswith("desc") else "ascending")
                 )
+                nulls.append(None)
         self._order_by = out
+        self._order_nulls = nulls
         return self
+
+    def _sort_table(self, out: pa.Table) -> pa.Table:
+        nulls = getattr(self, "_order_nulls", None) or [None] * len(self._order_by)
+        if not any(n == "first" for n in nulls):
+            return out.sort_by(self._order_by)
+        # explicit nulls-first keys need a null-flag sort key (pyarrow
+        # sorts nulls last); mirrors sql.py _apply_order
+        combined = out
+        keys = []
+        for idx, ((name, direction), n) in enumerate(zip(self._order_by, nulls)):
+            col = out.column(name)
+            if n == "first" and col.null_count:
+                fname = f"__nullord{idx}"
+                combined = combined.append_column(fname, pa.compute.is_null(col))
+                keys.append((fname, "descending"))
+            keys.append((name, direction))
+        idxs = pa.compute.sort_indices(combined, sort_keys=keys)
+        return out.take(idxs)
 
     def _sorted(self, out: pa.Table) -> pa.Table:
         if self._with_row_address and ROW_ID_COL in out.column_names:
             out = out.append_column("_rowaddr", out.column(ROW_ID_COL))
             if not self._explicit_row_id:
                 out = out.drop_columns([ROW_ID_COL])
-        return out.sort_by(self._order_by) if self._order_by else out
+        if not self._order_by:
+            return out
+        return self._sort_table(out)
 
     def _check_scan_only_flags(self) -> None:
         """Search builders reject scan-only options instead of silently
@@ -933,7 +970,7 @@ class LanceEmptyQueryBuilder(LanceQueryBuilder):
             arrays = {a: evaluate_expression(out, e) for a, e in self._req.select.items()}
             out = pa.table(arrays)
         if self._order_by:
-            out = out.sort_by(self._order_by)
+            out = self._sort_table(out)
             if self._req.offset:
                 out = out.slice(self._req.offset)
             if limit is not None:

@@ -116,3 +116,26 @@ def test_search_to_batches_chunking(tbl):
     batches = list(tbl.search(q).limit(30).to_batches(max_batch_length=7))
     assert sum(b.num_rows for b in batches) == 30
     assert all(b.num_rows <= 7 for b in batches)
+
+
+class TestColumnOrdering:
+    """order_by with ColumnOrdering nulls placement (reference
+    query.py:361)."""
+
+    def test_nulls_first_on_scan_and_search(self, mem_db):
+        import numpy as np
+        import pyarrow as pa
+
+        from lancedb_tpu.query import ColumnOrdering
+
+        t = mem_db.create_table("co", pa.table({
+            "id": [1, 2, 3], "v": pa.array([5, None, 2], pa.int64()),
+            "vector": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+        }), mode="overwrite")
+        r = t.search(None).order_by(ColumnOrdering("v", nulls_first=True)).to_arrow()
+        assert r.column("v").to_pylist() == [None, 2, 5]
+        r = t.search(None).order_by(ColumnOrdering("v", ascending=False)).to_arrow()
+        assert r.column("v").to_pylist() == [5, 2, None]
+        r = (t.search(np.array([1.0, 0.0], np.float32)).limit(3)
+             .order_by(ColumnOrdering("v", nulls_first=True)).to_arrow())
+        assert r.column("v").to_pylist() == [None, 2, 5]
