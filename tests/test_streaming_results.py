@@ -128,10 +128,10 @@ class TestColumnOrdering:
 
         from lancedb_tpu.query import ColumnOrdering
 
-        t = mem_db.create_table("co", pa.table({
+        t = mem_db.create_table("co", {
             "id": [1, 2, 3], "v": pa.array([5, None, 2], pa.int64()),
             "vector": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
-        }), mode="overwrite")
+        }, mode="overwrite")
         r = t.search(None).order_by(ColumnOrdering("v", nulls_first=True)).to_arrow()
         assert r.column("v").to_pylist() == [None, 2, 5]
         r = t.search(None).order_by(ColumnOrdering("v", ascending=False)).to_arrow()
