@@ -18,6 +18,7 @@ Split strategies (reference split.rs:31-78):
 from __future__ import annotations
 
 import hashlib
+import json
 from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
@@ -41,6 +42,18 @@ class _SplitSpec:
     discard_weight: int = 0
     sql: str | None = None
     sizes: list[int] | None = None
+    split_names: list[str] | None = None
+
+
+def _check_split_names(names: list[str] | None, n_splits: int) -> None:
+    if names is None:
+        return
+    if len(names) != n_splits:
+        raise InvalidInputError(
+            f"split_names has {len(names)} entries for {n_splits} splits"
+        )
+    if len(set(names)) != len(names):
+        raise InvalidInputError("split_names must be unique")
 
 
 class PermutationBuilder:
@@ -62,31 +75,40 @@ class PermutationBuilder:
         fractions: list[float] | None = None,
         counts: list[int] | None = None,
         clump_size: int | None = None,
+        split_names: list[str] | None = None,
     ) -> "PermutationBuilder":
         if fractions is not None and counts is not None:
             raise InvalidInputError("pass either fractions or counts, not both")
         if fractions is not None and abs(sum(fractions) - 1.0) > 1e-6:
             raise InvalidInputError("fractions must sum to 1")
+        n_splits = len(fractions or counts or [1])
+        _check_split_names(split_names, n_splits)
         self._split = _SplitSpec(
-            kind="random", seed=seed, fractions=fractions, counts=counts, clump_size=clump_size
+            kind="random", seed=seed, fractions=fractions, counts=counts,
+            clump_size=clump_size, split_names=split_names,
         )
         return self
 
     def split_hash(
-        self, columns: list[str], split_weights: list[int], discard_weight: int = 0
+        self, columns: list[str], split_weights: list[int], discard_weight: int = 0,
+        split_names: list[str] | None = None,
     ) -> "PermutationBuilder":
+        _check_split_names(split_names, len(split_weights))
         self._split = _SplitSpec(
             kind="hash", columns=columns, split_weights=split_weights,
-            discard_weight=discard_weight,
+            discard_weight=discard_weight, split_names=split_names,
         )
         return self
 
-    def split_sequential(self, sizes: list[int] | None = None) -> "PermutationBuilder":
-        self._split = _SplitSpec(kind="sequential", sizes=sizes)
+    def split_sequential(self, sizes: list[int] | None = None,
+                         split_names: list[str] | None = None) -> "PermutationBuilder":
+        _check_split_names(split_names, len(sizes) if sizes else 1)
+        self._split = _SplitSpec(kind="sequential", sizes=sizes, split_names=split_names)
         return self
 
-    def split_calculated(self, sql: str) -> "PermutationBuilder":
-        self._split = _SplitSpec(kind="calculated", sql=sql)
+    def split_calculated(self, sql: str,
+                         split_names: list[str] | None = None) -> "PermutationBuilder":
+        self._split = _SplitSpec(kind="calculated", sql=sql, split_names=split_names)
         return self
 
     # ---- other knobs ----
@@ -143,13 +165,20 @@ class PermutationBuilder:
         if name in conn.table_names():
             conn.drop_table(name)
 
+        meta = None
+        if spec.split_names:
+            # persisted like the reference's permutation-table metadata
+            # key, so Permutations can resolve splits by name later
+            meta = {b"split_names": json.dumps(spec.split_names).encode()}
+
         def chunk_table(rids, sids):
-            return pa.table(
+            t = pa.table(
                 {
                     ROW_ID_COL: pa.array(rids, type=pa.uint64()),
                     SPLIT_COL: pa.array(sids.astype(np.int32)),
                 }
             )
+            return t.replace_schema_metadata(meta) if meta else t
 
         if self._shuffle_seed is not None:
             from .shuffle import external_shuffle
@@ -265,3 +294,88 @@ class Permutation:
 def permutation_builder(table, dest: str | None = None) -> PermutationBuilder:
     """Entry point (reference permutation.py:234 `permutation_builder`)."""
     return PermutationBuilder(table, dest)
+
+
+class PermutationSplit:
+    """One split of a permutation viewed as a virtual table (reference
+    permutation.py `Permutation`: num_rows/num_columns/column_names/
+    shape/schema plus windowed reads)."""
+
+    def __init__(self, perm: Permutation, split: int, name: str):
+        self._perm = perm
+        self.split = split
+        self.name = name
+
+    @property
+    def schema(self) -> pa.Schema:
+        return self._perm.base_table.schema
+
+    @property
+    def num_rows(self) -> int:
+        return self._perm.split_size(self.split)
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.schema)
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self.schema.names)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.num_rows, self.num_columns)
+
+    def __len__(self) -> int:
+        return self.num_rows
+
+    def read(self, offset: int = 0, num_rows: int | None = None,
+             columns: list[str] | None = None) -> pa.Table:
+        if num_rows is None:
+            num_rows = self.num_rows - offset
+        return self._perm.read(self.split, offset, num_rows, columns=columns)
+
+    def to_table(self, columns: list[str] | None = None) -> pa.Table:
+        return self.read(0, self.num_rows, columns=columns)
+
+
+class Permutations:
+    """Splits of a permutation indexed by ordinal or by name (reference
+    permutation.py:238 `Permutations`). Names come from the
+    permutation table's ``split_names`` schema-metadata key; absent
+    names fall back to ``split_0`` … ``split_{n-1}``."""
+
+    def __init__(self, base_table, permutation_table):
+        self.base_table = base_table
+        self.permutation_table = permutation_table
+        self._perm = Permutation(permutation_table, base_table)
+        meta = permutation_table.schema.metadata or {}
+        raw = meta.get(b"split_names")
+        names = json.loads(raw.decode()) if raw else None
+        n = self._perm.num_splits
+        if names is None or len(names) != n:
+            names = [f"split_{i}" for i in range(n)]
+        self.split_names: list[str] = names
+        self.split_dict: dict[str, int] = {nm: i for i, nm in enumerate(names)}
+
+    @classmethod
+    def from_tables(cls, base_table, permutation_table) -> "Permutations":
+        return cls(base_table, permutation_table)
+
+    def __len__(self) -> int:
+        return self._perm.num_splits
+
+    def __getitem__(self, key) -> PermutationSplit:
+        if isinstance(key, str):
+            if key not in self.split_dict:
+                raise InvalidInputError(f"no split named {key!r}")
+            idx = self.split_dict[key]
+        else:
+            idx = int(key)
+            if not (0 <= idx < len(self)):
+                raise InvalidInputError(f"split index {idx} out of range")
+        return PermutationSplit(self._perm, idx, self.split_names[idx])
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

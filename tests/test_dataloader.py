@@ -402,3 +402,47 @@ class TestJaxFeedEdgeCases:
         arr = np.asarray(b["ids"])
         assert np.issubdtype(arr.dtype, np.integer)
         assert arr.max() >= big
+
+
+class TestNamedSplits:
+    """split_names + the Permutations collection (reference
+    permutation.py:238, tests test_no_split_names/test_permutations)."""
+
+    def test_named_splits_roundtrip(self, mem_db):
+        import numpy as np
+
+        from lancedb_tpu.data import Permutations, permutation_builder
+
+        t = mem_db.create_table("nsp", {
+            "id": np.arange(100), "cat": np.arange(100) % 4,
+        }, mode="overwrite")
+        perm = permutation_builder(t).split_random(
+            seed=1, fractions=[0.8, 0.2], split_names=["train", "val"],
+        ).execute()
+        ps = Permutations.from_tables(t, perm.perm_table)
+        assert ps.split_names == ["train", "val"]
+        assert ps["train"].num_rows == 80
+        assert ps["val"].num_rows == 20
+        assert ps[1].name == "val"
+        assert ps["train"].shape == (80, 2)
+        assert ps["val"].read(0, 3).num_rows == 3
+        assert {s.name for s in ps} == {"train", "val"}
+
+    def test_unnamed_fallback_and_validation(self, mem_db):
+        import numpy as np
+        import pytest as _pytest
+
+        from lancedb_tpu.data import Permutations, permutation_builder
+        from lancedb_tpu.errors import InvalidInputError
+
+        t = mem_db.create_table("nsp2", {"id": np.arange(20)}, mode="overwrite")
+        perm = permutation_builder(t).split_random(fractions=[0.5, 0.5]).execute()
+        ps = Permutations(t, perm.perm_table)
+        assert ps.split_names == ["split_0", "split_1"]
+        with _pytest.raises(InvalidInputError):
+            ps["train"]
+        with _pytest.raises(InvalidInputError):
+            permutation_builder(t).split_random(
+                fractions=[0.5, 0.5], split_names=["a", "a"])
+        with _pytest.raises(InvalidInputError):
+            permutation_builder(t).split_sequential([10, 10], split_names=["x"])
