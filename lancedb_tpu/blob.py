@@ -207,6 +207,16 @@ def fetch_blob_ranges(
 ) -> list[bytes | None]:
     """Range reads per blob: ranges[i] = (start, length) (reference
     fetch_blob_ranges)."""
+    if len(ranges) != len(row_ids):
+        raise InvalidInputError(
+            f"{len(row_ids)} row ids but {len(ranges)} ranges"
+        )
+    for start, length in ranges:
+        if start < 0 or length < 0:
+            raise InvalidInputError(
+                f"invalid blob range ({start}, {length}): offsets and "
+                "lengths must be non-negative"
+            )
     files = fetch_blob_files(dataset, column, row_ids)
     out = []
     for bf, (start, length) in zip(files, ranges):

@@ -103,3 +103,21 @@ class TestBlob:
         assert res.column("id")[0].as_py() == 0
         blobs = t.fetch_blobs("payload", res.column("_rowid").to_pylist())
         assert blobs[0] == b"blob-0"
+
+
+class TestBlobRangeValidation:
+    def test_invalid_ranges_rejected(self, mem_db):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from lancedb_tpu.blob import blob_field
+        from lancedb_tpu.errors import InvalidInputError
+
+        schema = pa.schema([pa.field("id", pa.int64()), blob_field("p")])
+        t = mem_db.create_table("brv", schema=schema, mode="overwrite")
+        t.add([{"id": 1, "p": b"abcdef"}])
+        with _pytest.raises(InvalidInputError, match="non-negative"):
+            t.fetch_blob_ranges("p", [0], [(-1, 2)])
+        with _pytest.raises(InvalidInputError, match="ranges"):
+            t.fetch_blob_ranges("p", [0], [(0, 1), (1, 1)])
+        assert t.fetch_blob_ranges("p", [0], [(1, 3)]) == [b"bcd"]
