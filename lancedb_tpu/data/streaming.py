@@ -45,6 +45,42 @@ def _default_transform(batch: pa.Table) -> list[dict]:
     return batch.to_pylist()
 
 
+class _IdentityReader:
+    """Reader-shaped adapter over a bare table: one split covering every
+    row in stored order (what `Permutation.identity` views stream as)."""
+
+    def __init__(self, base_table):
+        self.base_table = base_table
+        self.num_splits = 1
+
+    def split_size(self, split: int) -> int:
+        return self.base_table.count_rows()
+
+    def read(self, split, offset, num_rows, columns=None):
+        offs = np.arange(offset, offset + num_rows, dtype=np.int64)
+        return self.base_table._dataset.take_offsets(offs, columns=columns)
+
+
+def _as_reader(permutation):
+    """Accept a PermutationReader, a dataset-view Permutation, or a bare
+    table and return something with split_size/read/num_splits."""
+    if hasattr(permutation, "split_size") and hasattr(permutation, "read"):
+        return permutation
+    from .permutation import Permutation, PermutationReader
+
+    if isinstance(permutation, Permutation):
+        if permutation.permutation_table is not None:
+            return PermutationReader(
+                permutation.permutation_table, permutation.base_table
+            )
+        return _IdentityReader(permutation.base_table)
+    if hasattr(permutation, "_dataset"):  # a Table
+        return _IdentityReader(permutation)
+    raise InvalidInputError(
+        f"cannot stream from {type(permutation).__name__}"
+    )
+
+
 class StreamingDataset(_TorchIterable):
     def __init__(
         self,
@@ -60,11 +96,17 @@ class StreamingDataset(_TorchIterable):
         io_threads: int = 4,
         prefetch_batches: int = 2,
         worker_info: Any | None = None,
+        connection_factory: Callable[[str], Any] | None = None,
     ):
-        """`permutation` — a Permutation (data/permutation.py). When the
-        permutation has ONE split, `num_splits` virtually re-partitions
-        it; when it has many (e.g. train/val), pass `split` to pick one
-        and `num_splits` to re-partition within it."""
+        """`permutation` — a PermutationReader, a dataset-view
+        Permutation, or a bare table. When the permutation has ONE
+        split, `num_splits` virtually re-partitions it; when it has many
+        (e.g. train/val), pass `split` to pick one and `num_splits` to
+        re-partition within it. ``connection_factory(table_name)`` is
+        used to reopen the base table after unpickling in a DataLoader
+        worker (reference streaming.py:536-581)."""
+        permutation = _as_reader(permutation)
+        self._connection_factory = connection_factory
         self._perm = permutation
         self._source_split = split
         if split is not None:
@@ -101,8 +143,14 @@ class StreamingDataset(_TorchIterable):
         # instrumentation
         self._bytes_loaded = 0
         self._fetch_time = 0.0
+        self._transform_time = 0.0
         self._fetch_count = 0
+        self._yielded = 0
+        self._raw_rows = 0  # rows fetched, transform in flight
         self._lock = threading.Lock()
+        # live iteration state (set during __iter__, cleared after) so
+        # the queue-depth gauges can observe the running pipeline
+        self._live: dict | None = None
 
     # ------------------------------------------------------------ state
     def state_dict(self) -> dict:
@@ -132,6 +180,49 @@ class StreamingDataset(_TorchIterable):
     def average_fetch_time(self) -> float:
         return self._fetch_time / max(self._fetch_count, 1)
 
+    @property
+    def transform_time(self) -> float:
+        """Cumulative seconds inside the transform callable (measured in
+        the stage-2 leg of the IO worker; reference streaming.py:474)."""
+        return self._transform_time
+
+    @property
+    def raw_queue_depth(self) -> int:
+        """Rows fetched from storage whose transform has not finished —
+        persistently non-zero means the transform is the bottleneck
+        (reference streaming.py:487). 0 when not iterating."""
+        return self._raw_rows
+
+    @property
+    def prefetch_queue_depth(self) -> int:
+        """Rows transformed and ready to hand to the consumer with no
+        I/O or CPU wait (reference streaming.py:499). 0 when not
+        iterating."""
+        live = self._live
+        if not live:
+            return 0
+        ready = sum(
+            c for lst in live["pending"].values() for f, c in lst if f.done()
+        )
+        return ready + sum(len(v) for v in live["cursors"].values())
+
+    @property
+    def unscanned_rows(self) -> int:
+        """Rows not yet submitted to the I/O stage (reference
+        streaming.py:511). 0 when not iterating."""
+        live = self._live
+        if not live:
+            return 0
+        return sum(
+            self._split_len(s) - live["sched_off"][s] for s in live["splits"]
+        )
+
+    @property
+    def consumed_rows(self) -> int:
+        """Rows already yielded to the caller, cumulative across
+        iterations of this instance (reference streaming.py:526)."""
+        return self._yielded
+
     # ---------------------------------------------------------- iteration
     def _my_splits(self) -> list[int]:
         """Rank block ∩ worker sub-block (reference streaming.py:235)."""
@@ -155,7 +246,8 @@ class StreamingDataset(_TorchIterable):
         return self._split_bounds[s + 1] - self._split_bounds[s]
 
     def _fetch_batch(self, s: int, offset: int) -> Any:
-        """Read one batch of split s starting at local offset."""
+        """Read one batch of split s starting at local offset: stage-1
+        fetch, then stage-2 transform, each timed separately."""
         t0 = time.perf_counter()
         count = min(self._read_batch, self._split_len(s) - offset)
         tbl = self._perm.read(
@@ -164,11 +256,19 @@ class StreamingDataset(_TorchIterable):
             count,
             columns=self._columns,
         )
+        t1 = time.perf_counter()
         with self._lock:
-            self._fetch_time += time.perf_counter() - t0
+            self._fetch_time += t1 - t0
             self._fetch_count += 1
             self._bytes_loaded += tbl.nbytes
-        return self._transform(tbl), count
+            self._raw_rows += count
+        try:
+            out = self._transform(tbl)
+        finally:
+            with self._lock:
+                self._raw_rows -= count
+                self._transform_time += time.perf_counter() - t1
+        return out, count
 
     def __iter__(self) -> Iterator[Any]:
         splits = self._my_splits()
@@ -180,12 +280,15 @@ class StreamingDataset(_TorchIterable):
             pending: dict[int, list] = {s: [] for s in splits}
             sched_off = {s: int(self._consumed[s]) for s in splits}
             cursors: dict[int, list] = {s: [] for s in splits}  # decoded samples
+            self._live = {"pending": pending, "sched_off": sched_off,
+                          "cursors": cursors, "splits": splits}
 
             def top_up(s: int) -> None:
                 while len(pending[s]) < self._prefetch and sched_off[s] < self._split_len(s):
                     off = sched_off[s]
-                    pending[s].append(pool.submit(self._fetch_batch, s, off))
-                    sched_off[s] += min(self._read_batch, self._split_len(s) - off)
+                    count = min(self._read_batch, self._split_len(s) - off)
+                    pending[s].append((pool.submit(self._fetch_batch, s, off), count))
+                    sched_off[s] += count
 
             for s in splits:
                 top_up(s)
@@ -202,7 +305,7 @@ class StreamingDataset(_TorchIterable):
                         continue  # ahead in this pass; catch-up handled next pass
                     if not cursors[s]:
                         if pending[s]:
-                            samples, _ = pending[s].pop(0).result()
+                            samples, _ = pending[s].pop(0)[0].result()
                             top_up(s)
                             cursors[s] = list(samples) if isinstance(samples, list) else [samples]
                         else:
@@ -214,11 +317,67 @@ class StreamingDataset(_TorchIterable):
                     # state_dict (generator suspends at the yield).
                     sample = cursors[s].pop(0)
                     self._consumed[s] += 1
+                    self._yielded += 1
                     yield sample
                 if exhausted:
                     active = [s for s in active if s not in exhausted]
         finally:
+            self._live = None
             pool.shutdown(wait=False, cancel_futures=True)
+
+    # ------------------------------------------- DataLoader-worker pickling
+    def __getstate__(self) -> dict:
+        """Pickle for multi-worker DataLoader (reference streaming.py:536):
+        the live reader (thread lock, dataset handles) is replaced by the
+        base table's reopen state + the permutation rows as Arrow data;
+        a `connection_factory` keeps credentials out of the pickle."""
+        from .permutation import _table_pickle_state
+
+        state = self.__dict__.copy()
+        state["_lock"] = None
+        state["_live"] = None
+        base = self._perm.base_table
+        state["_perm"] = None
+        state["_base_name"] = base.name
+        state["_base_state"] = (
+            None if self._connection_factory is not None
+            else _table_pickle_state(base)
+        )
+        perm_tbl = getattr(self._perm, "perm_table", None)
+        state["_perm_data"] = (
+            None if perm_tbl is None else (
+                perm_tbl.to_arrow(),
+                dict(perm_tbl.schema.metadata or {}),
+            )
+        )
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        from .permutation import (PermutationReader, _table_from_pickle_state)
+
+        base_name = state.pop("_base_name")
+        base_state = state.pop("_base_state")
+        perm_data = state.pop("_perm_data")
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+        if self._connection_factory is not None:
+            base = self._connection_factory(base_name)
+        else:
+            base = _table_from_pickle_state(base_state)
+        if perm_data is None:
+            self._perm = _IdentityReader(base)
+        else:
+            import uuid
+
+            from ..db import connect
+
+            data, meta = perm_data
+            if meta:
+                data = data.replace_schema_metadata(meta)
+            db = connect(f"memory://sds-unpickle-{uuid.uuid4().hex}")
+            self._perm = PermutationReader(
+                db.create_table("permutation", data), base
+            )
 
     def __len__(self) -> int:
         return sum(self._split_len(s) for s in self._my_splits())

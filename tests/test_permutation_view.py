@@ -245,3 +245,64 @@ class TestTorchIntegration:
             assert batch["id"].shape == (8,)
             seen.extend(batch["id"].tolist())
         assert sorted(seen) == list(range(32))
+
+
+class TestStreamingSurface:
+    """StreamingDataset additions (reference streaming.py:448-581):
+    stage gauges, consumed/unscanned counters, worker pickling, and
+    streaming straight from a dataset-view Permutation or bare table."""
+
+    def test_gauges_and_counters(self, mem_db):
+        from lancedb_tpu.data import StreamingDataset, permutation_builder
+
+        t = _base(mem_db, n=64, name="sds1")
+        perm = permutation_builder(t).split_random(seed=5).execute()
+        sds = StreamingDataset(perm, num_splits=4, read_batch_size=8)
+        assert sds.consumed_rows == 0
+        assert sds.raw_queue_depth == 0 and sds.prefetch_queue_depth == 0
+        it = iter(sds)
+        got = [next(it) for _ in range(10)]
+        assert len(got) == 10
+        assert sds.consumed_rows == 10
+        assert sds.unscanned_rows <= 64 - 10
+        assert sds.prefetch_queue_depth >= 0
+        rest = list(it)
+        assert sds.consumed_rows == 64 and len(got) + len(rest) == 64
+        assert sds.transform_time >= 0.0
+        assert sds.unscanned_rows == 0  # iteration done, live state cleared
+
+    def test_stream_from_view_and_table(self, mem_db):
+        from lancedb_tpu.data import Permutation, StreamingDataset
+
+        t = _base(mem_db, n=24, name="sds2")
+        view = Permutation.identity(t)
+        sds = StreamingDataset(view, num_splits=2, read_batch_size=5)
+        ids = sorted(r["id"] for r in sds)
+        assert ids == list(range(24))
+        # bare table works too
+        sds2 = StreamingDataset(t, num_splits=3)
+        assert len(list(sds2)) == 24
+
+    def test_pickle_roundtrip_resumes(self, mem_db):
+        from lancedb_tpu.data import StreamingDataset, permutation_builder
+
+        t = _base(mem_db, n=30, name="sds3")
+        perm = permutation_builder(t).split_random(seed=7).execute()
+        sds = StreamingDataset(perm, num_splits=3, read_batch_size=4)
+        first = [r["id"] for r in sds]
+        clone = pickle.loads(pickle.dumps(
+            StreamingDataset(perm, num_splits=3, read_batch_size=4)))
+        assert [r["id"] for r in clone] == first
+
+    def test_pickle_with_connection_factory(self, tmp_db):
+        import functools
+
+        from lancedb_tpu.data import StreamingDataset, permutation_builder
+
+        t = _base(tmp_db, n=12, name="sds4")
+        perm = permutation_builder(t).split_random(seed=2).execute()
+        factory = functools.partial(_open_table, tmp_db.uri)
+        sds = StreamingDataset(perm, num_splits=2,
+                               connection_factory=factory)
+        clone = pickle.loads(pickle.dumps(sds))
+        assert sorted(r["id"] for r in clone) == list(range(12))
