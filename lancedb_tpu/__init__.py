@@ -68,6 +68,7 @@ from .query import (
 from .query_fts import (
     BooleanQuery,
     BoostQuery,
+    FullTextQueryType,
     MatchQuery,
     MultiMatchQuery,
     Occur,
@@ -105,6 +106,7 @@ __all__ = [
     "LanceFtsQueryBuilder",
     "LanceHybridQueryBuilder",
     "LanceEmptyQueryBuilder",
+    "FullTextQueryType",
     "MatchQuery",
     "PhraseQuery",
     "BoostQuery",

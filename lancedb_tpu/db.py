@@ -188,9 +188,15 @@ class LanceDBConnection(DBConnection):
         if mode == "create" and exist_ok:
             mode = "exist_ok"
 
-        # pydantic LanceModel schema support
+        # pydantic LanceModel schema support; SourceField/VectorField
+        # markers on the model become embedding definitions (reference
+        # python table.py parse_embedding_functions)
         if schema is not None and not isinstance(schema, pa.Schema):
             if hasattr(schema, "to_arrow_schema"):
+                if not embedding_functions and hasattr(schema, "model_fields"):
+                    from .pydantic import parse_embedding_functions
+
+                    embedding_functions = parse_embedding_functions(schema) or None
                 schema = schema.to_arrow_schema()
             else:
                 raise InvalidInputError("schema must be a pyarrow.Schema or LanceModel")

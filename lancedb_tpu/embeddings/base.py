@@ -49,6 +49,29 @@ class EmbeddingFunction(ABC):
                 delay *= 2
         raise RuntimeError("unreachable")
 
+    @classmethod
+    def sensitive_keys(cls) -> list[str]:
+        """Config keys that must never be persisted as hardcoded values
+        (reference embeddings/base.py:89): the registry rejects them at
+        create() unless supplied as '$var:' references."""
+        return []
+
+    # --- pydantic field markers (reference embeddings/base.py:176-188) ---
+    def SourceField(self, **kwargs):
+        """pydantic Field marking the column this function embeds FROM —
+        pair with VectorField on a LanceModel passed as create_table's
+        schema and source rows embed automatically on add()."""
+        from pydantic import Field
+
+        return Field(json_schema_extra={"source_column_for": self}, **kwargs)
+
+    def VectorField(self, **kwargs):
+        """pydantic Field marking the vector column this function
+        embeds INTO (typed `Vector(fn.ndims())` on the model)."""
+        from pydantic import Field
+
+        return Field(json_schema_extra={"vector_column_for": self}, **kwargs)
+
     # --- config ser/de ---------------------------------------------------
     def safe_model_dump(self) -> dict:
         return {k: v for k, v in self._config.items() if _json_safe(v)}

@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-from ..errors import EmbeddingFunctionNotFoundError
+from ..errors import EmbeddingFunctionNotFoundError, InvalidInputError
 from .base import EmbeddingFunction
 
 METADATA_KEY = b"embedding_functions"
@@ -58,18 +58,55 @@ class EmbeddingFunctionRegistry:
                 f"available: {sorted(self._functions)}"
             )
         klass = self._functions[name]
+        registry = self
 
         class _Creator:
             def create(_self, **kwargs) -> EmbeddingFunction:
-                return klass(**kwargs)
+                fn = klass(**registry.resolve_variables(klass, kwargs))
+                # persist the UNRESOLVED args: `$var:` references (not
+                # secrets) are what lands in table schema metadata
+                fn._config = dict(kwargs)
+                return fn
 
         return _Creator()
+
+    def resolve_variables(self, klass, kwargs: dict) -> dict:
+        """Resolve ``$var:name[:default]`` config values against the
+        registry's variables and refuse hardcoded sensitive values
+        (reference embeddings/base.py:46-70 __resolveVariables): secrets
+        must arrive via ``$var:`` or the provider's env variable so they
+        are never persisted into table metadata."""
+        sensitive = set(getattr(klass, "sensitive_keys", lambda: [])())
+        out = {}
+        for k, v in kwargs.items():
+            if isinstance(v, str) and v.startswith("$var:"):
+                parts = v[5:].split(":", maxsplit=1)
+                if len(parts) == 1:
+                    if parts[0] not in self._variables:
+                        raise InvalidInputError(
+                            f"variable {parts[0]!r} is not set; call "
+                            f"get_registry().set_var({parts[0]!r}, ...) first"
+                        )
+                    out[k] = self._variables[parts[0]]
+                else:
+                    out[k] = self._variables.get(parts[0], parts[1])
+            elif k in sensitive and isinstance(v, str):
+                raise InvalidInputError(
+                    f"sensitive key {k!r} cannot be set to a hardcoded value "
+                    f"(it would be persisted in table metadata); use a "
+                    f"'$var:name' reference or the provider's env variable"
+                )
+            else:
+                out[k] = v
+        return out
 
     def list_functions(self) -> list[str]:
         return sorted(self._functions)
 
     # --- variables (reference registry set_var/get_var) ------------------
     def set_var(self, name: str, value: str) -> None:
+        if ":" in name:
+            raise InvalidInputError("variable names cannot contain colons")
         self._variables[name] = value
 
     def get_var(self, name: str) -> str:

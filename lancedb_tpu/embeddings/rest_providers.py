@@ -67,6 +67,11 @@ class RestEmbeddingFunction(TextEmbeddingFunction):
     # hosted APIs cap batch sizes; chunk requests
     max_batch: ClassVar[int] = 128
 
+    @classmethod
+    def sensitive_keys(cls) -> list[str]:
+        # providers without an env key (e.g. local Ollama) take none
+        return ["api_key"] if cls.api_key_env else []
+
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self.model = kwargs.get("model") or kwargs.get("name") or self.default_model

@@ -19,7 +19,7 @@ import datetime
 import enum
 import types
 import typing
-from typing import get_args, get_origin
+from typing import Any, get_args, get_origin
 
 import numpy as np
 import pyarrow as pa
@@ -166,6 +166,46 @@ def pydantic_to_schema(model_cls) -> pa.Schema:
             nullable = True
         fields.append(pa.field(name, t, nullable=nullable))
     return pa.schema(fields)
+
+
+def parse_embedding_functions(model_cls) -> list:
+    """Extract EmbeddingDefinitions from SourceField/VectorField markers
+    on a LanceModel (reference python table.py `parse_embedding_functions`
+    over pydantic json_schema_extra). A SourceField with no matching
+    VectorField targets the default ``vector`` column; a VectorField
+    whose function has no SourceField is an error."""
+    from .embeddings.registry import EmbeddingDefinition
+
+    sources: list[tuple[str, Any]] = []
+    vectors: list[tuple[str, Any]] = []
+    for name, finfo in getattr(model_cls, "model_fields", {}).items():
+        extra = getattr(finfo, "json_schema_extra", None)
+        if not isinstance(extra, dict):
+            continue
+        if "source_column_for" in extra:
+            sources.append((name, extra["source_column_for"]))
+        if "vector_column_for" in extra:
+            vectors.append((name, extra["vector_column_for"]))
+    paired = set()
+    defs = []
+    for src_name, fn in sources:
+        vec_name = next(
+            (v for v, f in vectors if f is fn), None
+        )
+        if vec_name is not None:
+            paired.add(vec_name)
+        defs.append(EmbeddingDefinition(
+            source_column=src_name,
+            vector_column=vec_name or "vector",
+            function_name=type(fn).name,
+            config=dict(getattr(fn, "_config", {}) or {}),
+        ))
+    orphans = [v for v, _ in vectors if v not in paired]
+    if orphans:
+        raise InvalidInputError(
+            f"VectorField column(s) {orphans} have no matching SourceField"
+        )
+    return defs
 
 
 if HAVE_PYDANTIC:

@@ -20,12 +20,26 @@ class Operator(str, Enum):
     OR = "OR"
 
 
+class FullTextQueryType(str, Enum):
+    """Discriminant for structured FTS queries (reference query.py:367)."""
+
+    MATCH = "match"
+    MATCH_PHRASE = "match_phrase"
+    BOOST = "boost"
+    MULTI_MATCH = "multi_match"
+    BOOLEAN = "boolean"
+
+
 class FtsQueryNode:
     def __and__(self, other: "FtsQueryNode") -> "BooleanQuery":
         return BooleanQuery([(Occur.MUST, self), (Occur.MUST, other)])
 
     def __or__(self, other: "FtsQueryNode") -> "BooleanQuery":
         return BooleanQuery([(Occur.SHOULD, self), (Occur.SHOULD, other)])
+
+    def query_type(self) -> FullTextQueryType:
+        """Type tag of this query node (reference query.py:389)."""
+        return _QUERY_TYPES[type(self).__name__]
 
     def to_json(self) -> dict:
         """Wire form of the structured query — the same JSON shape the
@@ -134,6 +148,14 @@ class BooleanQuery(FtsQueryNode):
             doc[key.lower().replace(" ", "_")].append(q.to_json())
         return {"boolean": {k: v for k, v in doc.items() if v}}
 
+
+_QUERY_TYPES = {
+    "MatchQuery": FullTextQueryType.MATCH,
+    "PhraseQuery": FullTextQueryType.MATCH_PHRASE,
+    "BoostQuery": FullTextQueryType.BOOST,
+    "MultiMatchQuery": FullTextQueryType.MULTI_MATCH,
+    "BooleanQuery": FullTextQueryType.BOOLEAN,
+}
 
 FtsQuery = Union[str, FtsQueryNode]
 

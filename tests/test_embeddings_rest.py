@@ -14,6 +14,7 @@ import pytest
 from lancedb_tpu.embeddings import get_registry
 
 DIM = 8
+get_registry().set_var("test_api_key", "k")
 
 
 def _vec(text: str) -> list[float]:
@@ -91,11 +92,11 @@ def mock_api():
 @pytest.mark.parametrize(
     "name,kwargs",
     [
-        ("openai", {"api_key": "k"}),
-        ("voyageai", {"api_key": "k"}),
-        ("jinaai", {"api_key": "k"}),
-        ("cohere", {"api_key": "k"}),
-        ("gemini-text", {"api_key": "k"}),
+        ("openai", {"api_key": "$var:test_api_key"}),
+        ("voyageai", {"api_key": "$var:test_api_key"}),
+        ("jinaai", {"api_key": "$var:test_api_key"}),
+        ("cohere", {"api_key": "$var:test_api_key"}),
+        ("gemini-text", {"api_key": "$var:test_api_key"}),
         ("ollama", {}),
     ],
 )
@@ -129,7 +130,7 @@ def test_watsonx_token_exchange(mock_api):
     fn = (
         get_registry()
         .get("watsonx")
-        .create(base_url=mock_api, iam_url=mock_api, api_key="k", project_id="p1", ndims=DIM)
+        .create(base_url=mock_api, iam_url=mock_api, api_key="$var:test_api_key", project_id="p1", ndims=DIM)
     )
     embs = fn.compute_source_embeddings(["hello", "world"])
     assert embs.shape == (2, DIM)
@@ -140,10 +141,10 @@ def test_watsonx_requires_project_or_space(mock_api):
     from lancedb_tpu.errors import InvalidInputError
 
     with pytest.raises(InvalidInputError):
-        get_registry().get("watsonx").create(base_url=mock_api, api_key="k")
+        get_registry().get("watsonx").create(base_url=mock_api, api_key="$var:test_api_key")
     with pytest.raises(InvalidInputError):
         get_registry().get("watsonx").create(
-            base_url=mock_api, api_key="k", project_id="a", space_id="b"
+            base_url=mock_api, api_key="$var:test_api_key", project_id="a", space_id="b"
         )
 
 
@@ -155,7 +156,7 @@ def test_missing_api_key_message(mock_api, monkeypatch):
 
 
 def test_batching_chunks_requests(mock_api):
-    fn = get_registry().get("openai").create(base_url=mock_api, api_key="k", ndims=DIM)
+    fn = get_registry().get("openai").create(base_url=mock_api, api_key="$var:test_api_key", ndims=DIM)
     texts = [f"t{i}" for i in range(301)]  # > 2 x max_batch(128)
     embs = fn.compute_source_embeddings(texts)
     assert embs.shape == (301, DIM)
@@ -175,7 +176,7 @@ def test_table_auto_embedding(mock_api, mem_db):
                 source_column="text",
                 vector_column="vector",
                 function_name="openai",
-                config={"base_url": mock_api, "api_key": "k", "ndims": DIM},
+                config={"base_url": mock_api, "api_key": "$var:test_api_key", "ndims": DIM},
             )
         ],
     )
@@ -183,3 +184,102 @@ def test_table_auto_embedding(mock_api, mem_db):
     hits = t.search("bravo").limit(1).to_list()
     assert hits[0]["text"] == "bravo"
     assert hits[0]["_distance"] < 1e-5
+
+
+def test_source_field_vector_field(mock_api, mem_db):
+    """SourceField/VectorField markers on a LanceModel become embedding
+    definitions at create_table (reference embeddings/base.py:176-188 +
+    table.py parse_embedding_functions): add() embeds the source text,
+    search(str) embeds the query."""
+    from lancedb_tpu.pydantic import LanceModel, Vector
+    from lancedb_tpu.embeddings import get_registry
+
+    fn = get_registry().get("openai").create(
+        base_url=mock_api, api_key="$var:test_api_key", ndims=DIM)
+
+    class Doc(LanceModel):
+        text: str = fn.SourceField()
+        vector: Vector(DIM) = fn.VectorField()
+
+    t = mem_db.create_table("sfvf", schema=Doc)
+    t.add([{"text": "alpha"}, {"text": "bravo"}])
+    hits = t.search("bravo").limit(1).to_list()
+    assert hits[0]["text"] == "bravo"
+    assert hits[0]["_distance"] < 1e-5
+    # config round-trips through schema metadata: reopening reconnects
+    t2 = mem_db.open_table("sfvf")
+    t2.add([{"text": "charlie"}])
+    assert t2.search("charlie").limit(1).to_list()[0]["text"] == "charlie"
+
+
+def test_source_field_default_vector_column(mock_api, mem_db):
+    """A SourceField with no VectorField targets the default `vector`
+    column, which create_table appends sized by the provider."""
+    from lancedb_tpu.pydantic import LanceModel
+    from lancedb_tpu.embeddings import get_registry
+
+    fn = get_registry().get("openai").create(
+        base_url=mock_api, api_key="$var:test_api_key", ndims=DIM)
+
+    class Doc(LanceModel):
+        text: str = fn.SourceField()
+
+    t = mem_db.create_table("sfonly", schema=Doc)
+    assert "vector" in t.schema.names
+    t.add([{"text": "delta"}])
+    assert t.search("delta").limit(1).to_list()[0]["text"] == "delta"
+
+
+def test_orphan_vector_field_rejected(mock_api, mem_db):
+    from lancedb_tpu.pydantic import LanceModel, Vector
+    from lancedb_tpu.embeddings import get_registry
+    from lancedb_tpu.errors import InvalidInputError
+
+    fn = get_registry().get("openai").create(
+        base_url=mock_api, api_key="$var:test_api_key", ndims=DIM)
+
+    class Doc(LanceModel):
+        vector: Vector(DIM) = fn.VectorField()
+
+    with pytest.raises(InvalidInputError, match="SourceField"):
+        mem_db.create_table("orphan", schema=Doc)
+
+
+def test_sensitive_key_rejected_and_var_persisted(mock_api, mem_db):
+    """Hardcoded api_key at create() is refused; a $var: reference works
+    and is what lands in the table's schema metadata — never the secret
+    (reference embeddings/base.py:46-70 __resolveVariables)."""
+    from lancedb_tpu.errors import InvalidInputError
+
+    with pytest.raises(InvalidInputError, match="sensitive"):
+        get_registry().get("openai").create(base_url=mock_api, api_key="topsecret")
+
+    get_registry().set_var("sk_test", "k")
+    fn = get_registry().get("openai").create(
+        base_url=mock_api, api_key="$var:sk_test", ndims=DIM)
+    assert fn._api_key == "k"  # resolved for use
+
+    from lancedb_tpu.embeddings import EmbeddingDefinition
+
+    t = mem_db.create_table(
+        "sek", [{"text": "x"}],
+        embedding_functions=[EmbeddingDefinition(
+            source_column="text", function_name="openai",
+            config={"base_url": mock_api, "api_key": "$var:sk_test",
+                    "ndims": DIM},
+        )],
+    )
+    raw = t.schema.metadata[b"embedding_functions"].decode()
+    assert "$var:sk_test" in raw and "topsecret" not in raw and '"k"' not in raw
+
+
+def test_var_default_and_validation():
+    from lancedb_tpu.errors import InvalidInputError
+
+    reg = get_registry()
+    with pytest.raises(InvalidInputError, match="colon"):
+        reg.set_var("a:b", "v")
+    with pytest.raises(InvalidInputError, match="not set"):
+        reg.get("openai").create(api_key="$var:nope", ndims=DIM)
+    fn = reg.get("openai").create(api_key="$var:nope:fallback", ndims=DIM)
+    assert fn._api_key == "fallback"

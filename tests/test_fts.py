@@ -380,3 +380,18 @@ class TestFtsOnList:
         assert len(t.search(PhraseQuery("lance database", "text")).limit(5).to_list()) == 2
         # cross-element phrase must NOT match
         assert len(t.search(PhraseQuery("lance search", "text")).limit(5).to_list()) == 0
+
+
+def test_query_type_tags():
+    """query_type discriminants (reference query.py:367-393)."""
+    from lancedb_tpu import (BooleanQuery, BoostQuery, FullTextQueryType,
+                             MatchQuery, MultiMatchQuery, PhraseQuery)
+
+    m = MatchQuery("hello", "text")
+    p = PhraseQuery("hello world", "text")
+    assert m.query_type() is FullTextQueryType.MATCH
+    assert p.query_type() is FullTextQueryType.MATCH_PHRASE
+    assert BoostQuery(m, p).query_type() is FullTextQueryType.BOOST
+    assert MultiMatchQuery("q", ["a", "b"]).query_type() is \
+        FullTextQueryType.MULTI_MATCH
+    assert (m & p).query_type() is FullTextQueryType.BOOLEAN
