@@ -1,6 +1,7 @@
 from .base import EmbeddingFunction, TextEmbeddingFunction
 from .registry import (
     EmbeddingDefinition,
+    EmbeddingFunctionConfig,
     EmbeddingFunctionRegistry,
     get_registry,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "TextEmbeddingFunction",
     "MultiVectorEmbeddingFunction",
     "EmbeddingDefinition",
+    "EmbeddingFunctionConfig",
     "EmbeddingFunctionRegistry",
     "get_registry",
 ]

@@ -27,6 +27,17 @@ class EmbeddingDefinition:
     config: dict | None = None
 
 
+@dataclass
+class EmbeddingFunctionConfig:
+    """A live function instance bound to its source/vector columns
+    (reference python embeddings/registry.py EmbeddingFunctionConfig —
+    the instance-level counterpart of EmbeddingDefinition)."""
+
+    function: EmbeddingFunction
+    source_column: str
+    vector_column: str = "vector"
+
+
 class EmbeddingFunctionRegistry:
     _instance: "EmbeddingFunctionRegistry | None" = None
 
@@ -102,6 +113,46 @@ class EmbeddingFunctionRegistry:
 
     def list_functions(self) -> list[str]:
         return sorted(self._functions)
+
+    def reset(self) -> None:
+        """Clear every registered provider (reference registry.py:72)."""
+        self._functions = {}
+
+    # --- instance-level config round trip (reference registry.py:91-158) -
+    def function_to_metadata(self, conf: EmbeddingFunctionConfig) -> dict:
+        """One EmbeddingFunctionConfig → the serializable metadata entry."""
+        return {
+            "name": type(conf.function).name or type(conf.function).__name__,
+            "model": conf.function.safe_model_dump(),
+            "source_column": conf.source_column,
+            "vector_column": conf.vector_column,
+        }
+
+    def get_table_metadata(self, func_list) -> dict[str, bytes] | None:
+        """A list of EmbeddingFunctionConfig → the Arrow schema-metadata
+        dict ({b'embedding_functions': json} shape shared with
+        attach_metadata)."""
+        if not func_list:
+            return None
+        doc = [self.function_to_metadata(c) for c in func_list]
+        return {METADATA_KEY.decode(): json.dumps(doc).encode()}
+
+    def parse_functions(self, metadata) -> dict[str, EmbeddingFunctionConfig]:
+        """Arrow schema metadata → {vector_column: config}; empty dict
+        when the metadata carries no embedding functions."""
+        if not metadata:
+            return {}
+        raw = metadata.get(METADATA_KEY) or metadata.get(METADATA_KEY.decode())
+        if raw is None:
+            return {}
+        out = {}
+        for vec_col, fn in self.parse_functions_from_schema_metadata(raw).items():
+            out[vec_col] = EmbeddingFunctionConfig(
+                function=fn,
+                source_column=fn.source_column,
+                vector_column=vec_col,
+            )
+        return out
 
     # --- variables (reference registry set_var/get_var) ------------------
     def set_var(self, name: str, value: str) -> None:

@@ -283,3 +283,22 @@ def test_var_default_and_validation():
         reg.get("openai").create(api_key="$var:nope", ndims=DIM)
     fn = reg.get("openai").create(api_key="$var:nope:fallback", ndims=DIM)
     assert fn._api_key == "fallback"
+
+
+def test_registry_config_roundtrip(mock_api):
+    """EmbeddingFunctionConfig + get_table_metadata/parse_functions
+    (reference registry.py:91-158): instance-level configs round-trip
+    through Arrow schema metadata."""
+    from lancedb_tpu.embeddings import EmbeddingFunctionConfig
+
+    reg = get_registry()
+    reg.set_var("rk", "k")
+    fn = reg.get("openai").create(base_url=mock_api, api_key="$var:rk", ndims=DIM)
+    meta = reg.get_table_metadata([
+        EmbeddingFunctionConfig(function=fn, source_column="text")
+    ])
+    assert "embedding_functions" in meta
+    parsed = reg.parse_functions({k.encode(): v for k, v in meta.items()})
+    assert parsed["vector"].source_column == "text"
+    assert parsed["vector"].function.ndims() == DIM
+    assert reg.parse_functions(None) == {} and reg.parse_functions({}) == {}
