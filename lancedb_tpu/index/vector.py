@@ -907,6 +907,270 @@ def _chunked_probe_topk(
     return vals, slots
 
 
+def _masked_chunked_topk(probe_ids, score_chunk, nprobes_rt, qb: int, pmax: int,
+                         k: int, chunk: int):
+    """Runtime-nprobes twin of ``_chunked_probe_topk``.
+
+    ONE compiled program per index layout serves every nprobes ≤ np_max
+    (= probe_ids.shape[1]): the probe list is scanned in fixed-size
+    chunks under ``lax.scan``, each iteration guarded by a ``lax.cond``
+    on the RUNTIME probe budget — skipped chunks cost only the loop
+    overhead, so work stays proportional to the requested nprobes while
+    nprobes itself is a device scalar, not a compile-time constant
+    (SURVEY §7 "recompile-free nprobes via masking"; the reference
+    treats min/max nprobes as runtime knobs, query.rs:1215-1283).
+    Probes past the budget inside the last live chunk are masked with
+    an additive +inf penalty. A running top-k carry merges chunk
+    results, so the transient never exceeds (Q, chunk, pmax)."""
+    np_max = probe_ids.shape[1]
+    n_chunks = -(-np_max // chunk)
+    pad = n_chunks * chunk - np_max
+    pids = jnp.pad(probe_ids, ((0, 0), (0, pad)))
+    probe_pen = jnp.where(
+        jnp.arange(n_chunks * chunk) < nprobes_rt, 0.0, PAD_PENALTY
+    ).astype(jnp.float32)
+    k_sel = min(k, chunk * pmax)
+
+    def live(carry, ci):
+        bv, bs = carry
+        pid = jax.lax.dynamic_slice(pids, (0, ci * chunk), (qb, chunk))
+        d = score_chunk(pid, ci)  # (qb, chunk, pmax)
+        d = d + jax.lax.dynamic_slice(probe_pen, (ci * chunk,), (chunk,))[None, :, None]
+        v, p = topk_smallest(d.reshape(qb, chunk * pmax), k_sel)
+        s = jnp.take_along_axis(pid, p // pmax, axis=1) * pmax + p % pmax
+        mv, mp = topk_smallest(jnp.concatenate([bv, v], axis=1), k_sel)
+        return mv, jnp.take_along_axis(jnp.concatenate([bs, s], axis=1), mp, axis=1)
+
+    def body(carry, ci):
+        return jax.lax.cond(
+            ci * chunk < nprobes_rt, live, lambda c, _ci: c, carry, ci
+        ), None
+
+    init = (
+        jnp.full((qb, k_sel), jnp.inf, jnp.float32),
+        jnp.zeros((qb, k_sel), jnp.int32),
+    )
+    (bv, bs), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    if k_sel < k:
+        bv = jnp.pad(bv, ((0, 0), (0, k - k_sel)), constant_values=np.inf)
+        bs = jnp.pad(bs, ((0, 0), (0, k - k_sel)))
+    return bv, bs
+
+
+def _np_max_bucket(npb: int, nparts: int) -> int:
+    """Static probe capacity for the runtime-nprobes programs: one
+    128-probe program covers every practical nprobes setting (compile
+    once, sweep freely); pathological requests double up."""
+    m = 128
+    while m < npb:
+        m *= 2
+    return min(nparts, m)
+
+
+@partial(jax.jit, static_argnames=("k", "np_max", "metric", "has_mask", "use_pallas"))
+def _ivf_flat_search_device_rt(
+    q, centroids, vectors, norms2, slot_penalty, nprobes,
+    k: int, np_max: int, metric: str, has_mask: bool, use_pallas: bool = False,
+):
+    """Runtime-nprobes IVF_FLAT probed scan (see _masked_chunked_topk).
+
+    ``nprobes`` is a device int32 scalar ≤ np_max (static). Kernel
+    bodies are shared with the static path: the fused Pallas grouped
+    scan per chunk on TPU, a chunked gather+einsum fallback elsewhere."""
+    qb, dim = q.shape
+    nparts, pmax, _ = vectors.shape
+    probe_ids, _ = _select_probes(q, centroids, np_max, metric)
+    qf = q.astype(jnp.float32)
+    if use_pallas and not (dim % 128 == 0 and pmax % 8 == 0):
+        use_pallas = False
+
+    if use_pallas:
+        if metric == "l2":
+            alpha = jnp.full((qb,), -2.0, jnp.float32)
+            gamma = jnp.sum(jnp.square(qf), axis=-1)
+            norms_in = norms2
+        else:
+            pad_pen = jnp.where(norms2 >= PAD_PENALTY, PAD_PENALTY, 0.0)
+            if metric == "cosine":
+                qn = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1)), 1e-30)
+                alpha = -1.0 / qn
+                gamma = jnp.ones((qb,), jnp.float32)
+            else:  # dot
+                alpha = jnp.full((qb,), -1.0, jnp.float32)
+                gamma = jnp.zeros((qb,), jnp.float32)
+            norms_in = pad_pen
+        if has_mask:
+            norms_in = norms_in + slot_penalty.reshape(norms2.shape)
+
+        def score_chunk(pid, ci):
+            return ivf_flat_grouped_scan_pallas(pid, qf, vectors, norms_in, alpha, gamma)
+
+        chunk = min(np_max, 8)
+        return _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
+
+    scan_f32 = vectors.dtype == jnp.float32
+    qs = qf if scan_f32 else qf.astype(matmul_dtype())
+    qn = jnp.sqrt(jnp.sum(jnp.square(qf), axis=-1))[:, None, None]
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+
+    def score_chunk(pid, ci):
+        g_vecs = jnp.take(vectors, pid, axis=0)  # (Q, c, pmax, D)
+        g_norm = jnp.take(norms2, pid, axis=0)
+        dots = jnp.einsum(
+            "qnpd,qd->qnp",
+            g_vecs if scan_f32 else g_vecs.astype(matmul_dtype()),
+            qs,
+            precision=jax.lax.Precision.HIGHEST if scan_f32 else None,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "dot":
+            d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        elif metric == "cosine":
+            d = 1.0 - dots / jnp.maximum(qn, 1e-30)
+            d = d + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:
+            d = qn2 - 2.0 * dots + g_norm
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
+        return d
+
+    chunk = max(1, min(np_max, (1 << 28) // max(1, qb * pmax * dim)))
+    return _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
+
+
+@partial(jax.jit, static_argnames=("k", "np_max", "metric", "has_mask", "use_pallas"))
+def _ivf_pq_search_device_rt(
+    q, centroids, codes, rnorms, codebooks, slot_penalty, nprobes,
+    k: int, np_max: int, metric: str, has_mask: bool,
+    use_pallas: bool = False, rotation=None,
+):
+    """Runtime-nprobes IVF_PQ ADC scan (see _masked_chunked_topk).
+    Distance math matches _ivf_pq_search_device; selection is exact
+    per-chunk top-k (chunk·pmax candidates — small enough that the
+    approx partial-reduce buys nothing)."""
+    qb = q.shape[0]
+    nparts, s_pad, pmax = codes.shape
+    kcode = codebooks.shape[1]
+    qf = q.astype(jnp.float32)
+    probe_ids, probe_dots = _select_probes(q, centroids, np_max, metric)
+    q_lut = qf if rotation is None else jnp.dot(
+        qf, rotation.T, precision=jax.lax.Precision.HIGHEST)
+    dlut = _pq_dlut(q_lut, codebooks, s_pad)  # (Q, S_pad, K)
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)  # (Q,)
+    if metric == "dot":
+        qn2 = jnp.zeros_like(qn2)
+        rn = jnp.where(rnorms >= PAD_PENALTY, PAD_PENALTY, 0.0)
+    else:
+        rn = rnorms
+    if has_mask:
+        rn = rn + slot_penalty.reshape(nparts, pmax)
+
+    pallas_ok = pmax % 128 == 0 and s_pad % 8 == 0
+    pd_padded = jnp.pad(probe_dots, ((0, 0), (0, np_max)))
+
+    if use_pallas and kcode > 64 and pallas_ok:
+        chunk = min(np_max, 8)
+
+        def score_chunk(pid, ci):
+            pd = jax.lax.dynamic_slice(pd_padded, (0, ci * chunk), (qb, chunk))
+            return ivf_pq_adc_scan_pallas(pid, dlut, codes, rn, pd, qn2)
+    else:
+        dlut_b = dlut.astype(matmul_dtype())
+        # one-hot transient is (Q, c, S_pad, pmax, K) in bf16
+        budget = (1 << 29) // max(1, qb * s_pad * pmax * kcode)
+        chunk = max(1, min(np_max, budget))
+
+        def score_chunk(pid, ci):
+            pd = jax.lax.dynamic_slice(pd_padded, (0, ci * chunk), (qb, chunk))
+            codes_j = jnp.take(codes, pid, axis=0)  # (Q, c, S_pad, pmax)
+            rn_j = jnp.take(rn, pid, axis=0)  # (Q, c, pmax)
+            oh = jax.nn.one_hot(
+                codes_j.astype(jnp.int32), kcode, dtype=matmul_dtype(), axis=-1
+            )
+            qdotr = jnp.einsum(
+                "qcspk,qsk->qcp", oh, dlut_b, preferred_element_type=jnp.float32
+            )
+            return qn2[:, None, None] - 2.0 * (pd[:, :, None] + qdotr) + rn_j
+
+    vals, slots = _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
+    if metric == "dot":
+        vals = jnp.where(vals < PAD_PENALTY / 2, vals * 0.5, vals)
+    return vals, slots
+
+
+@partial(jax.jit, static_argnames=("k", "np_max", "metric", "has_mask"))
+def _ivf_rq_search_device_rt(
+    q, centroids, bits, scales, rnorms, rotation, slot_penalty, nprobes,
+    k: int, np_max: int, metric: str, has_mask: bool,
+):
+    """Runtime-nprobes IVF_RQ scan (math matches _ivf_rq_search_device)."""
+    qb = q.shape[0]
+    nparts, pmax, _ = bits.shape
+    dim = rotation.shape[0]
+    qf = q.astype(jnp.float32)
+    probe_ids, probe_dots = _select_probes(q, centroids, np_max, metric)
+    q_rot = jnp.dot(qf, rotation.T, precision=jax.lax.Precision.HIGHEST)
+    q_rot_b = q_rot.astype(matmul_dtype())
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    chunk = max(1, min(np_max, ((1 << 30) // (2 * dim)) // max(1, qb * pmax)))
+    pd_padded = jnp.pad(probe_dots, ((0, 0), (0, np_max)))
+
+    def score_chunk(pid, ci):
+        g_bits = jnp.take(bits, pid, axis=0)
+        g_scale = jnp.take(scales, pid, axis=0)
+        g_rn = jnp.take(rnorms, pid, axis=0)
+        pm1 = ((g_bits[..., None] >> shifts) & jnp.uint8(1)).astype(matmul_dtype()) * 2.0 - 1.0
+        pm1 = pm1.reshape(*g_bits.shape[:-1], -1)
+        dots_r = jnp.einsum(
+            "qnpd,qd->qnp", pm1, q_rot_b, preferred_element_type=jnp.float32
+        )
+        pd = jax.lax.dynamic_slice(pd_padded, (0, ci * chunk), (qb, chunk))
+        qdotx = pd[:, :, None] + g_scale * dots_r
+        if metric == "dot":
+            d = -qdotx + jnp.where(g_rn >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:
+            d = qn2 - 2.0 * qdotx + g_rn
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
+        return d
+
+    return _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
+
+
+@partial(jax.jit, static_argnames=("k", "np_max", "metric", "has_mask"))
+def _ivf_sq_search_device_rt(
+    q, centroids, codes, norms2, scale, offset, slot_penalty, nprobes,
+    k: int, np_max: int, metric: str, has_mask: bool,
+):
+    """Runtime-nprobes IVF_SQ scan (math matches _ivf_sq_search_device)."""
+    qb = q.shape[0]
+    nparts, pmax, dim = codes.shape
+    qf = q.astype(jnp.float32)
+    probe_ids, _ = _select_probes(q, centroids, np_max, metric)
+    q_scaled = (qf * scale[None, :]).astype(matmul_dtype())
+    q_off = jnp.dot(qf, offset)[:, None, None]
+    qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
+    chunk = max(1, min(np_max, ((1 << 30) // (3 * dim)) // max(1, qb * pmax)))
+
+    def score_chunk(pid, ci):
+        g_codes = jnp.take(codes, pid, axis=0)
+        g_norm = jnp.take(norms2, pid, axis=0)
+        dots = jnp.einsum(
+            "qnpd,qd->qnp", g_codes.astype(matmul_dtype()), q_scaled,
+            preferred_element_type=jnp.float32,
+        ) + q_off
+        if metric == "dot":
+            d = -dots + jnp.where(g_norm >= PAD_PENALTY, PAD_PENALTY, 0.0)
+        else:
+            d = qn2 - 2.0 * dots + g_norm
+        if has_mask:
+            d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
+        return d
+
+    return _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
+
+
 @partial(jax.jit, static_argnames=("k", "nprobes", "metric", "has_mask"))
 def _ivf_rq_search_device(
     q, centroids, bits, scales, rnorms, rotation, slot_penalty,
@@ -1157,16 +1421,22 @@ class VectorSearcher:
         self, dataset, column: str, precision: str | None = None
     ) -> bool:
         """Upload a device-resident copy of the original vectors for the
-        fused refine rerank (_device_refine_step). bf16 by default
-        (halves HBM; exact f32 norms keep the l2 expansion accurate —
-        among ~k·refine candidates the bf16 dot misranks only near-ties);
-        precision='float32' for exact reranks when HBM allows.
+        fused refine rerank (_device_refine_step); exact f32 norms keep
+        the l2 expansion accurate regardless of the storage dtype.
 
         Returns False (and stays on the host refine path) for
         non-quantized indexes, when LANCEDB_TPU_DEVICE_REFINE=0, or when
         the table would exceed LANCEDB_TPU_DEVICE_REFINE_BUDGET bytes
         (default 6e9). Rows deleted after the index build map to row 0 —
-        harmless, their slots are +inf-penalized before refine."""
+        harmless, their slots are +inf-penalized before refine.
+
+        Precision policy (VERDICT r3 #3: bf16 storage cost ~2 recall
+        points vs the host f32 refine): default 'auto' stores f32 when
+        the table fits LANCEDB_TPU_DEVICE_REFINE_F32_BUDGET bytes
+        (default 2e9 — exact rerank, recall == host refine) and f16
+        above it (10 mantissa bits ≈ 0.3 recall-point loss measured on
+        clustered 1M x 128, vs ~2 points for bf16; halves HBM and the
+        upload). Explicit 'float32' / 'float16' / 'bfloat16' override."""
         if self.device_refine_active:
             return True
         if getattr(self, "_refine_unavailable", False):
@@ -1176,10 +1446,20 @@ class VectorSearcher:
         if self.index_type not in ("IVF_PQ", "IVF_SQ", "IVF_RQ"):
             self._refine_unavailable = True
             return False
-        dtype = jnp.float32 if precision == "float32" else matmul_dtype()
-        bytes_per = np.dtype("float32").itemsize if dtype == jnp.float32 else 2
         n_live = dataset.count_rows() if hasattr(dataset, "count_rows") else None
         budget = float(os.environ.get("LANCEDB_TPU_DEVICE_REFINE_BUDGET", 6e9))
+        if precision in (None, "auto"):
+            f32_budget = float(
+                os.environ.get("LANCEDB_TPU_DEVICE_REFINE_F32_BUDGET", 2e9)
+            )
+            n_est = n_live if n_live is not None else len(self.row_ids_flat)
+            precision = "float32" if n_est * self.dim * 4 <= f32_budget else "float16"
+        dtype = {
+            "float32": jnp.float32,
+            "float16": jnp.float16,
+            "bfloat16": matmul_dtype(),
+        }.get(precision, jnp.float16)
+        bytes_per = 4 if dtype == jnp.float32 else 2
         if n_live is not None and n_live * self.dim * bytes_per > budget:
             self._refine_unavailable = True
             return False
@@ -1273,6 +1553,12 @@ class VectorSearcher:
             logical = self.params.get("num_logical_partitions", self.nparts)
             scale = self.nparts / max(1, logical)
             nprobes = min(self.nparts, max(1, int(np.ceil(params.nprobes * scale))))
+            # recompile-free nprobes: the probe budget rides into the
+            # compiled program as a runtime int32 — one program per
+            # index layout serves the whole nprobes range (np_max=128
+            # covers every practical setting; see _masked_chunked_topk)
+            np_max = _np_max_bucket(nprobes, self.nparts)
+            np_rt = jnp.asarray(min(nprobes, np_max), jnp.int32)
             if self.index_type == "IVF_FLAT":
                 # batched-query planner. With the query-grouped fused
                 # scan (ops/pallas_group_scan.py) probed pairs dedupe to
@@ -1298,35 +1584,35 @@ class VectorSearcher:
                         has_mask=has_mask,
                     )
                 else:
-                    vals, slots = _ivf_flat_search_device(
+                    vals, slots = _ivf_flat_search_device_rt(
                         qj, self._device["centroids"], self._device["vectors"],
-                        self._device["norms2"], pen,
-                        k=min(k_eff, self.num_slots), nprobes=nprobes,
+                        self._device["norms2"], pen, np_rt,
+                        k=min(k_eff, self.num_slots), np_max=np_max,
                         metric=self.metric, has_mask=has_mask,
                         use_pallas=_pallas_available(),
                     )
             elif self.index_type == "IVF_RQ":
-                vals, slots = _ivf_rq_search_device(
+                vals, slots = _ivf_rq_search_device_rt(
                     qj, self._device["centroids"], self._device["bits"],
                     self._device["scales"], self._device["rnorms"],
-                    self._device["rotation"], pen,
-                    k=min(k_eff, self.num_slots), nprobes=nprobes,
+                    self._device["rotation"], pen, np_rt,
+                    k=min(k_eff, self.num_slots), np_max=np_max,
                     metric=self.metric, has_mask=has_mask,
                 )
             elif self.index_type == "IVF_SQ":
-                vals, slots = _ivf_sq_search_device(
+                vals, slots = _ivf_sq_search_device_rt(
                     qj, self._device["centroids"], self._device["codes"],
-                    self._device["norms2"], self._device["scale"], self._device["offset"], pen,
-                    k=min(k_eff, self.num_slots), nprobes=nprobes,
+                    self._device["norms2"], self._device["scale"], self._device["offset"],
+                    pen, np_rt,
+                    k=min(k_eff, self.num_slots), np_max=np_max,
                     metric=self.metric, has_mask=has_mask,
                 )
             else:  # IVF_PQ
-                vals, slots = _ivf_pq_search_device(
+                vals, slots = _ivf_pq_search_device_rt(
                     qj, self._device["centroids"], self._device["codes"],
-                    self._device["rnorms"], self._device["codebooks"], pen,
-                    k=k_eff, nprobes=nprobes, metric=self.metric, has_mask=has_mask,
+                    self._device["rnorms"], self._device["codebooks"], pen, np_rt,
+                    k=k_eff, np_max=np_max, metric=self.metric, has_mask=has_mask,
                     use_pallas=_pallas_available(),
-                    exact_sel=params.approx_mode == "accurate",
                     rotation=self._device.get("rotation"),
                 )
         fused_refined = False
@@ -1390,7 +1676,7 @@ def _device_refine_step(q, vals, slots, slotmap, table, cnorms2, k: int, metric:
 
     q (Q, D) f32 (unit-norm for cosine); vals/slots (Q, kc) from the
     probed scan; slotmap (num_slots,) int32 slot → row in ``table``;
-    table (M, D) bf16 or f32 (rows sorted by row id, unit-norm for
+    table (M, D) f32/f16/bf16 (rows sorted by row id, unit-norm for
     cosine); cnorms2 (M,) exact f32 squared norms (l2 only). Candidates
     already penalized out (padding / filter / delete) carry
     vals >= PAD_PENALTY/2 and stay +inf. Reference parity: refine_factor
@@ -1398,8 +1684,13 @@ def _device_refine_step(q, vals, slots, slotmap, table, cnorms2, k: int, metric:
     rate instead of late-materializing through the dataset."""
     rows = slotmap[slots]                           # (Q, kc)
     cand = jnp.take(table, rows, axis=0)            # (Q, kc, D)
+    # upcast the gathered candidates and accumulate in f32 at HIGHEST
+    # precision: the (Q, kc, D) transient is tiny, so the only error
+    # left is the storage rounding of `table` itself (f32 = exact,
+    # f16 ≈ 2^-11, bf16 ≈ 2^-8 relative on the dot term)
     dots = jnp.einsum(
-        "qd,qcd->qc", q.astype(table.dtype), cand,
+        "qd,qcd->qc", q.astype(jnp.float32), cand.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     if metric == "dot":
