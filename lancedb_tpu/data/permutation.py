@@ -274,6 +274,13 @@ class PermutationReader:
     def num_splits(self) -> int:
         return len(self._split_offsets)
 
+    @property
+    def split_ids(self) -> list[int]:
+        """Actual split ids in sorted order — split_calculated can
+        produce non-contiguous ids (e.g. {0, 2, 4}), so ordinal
+        accessors must resolve through this list, not assume 0..n-1."""
+        return sorted(self._split_offsets)
+
     def split_size(self, split: int) -> int:
         return len(self._split_offsets.get(split, ()))
 
@@ -376,14 +383,19 @@ class Permutations:
             idx = int(key)
             if not (0 <= idx < len(self)):
                 raise InvalidInputError(f"split index {idx} out of range")
-        return PermutationSplit(self._perm, idx, self.split_names[idx])
+        # ordinal → actual split id (split_calculated ids may be sparse)
+        return PermutationSplit(
+            self._perm, self._perm.split_ids[idx], self.split_names[idx]
+        )
 
     def get_by_name(self, name: str) -> "Permutation":
         """Dataset view of the named split (reference permutation.py:306)."""
         if name not in self.split_dict:
             raise InvalidInputError(f"no split named {name!r}")
         return Permutation.from_tables(
-            self.base_table, self.permutation_table, self.split_dict[name]
+            self.base_table,
+            self.permutation_table,
+            self._perm.split_ids[self.split_dict[name]],
         )
 
     def get_by_index(self, index: int) -> "Permutation":
@@ -391,7 +403,8 @@ class Permutations:
         if not (0 <= int(index) < len(self)):
             raise InvalidInputError(f"split index {index} out of range")
         return Permutation.from_tables(
-            self.base_table, self.permutation_table, int(index)
+            self.base_table, self.permutation_table,
+            self._perm.split_ids[int(index)],
         )
 
     def __iter__(self):
@@ -430,13 +443,13 @@ def _identity_batch(batch: pa.RecordBatch):
     return batch
 
 
-def _polars():
+def _polars(batch: pa.RecordBatch):
+    # module-level (not a closure factory) so with_format('polars')
+    # views stay picklable for DataLoader workers; polars imports
+    # lazily inside the body like the other optional formats
     import polars as pl
 
-    def impl(batch: pa.RecordBatch):
-        return pl.from_arrow(batch)
-
-    return impl
+    return pl.from_arrow(batch)
 
 
 def _torch_numeric_columns(batch: pa.RecordBatch):
@@ -498,11 +511,33 @@ class Transforms:
 def _table_pickle_state(table) -> dict:
     """Capture enough to reopen ``table`` in another process (reference
     permutation.py:371 `_table_to_pickle_state`). In-memory tables are
-    inlined as Arrow data; everything else reopens by connection URI."""
+    serialized PER FRAGMENT — physical rows + deletion offsets under
+    the original fragment ids — because permutation tables address rows
+    as ``fragment_id << 32 | offset``: re-ingesting ``to_arrow()``
+    through ``create_table`` would collapse fragments (wrong addresses
+    on multi-fragment tables, silently shifted rows after deletes).
+    Everything else reopens by connection URI."""
     conn = getattr(table, "_conn", None)
     uri = getattr(conn, "uri", "") or ""
     if uri.startswith("memory://"):
-        return {"kind": "memory", "name": table.name, "data": table.to_arrow()}
+        from ..storage.fragments import read_deletion_offsets
+
+        ds = table.to_lance()
+        frags = []
+        for meta in ds.manifest.fragments:
+            deleted = (
+                read_deletion_offsets(ds.store, ds.root, meta.deletion_file)
+                if meta.deletion_file
+                else None
+            )
+            frags.append((meta.id, ds.reader(meta.id).read_all(), deleted))
+        return {
+            "kind": "memory",
+            "name": table.name,
+            "schema": ds.manifest.schema,
+            "fragments": frags,
+            "max_fragment_id": ds.manifest.max_fragment_id,
+        }
     return {
         "kind": "local",
         "name": table.name,
@@ -518,6 +553,18 @@ def _table_from_pickle_state(state: dict):
         import uuid
 
         db = connect(f"memory://perm-unpickle-{uuid.uuid4().hex}")
+        if "fragments" in state:
+            from ..storage.dataset import Dataset
+
+            Dataset.create_from_fragments(
+                db._store,
+                db._table_root(state["name"]),
+                state["schema"],
+                state["fragments"],
+                state.get("max_fragment_id"),
+            )
+            return db.open_table(state["name"])
+        # legacy single-blob pickles (pre fragment-faithful format)
         return db.create_table(state["name"], state["data"])
     db = connect(state["uri"], storage_options=state["storage_options"])
     return db.open_table(state["name"])
@@ -598,7 +645,19 @@ class Permutation:
                 raise InvalidInputError(
                     f"no split named {split!r} in the permutation table"
                 )
-            split = names.index(split)
+            # ordinal → actual split id: split_calculated can assign
+            # sparse ids, so the n-th NAME maps to the n-th id present
+            import pyarrow.compute as pc
+
+            ids = sorted(
+                pc.unique(permutation_table.to_arrow().column(SPLIT_COL)).to_pylist()
+            )
+            ordinal = names.index(split)
+            if ordinal >= len(ids):
+                raise InvalidInputError(
+                    f"split {split!r} (ordinal {ordinal}) has no rows"
+                )
+            split = ids[ordinal]
         return cls(base_table, permutation_table, int(split or 0))
 
     # ---- reader lifecycle (pickle / fork safe) --------------------------
@@ -807,7 +866,7 @@ class Permutation:
             "torch_col": batch_to_tensor,
         }
         if format == "polars":
-            return self.with_transform(Transforms.arrow2polars())
+            return self.with_transform(Transforms.arrow2polars)
         if format not in table:
             raise InvalidInputError(f"invalid format: {format!r}")
         return self.with_transform(table[format])

@@ -81,6 +81,60 @@ def _as_reader(permutation):
     )
 
 
+def _view_stream_state(view):
+    """Extract the streamable state a dataset-view Permutation carries
+    (ADVICE r3: dropping it silently streamed the wrong rows/columns).
+
+    Returns (split, columns, skip, take); raises for state streaming
+    cannot honor (repeat, custom formats, renamed/nested selections)."""
+    from .permutation import Transforms
+
+    if view.repeat_times != 1:
+        raise InvalidInputError(
+            "cannot stream a with_repeat() view; loop epochs in the trainer"
+        )
+    if view.transform_fn not in (None, Transforms.arrow2python):
+        raise InvalidInputError(
+            "cannot stream a formatted view (with_format); pass transform= "
+            "to StreamingDataset instead"
+        )
+    base_names = set(view.base_table.schema.names)
+    sel = view.selection
+    if any(k != s for k, s in sel.items()) or not set(sel.values()) <= base_names:
+        raise InvalidInputError(
+            "cannot stream a view with renamed or nested column selection; "
+            "select plain base columns or pass columns= to StreamingDataset"
+        )
+    columns = list(sel) if set(sel) != base_names else None
+    split = view.split if view.permutation_table is not None else None
+    return split, columns, view.offset or 0, view.limit
+
+
+class _WindowedReader:
+    """Applies a with_skip/with_take window of one split onto a reader
+    (how a windowed Permutation view streams)."""
+
+    def __init__(self, inner, split: int, skip: int, take: int | None):
+        self._inner = inner
+        self._split = split
+        self._skip = int(skip)
+        self._take = take
+        size = max(0, inner.split_size(split) - self._skip)
+        self._size = min(size, take) if take is not None else size
+        self.num_splits = inner.num_splits
+        self.base_table = getattr(inner, "base_table", None)
+        self.perm_table = getattr(inner, "perm_table", None)
+
+    def split_size(self, split: int) -> int:
+        return self._size if split == self._split else self._inner.split_size(split)
+
+    def read(self, split, offset, num_rows, columns=None):
+        if split == self._split:
+            num_rows = max(0, min(num_rows, self._size - offset))
+            offset = offset + self._skip
+        return self._inner.read(split, offset, num_rows, columns)
+
+
 class StreamingDataset(_TorchIterable):
     def __init__(
         self,
@@ -105,7 +159,25 @@ class StreamingDataset(_TorchIterable):
         re-partition within it. ``connection_factory(table_name)`` is
         used to reopen the base table after unpickling in a DataLoader
         worker (reference streaming.py:536-581)."""
-        permutation = _as_reader(permutation)
+        from .permutation import Permutation
+
+        self._window = None  # (split, skip, take) — survives pickling
+        if isinstance(permutation, Permutation):
+            # a dataset view carries split/column/window state — honor
+            # it (or refuse loudly) instead of silently streaming the
+            # whole table (ADVICE r3 medium)
+            view_split, view_cols, skip, take = _view_stream_state(permutation)
+            if split is None:
+                split = view_split
+            if columns is None:
+                columns = view_cols
+            permutation = _as_reader(permutation)
+            if skip or take is not None:
+                win_split = split if split is not None else 0
+                permutation = _WindowedReader(permutation, win_split, skip, take)
+                self._window = (win_split, skip, take)
+        else:
+            permutation = _as_reader(permutation)
         self._connection_factory = connection_factory
         self._perm = permutation
         self._source_split = split
@@ -378,6 +450,9 @@ class StreamingDataset(_TorchIterable):
             self._perm = PermutationReader(
                 db.create_table("permutation", data), base
             )
+        win = getattr(self, "_window", None)
+        if win is not None:
+            self._perm = _WindowedReader(self._perm, *win)
 
     def __len__(self) -> int:
         return sum(self._split_len(s) for s in self._my_splits())

@@ -74,7 +74,27 @@ class EmbeddingFunction(ABC):
 
     # --- config ser/de ---------------------------------------------------
     def safe_model_dump(self) -> dict:
-        return {k: v for k, v in self._config.items() if _json_safe(v)}
+        """JSON-safe config for persistence into table metadata.
+
+        Refuses hardcoded sensitive values: the registry's create()
+        rejects them up front, but a directly-instantiated function
+        (``OpenAI(api_key='sk-...')``) would otherwise leak the key
+        into schema metadata through SourceField/VectorField or
+        EmbeddingFunctionConfig (reference raises in safe_model_dump
+        when the instance was not created via create())."""
+        cfg = {k: v for k, v in self._config.items() if _json_safe(v)}
+        for k in type(self).sensitive_keys():
+            v = cfg.get(k)
+            if isinstance(v, str) and not v.startswith("$var:"):
+                from ..errors import InvalidInputError
+
+                raise InvalidInputError(
+                    f"refusing to persist hardcoded sensitive config {k!r} "
+                    f"for {type(self).name or type(self).__name__}: pass it "
+                    f"as a '$var:name' reference (get_registry().set_var) or "
+                    f"rely on the provider's environment variable"
+                )
+        return cfg
 
 
 def _json_safe(v) -> bool:

@@ -194,11 +194,18 @@ def parse_embedding_functions(model_cls) -> list:
         )
         if vec_name is not None:
             paired.add(vec_name)
+        # safe_model_dump (not raw _config): refuses hardcoded secrets
+        # on directly-instantiated functions so they never land in
+        # table schema metadata
         defs.append(EmbeddingDefinition(
             source_column=src_name,
             vector_column=vec_name or "vector",
             function_name=type(fn).name,
-            config=dict(getattr(fn, "_config", {}) or {}),
+            config=(
+                fn.safe_model_dump()
+                if hasattr(fn, "safe_model_dump")
+                else dict(getattr(fn, "_config", {}) or {})
+            ),
         ))
     orphans = [v for v, _ in vectors if v not in paired]
     if orphans:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Callable, Iterator
 
 import numpy as np
@@ -167,6 +167,59 @@ class Dataset:
             frag = write_fragment(store, root, data, fragment_id=0)
             manifest.fragments.append(frag)
             manifest.max_fragment_id = 0
+        ok = store.put_if_absent(manifest_path(root, 1), manifest.to_json_bytes())
+        if not ok:
+            raise CommitConflictError(1, "table created concurrently")
+        ds = Dataset(store, root, manifest)
+        ds._update_branch_head(MAIN_BRANCH, 1)
+        return ds
+
+    @staticmethod
+    def create_from_fragments(
+        store: ObjectStore,
+        root: str,
+        schema: pa.Schema,
+        fragments,
+        max_fragment_id: int | None = None,
+        config: dict | None = None,
+    ) -> "Dataset":
+        """Reconstruct a dataset with EXACT fragment ids, physical row
+        offsets, and deletion vectors.
+
+        ``fragments``: iterable of ``(fragment_id, physical_table,
+        deleted_offsets | None)`` where ``physical_table`` holds ALL
+        physical rows (deleted ones included, in stored order). Used by
+        the dataloader's pickle support: permutation tables address
+        rows as ``fragment_id << 32 | offset``, so a rebuilt base table
+        must reproduce the layout bit-for-bit — re-ingesting through
+        ``create_table`` would collapse fragments and shift offsets
+        (reference parity: Lance's fragment-level write API)."""
+        if store.exists(f"{root}/{VERSIONS_DIR}"):
+            from ..errors import TableAlreadyExistsError
+
+            raise TableAlreadyExistsError(root.rsplit("/", 1)[-1])
+        manifest = Manifest(
+            version=1,
+            schema=schema,
+            config=config or {},
+            transaction={"op": "restore_physical"},
+            timestamp=time.time(),
+        )
+        max_fid = -1
+        for fid, data, deleted in fragments:
+            meta = write_fragment(store, root, data, fragment_id=int(fid))
+            if deleted is not None and len(deleted):
+                off = np.asarray(deleted, dtype=np.int64)
+                meta = replace(
+                    meta,
+                    deletion_file=write_deletion_bitmap(store, root, off),
+                    num_deleted=len(off),
+                )
+            manifest.fragments.append(meta)
+            max_fid = max(max_fid, int(fid))
+        manifest.max_fragment_id = (
+            max_fid if max_fragment_id is None else int(max_fragment_id)
+        )
         ok = store.put_if_absent(manifest_path(root, 1), manifest.to_json_bytes())
         if not ok:
             raise CommitConflictError(1, "table created concurrently")
@@ -516,16 +569,34 @@ class Dataset:
         for meta in self.manifest.fragments:
             if frag_filter is not None and meta.id not in frag_filter:
                 continue
-            tbl = self.reader(meta.id).read_all(columns=read_all)
-            n = tbl.num_rows
+            if read_all or read_all is None:
+                tbl = self.reader(meta.id).read_all(columns=read_all)
+                n = tbl.num_rows
+            else:
+                # zero data columns requested (row-id-only scans, e.g.
+                # the permutation builder): a 0-column pyarrow Table
+                # loses its row count through take/append_column, so
+                # take the length from fragment metadata instead
+                tbl = None
+                n = meta.physical_rows
             mask = np.ones(n, dtype=bool)
             keep = self._keep_mask(meta)
             if keep is not None:
                 mask &= keep
             if ast is not None:
-                mask &= evaluate_predicate_mask(tbl, ast)
+                mask &= evaluate_predicate_mask(
+                    tbl if tbl is not None
+                    else pa.table({"__scan_rows": pa.nulls(n)}),
+                    ast,
+                )
             sel = np.nonzero(mask)[0]
             if len(sel) == 0:
+                continue
+            if tbl is None:
+                # emit just the row-id column (or nothing to emit at all)
+                if with_row_id:
+                    rid = (np.uint64(meta.id) << np.uint64(32)) | sel.astype(np.uint64)
+                    yield meta, pa.table({ROW_ID_COL: pa.array(rid, type=pa.uint64())})
                 continue
             out = tbl.take(pa.array(sel)) if len(sel) < n else tbl
             if read_cols is not None and read_all != read_cols:
