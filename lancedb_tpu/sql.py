@@ -232,6 +232,8 @@ class SelectStatement:
     # WITH name [(cols)] AS (...) bindings visible to this statement and
     # every subquery under it: [(name, statement, column_aliases)]
     ctes: list[tuple] = field(default_factory=list)
+    # WITH RECURSIVE: self-referencing CTEs execute iteratively
+    ctes_recursive: bool = False
 
 
 @dataclass(frozen=True)
@@ -273,6 +275,7 @@ class UnionStatement:
     limit: int | None = None
     offset: int = 0
     ctes: list[tuple] = field(default_factory=list)
+    ctes_recursive: bool = False
     # pairwise operators, len == len(selects) - 1; None ⇒ all the same
     # UNION [ALL] (backward form). Values: 'union'|'union all'|
     # 'intersect'|'intersect all'|'except'|'except all'
@@ -497,8 +500,12 @@ class _SelectParser(_Parser):
                 continue
             break
         if not self._eat_word("FROM"):
-            raise SqlParseError("expected FROM")
-        source = self._parse_source()
+            # FROM-less SELECT (SELECT 1, SELECT 2+2): one synthetic row
+            # (DataFusion/Postgres allow this; recursive CTE base terms
+            # rely on it)
+            source = TableSource(kind="dual")
+        else:
+            source = self._parse_source()
         joins: list[Join] = []
         while True:
             how = None
@@ -623,9 +630,9 @@ def parse_select(sql: str) -> "SelectStatement | UnionStatement":
     # statement, later CTEs may reference earlier ones (DataFusion /
     # standard SQL; RECURSIVE is not supported)
     ctes: list[tuple] = []
+    recursive = False
     if p._eat_word("WITH"):
-        if p._at_word("RECURSIVE"):
-            raise SqlParseError("WITH RECURSIVE is not supported")
+        recursive = p._eat_word("RECURSIVE")
         while True:
             name = p.expect("ident").text
             cols: list[str] | None = None
@@ -651,6 +658,7 @@ def parse_select(sql: str) -> "SelectStatement | UnionStatement":
         t = p.peek()
         raise SqlParseError(f"unexpected trailing token {t.text!r} at {t.pos}")
     stmt.ctes = ctes
+    stmt.ctes_recursive = recursive
     return stmt
 
 
@@ -1531,8 +1539,6 @@ def execute_select(
         stmt.where, corr_where = _split_correlated_where(stmt.where)
         # the scan must keep the correlation columns the residue needs
         stmt._corr_where = corr_where
-    if stmt.having is not None and _has_corr_nodes(stmt.having):
-        raise InvalidInputError("correlated subqueries in HAVING are not supported")
 
     from .sql_spill import sql_memory_budget
 
@@ -1614,7 +1620,7 @@ def execute_select(
 
     if grouped:
         with _op_timer("AggregateExec") as tm:
-            out = _execute_grouped(stmt, data, aggs)
+            out = _execute_grouped(stmt, data, aggs, open_table)
             tm.set_rows(out.num_rows)
     else:
         with _op_timer("ProjectionExec") as tm:
@@ -1694,7 +1700,8 @@ def _try_streaming_grouped(stmt: SelectStatement, open_table, budget: int) -> pa
         qb = qb.select(scan_cols)
     with _op_timer("AggregateExec") as tm:
         out = _execute_grouped_streaming(
-            stmt, qb.to_batches(), aggs, budget, source_schema=obj.schema
+            stmt, qb.to_batches(), aggs, budget, source_schema=obj.schema,
+            open_table=open_table,
         )
         tm.set_rows(out.num_rows)
     return out
@@ -1716,6 +1723,12 @@ def _execute_with_ctes(stmt, open_table) -> pa.Table:
         return open_table(name)
 
     for name, sub, cols in stmt.ctes:
+        if getattr(stmt, "ctes_recursive", False) and _stmt_references_table(sub, name):
+            with _op_timer(f"RecursiveCteExec:{name}") as tm:
+                t = _execute_recursive_cte(name, sub, cols, resolve)
+                tm.set_rows(t.num_rows)
+            mat[name] = t
+            continue
         with _op_timer(f"CteExec:{name}") as tm:
             t = execute_select(sub, resolve)
             tm.set_rows(t.num_rows)
@@ -1729,6 +1742,121 @@ def _execute_with_ctes(stmt, open_table) -> pa.Table:
     inner = _copy.copy(stmt)
     inner.ctes = []
     return execute_select(inner, resolve)
+
+
+def _stmt_references_table(stmt, name: str) -> bool:
+    """Whether a statement (or any nested subquery/CTE/join) reads from
+    table ``name`` — decides if a WITH RECURSIVE CTE is self-referencing."""
+    if stmt is None:
+        return False
+    if isinstance(stmt, UnionStatement):
+        return any(_stmt_references_table(s, name) for s in stmt.selects)
+
+    def src_refs(src) -> bool:
+        if src is None:
+            return False
+        if src.kind == "subquery":
+            return _stmt_references_table(src.subquery, name)
+        return src.name == name
+
+    if src_refs(stmt.source) or any(src_refs(j.source) for j in stmt.joins):
+        return True
+    exprs = (
+        [it.expr for it in stmt.items if not isinstance(it.expr, Star)]
+        + [stmt.where, stmt.having]
+        + stmt.group_by
+        + [e for e, _ in stmt.order_by]
+    )
+    for e in exprs:
+        if e is None:
+            continue
+        for n in _walk(e):
+            if isinstance(n, (Subquery, Exists)) and _stmt_references_table(n.stmt, name):
+                return True
+    return any(
+        _stmt_references_table(s, name) for _, s, _ in getattr(stmt, "ctes", [])
+    )
+
+
+def _execute_recursive_cte(name: str, sub, cols, resolve) -> pa.Table:
+    """WITH RECURSIVE name AS (base UNION [ALL] step): iterate the step
+    term with ``name`` bound to the PREVIOUS iteration's rows (the SQL
+    standard's working table), accumulating until the step yields no
+    new rows. UNION (distinct) de-duplicates against everything seen —
+    the usual graph-traversal termination. Iterations are bounded
+    (LANCEDB_TPU_SQL_RECURSION_LIMIT, default 1000) so a divergent
+    query fails loudly instead of spinning (reference gets recursive
+    CTEs from DataFusion, table/datafusion.rs:37-44)."""
+    import os as _os
+
+    if not isinstance(sub, UnionStatement) or len(sub.selects) != 2:
+        raise InvalidInputError(
+            f"recursive CTE {name} must be 'base UNION [ALL] step'"
+        )
+    ops = sub.ops or ["union all" if sub.all else "union"]
+    if ops[0] not in ("union", "union all"):
+        raise InvalidInputError(
+            f"recursive CTE {name} requires UNION or UNION ALL between base and step"
+        )
+    distinct = ops[0] == "union"
+    base_stmt, step_stmt = sub.selects
+    if _stmt_references_table(base_stmt, name):
+        raise InvalidInputError(
+            f"recursive CTE {name}: the base term cannot reference {name!r}"
+        )
+
+    limit_iters = int(_os.environ.get("LANCEDB_TPU_SQL_RECURSION_LIMIT", "1000"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if cols:
+            if len(cols) != t.num_columns:
+                raise InvalidInputError(
+                    f"CTE {name} declares {len(cols)} columns, query returns {t.num_columns}"
+                )
+            t = t.rename_columns(cols)
+        return t
+
+    work = finish(execute_select(base_stmt, resolve))
+    seen: set = set()
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        keep = []
+        for i, row in enumerate(t.to_pylist()):
+            key = tuple(
+                tuple(v) if isinstance(v, list) else v for v in row.values()
+            )
+            if key not in seen:
+                seen.add(key)
+                keep.append(i)
+        return t.take(pa.array(keep, type=pa.int64())) if len(keep) < t.num_rows else t
+
+    if distinct:
+        work = dedupe(work)
+    acc = [work]
+
+    def step_resolve(n: str):
+        if n == name:
+            return work
+        return resolve(n)
+
+    iters = 0
+    while work.num_rows:
+        iters += 1
+        if iters > limit_iters:
+            raise InvalidInputError(
+                f"recursive CTE {name} exceeded {limit_iters} iterations "
+                "(set LANCEDB_TPU_SQL_RECURSION_LIMIT to raise the bound)"
+            )
+        new = finish(execute_select(step_stmt, step_resolve))
+        if new.num_rows and acc[0].schema.names != new.schema.names:
+            new = new.rename_columns(acc[0].schema.names)
+        if distinct:
+            new = dedupe(new)
+        if new.num_rows == 0:
+            break
+        acc.append(new)
+        work = new
+    return pa.concat_tables(acc, promote_options="permissive")
 
 
 def _has_subqueries(stmt: "SelectStatement") -> bool:
@@ -2469,6 +2597,8 @@ def _load_source(stmt: SelectStatement, open_table) -> pa.Table:
                         else:
                             cols.add(name)
         needed = sorted(cols - aliases)
+    if src.kind == "dual":
+        return pa.table({"__dual__": pa.array([0])})
     if src.kind == "table":
         from .query import _op_timer
 
@@ -2665,7 +2795,8 @@ def _grouped_prelude(stmt: SelectStatement, aggs: list[Aggregate]):
     return key_exprs, agg_inputs, agg_specs, binding, key_names, transforms
 
 
-def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate]) -> pa.Table:
+def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate],
+                     open_table=None) -> pa.Table:
     for it in stmt.items:
         if isinstance(it.expr, Star):
             raise InvalidInputError("SELECT * cannot be combined with GROUP BY / aggregates")
@@ -2707,7 +2838,7 @@ def _execute_grouped(stmt: SelectStatement, data: pa.Table, aggs: list[Aggregate
         env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
 
     env = _apply_agg_transforms(env, transforms)
-    return _grouped_finish(stmt, env, binding)
+    return _grouped_finish(stmt, env, binding, open_table)
 
 
 def _execute_grouped_streaming(
@@ -2717,6 +2848,7 @@ def _execute_grouped_streaming(
     budget: int,
     stats: dict | None = None,
     source_schema: pa.Schema | None = None,
+    open_table=None,
 ) -> pa.Table:
     """Grouped aggregation over a batch stream in bounded memory.
 
@@ -2760,7 +2892,7 @@ def _execute_grouped_streaming(
             schema=empty_pre,
         )
         env = _apply_agg_transforms(env, transforms)
-        return _grouped_finish(stmt, env, binding)
+        return _grouped_finish(stmt, env, binding, open_table)
 
     # keyless: one global group, O(1) state per aggregate (sum/sum² for
     # stddev/variance; bool_and/bool_or fold; median/array_agg
@@ -2856,7 +2988,7 @@ def _execute_grouped_streaming(
         env_cols[f"{col}_{fn}"] = pa.array([val])
     env = pa.table(env_cols) if env_cols else pa.table({"__dummy": pa.array([0])})
     env = _apply_agg_transforms(env, transforms)
-    return _grouped_finish(stmt, env, binding)
+    return _grouped_finish(stmt, env, binding, open_table)
 
 
 def _apply_agg_transforms(env: pa.Table, transforms: list[tuple[str, str, object]]) -> pa.Table:
@@ -2905,7 +3037,8 @@ def _apply_agg_transforms(env: pa.Table, transforms: list[tuple[str, str, object
     return env
 
 
-def _grouped_finish(stmt: SelectStatement, env: pa.Table, binding: dict[str, Expr]) -> pa.Table:
+def _grouped_finish(stmt: SelectStatement, env: pa.Table, binding: dict[str, Expr],
+                    open_table=None) -> pa.Table:
     """Post-aggregation pipeline shared by the in-memory and spilled
     grouped paths: HAVING → window functions → projection → DISTINCT →
     ORDER BY."""
@@ -2921,8 +3054,43 @@ def _grouped_finish(stmt: SelectStatement, env: pa.Table, binding: dict[str, Exp
                 having_binding.setdefault(
                     Column(it.alias).sql(), _replace(it.expr, binding)
                 )
-        mask = evaluate_predicate_mask(env, _replace(stmt.having, having_binding))
-        env = env.filter(pa.array(mask))
+        bound_having = _replace(stmt.having, having_binding)
+        if _has_corr_nodes(bound_having):
+            # correlated HAVING: the outer row is the GROUP row (keys +
+            # aggregates) — bind the subquery per distinct group key
+            # (reference gets this from DataFusion's decorrelation,
+            # table/datafusion.rs:37-44). The group env uses internal
+            # __gk/agg column names; expose the binding's plain names
+            # so correlation variables (`dept`, `e.dept`) resolve.
+            if open_table is None:
+                raise InvalidInputError(
+                    "correlated subqueries in HAVING are not supported here"
+                )
+            alias_cols: list[str] = []
+            for k, v in binding.items():
+                nm = k.strip("`")
+                if nm in env.column_names or not all(
+                    ch.isalnum() or ch in "_." for ch in nm
+                ):
+                    continue
+                try:
+                    arr = _as_array(evaluate_expression(env, v), env.num_rows)
+                except Exception:
+                    continue
+                env = env.append_column(nm, arr)
+                alias_cols.append(nm)
+            corr_counter = [0]
+            bound_having, env = _bind_correlated_expr(
+                env, bound_having, open_table, corr_counter
+            )
+            mask = evaluate_predicate_mask(env, bound_having)
+            env = env.filter(pa.array(mask))
+            drop = alias_cols + [c for c in env.column_names if c.startswith("__corr")]
+            if drop:
+                env = env.drop_columns(drop)
+        else:
+            mask = evaluate_predicate_mask(env, bound_having)
+            env = env.filter(pa.array(mask))
 
     from .query import _op_timer
 

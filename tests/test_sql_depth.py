@@ -228,9 +228,9 @@ class TestCtes:
         with pytest.raises(InvalidInputError, match="declares 2 columns"):
             run(db, "WITH x(a, b) AS (SELECT id FROM emp) SELECT a FROM x")
 
-    def test_recursive_rejected(self, db):
-        with pytest.raises(SqlParseError, match="RECURSIVE"):
-            parse_select("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r")
+    def test_recursive_keyword_parses(self, db):
+        stmt = parse_select("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r")
+        assert stmt.ctes_recursive and [n for n, _, _ in stmt.ctes] == ["r"]
 
     def test_explain_shows_cte(self, db):
         plan = explain_select("WITH t AS (SELECT id FROM emp) SELECT * FROM t")
@@ -314,10 +314,19 @@ class TestCorrelatedSubqueries:
                       "(SELECT name FROM dept WHERE budget > 50) ORDER BY id")
         assert out["id"] == [0, 1, 2]
 
-    def test_correlated_in_having_rejected(self, db):
-        with pytest.raises(InvalidInputError, match="HAVING"):
-            run(db, "SELECT dept FROM emp e GROUP BY dept HAVING count(*) > "
-                    "(SELECT budget FROM dept d WHERE d.name = e.dept)")
+    def test_correlated_in_having(self, db):
+        # the outer row of a HAVING correlation is the GROUP row
+        out = run(db, "SELECT dept FROM emp e GROUP BY dept HAVING count(*) > "
+                      "(SELECT budget FROM dept d WHERE d.name = e.dept) "
+                      "ORDER BY dept")
+        # per-dept counts vs budgets: a 3<=100, b 3<=40, c 4<=5 -> none
+        assert out["dept"] == []
+
+    def test_correlated_having_vs_aggregate(self, db):
+        out = run(db, "SELECT dept, sum(salary) s FROM emp GROUP BY dept "
+                      "HAVING sum(salary) > (SELECT avg(salary) FROM emp e2 "
+                      "WHERE e2.dept = emp.dept) ORDER BY dept")
+        assert out["dept"] == ["a", "b", "c"]
 
     def test_single_table_alias_qualified_columns(self, db):
         # e.salary resolves without a join (DataFusion schema qualifiers)
@@ -789,3 +798,51 @@ class TestNullsOrdering:
         mem_db.create_table("no2", {"a": [1, 2]})
         with _pytest.raises(SqlParseError, match="window ORDER BY"):
             mem_db.sql("SELECT sum(a) OVER (ORDER BY a NULLS FIRST) AS s FROM no2")
+
+
+
+# ------------------------------------------------- WITH RECURSIVE (r3 #10)
+
+
+class TestRecursiveCte:
+    def test_counter(self, db):
+        out = run(db, "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                      "SELECT n + 1 FROM t WHERE n < 5) SELECT n FROM t ORDER BY n")
+        assert out["n"] == [1, 2, 3, 4, 5]
+
+    def test_factorial_accumulator(self, db):
+        out = run(db, "WITH RECURSIVE f(i, x) AS (SELECT 0, 1 UNION ALL "
+                      "SELECT i + 1, x * (i + 1) FROM f WHERE i < 6) "
+                      "SELECT max(x) m FROM f")
+        assert out["m"] == [720]
+
+    def test_graph_reachability_terminates_on_cycle(self):
+        import lancedb_tpu
+
+        gdb = lancedb_tpu.connect("memory://sql-recursive-graph")
+        gdb.create_table("edges", pa.table({
+            "src": [1, 2, 3, 4], "dst": [2, 3, 1, 5],
+        }), mode="overwrite")
+        out = run(gdb, "WITH RECURSIVE r(node) AS (SELECT 1 UNION "
+                           "SELECT e.dst FROM edges e JOIN r ON e.src = r.node) "
+                           "SELECT node FROM r ORDER BY node")
+        assert out["node"] == [1, 2, 3]
+
+    def test_divergent_recursion_bounded(self, db):
+        with pytest.raises(InvalidInputError, match="iterations"):
+            run(db, "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                    "SELECT n + 1 FROM t) SELECT count(*) FROM t")
+
+    def test_recursive_requires_union(self, db):
+        with pytest.raises(InvalidInputError, match="UNION"):
+            run(db, "WITH RECURSIVE t(n) AS (SELECT 1 INTERSECT "
+                    "SELECT n FROM t) SELECT * FROM t")
+
+    def test_non_self_referencing_cte_under_recursive(self, db):
+        out = run(db, "WITH RECURSIVE base AS (SELECT id FROM emp WHERE id < 3) "
+                      "SELECT count(*) n FROM base")
+        assert out["n"] == [3]
+
+    def test_from_less_select(self, db):
+        out = run(db, "SELECT 1 one, 2 + 2 four")
+        assert out == {"one": [1], "four": [4]}
