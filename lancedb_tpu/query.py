@@ -527,7 +527,14 @@ class LanceQueryBuilder:
         self._req = VectorQueryRequest()
 
     # -- shared fluent setters --
-    def where(self, predicate: str, prefilter: bool = True) -> "LanceQueryBuilder":
+    def where(self, predicate, prefilter: bool = True) -> "LanceQueryBuilder":
+        """SQL string, expr-DSL node, or a substrait ExtendedExpression
+        blob (reference QueryFilter: Sql | Substrait | Datafusion,
+        query.rs:792-812). Multiple calls AND-compose."""
+        from .filters.substrait import is_substrait_filter, substrait_to_sql
+
+        if is_substrait_filter(predicate):
+            predicate = substrait_to_sql(predicate)
         parse_sql_expr(predicate)  # validate eagerly
         if self._req.filter is not None:
             self._req.filter = f"({self._req.filter}) AND ({predicate})"

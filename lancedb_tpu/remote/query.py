@@ -39,7 +39,12 @@ class RemoteQueryBuilder:
         self._body["offset"] = int(n)
         return self
 
-    def where(self, predicate: str, prefilter: bool = True):
+    def where(self, predicate, prefilter: bool = True):
+        from ..filters.substrait import is_substrait_filter, substrait_to_sql
+
+        if is_substrait_filter(predicate):
+            # lower substrait blobs client-side: the wire filter stays SQL
+            predicate = substrait_to_sql(predicate)
         cur = self._body.get("filter")
         self._body["filter"] = f"({cur}) AND ({predicate})" if cur else predicate
         self._body["prefilter"] = prefilter
