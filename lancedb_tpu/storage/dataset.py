@@ -1514,6 +1514,11 @@ class Dataset:
             if meta.id not in small_ids:
                 continue
             tbl = self.reader(meta.id).read_all()
+            # column drops are metadata-only, so older fragment FILES may
+            # still carry dropped-column bytes that newer fragments lack —
+            # project every fragment to the live schema before merging
+            # (this is also where those stale bytes finally get reclaimed)
+            tbl = tbl.select(self.manifest.schema.names).cast(self.manifest.schema)
             keep = self._keep_mask(meta)
             if keep is not None:
                 tbl = tbl.take(pa.array(np.nonzero(keep)[0]))
