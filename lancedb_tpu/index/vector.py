@@ -958,10 +958,18 @@ def _masked_chunked_topk(probe_ids, score_chunk, nprobes_rt, qb: int, pmax: int,
 
 
 def _np_max_bucket(npb: int, nparts: int) -> int:
-    """Static probe capacity for the runtime-nprobes programs: one
-    128-probe program covers every practical nprobes setting (compile
-    once, sweep freely); pathological requests double up."""
-    m = 128
+    """Static probe capacity for the runtime-nprobes programs.
+
+    Power-of-two buckets from 16: nprobes is a runtime mask WITHIN a
+    bucket (zero recompiles for any setting inside it), and at most
+    ~log2(nparts/16) programs exist per index layout ever — the
+    per-value compile explosion (863 s at one sweep point in round 3)
+    is structurally gone. Buckets rather than one 128-probe program
+    because the fused Pallas scan's cost follows the STATIC probe
+    capacity; measured on v5e (1M x 128, batch 128) a single 128-probe
+    masked program served nprobes=8 at 2.9x the cost of the 16-bucket
+    program."""
+    m = 16
     while m < npb:
         m *= 2
     return min(nparts, m)
@@ -1005,7 +1013,11 @@ def _ivf_flat_search_device_rt(
         def score_chunk(pid, ci):
             return ivf_flat_grouped_scan_pallas(pid, qf, vectors, norms_in, alpha, gamma)
 
-        chunk = min(np_max, 8)
+        # ONE fused kernel call over the whole bucket: the grouped scan
+        # amortizes partition DMAs across every (query, probe) pair, so
+        # chunking it loses ~2x (measured r4); probes past the runtime
+        # budget are penalty-masked inside _masked_chunked_topk
+        chunk = np_max
         return _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
 
     scan_f32 = vectors.dtype == jnp.float32
@@ -1034,7 +1046,10 @@ def _ivf_flat_search_device_rt(
             d = d + jnp.take(slot_penalty.reshape(nparts, pmax), pid, axis=0)
         return d
 
-    chunk = max(1, min(np_max, (1 << 28) // max(1, qb * pmax * dim)))
+    # chunk stays small so the runtime probe budget actually skips
+    # work (a chunk >= np_max would always scan every probe) and the
+    # gathered transient stays bounded
+    chunk = max(1, min(np_max, 8, (1 << 28) // max(1, qb * pmax * dim)))
     return _masked_chunked_topk(probe_ids, score_chunk, nprobes, qb, pmax, k, chunk)
 
 
@@ -1069,7 +1084,8 @@ def _ivf_pq_search_device_rt(
     pd_padded = jnp.pad(probe_dots, ((0, 0), (0, np_max)))
 
     if use_pallas and kcode > 64 and pallas_ok:
-        chunk = min(np_max, 8)
+        # one fused ADC call over the bucket (see the IVF_FLAT comment)
+        chunk = np_max
 
         def score_chunk(pid, ci):
             pd = jax.lax.dynamic_slice(pd_padded, (0, ci * chunk), (qb, chunk))
@@ -1078,7 +1094,7 @@ def _ivf_pq_search_device_rt(
         dlut_b = dlut.astype(matmul_dtype())
         # one-hot transient is (Q, c, S_pad, pmax, K) in bf16
         budget = (1 << 29) // max(1, qb * s_pad * pmax * kcode)
-        chunk = max(1, min(np_max, budget))
+        chunk = max(1, min(np_max, 8, budget))
 
         def score_chunk(pid, ci):
             pd = jax.lax.dynamic_slice(pd_padded, (0, ci * chunk), (qb, chunk))
@@ -1113,7 +1129,7 @@ def _ivf_rq_search_device_rt(
     q_rot_b = q_rot.astype(matmul_dtype())
     qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
     shifts = jnp.arange(8, dtype=jnp.uint8)
-    chunk = max(1, min(np_max, ((1 << 30) // (2 * dim)) // max(1, qb * pmax)))
+    chunk = max(1, min(np_max, 8, ((1 << 30) // (2 * dim)) // max(1, qb * pmax)))
     pd_padded = jnp.pad(probe_dots, ((0, 0), (0, np_max)))
 
     def score_chunk(pid, ci):
@@ -1151,7 +1167,7 @@ def _ivf_sq_search_device_rt(
     q_scaled = (qf * scale[None, :]).astype(matmul_dtype())
     q_off = jnp.dot(qf, offset)[:, None, None]
     qn2 = jnp.sum(jnp.square(qf), axis=-1)[:, None, None]
-    chunk = max(1, min(np_max, ((1 << 30) // (3 * dim)) // max(1, qb * pmax)))
+    chunk = max(1, min(np_max, 8, ((1 << 30) // (3 * dim)) // max(1, qb * pmax)))
 
     def score_chunk(pid, ci):
         g_codes = jnp.take(codes, pid, axis=0)

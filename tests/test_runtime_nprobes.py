@@ -61,15 +61,26 @@ def test_sweep_compiles_once_and_improves(built, config):
 
     recalls = {}
     s.search(q, SearchParams(k=10, nprobes=2))  # warmup compile
-    before = rt_fn._cache_size()
+    within_bucket = rt_fn._cache_size()
+    for nprobes in (2, 4, 8, 16):
+        # all inside the 16-probe bucket: ZERO new compiles
+        s.search(q, SearchParams(k=10, nprobes=nprobes))
+        assert rt_fn._cache_size() == within_bucket, (
+            f"nprobes={nprobes} recompiled inside its bucket"
+        )
     for nprobes in (2, 4, 8, 16, 32):
         _, rid = s.search(q, SearchParams(k=10, nprobes=nprobes))
         ids = (rid & np.uint64(0xFFFFFFFF)).astype(np.int64)
         recalls[nprobes] = np.mean(
             [len(set(r.tolist()) & g) / 10 for r, g in zip(ids, gt)]
         )
-    assert rt_fn._cache_size() == before, (
-        f"nprobes sweep recompiled: {before} -> {rt_fn._cache_size()}"
+    # steady state: a second identical sweep compiles nothing (the
+    # program set is bounded by the handful of np_max buckets)
+    steady = rt_fn._cache_size()
+    for nprobes in (2, 4, 8, 16, 32):
+        s.search(q, SearchParams(k=10, nprobes=nprobes))
+    assert rt_fn._cache_size() == steady, (
+        f"repeat sweep recompiled: {steady} -> {rt_fn._cache_size()}"
     )
     # more probes must not hurt recall (PQ gets slack: a quantized
     # imposter from a new partition can displace a true neighbor)
