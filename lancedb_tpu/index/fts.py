@@ -199,14 +199,47 @@ class ColumnFtsIndex:
         )
         return self._block_max
 
+    def impact_order(self) -> np.ndarray:
+        """Per-posting within-term positions sorted by DESCENDING raw
+        BM25 contribution, CSR-aligned with postings_offsets — the
+        sorted-access order of the impact-ordered Threshold-Algorithm
+        scorer (Anh & Moffat impact-sorted indexes; exact variant).
+        Computed once per load in one vectorized lexsort."""
+        cached = getattr(self, "_impact_order", None)
+        if cached is not None:
+            return cached
+        off = np.asarray(self.postings_offsets, dtype=np.int64)
+        lens = off[1:] - off[:-1]
+        norm = (K1 * (1.0 - B + B * self.doc_lens / max(self.avgdl, 1e-9))).astype(
+            np.float32
+        )
+        tfs = self.postings_tf.astype(np.float32)
+        contrib = tfs * (K1 + 1.0) / (tfs + norm[self.postings_docs])
+        term_of = np.repeat(
+            np.arange(len(lens), dtype=np.int64), lens
+        )
+        order = np.lexsort((-contrib, term_of))
+        self._impact_order = (
+            order - np.repeat(off[:-1], lens)
+        ).astype(np.int32)
+        return self._impact_order
+
+    # posting mass above which the impact-ordered TA scorer beats DAAT
+    # (measured: tied-score corpora plateau the TA threshold instantly,
+    # while MaxScore/BMW must still merge every posting)
+    IMPACT_MIN_POSTINGS = 1 << 17
+
     def topk_match_native(
         self, query: str, k: int, dead: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray] | None:
-        """Exact BM25 top-k via the native DAAT MaxScore scorer
-        (native/lancedb_native.cpp ldb_bm25_maxscore_topk): no dense
-        score array, dead docs (deletes / dead fragments) skipped
-        inside the cursor loop. None when the native lib is absent."""
-        from ..native import bm25_maxscore_topk_native
+        """Exact BM25 top-k: the impact-ordered Threshold-Algorithm
+        scorer (ldb_bm25_impact_topk) when the query touches a large
+        posting mass — the common-term worst case where DAAT degrades
+        to a full merge — and the DAAT MaxScore/block-max scorer
+        (ldb_bm25_maxscore_topk) otherwise. Both skip dead docs
+        (deletes / dead fragments) inside the loop. None when the
+        native lib is absent."""
+        from ..native import bm25_impact_topk_native, bm25_maxscore_topk_native
 
         tokens = self.tokenizer.tokenize(query)
         tids = sorted({t for t in (self.vocab.get(tok) for tok in tokens) if t is not None})
@@ -214,6 +247,17 @@ class ColumnFtsIndex:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         idf = np.array([self.idf(t) for t in tids], dtype=np.float32)
         norm = self._doc_norm()
+        off = np.asarray(self.postings_offsets, dtype=np.int64)
+        ta = np.asarray(tids)
+        total = int((off[ta + 1] - off[ta]).sum())
+        if total >= self.IMPACT_MIN_POSTINGS:
+            out = bm25_impact_topk_native(
+                self.postings_docs, self.postings_tf, self.postings_offsets,
+                self.impact_order(), np.asarray(tids, dtype=np.int32), idf,
+                norm, k, K1, dead,
+            )
+            if out is not None:
+                return out
         block_max, block_off = self.block_maxes()
         return bm25_maxscore_topk_native(
             self.postings_docs, self.postings_tf, self.postings_offsets,

@@ -931,6 +931,19 @@ def _masked_chunked_topk(probe_ids, score_chunk, nprobes_rt, qb: int, pmax: int,
     ).astype(jnp.float32)
     k_sel = min(k, chunk * pmax)
 
+    if n_chunks == 1:
+        # bucketed single-shot path (the TPU serving shape): no scan or
+        # cond wrapper — the program is the static kernel plus one
+        # additive probe mask, so compile cost and throughput match the
+        # static-nprobes program
+        d = score_chunk(pids, 0) + probe_pen[None, :, None]
+        v, p = topk_smallest(d.reshape(qb, chunk * pmax), k_sel)
+        s = jnp.take_along_axis(pids, p // pmax, axis=1) * pmax + p % pmax
+        if k_sel < k:
+            v = jnp.pad(v, ((0, 0), (0, k - k_sel)), constant_values=np.inf)
+            s = jnp.pad(s, ((0, 0), (0, k - k_sel)))
+        return v, s
+
     def live(carry, ci):
         bv, bs = carry
         pid = jax.lax.dynamic_slice(pids, (0, ci * chunk), (qb, chunk))

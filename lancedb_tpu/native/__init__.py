@@ -27,7 +27,7 @@ _load_failed = False
 def _compile() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
         "-march=native", _SRC, "-o", _SO + ".tmp",
     ]
     try:
@@ -109,7 +109,14 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ldb_bm25_maxscore_topk.restype = i64
         lib.ldb_bm25_maxscore_topk.argtypes = [
             i64p, i64p, i64p, i32p, f32p, f32p, f32p, i64p, ctypes.c_int32,
-            f32p, u8p, i64, ctypes.c_int32, ctypes.c_float, i64p, f32p,
+            f32p, u8p, i64, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_float, i64p, f32p, ctypes.c_int32, ctypes.c_int32,
+            i64p, f32p,
+        ]
+        lib.ldb_bm25_impact_topk.restype = i64
+        lib.ldb_bm25_impact_topk.argtypes = [
+            i64p, i64p, i64p, i32p, i32p, f32p, ctypes.c_int32, f32p, u8p,
+            ctypes.c_int32, ctypes.c_float, i64p, f32p,
         ]
         lib.ldb_bm25_and_topk.restype = i64
         lib.ldb_bm25_and_topk.argtypes = [
@@ -389,6 +396,10 @@ def bm25_maxscore_topk_native(
     qub: np.ndarray | None = None,
     block_max: np.ndarray | None = None,
     block_offsets: np.ndarray | None = None,
+    theta_init: float = 0.0,
+    seed_docs: np.ndarray | None = None,
+    seed_scores: np.ndarray | None = None,
+    n_threads: int = 1,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Exact BM25 top-k via DAAT MaxScore over the CSR postings
     (native ldb_bm25_maxscore_topk). Returns (doc_idx, scores) sorted
@@ -397,7 +408,12 @@ def bm25_maxscore_topk_native(
     qub: cached per-query-term upper bounds (idf folded) — skips the
     per-query full posting scan that dominates on common terms.
     block_max/block_offsets: per-term 128-posting block maxima (raw
-    contribution, no idf) enabling block-max skipping."""
+    contribution, no idf) enabling block-max skipping.
+    theta_init + seed_docs/seed_scores: exact threshold pre-seeding
+    from cached top-impact postings (block skipping engages from doc 0;
+    seeds backfill ties pruned at exactly theta_init).
+    n_threads: doc-range sharding across threads with a shared atomic
+    threshold (scales on multicore serving hosts)."""
     lib = get_lib()
     if lib is None or len(qterms) == 0:
         return None
@@ -421,6 +437,14 @@ def bm25_maxscore_topk_native(
         block_offsets = np.ascontiguousarray(block_offsets, dtype=np.int64)
         bmax_ptr = _np_ptr(block_max, ctypes.c_float)
         boff_ptr = _np_ptr(block_offsets, ctypes.c_int64)
+    seed_docs_ptr = seed_scores_ptr = None
+    n_seed = 0
+    if seed_docs is not None and seed_scores is not None and len(seed_docs):
+        seed_docs = np.ascontiguousarray(seed_docs, dtype=np.int64)
+        seed_scores = np.ascontiguousarray(seed_scores, dtype=np.float32)
+        seed_docs_ptr = _np_ptr(seed_docs, ctypes.c_int64)
+        seed_scores_ptr = _np_ptr(seed_scores, ctypes.c_float)
+        n_seed = len(seed_docs)
     out_docs = np.zeros(max(1, k), dtype=np.int64)
     out_scores = np.zeros(max(1, k), dtype=np.float32)
     n = lib.ldb_bm25_maxscore_topk(
@@ -436,6 +460,62 @@ def bm25_maxscore_topk_native(
         _np_ptr(doc_norm, ctypes.c_float),
         dead_ptr,
         len(doc_norm),
+        int(k),
+        float(k1),
+        float(theta_init),
+        seed_docs_ptr,
+        seed_scores_ptr,
+        n_seed,
+        int(n_threads),
+        _np_ptr(out_docs, ctypes.c_int64),
+        _np_ptr(out_scores, ctypes.c_float),
+    )
+    return out_docs[:n], out_scores[:n]
+
+
+def bm25_impact_topk_native(
+    postings_docs: np.ndarray,
+    postings_tf: np.ndarray,
+    postings_offsets: np.ndarray,
+    imp_pos: np.ndarray,
+    qterms: np.ndarray,
+    qidf: np.ndarray,
+    doc_norm: np.ndarray,
+    k: int,
+    k1: float,
+    dead: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Exact BM25 top-k via the impact-ordered Threshold Algorithm
+    (ldb_bm25_impact_topk) — the common-term fast path: sorted access
+    by descending per-term contribution with an upper-bound stop, so
+    tied/quantized score distributions terminate after a few hundred
+    pops instead of a full million-posting DAAT merge."""
+    lib = get_lib()
+    if lib is None or len(qterms) == 0:
+        return None
+    postings_docs = np.ascontiguousarray(postings_docs, dtype=np.int64)
+    postings_tf = np.ascontiguousarray(postings_tf, dtype=np.int64)
+    postings_offsets = np.ascontiguousarray(postings_offsets, dtype=np.int64)
+    imp_pos = np.ascontiguousarray(imp_pos, dtype=np.int32)
+    qterms = np.ascontiguousarray(qterms, dtype=np.int32)
+    qidf = np.ascontiguousarray(qidf, dtype=np.float32)
+    doc_norm = np.ascontiguousarray(doc_norm, dtype=np.float32)
+    dead_ptr = None
+    if dead is not None:
+        dead = np.ascontiguousarray(dead, dtype=np.uint8)
+        dead_ptr = _np_ptr(dead, ctypes.c_uint8)
+    out_docs = np.zeros(max(1, k), dtype=np.int64)
+    out_scores = np.zeros(max(1, k), dtype=np.float32)
+    n = lib.ldb_bm25_impact_topk(
+        _np_ptr(postings_docs, ctypes.c_int64),
+        _np_ptr(postings_tf, ctypes.c_int64),
+        _np_ptr(postings_offsets, ctypes.c_int64),
+        _np_ptr(imp_pos, ctypes.c_int32),
+        _np_ptr(qterms, ctypes.c_int32),
+        _np_ptr(qidf, ctypes.c_float),
+        len(qterms),
+        _np_ptr(doc_norm, ctypes.c_float),
+        dead_ptr,
         int(k),
         float(k1),
         _np_ptr(out_docs, ctypes.c_int64),

@@ -18,7 +18,11 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
+#include <thread>
+#include <atomic>
+#include <cstring>
 
 namespace {
 
@@ -437,110 +441,115 @@ int64_t ldb_varint_decode(const uint8_t* data, int64_t nbytes, int64_t n,
 // Returns the number of results written (<= k), docs/scores sorted by
 // descending score.
 #define LDB_FTS_BLK 128
-int64_t ldb_bm25_maxscore_topk(
-    const int64_t* postings_docs, const int64_t* postings_tf,
-    const int64_t* postings_offsets, const int32_t* qterms,
-    const float* qidf, const float* qub, const float* block_max,
-    const int64_t* block_offsets, int32_t n_q, const float* doc_norm,
-    const uint8_t* dead, int64_t num_docs, int32_t k, float k1,
-    int64_t* out_docs, float* out_scores) {
-  if (n_q <= 0 || k <= 0) return 0;
-  struct Cursor {
-    const int64_t* docs;
-    const int64_t* tfs;
-    int64_t len;
-    int64_t pos;
-    float idf;
-    float ub;
-    const float* bmax;  // this term's block maxima (null: no table)
-  };
-  std::vector<Cursor> cur;
-  cur.reserve(n_q);
-  for (int32_t i = 0; i < n_q; i++) {
-    int64_t s = postings_offsets[qterms[i]];
-    int64_t e = postings_offsets[qterms[i] + 1];
-    if (e <= s) continue;
-    const float* bm =
-        block_max != nullptr ? block_max + block_offsets[qterms[i]] : nullptr;
-    Cursor c{postings_docs + s, postings_tf + s, e - s, 0, qidf[i], 0.0f, bm};
-    if (qub != nullptr) {
-      c.ub = qub[i];
-    } else {
-      // exact upper bound: max contribution over this term's postings
-      float best = 0.0f;
-      for (int64_t j = s; j < e; j++) {
-        float tf = (float)postings_tf[j];
-        float v = tf * (k1 + 1.0f) / (tf + doc_norm[postings_docs[j]]);
-        if (v > best) best = v;
-      }
-      c.ub = c.idf * best;
-    }
-    cur.push_back(c);
+
+namespace {
+
+typedef std::pair<float, int64_t> LdbHit;
+
+struct LdbCursor {
+  const int64_t* docs;
+  const int64_t* tfs;
+  int64_t len;
+  int64_t pos;
+  float idf;
+  float ub;
+  const float* bmax;  // this term's block maxima (null: no table)
+};
+
+// Monotonic-max on a float stored as uint32 bits (valid for scores > 0:
+// positive-float bit patterns order identically to their uint32 view).
+inline void ldb_theta_publish(std::atomic<uint32_t>* g, float v) {
+  if (g == nullptr || v <= 0.0f) return;
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  uint32_t cur = g->load(std::memory_order_relaxed);
+  while (bits > cur &&
+         !g->compare_exchange_weak(cur, bits, std::memory_order_relaxed)) {
   }
-  if (cur.empty()) return 0;
-  std::sort(cur.begin(), cur.end(),
-            [](const Cursor& a, const Cursor& b) { return a.ub < b.ub; });
+}
+
+inline float ldb_theta_read(std::atomic<uint32_t>* g, float local) {
+  if (g == nullptr) return local;
+  uint32_t bits = g->load(std::memory_order_relaxed);
+  float v;
+  std::memcpy(&v, &bits, 4);
+  return v > local ? v : local;
+}
+
+// MaxScore + block-max core over the doc-id range [doc_lo, doc_hi).
+// theta0 pre-seeds the pruning threshold (exact when it is an
+// achievable kth-best score — see the python-side seed scoring);
+// gtheta optionally shares the threshold across range-sharded threads.
+// Results (> theta0 only) land in `heap` unsorted (min-heap layout).
+void ldb_maxscore_core(std::vector<LdbCursor> cur, int k, float k1,
+                       const float* doc_norm, const uint8_t* dead,
+                       const float* block_max, int64_t doc_lo, int64_t doc_hi,
+                       float theta0, std::atomic<uint32_t>* gtheta,
+                       std::vector<LdbHit>& heap) {
   int n = (int)cur.size();
-  std::vector<float> prefix(n);  // prefix[i] = sum of ub[0..i]
+  std::sort(cur.begin(), cur.end(),
+            [](const LdbCursor& a, const LdbCursor& b) { return a.ub < b.ub; });
+  std::vector<float> prefix(n);
   float acc = 0.0f;
   for (int i = 0; i < n; i++) {
     acc += cur[i].ub;
     prefix[i] = acc;
   }
+  for (auto& c : cur) {
+    if (doc_lo > 0) {
+      const int64_t* lo = std::lower_bound(c.docs, c.docs + c.len, doc_lo);
+      c.pos = lo - c.docs;
+    }
+  }
 
-  // min-heap of (score, doc) holding the running top-k
-  typedef std::pair<float, int64_t> Hit;
-  std::vector<Hit> heap;
-  heap.reserve(k + 1);
-  auto cmp = [](const Hit& a, const Hit& b) { return a.first > b.first; };
-  float theta = -1.0f;  // kth best so far (scores are > 0)
+  auto cmp = [](const LdbHit& a, const LdbHit& b) { return a.first > b.first; };
+  float theta = theta0 > 0.0f ? theta0 : -1.0f;
 
-  int ess = 0;  // first essential term index
+  int ess = 0;
   auto update_ess = [&]() {
     while (ess < n - 1 && prefix[ess] <= theta) ess++;
   };
+  update_ess();
 
-  auto contrib = [&](const Cursor& c, int64_t at) -> float {
+  auto contrib = [&](const LdbCursor& c, int64_t at) -> float {
     float tf = (float)c.tfs[at];
     return c.idf * tf * (k1 + 1.0f) / (tf + doc_norm[c.docs[at]]);
   };
-
-  // last doc id of the block containing relative position `pos`
-  auto block_last = [&](const Cursor& c) -> int64_t {
+  auto block_last = [&](const LdbCursor& c) -> int64_t {
     int64_t bend = (c.pos / LDB_FTS_BLK + 1) * LDB_FTS_BLK;
     return c.docs[(bend < c.len ? bend : c.len) - 1];
   };
 
+  int64_t steps = 0;
   while (true) {
-    // next doc = min current doc among essential cursors
     int64_t d = INT64_MAX;
     for (int i = ess; i < n; i++) {
       if (cur[i].pos < cur[i].len && cur[i].docs[cur[i].pos] < d)
         d = cur[i].docs[cur[i].pos];
     }
-    if (d == INT64_MAX) break;
+    if (d == INT64_MAX || d >= doc_hi) break;
+    if (gtheta != nullptr && (++steps & 1023) == 0) {
+      float g = ldb_theta_read(gtheta, theta);
+      if (g > theta) {
+        theta = g;
+        update_ess();
+      }
+    }
     if (block_max != nullptr && theta > 0.0f) {
-      // Block-max shallow check: every doc in [d, d') — d' being the
-      // first doc past the earliest-ending current block — scores at
-      // most prefix[ess-1] (non-essential) plus each essential
-      // cursor's current-block max. Below theta, the whole range skips
-      // without scoring a single doc.
       float ceiling = ess > 0 ? prefix[ess - 1] : 0.0f;
       int64_t dprime = INT64_MAX;
       for (int i = ess; i < n; i++) {
-        Cursor& c = cur[i];
+        LdbCursor& c = cur[i];
         if (c.pos >= c.len) continue;
         ceiling += c.idf * c.bmax[c.pos / LDB_FTS_BLK];
         int64_t bl = block_last(c);
         if (bl < dprime) dprime = bl;
       }
       if (ceiling <= theta) {
-        dprime += 1;  // > every essential cursor's current doc, so the
-                      // seek below always advances at least one cursor
+        dprime += 1;
         for (int i = ess; i < n; i++) {
-          Cursor& c = cur[i];
+          LdbCursor& c = cur[i];
           if (c.pos >= c.len || c.docs[c.pos] >= dprime) continue;
-          // hop whole blocks via their last-doc, then settle in-block
           while (c.pos < c.len && block_last(c) < dprime)
             c.pos = (c.pos / LDB_FTS_BLK + 1) * LDB_FTS_BLK;
           if (c.pos > c.len) c.pos = c.len;
@@ -554,23 +563,22 @@ int64_t ldb_bm25_maxscore_topk(
     bool skip = dead != nullptr && dead[d];
     float score = 0.0f;
     for (int i = ess; i < n; i++) {
-      Cursor& c = cur[i];
+      LdbCursor& c = cur[i];
       if (c.pos < c.len && c.docs[c.pos] == d) {
         if (!skip) score += contrib(c, c.pos);
         c.pos++;
       }
     }
     if (!skip) {
-      // probe non-essential terms while they can still lift d over theta
       for (int j = ess - 1; j >= 0; j--) {
         if (score + prefix[j] <= theta) {
-          score = -1.0f;  // provably below the kth best
+          score = -1.0f;
           break;
         }
-        Cursor& c = cur[j];
+        LdbCursor& c = cur[j];
         const int64_t* lo =
             std::lower_bound(c.docs + c.pos, c.docs + c.len, d);
-        c.pos = lo - c.docs;  // forward-only: doc ids ascend
+        c.pos = lo - c.docs;
         if (c.pos < c.len && c.docs[c.pos] == d) score += contrib(c, c.pos);
       }
       if (score > theta) {
@@ -582,7 +590,239 @@ int64_t ldb_bm25_maxscore_topk(
         }
         if ((int)heap.size() == k) {
           theta = heap.front().first;
+          ldb_theta_publish(gtheta, theta);
           update_ess();
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+// theta_init / seed_docs / seed_scores / n_seed: optional EXACT
+// pre-seeding of the pruning threshold from cached per-term top-impact
+// postings (python side, index/fts.py impact_seeds): the DAAT loop
+// starts with theta at an achievable kth-best score instead of
+// warming up from -inf, so block-max skipping engages from the first
+// document. Seeds also backfill the result when ties AT theta leave
+// the heap short (docs scoring exactly theta are prunable).
+// n_threads > 1 shards the doc-id space and shares theta across
+// shards via an atomic (single-threaded on this image's 1-core host;
+// scales on real serving machines).
+int64_t ldb_bm25_maxscore_topk(
+    const int64_t* postings_docs, const int64_t* postings_tf,
+    const int64_t* postings_offsets, const int32_t* qterms,
+    const float* qidf, const float* qub, const float* block_max,
+    const int64_t* block_offsets, int32_t n_q, const float* doc_norm,
+    const uint8_t* dead, int64_t num_docs, int32_t k, float k1,
+    float theta_init, const int64_t* seed_docs, const float* seed_scores,
+    int32_t n_seed, int32_t n_threads,
+    int64_t* out_docs, float* out_scores) {
+  if (n_q <= 0 || k <= 0) return 0;
+  std::vector<LdbCursor> cur;
+  cur.reserve(n_q);
+  int64_t total_postings = 0;
+  for (int32_t i = 0; i < n_q; i++) {
+    int64_t s = postings_offsets[qterms[i]];
+    int64_t e = postings_offsets[qterms[i] + 1];
+    if (e <= s) continue;
+    const float* bm =
+        block_max != nullptr ? block_max + block_offsets[qterms[i]] : nullptr;
+    LdbCursor c{postings_docs + s, postings_tf + s, e - s, 0, qidf[i], 0.0f, bm};
+    if (qub != nullptr) {
+      c.ub = qub[i];
+    } else {
+      float best = 0.0f;
+      for (int64_t j = s; j < e; j++) {
+        float tf = (float)postings_tf[j];
+        float v = tf * (k1 + 1.0f) / (tf + doc_norm[postings_docs[j]]);
+        if (v > best) best = v;
+      }
+      c.ub = c.idf * best;
+    }
+    total_postings += c.len;
+    cur.push_back(c);
+  }
+  if (cur.empty()) return 0;
+
+  auto cmp = [](const LdbHit& a, const LdbHit& b) { return a.first > b.first; };
+  std::vector<LdbHit> heap;
+  heap.reserve(2 * k + 2);
+
+  if (n_threads > 1 && total_postings > (int64_t)(LDB_FTS_BLK * n_threads) * 4) {
+    std::atomic<uint32_t> gtheta{0};
+    ldb_theta_publish(&gtheta, theta_init);
+    std::vector<std::vector<LdbHit>> heaps(n_threads);
+    std::vector<std::thread> ts;
+    int64_t span = (num_docs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * span;
+      int64_t hi = std::min<int64_t>(num_docs, lo + span);
+      ts.emplace_back([&, t, lo, hi]() {
+        ldb_maxscore_core(cur, k, k1, doc_norm, dead, block_max, lo, hi,
+                          theta_init, &gtheta, heaps[t]);
+      });
+    }
+    for (auto& th : ts) th.join();
+    for (auto& h : heaps)
+      for (auto& hit : h) {
+        heap.push_back(hit);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+        if ((int)heap.size() > k) {
+          std::pop_heap(heap.begin(), heap.end(), cmp);
+          heap.pop_back();
+        }
+      }
+  } else {
+    ldb_maxscore_core(cur, k, k1, doc_norm, dead, block_max, 0, num_docs,
+                      theta_init, nullptr, heap);
+  }
+
+  // ties at theta_init were pruned: backfill from the seed candidates
+  if ((int)heap.size() < k && n_seed > 0) {
+    for (int32_t i = 0; i < n_seed && (int)heap.size() < k; i++) {
+      bool present = false;
+      for (auto& h : heap)
+        if (h.second == seed_docs[i]) {
+          present = true;
+          break;
+        }
+      if (!present && seed_scores[i] > 0.0f)
+        heap.push_back({seed_scores[i], seed_docs[i]});
+    }
+  }
+  std::sort(heap.begin(), heap.end(),
+            [](const LdbHit& a, const LdbHit& b) { return a.first > b.first; });
+  int64_t m = std::min<int64_t>((int64_t)heap.size(), k);
+  for (int64_t i = 0; i < m; i++) {
+    out_scores[i] = heap[i].first;
+    out_docs[i] = heap[i].second;
+  }
+  return m;
+}
+
+// --------------------------------------- BM25 impact-ordered TA top-k
+//
+// Threshold Algorithm (Fagin) over per-term IMPACT-ORDERED postings —
+// the exact-retrieval answer to the common-term worst case where DAAT
+// MaxScore/BMW degrade to a full linear merge (millions of tied-score
+// postings). Each term also keeps its doc-sorted postings for random
+// access.
+//
+//   sorted access: pop the term whose next impact-ordered posting has
+//     the highest idf-weighted contribution; fully score that doc
+//     (partner terms via forward binary search in doc order);
+//   threshold   = sum_t idf_t * current_contribution_t — an upper
+//     bound on every unseen doc's score;
+//   stop        when the running kth best >= threshold (remaining docs
+//     cannot EXCEED the kth; ties lose, matching the DAAT scorer).
+//
+// Quantized score distributions (short uniform docs, small tf) plateau
+// the threshold, which triggers the >=-stop almost immediately —
+// exactly the regime that defeats block-max skipping.
+//
+// imp_pos: per-posting within-term positions sorted by descending
+// contribution (CSR layout shared with postings_offsets).
+int64_t ldb_bm25_impact_topk(
+    const int64_t* postings_docs, const int64_t* postings_tf,
+    const int64_t* postings_offsets, const int32_t* imp_pos,
+    const int32_t* qterms, const float* qidf, int32_t n_q,
+    const float* doc_norm, const uint8_t* dead, int32_t k, float k1,
+    int64_t* out_docs, float* out_scores) {
+  if (n_q <= 0 || k <= 0) return 0;
+  struct Term {
+    const int64_t* docs;   // doc-sorted
+    const int64_t* tfs;
+    const int32_t* imp;    // impact-order positions into docs/tfs
+    int64_t len;
+    int64_t p;             // cursor into imp
+    float idf;
+    float cur;             // idf * contribution at imp[p]
+  };
+  auto contrib_at = [&](const Term& t, int64_t pos) -> float {
+    float tf = (float)t.tfs[pos];
+    return tf * (k1 + 1.0f) / (tf + doc_norm[t.docs[pos]]);
+  };
+  std::vector<Term> terms;
+  terms.reserve(n_q);
+  for (int32_t i = 0; i < n_q; i++) {
+    int64_t s = postings_offsets[qterms[i]];
+    int64_t e = postings_offsets[qterms[i] + 1];
+    if (e <= s) continue;
+    Term t{postings_docs + s, postings_tf + s, imp_pos + s, e - s, 0,
+           qidf[i], 0.0f};
+    t.cur = t.idf * contrib_at(t, t.imp[0]);
+    terms.push_back(t);
+  }
+  if (terms.empty()) return 0;
+  int n = (int)terms.size();
+
+  typedef std::pair<float, int64_t> Hit;
+  std::vector<Hit> heap;
+  heap.reserve(k + 1);
+  auto cmp = [](const Hit& a, const Hit& b) { return a.first > b.first; };
+  std::unordered_set<int64_t> seen;
+  seen.reserve(1024);
+
+  // Batched sorted access: pop up to POPB consecutive impact entries of
+  // the best term per round, doc-sort them, and resolve partner terms
+  // with a galloping sorted merge — amortizes the per-doc binary
+  // searches that dominate single-pop TA. May overshoot the stop point
+  // by < POPB pops; results stay exact (extra pops only ADD candidates).
+  constexpr int POPB = 64;
+  std::pair<int64_t, float> batch[POPB];  // (doc, popped-term contribution)
+  while (true) {
+    float threshold = 0.0f;
+    int best = -1;
+    float best_cur = -1.0f;
+    for (int i = 0; i < n; i++) {
+      if (terms[i].p >= terms[i].len) continue;
+      threshold += terms[i].cur;
+      if (terms[i].cur > best_cur) {
+        best_cur = terms[i].cur;
+        best = i;
+      }
+    }
+    if (best < 0) break;
+    if ((int)heap.size() >= k && heap.front().first >= threshold) break;
+    Term& t = terms[best];
+    int nb = 0;
+    while (nb < POPB && t.p < t.len) {
+      int64_t pos = t.imp[t.p];
+      int64_t d = t.docs[pos];
+      t.p++;
+      if (dead != nullptr && dead[d]) continue;
+      if (!seen.insert(d).second) continue;
+      batch[nb++] = {d, t.idf * contrib_at(t, pos)};
+    }
+    if (t.p < t.len) t.cur = t.idf * contrib_at(t, t.imp[t.p]);
+    if (nb == 0) continue;
+    std::sort(batch, batch + nb,
+              [](const std::pair<int64_t, float>& a,
+                 const std::pair<int64_t, float>& b) { return a.first < b.first; });
+    float scores[POPB];
+    for (int j = 0; j < nb; j++) scores[j] = batch[j].second;
+    for (int i = 0; i < n; i++) {
+      if (i == best) continue;
+      const Term& u = terms[i];
+      const int64_t* cur_lo = u.docs;
+      const int64_t* end = u.docs + u.len;
+      for (int j = 0; j < nb; j++) {
+        cur_lo = std::lower_bound(cur_lo, end, batch[j].first);
+        if (cur_lo == end) break;
+        if (*cur_lo == batch[j].first)
+          scores[j] += u.idf * contrib_at(u, cur_lo - u.docs);
+      }
+    }
+    for (int j = 0; j < nb; j++) {
+      float score = scores[j];
+      if ((int)heap.size() < k || score > heap.front().first) {
+        heap.push_back({score, batch[j].first});
+        std::push_heap(heap.begin(), heap.end(), cmp);
+        if ((int)heap.size() > k) {
+          std::pop_heap(heap.begin(), heap.end(), cmp);
+          heap.pop_back();
         }
       }
     }

@@ -90,3 +90,79 @@ def test_phrase_matches_positions(seed):
         got = set(int(x) for x in docs_n)
         assert got <= expect
         assert len(got) == min(20, len(expect)), (q, len(got), len(expect))
+
+
+class TestImpactScorer:
+    """The impact-ordered TA scorer (common-term fast path) must agree
+    with the DAAT MaxScore scorer exactly — scores and (score, doc)
+    ordering — including under dead-doc masks."""
+
+    def _index(self, n=4000, seed=3):
+        import lancedb_tpu
+        from lancedb_tpu.index.fts import load_fts_index
+
+        rng = np.random.default_rng(seed)
+        ranks = np.clip(rng.zipf(1.25, size=n * 12), 1, 800) - 1
+        docs = [" ".join(f"w{r}" for r in row) for row in ranks.reshape(n, 12)]
+        db = lancedb_tpu.connect(f"memory://impact-eq-{seed}")
+        t = db.create_table("d", {"id": np.arange(n), "text": docs})
+        t.create_fts_index("text", with_position=False)
+        ds = t.to_lance()
+        meta = [m for m in ds.manifest.indices if m.index_type == "FTS"][0]
+        return load_fts_index(ds, meta).by_column["text"]
+
+    def test_impact_matches_maxscore(self):
+        from lancedb_tpu.index.fts import K1
+        from lancedb_tpu.native import (
+            bm25_impact_topk_native,
+            bm25_maxscore_topk_native,
+        )
+
+        s = self._index()
+        rng = np.random.default_rng(0)
+        norm = s._doc_norm()
+        io_ = s.impact_order()
+        bm, bo = s.block_maxes()
+        for trial in range(25):
+            n_terms = rng.integers(1, 4)
+            words = [f"w{r}" for r in rng.integers(0, 60, size=n_terms)]
+            tids = sorted({s.vocab[w] for w in words if w in s.vocab})
+            if not tids:
+                continue
+            idf = np.array([s.idf(t) for t in tids], dtype=np.float32)
+            k = int(rng.integers(1, 20))
+            dead = None
+            if trial % 3 == 0:
+                dead = np.zeros(s.num_docs, dtype=np.uint8)
+                dead[rng.integers(0, s.num_docs, s.num_docs // 10)] = 1
+            a = bm25_impact_topk_native(
+                s.postings_docs, s.postings_tf, s.postings_offsets, io_,
+                np.asarray(tids, np.int32), idf, norm, k, K1, dead,
+            )
+            b = bm25_maxscore_topk_native(
+                s.postings_docs, s.postings_tf, s.postings_offsets,
+                np.asarray(tids, np.int32), idf, norm, k, K1, dead,
+                qub=s.term_upper_bounds()[tids], block_max=bm, block_offsets=bo,
+            )
+            assert a is not None and b is not None
+            np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6), trial
+            # docs may differ only among tied scores
+            sa, sb = a[1], b[1]
+            for da, db_, va, vb in zip(a[0], b[0], sa, sb):
+                if da != db_:
+                    assert abs(va - vb) <= 1e-5 * max(abs(va), 1.0)
+
+    def test_impact_routing_threshold(self, monkeypatch):
+        """Queries over a large posting mass route to the impact scorer."""
+        from lancedb_tpu.index import fts as F
+
+        s = self._index(seed=4)
+        monkeypatch.setattr(F.ColumnFtsIndex, "IMPACT_MIN_POSTINGS", 1)
+        out = s.topk_match_native("w0 w1", 10, None)
+        assert out is not None and len(out[0]) == 10
+        # matches the python dense scorer end to end
+        dense = s.score_match("w0 w1", F.Operator.OR, 0, 50)
+        top_dense = np.argsort(-dense, kind="stable")[:10]
+        np.testing.assert_allclose(
+            np.sort(out[1])[::-1], np.sort(dense[top_dense])[::-1], rtol=1e-5
+        )
