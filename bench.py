@@ -258,6 +258,19 @@ def main() -> None:
     details["budget_s"] = BUDGET_S
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
         f"budget={BUDGET_S:.0f}s")
+    # capacity proof (scripts/probe_scale_30m.py): a ≥30M-row IVF_PQ
+    # build+search measured on this same chip; too large for the driver
+    # budget, so the committed artifact is embedded with its provenance
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALE_PROOF.json")) as f:
+            details["scale_proof"] = json.load(f)
+            details["scale_proof"]["provenance"] = (
+                "measured by scripts/probe_scale_30m.py on this chip; "
+                "see measured_utc — not re-run inside the bench budget"
+            )
+    except Exception:
+        pass
     rng = np.random.default_rng(42)
     log("generating hierarchical clustered data ...")
     x, queries = make_data(rng)
@@ -685,7 +698,9 @@ def main() -> None:
     try:
         rem = remaining()
         n_h = 0
-        for cand_n, est in ((500_000, 1100), (250_000, 450), (125_000, 220)):
+        # device-resident CAGRA-style build: 500k measured ~150 s on the
+        # chip (+ GT/serving sweeps); estimates carry warm-cache compiles
+        for cand_n, est in ((500_000, 420), (250_000, 260), (125_000, 160)):
             if rem >= est:
                 n_h = min(cand_n, len(x))
                 break
@@ -909,31 +924,49 @@ def run_hnsw_config(details, x, rng, n_h=None):
     meta = build_hnsw_index(ds, "vector", HnswFlat())
     build_s = time.perf_counter() - t0
     details[f"hnsw_{n_h // 1000}k_build_seconds"] = round(build_s, 1)
-    log(f"[hnsw] build {build_s:.0f}s")
+    details[f"hnsw_{n_h // 1000}k_build_timings"] = meta.params["build_timings"]
+    log(f"[hnsw] build {build_s:.0f}s {meta.params['build_timings']}")
     checkpoint()
     s = load_searcher(ds, meta)
     rng2 = np.random.default_rng(17)
-    qs = xh[rng2.integers(0, n_h, 128)] + 0.05 * rng2.standard_normal(
-        (128, xh.shape[1])).astype(np.float32)
+    qs = xh[rng2.integers(0, n_h, 256)] + 0.05 * rng2.standard_normal(
+        (256, xh.shape[1])).astype(np.float32)
     gt_sets = host_gt(xh, qs[:64], k=TOP_K)
-    # warm, then sweep ef: the recall/qps tradeoff knob (host walks —
-    # the HNSW serving model is low-latency single queries)
+    # host walks: the low-latency single-query serving path
     for i in range(4):
-        s.search(qs[i], SearchParams(k=TOP_K))
-    for ef in (64, 128, 256):
+        s._search_host(qs[i], SearchParams(k=TOP_K))
+    for ef in (64, 128):
         t0 = time.perf_counter()
-        for i in range(128):
-            s.search(qs[i], SearchParams(k=TOP_K, ef=ef))
+        for i in range(64):
+            s._search_host(qs[i], SearchParams(k=TOP_K, ef=ef))
         dt = time.perf_counter() - t0
-        d64, rid64 = s.search(qs[:64], SearchParams(k=TOP_K, ef=ef))
+        _, rid64 = s._search_host(qs[:64], SearchParams(k=TOP_K, ef=ef))
         ids = (rid64 & np.uint64(0xFFFFFFFF)).astype(np.int64)
         rec = float(np.mean(
             [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(64)]
         ))
         details[f"hnsw_{n_h // 1000}k_ef{ef}"] = {
-            "qps": round(128 / dt, 1), "recall": round(rec, 4),
+            "qps": round(64 / dt, 1), "recall": round(rec, 4),
         }
-        log(f"[hnsw] ef={ef}: {128 / dt:.0f} qps recall@10={rec:.4f}")
+        log(f"[hnsw] host ef={ef}: {64 / dt:.0f} qps recall@10={rec:.4f}")
+    # batched device beam (throughput serving path)
+    for ef in (64, 128):
+        if not budget_ok(f"hnsw_dev_ef{ef}", 60):
+            break
+        s.search_batched(qs, SearchParams(k=TOP_K, ef=ef))  # warm/compile
+        t0 = time.perf_counter()
+        reps = 4
+        for _ in range(reps):
+            _, rr = s.search_batched(qs, SearchParams(k=TOP_K, ef=ef))
+        dt = (time.perf_counter() - t0) / reps
+        ids = (rr[:64] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        rec = float(np.mean(
+            [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(64)]
+        ))
+        details[f"hnsw_{n_h // 1000}k_device_ef{ef}"] = {
+            "qps": round(256 / dt, 1), "recall": round(rec, 4),
+        }
+        log(f"[hnsw] device ef={ef}: {256 / dt:.0f} qps recall@10={rec:.4f}")
     del s, ds, xh
     gc.collect()
 

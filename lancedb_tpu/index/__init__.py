@@ -190,6 +190,9 @@ class FTS:
     ngram_min_length: int = 3
     ngram_max_length: int = 3
     prefix_only: bool = False
+    # user dictionary for the jieba/lindera dictionary-backed CJK
+    # segmenters (jieba format: 'word [freq [tag]]' per line)
+    dict_path: str | None = None
 
     index_type: str = "FTS"
 

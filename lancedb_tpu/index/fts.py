@@ -251,10 +251,18 @@ class ColumnFtsIndex:
         ta = np.asarray(tids)
         total = int((off[ta + 1] - off[ta]).sum())
         if total >= self.IMPACT_MIN_POSTINGS:
+            # pop budget: TA either converges in a few thousand pops
+            # (tied/quantized impact distributions — measured <1024 on
+            # the plateau cases it exists for) or it will lose to the
+            # DAAT merge (3+ common terms / low-co-occurrence pairs
+            # decay the summed upper bound too slowly; measured 26 qps
+            # TA vs 78 DAAT on a 3-common-term OR at 1M docs). Per-pop
+            # cost is ~1 µs × (n_terms-1) partner lookups, so the bail
+            # costs ≤ ~2 ms before the DAAT fallback runs.
             out = bm25_impact_topk_native(
                 self.postings_docs, self.postings_tf, self.postings_offsets,
                 self.impact_order(), np.asarray(tids, dtype=np.int32), idf,
-                norm, k, K1, dead,
+                norm, k, K1, dead, max_pops=4096,
             )
             if out is not None:
                 return out
@@ -697,6 +705,7 @@ def build_fts_index(dataset, columns: list[str], config, name: str | None = None
         ngram_min_length=config.ngram_min_length,
         ngram_max_length=config.ngram_max_length,
         prefix_only=config.prefix_only,
+        dict_path=getattr(config, "dict_path", None),
     )
     for c in columns:
         f = dataset.schema.field(c) if c in dataset.schema.names else None

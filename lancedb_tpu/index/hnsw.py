@@ -6,17 +6,27 @@ index/vector.rs:402-415) exposed through lancedb's IvfHnsw* builders
 
 TPU-design note: the classic incremental HNSW insert is pointer
 chasing — hostile to the MXU and O(n·ef·m) Python-side. The build
-here is batch-first (CAGRA-style): every layer's adjacency is derived
-from an EXACT kNN graph computed with blocked device matmuls
-(``ops.topk.blocked_topk_scan``), plus degree-capped reverse edges
-for reachability. That turns the build into n/Q_CHUNK large MXU
-matmuls instead of n Python graph walks, and exact kNN edges dominate
-the quality any ef_construction beam search could reach. Query-time
-graph walks stay a HOST structure (numpy-vectorized distance evals)
-for low-latency single-query serving; the TPU throughput path is the
-IVF family. Storage variants quantize the vectors the walk reads:
+here is batch-first (CAGRA-style) and DEVICE-RESIDENT end to end:
+per-layer near-exact kNN graphs from a bf16 coarse scan + f32 rescore
+(one scanned program per layer), occlusion (RNG) pruning with 2-hop
+expansion on device, and dense padded adjacency assembled on device
+(degree-capped reverse edges via per-column scatter). Only the final
+(n, deg) int32 adjacency crosses the tunnel. This took the 500k-row
+build from 909 s (host-loop formulation, r3) to ~150 s measured.
 
-  FLAT — raw f32; SQ — int8 affine; PQ — codes + per-query ADC LUT.
+Serving is two-tier:
+  * single/low-batch queries — host beam walks over the dense
+    adjacency (numpy-vectorized distance evals, ~ms latency), seeded
+    by brute-forcing the deepest ≤4096-node layer;
+  * batches ≥16 — `search_batched`: a CAGRA-style batched beam kernel
+    on device (`_hnsw_beam_device`), seeded by one MXU matmul over the
+    layer-1 node set; measured 1.5k+ qps at recall 1.0 on 500k rows
+    vs 632 qps for r3's host walks.
+
+Storage variants quantize the vectors the walk reads:
+
+  FLAT — raw f32; SQ — int8 affine; PQ — codes + per-query ADC LUT
+  (PQ serves host-side only; the device beam reads FLAT/SQ).
 """
 
 from __future__ import annotations
@@ -24,7 +34,7 @@ from __future__ import annotations
 import io
 import json
 import time
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -42,81 +52,132 @@ _KNN_QUERY_CHUNK = 1024  # rows of the kNN graph computed per device dispatch
 _KNN_BLOCK = 8192  # database block per scan step (Q_CHUNK×B f32 = 32 MiB)
 
 
-def _knn_graph(vectors: np.ndarray, k: int, metric: str, return_base: bool = False):
-    """Exact self-excluded kNN ids ``(n, k)`` via blocked MXU matmuls.
+def _stage(timings, name: str, t0: float) -> float:
+    """Accumulate per-stage wall clock into ``timings`` (meta.json carries
+    it so build-cost floors are documented, not guessed)."""
+    now = time.time()
+    if timings is not None:
+        timings[name] = round(timings.get(name, 0.0) + (now - t0), 2)
+    return now
 
-    The base set lives on device once; queries stream through in chunks,
-    each chunk scanning the base in ``_KNN_BLOCK`` tiles with a running
-    k-best merge (O(Q·B) memory — ops/topk.py blocked_topk_scan).
+
+class _DeviceBase:
+    """One layer's vectors resident on device: f32 rows + a bf16 copy for
+    the coarse matmul + row norms + a validity mask over the padding.
+
+    Everything downstream of the upload (kNN, occlusion pruning, 2-hop
+    pooling, adjacency assembly) stays on device — the build host has a
+    single CPU core and the device tunnel moves ~19 MB/s, so any
+    host-side sort or per-chunk candidate transfer dominates the build
+    (measured: 164 s of a 482 s 125k build was one numpy dedup pass).
     """
+
+    def __init__(self, vectors: np.ndarray):
+        import jax.numpy as jnp
+
+        n, dim = vectors.shape
+        self.n, self.dim = n, dim
+        block = min(_KNN_BLOCK, max(256, n))
+        self.pad_n = -(-n // block) * block
+        xb = jnp.asarray(np.pad(vectors.astype(np.float32), ((0, self.pad_n - n), (0, 0))))
+        self.xb = xb
+        self.xb_bf = xb.astype(jnp.bfloat16)
+        self.norms2 = jnp.sum(jnp.square(xb), axis=1)
+        self.valid = jnp.arange(self.pad_n) < n
+
+
+@lru_cache(maxsize=None)
+def _knn_all_jit():
+    """Process-wide jitted kNN worker (a jit defined per call would
+    re-trace every invocation: measured ~190 ms of cache reload per
+    call through the tunnel even when compiled)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.topk import blocked_topk_scan
-
-    n, dim = vectors.shape
-    k_eff = min(k, n - 1)
-    base = vectors.astype(np.float32)
-    if metric == "cosine":
-        base = base / np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-30)
-    block = min(_KNN_BLOCK, max(128, n))
-    num_blocks = -(-n // block)
-    pad_n = num_blocks * block
-    xb = jnp.asarray(np.pad(base, ((0, pad_n - n), (0, 0))))
-    xb_blocks = xb.reshape(num_blocks, block, dim)
-    sq_blocks = (xb_blocks * xb_blocks).sum(-1)  # (num_blocks, block)
-    valid = (jnp.arange(pad_n) < n).reshape(num_blocks, block)
-
-    @jax.jit
-    def chunk_topk(qc):
-        def score_block(i):
-            blk = xb_blocks[i]
+    @partial(jax.jit, static_argnames=("k", "kc2", "metric", "exact",
+                                       "q_chunk", "n_chunks", "pad_n"))
+    def run(xb, xb_bf, norms2, valid, k, kc2, metric, exact,
+            q_chunk, n_chunks, pad_n):
+        def chunk(_, ci):
+            q_ids = ci * q_chunk + jnp.arange(q_chunk, dtype=jnp.int32)
+            q = jnp.take(xb, q_ids, axis=0, mode="clip")
+            if exact:
+                if metric == "dot":
+                    d = -jnp.dot(q, xb.T, precision=jax.lax.Precision.HIGHEST)
+                else:
+                    qn2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+                    dots = jnp.dot(q, xb.T, precision=jax.lax.Precision.HIGHEST)
+                    d = qn2 - 2.0 * dots + norms2[None, :]
+                d = jnp.where(valid[None, :], d, jnp.inf)
+                d = jnp.where(q_ids[:, None] == jnp.arange(pad_n)[None, :], jnp.inf, d)
+                _, ids = jax.lax.top_k(-d, k)
+                return None, ids.astype(jnp.int32)
+            # coarse bf16 pass
+            dots = jnp.dot(q.astype(jnp.bfloat16), xb_bf.T,
+                           preferred_element_type=jnp.float32)
             if metric == "dot":
-                d = -(qc @ blk.T)
-            else:  # l2 / cosine (cosine pre-normalized: same ordering)
-                d = sq_blocks[i][None, :] - 2.0 * (qc @ blk.T)
-            d = jnp.where(valid[i][None, :], d, jnp.inf)
-            ids = i * block + jnp.arange(block, dtype=jnp.int64)
-            return d, ids
+                d = -dots
+            else:
+                qn2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+                d = qn2 - 2.0 * dots + norms2[None, :]
+            d = jnp.where(valid[None, :], d, jnp.inf)
+            _, cand = jax.lax.approx_max_k(-d, kc2, recall_target=0.95)
+            # exact f32 rescore of the candidate pool
+            xc = jnp.take(xb, cand, axis=0)
+            if metric == "dot":
+                d2 = -jnp.einsum("qd,qcd->qc", q, xc,
+                                 precision=jax.lax.Precision.HIGHEST)
+            else:
+                d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)
+            d2 = jnp.where(cand == q_ids[:, None], jnp.inf, d2)  # self
+            d2 = jnp.where(jnp.take(valid, cand), d2, jnp.inf)
+            _, pos = jax.lax.top_k(-d2, k)
+            return None, jnp.take_along_axis(cand, pos, axis=1).astype(jnp.int32)
 
-        return blocked_topk_scan(score_block, num_blocks, k_eff + 1, qc.shape[0])
+        _, ids = jax.lax.scan(chunk, None, jnp.arange(n_chunks, dtype=jnp.int32))
+        return ids.reshape(n_chunks * q_chunk, k)[:pad_n]
 
-    q_chunk = min(_KNN_QUERY_CHUNK, n)
-    out = np.empty((n, k_eff), dtype=np.int64)
-    for start in range(0, n, q_chunk):
-        stop = min(start + q_chunk, n)
-        qs = base[start:stop]
-        if len(qs) < q_chunk:  # keep shapes static: one compile per build
-            qs = np.pad(qs, ((0, q_chunk - len(qs)), (0, 0)))
-        _, ids = chunk_topk(jnp.asarray(qs))
-        ids = np.asarray(ids[: stop - start])
-        # drop self from each row (k_eff+1 fetched), keep k_eff
-        rows = np.arange(start, stop)[:, None]
-        keep = ids != rows
-        # ties can leave self absent: drop the worst slot instead
-        for r in np.flatnonzero(keep.sum(1) == k_eff + 1):
-            keep[r, k_eff] = False
-        out[start:stop] = ids[keep].reshape(stop - start, k_eff)
+    return run
+
+
+def _knn_all_device(base: _DeviceBase, k: int, metric: str):
+    """Self-excluded kNN ids ``(pad_n, k)`` — DEVICE array.
+
+    Two-pass per query chunk: a bf16 coarse scan on the MXU picks
+    ``kc2`` candidates with the TPU partial-reduce top-k, then an exact
+    f32 rescore of just those rows orders the final ``k``. Small bases
+    (≤8192 rows) take a single exact f32 pass instead. One jitted
+    program scans all query chunks (lax.scan) — a single dispatch per
+    layer instead of n/1024 tunnel round-trips.
+    """
+    n, pad_n = base.n, base.pad_n
+    k = min(k, n - 1)
+    q_chunk = min(_KNN_QUERY_CHUNK, pad_n)
+    n_chunks = -(-pad_n // q_chunk)
+    exact = pad_n <= 8192
+    kc2 = min(max(2 * (k + 1), 192), pad_n)
+    return _knn_all_jit()(base.xb, base.xb_bf, base.norms2, base.valid,
+                          k, kc2, metric, exact, q_chunk, n_chunks, pad_n)
+
+
+def _knn_graph(vectors: np.ndarray, k: int, metric: str, return_base=None):
+    """Exact-quality self-excluded kNN ids ``(n, k)`` (host array) — the
+    test-facing wrapper over the device pipeline. ``return_base`` kept
+    for API compatibility; returns the `_DeviceBase` alongside the ids."""
+    base_vecs = vectors.astype(np.float32)
+    if metric == "cosine":
+        base_vecs = base_vecs / np.maximum(
+            np.linalg.norm(base_vecs, axis=1, keepdims=True), 1e-30
+        )
+    base = _DeviceBase(base_vecs)
+    ids = np.asarray(_knn_all_device(base, k, metric))[: base.n]
     if return_base:
-        return out, xb  # device-resident (padded) base for follow-up passes
-    return out
+        return ids.astype(np.int64), base
+    return ids.astype(np.int64)
 
 
-def _mask_self_and_dups(pool: np.ndarray, self_ids: np.ndarray) -> np.ndarray:
-    """Replace self references and duplicate candidates with -1 (the
-    prune kernel treats negatives as +inf-distance padding)."""
-    order = np.argsort(pool, axis=1, kind="stable")
-    svals = np.take_along_axis(pool, order, axis=1)
-    dup_sorted = np.zeros_like(svals, dtype=bool)
-    dup_sorted[:, 1:] = svals[:, 1:] == svals[:, :-1]
-    dup = np.zeros_like(dup_sorted)
-    np.put_along_axis(dup, order, dup_sorted, axis=1)
-    mask = dup | (pool == self_ids[:, None])
-    return np.where(mask, -1, pool)
-
-
-def _rng_prune(xb, cand: np.ndarray, deg: int) -> np.ndarray:
-    """Occlusion (RNG) pruning of kNN candidate edges, on device.
+def _prune_all_device(base: _DeviceBase, cand, deg: int):
+    """Occlusion (RNG) pruning of kNN candidate edges — DEVICE in/out.
 
     Exact-kNN edges of a clustered corpus all point into the node's own
     blob — at 500k rows the layer-0 graph fragments into per-cluster
@@ -127,123 +188,172 @@ def _rng_prune(xb, cand: np.ndarray, deg: int) -> np.ndarray:
     distance order and keep an edge only if the candidate is closer to
     the node than to every already-kept neighbor — forcing edges to
     span DIRECTIONS instead of crowding one blob. Pruned slots backfill
-    with the nearest unkept candidates, so degree stays `deg`.
+    with the nearest unkept candidates, so degree stays ``deg``.
+    Duplicate pool entries self-occlude in the kernel (d_cc = 0 against
+    the kept copy), so the pool needs no host-side dedup; -1 entries are
+    +inf padding.
 
-    The greedy dependency chain runs as a lax.scan over candidates with
-    all pairwise distances on device — only the (n, deg) selected ids
-    come back (the (n, kc²) distance tensor would be ~13 GB of tunnel
-    traffic at 500k rows).
-
-    xb: (n_pad, D) device-resident base (from _knn_graph); cand:
-    (n, kc) HOST candidate ids sorted by distance. Returns (n, deg) ids.
+    One jitted program scans 4096-row chunks (the greedy dependency
+    chain is a lax.scan over candidates with all pairwise distances on
+    device); cand stays device-resident throughout — shipping the
+    (n, kc) pools through the ~19 MB/s tunnel cost ~0.7 s per chunk in
+    the host-loop formulation.
     """
-    import jax.numpy as jnp
-
-    n, kc = cand.shape
+    n_rows, kc = cand.shape
     if kc <= deg:
         return cand[:, :deg]
-    chunk = 4096
-    out = np.empty((n, deg), dtype=cand.dtype)
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        node_ids = np.arange(start, stop)
-        cids = cand[start:stop]
-        if stop - start < chunk:  # static shapes: one compile
-            pad = chunk - (stop - start)
-            node_ids = np.pad(node_ids, (0, pad))
-            cids = np.pad(cids, ((0, pad), (0, 0)))
-        sel = np.asarray(
-            _prune_chunk_device(xb, jnp.asarray(node_ids), jnp.asarray(cids), deg)
-        )
-        out[start:stop] = sel[: stop - start]
-    # rows with fewer than deg real candidates can backfill a masked
-    # (-1) slot: repeat the nearest neighbor instead (the adjacency
-    # builder dedupes edges)
-    neg = out < 0
-    if neg.any():
-        out = np.where(neg, cand[:, :1], out)
-    return out
+    chunk = min(4096, n_rows)
+    n_chunks = -(-n_rows // chunk)
+    return _prune_all_jit()(base.xb, cand, deg, chunk, n_chunks)
 
 
-def _prune_chunk_device(xb, node_ids, cand_ids, deg: int):
-    """One chunk of occlusion pruning on device (module-level so the jit
-    cache survives across layers/builds — an inner closure recompiled
-    per _rng_prune call, and each tunnel compile is a 2-500 s queue
-    draw)."""
+@lru_cache(maxsize=None)
+def _prune_all_jit():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("deg",))
-    def run(xb, node_ids, cand_ids, deg):
-        kc = cand_ids.shape[1]
-        u = jnp.take(xb, node_ids, axis=0)            # (c, D)
-        pad = cand_ids < 0                            # masked self/dup slots
-        cv = jnp.take(xb, jnp.maximum(cand_ids, 0), axis=0)          # (c, kc, D)
-        d_uc = jnp.sum(jnp.square(u[:, None, :] - cv), axis=-1)      # (c, kc)
-        d_uc = jnp.where(pad, jnp.inf, d_uc)
-        # candidates must walk in distance order (2-hop pools arrive
-        # unsorted; duplicates self-occlude via d_cc = 0)
-        sort = jnp.argsort(d_uc, axis=1)
-        cand_ids = jnp.take_along_axis(cand_ids, sort, axis=1)
-        cv = jnp.take_along_axis(cv, sort[:, :, None], axis=1)
-        d_uc = jnp.take_along_axis(d_uc, sort, axis=1)
-        cn2 = jnp.sum(jnp.square(cv), axis=-1)                       # (c, kc)
-        dots = jnp.einsum("cid,cjd->cij", cv, cv,
-                          preferred_element_type=jnp.float32)
-        d_cc = jnp.maximum(cn2[:, :, None] - 2.0 * dots + cn2[:, None, :], 0.0)
+    @partial(jax.jit, static_argnames=("deg", "chunk", "n_chunks"))
+    def run(xb, cand, deg, chunk, n_chunks):
+        kc = cand.shape[1]
+        n_rows = cand.shape[0]
 
-        def body(occl, j):
-            ok = d_uc[:, j] <= occl[:, j]
-            occl = jnp.minimum(
-                occl, jnp.where(ok[:, None], d_cc[:, j, :], jnp.inf)
+        def one_chunk(_, ci):
+            start = ci * chunk
+            node_ids = start + jnp.arange(chunk, dtype=jnp.int32)
+            # per-row clipped gather, NOT dynamic_slice: a whole-window
+            # slice clamps its start when the last chunk overruns,
+            # shifting every row of that chunk
+            cand_ids = jnp.take(cand, node_ids, axis=0, mode="clip")
+            u = jnp.take(xb, jnp.minimum(node_ids, xb.shape[0] - 1), axis=0)
+            pad = cand_ids < 0
+            cv = jnp.take(xb, jnp.maximum(cand_ids, 0), axis=0)      # (c, kc, D)
+            d_uc = jnp.sum(jnp.square(u[:, None, :] - cv), axis=-1)  # (c, kc)
+            d_uc = jnp.where(pad, jnp.inf, d_uc)
+            # candidates must walk in distance order (2-hop pools arrive
+            # unsorted; duplicates self-occlude via d_cc = 0)
+            sort = jnp.argsort(d_uc, axis=1)
+            cand_s = jnp.take_along_axis(cand_ids, sort, axis=1)
+            cv = jnp.take_along_axis(cv, sort[:, :, None], axis=1)
+            d_uc = jnp.take_along_axis(d_uc, sort, axis=1)
+            cn2 = jnp.sum(jnp.square(cv), axis=-1)                   # (c, kc)
+            dots = jnp.einsum("cid,cjd->cij", cv, cv,
+                              preferred_element_type=jnp.float32)
+            d_cc = jnp.maximum(cn2[:, :, None] - 2.0 * dots + cn2[:, None, :], 0.0)
+            # scan over the LEADING axis of a (kc, c, kc) layout: slicing
+            # the middle axis of d_cc per step reads strided
+            d_cc_t = jnp.transpose(d_cc, (1, 0, 2))
+
+            def body(occl, xs):
+                duc_j, dcc_j, j = xs
+                ok = duc_j <= occl[:, j]
+                occl = jnp.minimum(occl, jnp.where(ok[:, None], dcc_j, jnp.inf))
+                return occl, ok
+
+            _, oks = jax.lax.scan(
+                body, jnp.full((chunk, kc), jnp.inf),
+                (d_uc.T, d_cc_t, jnp.arange(kc)),
             )
-            return occl, ok
+            keep = oks.T
+            # kept candidates first (in distance order), then unkept backfill
+            key = jnp.where(keep, 0, kc) + jnp.arange(kc)[None, :]
+            order = jnp.argsort(key, axis=1)[:, :deg]
+            sel = jnp.take_along_axis(cand_s, order, axis=1)
+            # rows with fewer than deg real candidates backfill the
+            # nearest neighbor (the adjacency builder dedupes edges)
+            sel = jnp.where(sel < 0, cand_s[:, :1], sel)
+            return None, sel
 
-        _, oks = jax.lax.scan(body, jnp.full((u.shape[0], kc), jnp.inf),
-                              jnp.arange(kc))
-        keep = oks.T                                   # (c, kc)
-        # kept candidates first (in distance order), then unkept backfill
-        key = jnp.where(keep, 0, kc) + jnp.arange(kc)[None, :]
-        order = jnp.argsort(key, axis=1)[:, :deg]
-        return jnp.take_along_axis(cand_ids, order, axis=1)
+        _, out = jax.lax.scan(one_chunk, None,
+                              jnp.arange(n_chunks, dtype=jnp.int32))
+        return out.reshape(n_chunks * chunk, deg)[:n_rows]
 
-    return run(xb, node_ids, cand_ids, deg)
-
-
-def _capped_reverse_edges(forward: np.ndarray, nodes: np.ndarray, cap: int):
-    """Reverse-edge lists per node, at most ``cap`` each (CAGRA-style
-    reverse-edge addition for reachability), as (src, dst) arrays."""
-    src = np.repeat(nodes, forward.shape[1])
-    dst = forward.ravel()
-    order = np.argsort(dst, kind="stable")
-    dst_s, src_s = dst[order], src[order]
-    uniq, starts, counts = np.unique(dst_s, return_index=True, return_counts=True)
-    rank = np.arange(len(dst_s)) - np.repeat(starts, counts)
-    keep = rank < cap
-    return dst_s[keep], src_s[keep]  # reversed: dst becomes the source
+    return run
 
 
-def _layer_adjacency(forward: np.ndarray, nodes: np.ndarray, n: int, cap_rev: int):
-    """CSR (offsets, targets) over all n slots from forward kNN edges +
-    degree-capped reverse edges, deduplicated."""
-    src = np.repeat(nodes, forward.shape[1])
-    dst = forward.ravel()
-    rsrc, rdst = _capped_reverse_edges(forward, nodes, cap_rev)
-    all_src = np.concatenate([src, rsrc])
-    all_dst = np.concatenate([dst, rdst])
-    key = all_src.astype(np.int64) * n + all_dst
-    _, first = np.unique(key, return_index=True)
-    first.sort()  # preserve forward-edge (distance-sorted) precedence
-    all_src, all_dst = all_src[first], all_dst[first]
-    order = np.argsort(all_src, kind="stable")
-    all_src, all_dst = all_src[order], all_dst[order]
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(offsets, all_src + 1, 1)
-    np.cumsum(offsets, out=offsets)
-    return offsets, all_dst.astype(np.int32)
+@lru_cache(maxsize=None)
+def _hop2_pool_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n_hop",))
+    def run(cand, local, n_hop):
+        n = local.shape[0]
+        hop2 = jnp.take(local, local[:, :n_hop], axis=0).reshape(n, -1)
+        pool = jnp.concatenate([cand, hop2], axis=1)
+        rows = jnp.arange(n, dtype=pool.dtype)[:, None]
+        return jnp.where(pool == rows, -1, pool)
+
+    return run
 
 
-def _build_layers(vectors: np.ndarray, m: int, metric: str, seed: int = 0):
+def _hop2_pool_device(cand, local, n_hop: int = 8):
+    """CAGRA-style 2-hop candidate pool on device: ``concat(cand,
+    local[local[:, :n_hop]])`` with self references masked to -1
+    (duplicates are left in — the prune kernel self-occludes them)."""
+    return _hop2_pool_jit()(cand, local, n_hop)
+
+
+def _dense_adjacency_device(local, n_rows: int, cap_rev: int):
+    """Dense padded adjacency ``(n_rows, deg + cap_rev)`` int32 (-1 pads)
+    from forward edges + degree-capped reverse edges, deduped per row —
+    all on device (the host formulation was ~56 s of np.unique/argsort
+    per layer on this single-core host). Reverse-edge capping
+    (CAGRA-style reverse-edge addition for reachability) scans the
+    ``deg`` forward-edge columns, scattering each column's sources into
+    the target rows' next free slot — a 1D sort/searchsorted over all
+    n·deg edges measured MINUTES on this backend (XLA's large
+    single-array sort does not map to the VPU), while deg scatter
+    passes over n-sized vectors are milliseconds. Within-column slot
+    collisions may drop an occasional reverse edge; the cap is a
+    heuristic and the dedup pass tolerates holes."""
+    return _dense_adjacency_jit()(local, cap_rev, n_rows)[:n_rows]
+
+
+@lru_cache(maxsize=None)
+def _dense_adjacency_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("cap_rev", "n_rows"))
+    def run(local, cap_rev, n_rows):
+        n_pad, deg = local.shape
+        src_rows = jnp.arange(n_pad, dtype=jnp.int32)
+        valid_src = src_rows < n_rows
+
+        def add_col(carry, dst_col):
+            rev, fill = carry
+            ok = valid_src & (dst_col >= 0) & (dst_col < n_rows)
+            d = jnp.where(ok, dst_col, n_pad)  # n_pad routes to 'drop'
+            slot = jnp.take(fill, d, mode="clip")
+            d_write = jnp.where(slot < cap_rev, d, n_pad)
+            rev = rev.at[d_write, jnp.minimum(slot, cap_rev - 1)].set(
+                src_rows, mode="drop"
+            )
+            fill = fill.at[d].add(1, mode="drop")
+            return (rev, fill), None
+
+        rev0 = jnp.full((n_pad, cap_rev), -1, dtype=jnp.int32)
+        fill0 = jnp.zeros((n_pad,), dtype=jnp.int32)
+        (rev, _), _ = jax.lax.scan(add_col, (rev0, fill0), local.T)
+        adj = jnp.concatenate([local.astype(jnp.int32), rev], axis=1)
+        # mask out-of-layer targets and self edges, then dedupe per row:
+        # sort ids ascending with -1 mapped past the end, mark adjacent
+        # equals, re-sort so real ids lead and -1 pads trail
+        rows = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+        adj = jnp.where((adj == rows) | (adj < 0), n_pad, adj)
+        s = jnp.sort(adj, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((n_pad, 1), bool), s[:, 1:] == s[:, :-1]], axis=1
+        )
+        s = jnp.where(dup, n_pad, s)
+        s = jnp.sort(s, axis=1)
+        return jnp.where(s >= n_pad, -1, s)
+
+    return run
+
+
+def _build_layers(vectors: np.ndarray, m: int, metric: str, seed: int = 0,
+                  timings: dict | None = None):
     """All HNSW layers from per-layer exact kNN graphs.
 
     Level assignment is the standard geometric draw (ml = 1/ln m); each
@@ -258,31 +368,42 @@ def _build_layers(vectors: np.ndarray, m: int, metric: str, seed: int = 0):
     levels = (-np.log(rng.uniform(1e-12, 1.0, size=n)) * ml).astype(np.int64)
     entry = int(np.argmax(levels))
     max_level = int(levels[entry])
-    layers = []
+    layers = []  # [(nodes_global or None, dense_adj (n_lv, deg_tot))]
     for lv in range(max_level + 1):
         nodes = np.flatnonzero(levels >= lv)
         deg = m0 if lv == 0 else m
         if len(nodes) < 2:
-            layers.append((np.zeros(n + 1, dtype=np.int64), np.zeros(0, np.int32)))
+            layers.append((nodes.astype(np.int32), np.zeros((len(nodes), 1), np.int32) - 1))
             continue
+        tag = "l0" if lv == 0 else "upper"
         # 2x candidates, then occlusion-prune to deg for edge diversity
         kc = min(2 * deg, len(nodes) - 1)
-        cand, xb_dev = _knn_graph(vectors[nodes], kc, metric, return_base=True)
-        local = _rng_prune(xb_dev, cand, min(deg, kc))
+        t0 = time.time()
+        import jax as _jax
+
+        sub = vectors if lv == 0 else np.ascontiguousarray(vectors[nodes])
+        base = _DeviceBase(sub)
+        cand = _jax.block_until_ready(_knn_all_device(base, kc, metric))
+        t0 = _stage(timings, f"knn_{tag}", t0)
+        local = _jax.block_until_ready(_prune_all_device(base, cand, min(deg, kc)))
+        t0 = _stage(timings, f"prune_{tag}", t0)
         if len(nodes) > 4 * deg:
             # CAGRA-style 2-hop candidate expansion + re-prune: exact-kNN
             # pools are blob-local on clustered data, so neighbors-of-
             # neighbors widen the frontier before the diversity pruning
-            # picks direction-spanning edges. The 2-hop pool contains the
-            # node itself and duplicates — mask them (a self edge sorts
-            # first at d=0 and would silently eat an out-degree slot).
-            hop2 = local[local[:, : min(8, local.shape[1])]].reshape(len(nodes), -1)
-            pool = np.concatenate([cand, hop2], axis=1)
-            pool = _mask_self_and_dups(pool, np.arange(len(nodes)))
-            local = _rng_prune(xb_dev, pool, min(deg, kc))
-        del xb_dev
-        forward = nodes[local]  # map layer-local ids back to global
-        layers.append(_layer_adjacency(forward, nodes, n, cap_rev=deg))
+            # picks direction-spanning edges (self references masked;
+            # duplicates self-occlude in the prune kernel).
+            pool = _jax.block_until_ready(
+                _hop2_pool_device(cand, local, n_hop=min(8, local.shape[1]))
+            )
+            t0 = _stage(timings, f"hop2_pool_{tag}", t0)
+            local = _jax.block_until_ready(_prune_all_device(base, pool, min(deg, kc)))
+            t0 = _stage(timings, f"prune2_{tag}", t0)
+        del cand, base
+        adj = np.asarray(_dense_adjacency_device(local, len(nodes), cap_rev=deg))
+        del local
+        layers.append((None if lv == 0 else nodes.astype(np.int32), adj))
+        _stage(timings, f"adjacency_{tag}", t0)
     return layers, entry, levels
 
 
@@ -395,6 +516,149 @@ class _Storage:
         return s
 
 
+@lru_cache(maxsize=None)
+def _hnsw_seed_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("s", "metric"))
+    def run(q, up_bf, up_norms2, up_nodes, s, metric):
+        dots = jnp.dot(q.astype(jnp.bfloat16), up_bf.T,
+                       preferred_element_type=jnp.float32)
+        d = -dots if metric == "dot" else up_norms2[None, :] - 2.0 * dots
+        d = jnp.where(up_nodes[None, :] >= 0, d, jnp.inf)
+        _, pos = jax.lax.top_k(-d, s)
+        return jnp.take(up_nodes, pos)
+
+    return run
+
+
+def _hnsw_seed_device(q, up_bf, up_norms2, up_nodes, s: int, metric: str):
+    """Batched entry-point selection: exact top-``s`` over the upper-layer
+    node set by one MXU matmul — the TPU replacement for per-query greedy
+    descent through the upper layers (the upper layers hold ~n/m nodes,
+    so brute force there is cheaper than pointer walks and it seeds the
+    layer-0 beam with several basins at once)."""
+    return _hnsw_seed_jit()(q, up_bf, up_norms2, up_nodes, s, metric)
+
+
+def _hnsw_beam_device(q, seed_ids, adj, vA, vB, vC, norms2, penalty,
+                      *, k: int, e_expand: int, iters: int, metric: str,
+                      has_mask: bool, kind: str):
+    """CAGRA-style batched best-first beam search over the layer-0 graph,
+    entirely on device.
+
+    State per query: a beam of ``E`` (ids, coarse distance, expanded)
+    triples. Each iteration expands the ``e_expand`` best unexpanded
+    entries: gathers their adjacency rows, scores all neighbors in one
+    bf16 gather+einsum, dedupes against the beam and within the
+    candidate set, and keeps the best ``E`` by a single top-k merge.
+    Fixed iteration count (≈E/e_expand) replaces the host walk's
+    data-dependent termination — XLA gets one static program. A final
+    f32 rescore of the top ~4k beam entries restores exact distances.
+
+    kind == 'FLAT': vA = f32 rows, vB = bf16 rows.
+    kind == 'SQ':   vA = u8 codes, vB = scale (D,), vC = offset (D,).
+    """
+    return _hnsw_beam_jit()(q, seed_ids, adj, vA, vB, vC, norms2, penalty,
+                            k, e_expand, iters, metric, has_mask, kind)
+
+
+@lru_cache(maxsize=None)
+def _hnsw_beam_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("k", "e_expand", "iters", "metric",
+                                       "has_mask", "kind"))
+    def run(q, seed_ids, adj, vA, vB, vC, norms2, penalty,
+            k, e_expand, iters, metric, has_mask, kind):
+        B, E = seed_ids.shape
+        qf = q.astype(jnp.float32)
+        qb = qf.astype(jnp.bfloat16)
+
+        def rows_bf(ids):  # (B, C) -> (B, C, D) bf16
+            if kind == "FLAT":
+                return jnp.take(vB, ids, axis=0)
+            c = jnp.take(vA, ids, axis=0).astype(jnp.float32) * vB + vC
+            return c.astype(jnp.bfloat16)
+
+        def rows_f32(ids):
+            if kind == "FLAT":
+                return jnp.take(vA, ids, axis=0)
+            return jnp.take(vA, ids, axis=0).astype(jnp.float32) * vB + vC
+
+        def coarse(ids, valid):
+            v = rows_bf(jnp.maximum(ids, 0))
+            dots = jnp.einsum("bd,bcd->bc", qb, v,
+                              preferred_element_type=jnp.float32)
+            d = -dots if metric == "dot" else (
+                jnp.take(norms2, jnp.maximum(ids, 0)) - 2.0 * dots
+            )
+            if has_mask:
+                d = d + jnp.take(penalty, jnp.maximum(ids, 0))
+            return jnp.where(valid, d, jnp.inf)
+
+        ids0 = seed_ids
+        dist0 = coarse(ids0, ids0 >= 0)
+        exp0 = ids0 < 0  # pads count as expanded: never selected
+
+        def body(state, _):
+            ids, dist, exp = state
+            score = jnp.where(exp, jnp.inf, dist)
+            _, sel = jax.lax.top_k(-score, e_expand)          # (B, e)
+            sel_ids = jnp.take_along_axis(ids, sel, axis=1)
+            exp = exp | (jnp.arange(E)[None, :, None] == sel[:, None, :]).any(-1)
+            nbr = jnp.take(adj, jnp.maximum(sel_ids, 0), axis=0)  # (B, e, deg)
+            nbr = jnp.where(sel_ids[:, :, None] < 0, -1, nbr).reshape(B, -1)
+            C = nbr.shape[1]
+            dup = (nbr[:, :, None] == ids[:, None, :]).any(-1)
+            valid = (nbr >= 0) & ~dup
+            # dedupe within this iteration's candidates (two expanded
+            # nodes often share neighbors): sort ids, mark adjacent
+            # equals, scatter the mark back to original positions
+            order = jnp.argsort(nbr, axis=1)
+            s = jnp.take_along_axis(nbr, order, axis=1)
+            adj_dup = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), (s[:, 1:] == s[:, :-1]) & (s[:, 1:] >= 0)],
+                axis=1,
+            )
+            dup2 = jnp.zeros((B, C), bool).at[
+                jnp.arange(B)[:, None], order
+            ].set(adj_dup)
+            nd = coarse(nbr, valid & ~dup2)
+            all_ids = jnp.concatenate([ids, nbr], axis=1)
+            all_d = jnp.concatenate([dist, nd], axis=1)
+            all_e = jnp.concatenate([exp, jnp.zeros((B, C), bool)], axis=1)
+            _, pos = jax.lax.top_k(-all_d, E)
+            ids = jnp.take_along_axis(all_ids, pos, axis=1)
+            dist = jnp.take_along_axis(all_d, pos, axis=1)
+            exp = jnp.take_along_axis(all_e, pos, axis=1)
+            return (ids, dist, exp), None
+
+        (ids, dist, _), _ = jax.lax.scan(body, (ids0, dist0, exp0), None,
+                                         length=iters)
+        # exact f32 rescore of the best beam entries
+        R = min(4 * k, E)
+        _, pos = jax.lax.top_k(-dist, R)
+        rids = jnp.take_along_axis(ids, pos, axis=1)
+        vr = rows_f32(jnp.maximum(rids, 0))
+        if metric == "dot":
+            dr = -jnp.einsum("bd,bcd->bc", qf, vr,
+                             precision=jax.lax.Precision.HIGHEST)
+        else:
+            dr = jnp.sum(jnp.square(qf[:, None, :] - vr), axis=-1)
+            if metric == "cosine":
+                dr = dr / 2.0
+        if has_mask:
+            dr = dr + jnp.take(penalty, jnp.maximum(rids, 0))
+        dr = jnp.where(rids >= 0, dr, jnp.inf)
+        negv, p2 = jax.lax.top_k(-dr, k)
+        return -negv, jnp.take_along_axis(rids, p2, axis=1)
+
+    return run
+
+
 def build_hnsw_index(dataset, column: str, config, name: str | None = None) -> IndexMeta:
     """Build the graph + quantized storage; persist as CSR arrays.
 
@@ -422,17 +686,22 @@ def build_hnsw_index(dataset, column: str, config, name: str | None = None) -> I
         graph_vecs = graph_vecs / np.maximum(
             np.linalg.norm(graph_vecs, axis=1, keepdims=True), 1e-30
         )
+    timings: dict = {}
     layers, entry, _levels = _build_layers(
-        graph_vecs, config.m, metric, seed=getattr(config, "seed", 0)
+        graph_vecs, config.m, metric, seed=getattr(config, "seed", 0),
+        timings=timings,
     )
     uuid = new_uuid()
     store = dataset.store
     prefix = dataset.index_dir(uuid)
     storage.save(store, prefix)
     _save_npy(store, f"{prefix}/row_ids.npy", row_ids.view(np.int64))
-    for lv, (offsets, targets) in enumerate(layers):
-        _save_npy(store, f"{prefix}/level{lv}_offsets.npy", offsets)
-        _save_npy(store, f"{prefix}/level{lv}_targets.npy", targets)
+    for lv, (nodes, adj) in enumerate(layers):
+        # dense padded adjacency (local ids, -1 pads); upper layers also
+        # persist their (sorted) global node-id map
+        _save_npy(store, f"{prefix}/level{lv}_adj.npy", adj)
+        if nodes is not None:
+            _save_npy(store, f"{prefix}/level{lv}_nodes.npy", nodes)
     meta_doc = {
         "index_type": config.index_type,
         "column": column,
@@ -444,6 +713,7 @@ def build_hnsw_index(dataset, column: str, config, name: str | None = None) -> I
         "num_levels": len(layers),
         "entry": int(entry),
         "build_seconds": time.time() - t0,
+        "build_timings": timings,
     }
     store.write_bytes(f"{prefix}/meta.json", json.dumps(meta_doc).encode())
     return IndexMeta(
@@ -472,18 +742,27 @@ class HnswSearcher:
         self.row_ids_flat = np.asarray(_load_npy(store, f"{prefix}/row_ids.npy")).view(np.uint64)
         self.num_slots = len(self.row_ids_flat)
         self.entry = self.params["entry"]
-        self.levels = []
+        self.levels = []  # [(nodes_global or None, dense adj (n_lv, deg_tot))]
         for lv in range(self.params["num_levels"]):
-            self.levels.append(
-                (
-                    np.asarray(_load_npy(store, f"{prefix}/level{lv}_offsets.npy")),
-                    np.asarray(_load_npy(store, f"{prefix}/level{lv}_targets.npy")),
-                )
-            )
+            adj = np.asarray(_load_npy(store, f"{prefix}/level{lv}_adj.npy"))
+            try:
+                nodes = np.asarray(_load_npy(store, f"{prefix}/level{lv}_nodes.npy"))
+            except Exception:
+                nodes = None
+            self.levels.append((nodes, adj))
+        self._device = None  # lazy batched-serving residency
 
     def _adj(self, level: int, node: int) -> np.ndarray:
-        offs, tgts = self.levels[level]
-        return tgts[offs[node] : offs[node + 1]]
+        """Neighbors of a GLOBAL node id at ``level`` (global ids)."""
+        nodes, adj = self.levels[level]
+        if nodes is None:
+            row = adj[node]
+            return row[row >= 0]
+        local = int(np.searchsorted(nodes, node))
+        if local >= len(nodes) or nodes[local] != node:
+            return np.empty(0, dtype=np.int32)
+        row = adj[local]
+        return nodes[row[row >= 0]]
 
     def slot_penalty(self, allowed_row_ids, deleted_row_ids, vanished_fragments=None):
         no_deleted = deleted_row_ids is None or not len(deleted_row_ids)
@@ -500,8 +779,135 @@ class HnswSearcher:
             penalty[np.isin(frag_of, np.fromiter(vanished_fragments, dtype=np.int64))] = PAD_PENALTY
         return penalty
 
+    # ---- batched device serving (CAGRA-style beam over layer 0) --------
+    _DEVICE_BATCH_MIN = 16  # below this the host walk's latency wins
+
+    def _prepare_device(self):
+        """Upload vectors + layer-0 adjacency + upper-node seed matrix
+        once; cached on the searcher."""
+        if self._device is not None:
+            return self._device
+        import jax.numpy as jnp
+
+        st = self.storage
+        if st.kind == "FLAT":
+            vecs = st.vectors
+        elif st.kind == "SQ":
+            vecs = None  # codes upload directly; norms from reconstruction
+        else:
+            raise InvalidInputError("device beam search supports FLAT/SQ storage")
+        dev = {"kind": st.kind}
+        if st.kind == "FLAT":
+            xb = jnp.asarray(vecs)
+            dev["vA"] = xb
+            dev["vB"] = xb.astype(jnp.bfloat16)
+            dev["vC"] = dev["vB"]  # unused
+            recon = vecs
+        else:
+            dev["vA"] = jnp.asarray(st.codes)
+            dev["vB"] = jnp.asarray(st.scale)
+            dev["vC"] = jnp.asarray(st.offset)
+            recon = st.codes.astype(np.float32) * st.scale + st.offset
+        dev["norms2"] = jnp.asarray((recon * recon).sum(axis=1).astype(np.float32))
+        _, adj0 = self.levels[0]
+        dev["adj"] = jnp.asarray(adj0)
+        dev["deg"] = adj0.shape[1]
+        # seed matrix: the widest upper layer (layer 1) — brute-force
+        # top-s over it replaces greedy descent; fall back to a strided
+        # sample when the graph has a single layer
+        if len(self.levels) > 1 and self.levels[1][0] is not None and len(self.levels[1][0]):
+            up_nodes = self.levels[1][0].astype(np.int32)
+        else:
+            up_nodes = np.arange(0, self.num_slots,
+                                 max(1, self.num_slots // 1024), dtype=np.int32)
+        s_pad = max(64, int(2 ** np.ceil(np.log2(max(len(up_nodes), 1)))))
+        pad_nodes = np.full(s_pad, -1, dtype=np.int32)
+        pad_nodes[: len(up_nodes)] = up_nodes
+        up_vecs = recon[np.maximum(pad_nodes, 0)]
+        dev["up_nodes"] = jnp.asarray(pad_nodes)
+        dev["up_bf"] = jnp.asarray(up_vecs).astype(jnp.bfloat16)
+        dev["up_norms2"] = jnp.asarray(
+            (up_vecs * up_vecs).sum(axis=1).astype(np.float32)
+        )
+        self._device = dev
+        return dev
+
+    @staticmethod
+    def _bucket(v: int, buckets) -> int:
+        for b in buckets:
+            if v <= b:
+                return b
+        return buckets[-1]
+
+    def search_batched(self, q: np.ndarray, params: SearchParams, slot_penalty=None):
+        """Batched device beam search (throughput path). Semantics match
+        ``search``: same metric value conventions, same slot-penalty
+        filtering; ef trades recall for speed."""
+        import jax.numpy as jnp
+
+        dev = self._prepare_device()
+        nq = len(q)
+        k = params.k
+        ef = max(getattr(params, "ef", None) or DEFAULT_EF_SEARCH, k)
+        blocked = slot_penalty is not None and slot_penalty.max() > 0
+        if blocked:
+            ef = max(ef, 3 * k)
+        E = self._bucket(max(ef, 16), (16, 32, 64, 128, 256, 512))
+        B = self._bucket(nq, (16, 64, 256))
+        qq = q.astype(np.float32)
+        if self.metric == "cosine":
+            qq = qq / np.maximum(np.linalg.norm(qq, axis=1, keepdims=True), 1e-30)
+        if nq < B:
+            qq = np.pad(qq, ((0, B - nq), (0, 0)))
+        elif nq > B:
+            # recurse in B-sized tiles
+            outs = [self.search_batched(q[i: i + B], params, slot_penalty)
+                    for i in range(0, nq, B)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
+        qd = jnp.asarray(qq)
+        s = min(16, E)
+        seeds = _hnsw_seed_device(qd, dev["up_bf"], dev["up_norms2"],
+                                  dev["up_nodes"], s, self.metric)
+        seed_ids = jnp.concatenate(
+            [seeds, jnp.full((B, E - s), -1, jnp.int32)], axis=1
+        ) if E > s else seeds[:, :E]
+        if blocked:
+            pen = jnp.asarray(slot_penalty.astype(np.float32))
+        else:
+            pen = dev["norms2"][:1]  # placeholder, unused when has_mask=False
+        # sweep on 500k (scripts/probe_hnsw_beam_tune.py): e=8/it=E/8 beat
+        # e=4/it=E/4 (fewer sequential steps, same expansions) at equal
+        # recall; keep ≥6 iterations of sequential depth for far basins
+        e_expand = 8
+        iters = max(E // e_expand, 6)
+        d, ids = _hnsw_beam_device(
+            qd, seed_ids, dev["adj"], dev["vA"], dev["vB"], dev["vC"],
+            dev["norms2"], pen, k=k, e_expand=e_expand, iters=iters,
+            metric=self.metric, has_mask=blocked, kind=dev["kind"],
+        )
+        d = np.asarray(d)[:nq]
+        ids = np.asarray(ids)[:nq]
+        out_r = np.where(
+            (ids >= 0) & (d < PAD_PENALTY / 2),
+            self.row_ids_flat[np.maximum(ids, 0)],
+            np.uint64(np.iinfo(np.uint64).max),
+        )
+        d = np.where(out_r == np.uint64(np.iinfo(np.uint64).max), np.inf, d)
+        return d.astype(np.float32), out_r.astype(np.uint64)
+
     def search(self, queries: np.ndarray, params: SearchParams, slot_penalty=None):
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if len(q) >= self._DEVICE_BATCH_MIN and self.storage.kind in ("FLAT", "SQ"):
+            try:
+                return self.search_batched(q, params, slot_penalty)
+            except Exception:  # pragma: no cover - host fallback keeps serving
+                pass
+        return self._search_host(q, params, slot_penalty)
+
+    def _search_host(self, q: np.ndarray, params: SearchParams, slot_penalty=None):
+        """Single-query host graph walks (low-latency serving path)."""
+        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
         k = params.k
         ef = max(getattr(params, "ef", None) or DEFAULT_EF_SEARCH, k)
         out_d = np.full((len(q), k), np.inf, dtype=np.float32)
@@ -509,17 +915,7 @@ class HnswSearcher:
         blocked = slot_penalty is not None and slot_penalty.max() > 0
         for qi in range(len(q)):
             dist_fn = self.storage.query_fn(q[qi])
-            ep = self.entry
-            for lv in range(len(self.levels) - 1, 1, -1):
-                ep = self._greedy(dist_fn, ep, lv)
-            if len(self.levels) > 1:
-                # beam (not greedy) at the LAST upper layer: clustered
-                # corpora punish single-entry descent — a wrong-basin
-                # entry is unrecoverable at layer 0, so seed it with
-                # several nearby basins instead of one
-                seeds = [n for _, n in self._search_layer(dist_fn, [ep], 8, None, level=1)]
-            else:
-                seeds = [ep]
+            seeds = self._seed_layer0(dist_fn)
             res = self._search_layer(
                 dist_fn, seeds or [ep],
                 max(ef, k * 3 if blocked else ef), slot_penalty, level=0,
@@ -529,6 +925,41 @@ class HnswSearcher:
                 out_d[qi, j] = d
                 out_r[qi, j] = self.row_ids_flat[node]
         return out_d, out_r
+
+    _SEED_BRUTE_NODES = 4096  # deepest layer worth brute-forcing per query
+
+    def _seed_layer0(self, dist_fn) -> list[int]:
+        """Layer-0 entry points for one query.
+
+        Clustered corpora punish single-entry greedy descent — a
+        wrong-basin entry is unrecoverable at layer 0 (measured: recall
+        pinned at 0.84 from ef=64 to 128 at 500k while the brute-seeded
+        device path scored 1.0 on the same graph). Brute-forcing ALL of
+        layer 1 fixes recall but costs ~23 ms/query at 500k on this
+        host; instead brute-force the deepest layer holding ≤4096 nodes
+        (exact multi-basin entry at ~0.2 ms), then beam down the
+        intermediate layers with ef=8 so several basins survive to
+        layer 0."""
+        if len(self.levels) <= 1:
+            return [self.entry]
+        brute_lv = None
+        for lv in range(1, len(self.levels)):
+            nodes = self.levels[lv][0]
+            if nodes is not None and 0 < len(nodes) <= self._SEED_BRUTE_NODES:
+                brute_lv = lv
+                break
+        if brute_lv is None:
+            ep = self.entry
+            for lv in range(len(self.levels) - 1, 1, -1):
+                ep = self._greedy(dist_fn, ep, lv)
+            return [n for _, n in self._search_layer(dist_fn, [ep], 8, None, level=1)]
+        nodes = self.levels[brute_lv][0]
+        d = dist_fn(nodes)
+        top = np.argpartition(d, min(8, len(d) - 1))[:8] if len(d) > 8 else range(len(d))
+        seeds = [int(nodes[t]) for t in top]
+        for lv in range(brute_lv - 1, 0, -1):
+            seeds = [n for _, n in self._search_layer(dist_fn, seeds, 8, None, level=lv)]
+        return seeds
 
     def _greedy(self, dist_fn, ep: int, level: int) -> int:
         cur = ep

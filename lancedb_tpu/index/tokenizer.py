@@ -206,6 +206,116 @@ def _emit_cjk(run: str, bigrams: bool) -> list[str]:
     return [run[i : i + 2] for i in range(len(run) - 1)]
 
 
+# ---- dictionary-backed CJK segmentation ------------------------------
+# The reference's jieba/lindera tokenizers are dictionary-backed
+# segmenters (python/python/lancedb/index.py:111-188). 'jieba' uses the
+# installed jieba package (DAG + unigram DP over its frequency dict,
+# optional user dict); 'lindera' runs forward maximum matching over a
+# user-supplied dictionary (lindera's ipadic cannot ship here), falling
+# back to character bigrams for out-of-dictionary runs so recall never
+# drops below the dictionary-free baseline.
+
+_JIEBA_CACHE: dict = {}
+_MM_DICT_CACHE: dict = {}
+
+
+def _jieba_tokenizer(dict_path: str | None):
+    key = dict_path or ""
+    tok = _JIEBA_CACHE.get(key)
+    if tok is None:
+        import jieba
+
+        tok = jieba.Tokenizer()
+        if dict_path:
+            tok.load_userdict(dict_path)
+        tok.initialize()
+        _JIEBA_CACHE[key] = tok
+    return tok
+
+
+def _load_mm_dict(dict_path: str) -> tuple[set, int]:
+    """jieba-format dictionary ('word [freq [tag]]' per line) → (set of
+    words, max word length) for maximum matching."""
+    got = _MM_DICT_CACHE.get(dict_path)
+    if got is None:
+        words = set()
+        max_len = 1
+        with open(dict_path, encoding="utf-8") as f:
+            for line in f:
+                w = line.strip().split()
+                if w and w[0]:
+                    words.add(w[0])
+                    max_len = max(max_len, len(w[0]))
+        got = (words, min(max_len, 16))
+        _MM_DICT_CACHE[dict_path] = got
+    return got
+
+
+def _max_match_cjk(run: str, words: set, max_len: int) -> list[str]:
+    """Forward maximum matching; unmatched spans degrade to bigrams."""
+    out: list[str] = []
+    oov = ""
+    i, n = 0, len(run)
+    while i < n:
+        for ln in range(min(max_len, n - i), 1, -1):
+            if run[i : i + ln] in words:
+                if oov:
+                    out.extend(_emit_cjk(oov, True))
+                    oov = ""
+                out.append(run[i : i + ln])
+                i += ln
+                break
+        else:
+            if run[i] in words:
+                if oov:
+                    out.extend(_emit_cjk(oov, True))
+                    oov = ""
+                out.append(run[i])
+            else:
+                oov += run[i]
+            i += 1
+    if oov:
+        out.extend(_emit_cjk(oov, True))
+    return out
+
+
+def _dict_cjk_tokens(text: str, engine: str, dict_path: str | None) -> list[str]:
+    """Segment with a dictionary engine; non-CJK spans use unicode word
+    boundaries (matching the reference's jieba/lindera wrappers, which
+    delegate latin text to the default pipeline)."""
+    if engine == "jieba":
+        try:
+            tok = _jieba_tokenizer(dict_path)
+            return [t for t in tok.lcut(text, HMM=True)
+                    if t.strip() and any(ch.isalnum() for ch in t)]
+        except Exception:
+            return _unicode_tokens(text, cjk_bigrams=True)
+    # lindera-style maximum matching
+    if not dict_path:
+        return _unicode_tokens(text, cjk_bigrams=True)
+    words, max_len = _load_mm_dict(dict_path)
+    out: list[str] = []
+    for run in _UNI_WORD_RE.findall(text):
+        seg = ""
+        cjk_run = ""
+        for c in run:
+            if _is_cjk(c):
+                if seg:
+                    out.append(seg)
+                    seg = ""
+                cjk_run += c
+            else:
+                if cjk_run:
+                    out.extend(_max_match_cjk(cjk_run, words, max_len))
+                    cjk_run = ""
+                seg += c
+        if seg:
+            out.append(seg)
+        if cjk_run:
+            out.extend(_max_match_cjk(cjk_run, words, max_len))
+    return out
+
+
 # ---- multi-language stemming + stop words ----------------------------
 # Simplified snowball-style suffix strippers (ordered longest-first,
 # stripped only when the remaining stem keeps >= 3 chars). The reference
@@ -300,17 +410,22 @@ class Tokenizer:
     ngram_min_length: int = 3
     ngram_max_length: int = 3
     prefix_only: bool = False
+    dict_path: str | None = None  # user dictionary for jieba/lindera
 
     # reference tokenizer names accepted as aliases: icu → unicode
-    # word-boundary segmentation; jieba/lindera (dictionary-backed CJK
-    # segmenters) → dictionary-free CJK bigram indexing (index.py:111-188)
-    _ALIASES = {"icu": "unicode", "jieba": "cjk", "lindera": "cjk"}
+    # word-boundary segmentation (index.py:111-188)
+    _ALIASES = {"icu": "unicode"}
 
     def tokenize(self, text: str | None) -> list[str]:
         if not text:
             return []
         base = self._ALIASES.get(self.base, self.base)
-        if base in ("unicode", "cjk"):
+        if base in ("jieba", "lindera"):
+            toks = _dict_cjk_tokens(
+                _accent_fold(text) if self.ascii_folding else text,
+                base, self.dict_path,
+            )
+        elif base in ("unicode", "cjk"):
             # accent folding keeps non-latin scripts alive
             toks = _unicode_tokens(
                 _accent_fold(text) if self.ascii_folding else text,
@@ -370,6 +485,7 @@ class Tokenizer:
             "ngram_min_length": self.ngram_min_length,
             "ngram_max_length": self.ngram_max_length,
             "prefix_only": self.prefix_only,
+            "dict_path": self.dict_path,
         }
 
     @staticmethod

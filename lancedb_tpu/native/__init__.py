@@ -116,7 +116,7 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ldb_bm25_impact_topk.restype = i64
         lib.ldb_bm25_impact_topk.argtypes = [
             i64p, i64p, i64p, i32p, i32p, f32p, ctypes.c_int32, f32p, u8p,
-            ctypes.c_int32, ctypes.c_float, i64p, f32p,
+            ctypes.c_int32, ctypes.c_float, i64, i64p, f32p,
         ]
         lib.ldb_bm25_and_topk.restype = i64
         lib.ldb_bm25_and_topk.argtypes = [
@@ -484,12 +484,16 @@ def bm25_impact_topk_native(
     k: int,
     k1: float,
     dead: np.ndarray | None = None,
+    max_pops: int = 0,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Exact BM25 top-k via the impact-ordered Threshold Algorithm
     (ldb_bm25_impact_topk) — the common-term fast path: sorted access
     by descending per-term contribution with an upper-bound stop, so
     tied/quantized score distributions terminate after a few hundred
-    pops instead of a full million-posting DAAT merge."""
+    pops instead of a full million-posting DAAT merge. ``max_pops > 0``
+    bounds sorted access; returns None when the stop never fires within
+    the budget (caller falls back to the DAAT scorer — 3+ common terms
+    decay the summed upper bound too slowly for TA to win)."""
     lib = get_lib()
     if lib is None or len(qterms) == 0:
         return None
@@ -518,7 +522,10 @@ def bm25_impact_topk_native(
         dead_ptr,
         int(k),
         float(k1),
+        int(max_pops),
         _np_ptr(out_docs, ctypes.c_int64),
         _np_ptr(out_scores, ctypes.c_float),
     )
+    if n < 0:  # pop budget exhausted before the upper-bound stop fired
+        return None
     return out_docs[:n], out_scores[:n]

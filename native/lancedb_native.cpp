@@ -729,6 +729,7 @@ int64_t ldb_bm25_impact_topk(
     const int64_t* postings_offsets, const int32_t* imp_pos,
     const int32_t* qterms, const float* qidf, int32_t n_q,
     const float* doc_norm, const uint8_t* dead, int32_t k, float k1,
+    int64_t max_pops,  // <=0: unlimited; else return -1 if not converged
     int64_t* out_docs, float* out_scores) {
   if (n_q <= 0 || k <= 0) return 0;
   struct Term {
@@ -772,6 +773,7 @@ int64_t ldb_bm25_impact_topk(
   // by < POPB pops; results stay exact (extra pops only ADD candidates).
   constexpr int POPB = 64;
   std::pair<int64_t, float> batch[POPB];  // (doc, popped-term contribution)
+  int64_t pops = 0;
   while (true) {
     float threshold = 0.0f;
     int best = -1;
@@ -786,12 +788,18 @@ int64_t ldb_bm25_impact_topk(
     }
     if (best < 0) break;
     if ((int)heap.size() >= k && heap.front().first >= threshold) break;
+    // Non-convergence bail-out: with 3+ common terms the summed upper
+    // bound decays too slowly for the stop to fire and TA degrades far
+    // below a DAAT merge (measured 26 qps vs 78 on a 3-common-term OR
+    // at 1M docs). The caller falls back to MaxScore/BMW on -1.
+    if (max_pops > 0 && pops >= max_pops) return -1;
     Term& t = terms[best];
     int nb = 0;
     while (nb < POPB && t.p < t.len) {
       int64_t pos = t.imp[t.p];
       int64_t d = t.docs[pos];
       t.p++;
+      pops++;
       if (dead != nullptr && dead[d]) continue;
       if (!seen.insert(d).second) continue;
       batch[nb++] = {d, t.idf * contrib_at(t, pos)};

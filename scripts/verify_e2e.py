@@ -102,3 +102,54 @@ res11 = tbl.search(q).limit(5).nprobes(10).refine_factor(8).to_list()
 print("11. OPQ top-5:", [r["id"] for r in res11], flush=True)
 assert all(r["id"] != 123 for r in res11)
 print("EXTENDED CHECKS PASSED", flush=True)
+
+# 12. IVF_HNSW_FLAT: batched device beam (>=16 queries routes to device)
+from lancedb_tpu.index import HnswFlat
+tbl.create_index(vector_column_name="vector", config=HnswFlat(m=12), replace=True)
+qs = np.stack([x[i] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+               for i in range(200, 232)])
+t0 = time.time()
+res12 = [tbl.search(qs[i]).limit(3).to_list() for i in range(4)]  # host walks
+host_ms = (time.time() - t0) / 4 * 1000
+ok_host = sum(r[0]["id"] == 200 + i for i, r in enumerate(res12))
+print(f"12. HNSW host walks: {ok_host}/4 rank-1, {host_ms:.1f} ms/q", flush=True)
+assert ok_host >= 3
+from lancedb_tpu.index.vector import SearchParams, load_searcher
+from lancedb_tpu.index.hnsw import HnswSearcher
+ds12 = tbl._dataset
+meta12 = [m for m in ds12.manifest.indices if m.index_type == "IVF_HNSW_FLAT"][0]
+s12 = load_searcher(ds12, meta12)
+assert isinstance(s12, HnswSearcher)
+d12, r12 = s12.search(qs, SearchParams(k=3, ef=64))  # 32 queries -> device beam
+ids12 = (r12[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+got = int((ids12 == np.arange(200, 232)).sum())
+print(f"12b. HNSW device beam rank-1: {got}/32", flush=True)
+assert got >= 30
+# prefiltered batched search through the public API
+res12c = tbl.search(qs[0]).where("cat = 1").limit(5).to_list()
+assert all(r["cat"] == 1 for r in res12c)
+print("12c. HNSW prefilter ok:", [r["id"] for r in res12c[:3]], flush=True)
+
+# 13. FTS with the jieba dictionary tokenizer through the public API
+td = db.create_table("docs", data=[
+    {"id": 0, "text": "机器学习模型训练"},
+    {"id": 1, "text": "深度神经网络"},
+    {"id": 2, "text": "machine learning models"},
+])
+td.create_fts_index("text", base_tokenizer="jieba", stem=False)
+r13 = td.search("机器学习", query_type="fts").limit(2).to_list()
+assert r13[0]["id"] == 0
+print("13. jieba FTS ok:", [r["id"] for r in r13], flush=True)
+
+# 14. f16 storage + f16 query end-to-end
+import pyarrow as pa
+xf = x[:500].astype(np.float16)
+tf16 = db.create_table("f16", pa.table({
+    "id": pa.array(np.arange(500)),
+    "vector": pa.FixedSizeListArray.from_arrays(
+        pa.array(xf.ravel(), pa.float16()), DIM),
+}))
+r14 = tf16.search(xf[77]).limit(1).to_list()
+assert r14[0]["id"] == 77
+print("14. f16 round-trip ok", flush=True)
+print("ROUND-4 CHECKS PASSED", flush=True)

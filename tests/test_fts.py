@@ -294,12 +294,27 @@ class TestCjkTokenizers:
         toks = t.tokenize("学习 neural 東京")
         assert "neural" in toks and "学习" in toks and "東京" in toks
 
-    def test_alias_names(self):
+    def test_dictionary_tokenizers(self):
         from lancedb_tpu.index.tokenizer import Tokenizer
 
-        assert Tokenizer(base="jieba", stem=False).tokenize("机器学") == ["机器", "器学"]
+        # jieba: real dictionary segmentation (DAG + unigram DP)
+        assert Tokenizer(base="jieba", stem=False).tokenize("机器学习模型训练") == [
+            "机器", "学习", "模型", "训练",
+        ]
+        # lindera without a dictionary degrades to CJK bigrams
         assert Tokenizer(base="lindera", stem=False).tokenize("机器学") == ["机器", "器学"]
         assert Tokenizer(base="icu", stem=False).tokenize("机器") == ["机", "器"]
+
+    def test_lindera_user_dictionary(self, tmp_path):
+        from lancedb_tpu.index.tokenizer import Tokenizer
+
+        p = tmp_path / "dict.txt"
+        p.write_text("机器学习 100\n神经网络 50\n", encoding="utf-8")
+        t = Tokenizer(base="lindera", stem=False, dict_path=str(p))
+        # dictionary words match whole; OOV spans degrade to bigrams
+        assert t.tokenize("机器学习与神经网络") == ["机器学习", "与", "神经网络"]
+        roundtrip = Tokenizer.from_json(t.to_json())
+        assert roundtrip.dict_path == str(p)
 
     def test_cjk_e2e_search(self, mem_db):
         docs = [

@@ -166,3 +166,48 @@ class TestImpactScorer:
         np.testing.assert_allclose(
             np.sort(out[1])[::-1], np.sort(dense[top_dense])[::-1], rtol=1e-5
         )
+
+    def test_pop_budget_bails_to_none(self):
+        """max_pops smaller than the required sorted access returns None
+        (the routing layer then falls back to the DAAT scorer)."""
+        from lancedb_tpu.index.fts import K1
+        from lancedb_tpu.native import bm25_impact_topk_native
+
+        s = self._index(seed=5)
+        tids = sorted({s.vocab[w] for w in ("w0", "w1", "w2") if w in s.vocab})
+        idf = np.array([s.idf(t) for t in tids], dtype=np.float32)
+        unbounded = bm25_impact_topk_native(
+            s.postings_docs, s.postings_tf, s.postings_offsets,
+            s.impact_order(), np.asarray(tids, np.int32), idf,
+            s._doc_norm(), 10, K1, None,
+        )
+        assert unbounded is not None
+        bailed = bm25_impact_topk_native(
+            s.postings_docs, s.postings_tf, s.postings_offsets,
+            s.impact_order(), np.asarray(tids, np.int32), idf,
+            s._doc_norm(), 10, K1, None, max_pops=1,
+        )
+        assert bailed is None
+        # a budget big enough to converge returns identical scores
+        big = bm25_impact_topk_native(
+            s.postings_docs, s.postings_tf, s.postings_offsets,
+            s.impact_order(), np.asarray(tids, np.int32), idf,
+            s._doc_norm(), 10, K1, None, max_pops=10_000_000,
+        )
+        assert big is not None
+        np.testing.assert_allclose(big[1], unbounded[1], rtol=1e-6)
+
+    def test_routed_path_still_exact_with_budget(self, monkeypatch):
+        """topk_match_native with the production pop budget stays exact
+        (bail-outs land on the DAAT scorer, never on wrong results)."""
+        from lancedb_tpu.index import fts as F
+
+        s = self._index(seed=6)
+        monkeypatch.setattr(F.ColumnFtsIndex, "IMPACT_MIN_POSTINGS", 1)
+        for q in ("w0 w1 w2", "w0 w3 w7 w11", "w1"):
+            out = s.topk_match_native(q, 10, None)
+            dense = s.score_match(q, F.Operator.OR, 0, 50)
+            top_dense = np.argsort(-dense, kind="stable")[:10]
+            np.testing.assert_allclose(
+                np.sort(out[1])[::-1], np.sort(dense[top_dense])[::-1], rtol=1e-5
+            )

@@ -144,3 +144,66 @@ class TestKnnGraphPrimitive:
         got = np.sort(np.take_along_axis(d, ids, axis=1), axis=1)
         want = np.sort(np.take_along_axis(d, truth, axis=1), axis=1)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestDeviceBeamSearch:
+    """Batched device serving (CAGRA-style beam over layer 0) must match
+    the host walk's contract: same metric values, penalty filtering,
+    recall comparable at equal ef."""
+
+    @pytest.fixture(scope="class")
+    def flat_searcher(self, dataset):
+        meta = build_hnsw_index(dataset, "vector", HnswFlat(m=12, ef_construction=80))
+        return load_searcher(dataset, meta)
+
+    def test_batched_recall_and_order(self, flat_searcher):
+        q32 = np.repeat(QUERIES, 4, axis=0)  # 32 queries -> device route
+        d, rids = flat_searcher.search(q32, SearchParams(k=10, ef=128))
+        assert d.shape == (32, 10)
+        assert (np.diff(d, axis=1) >= -1e-5).all()
+        truth = exact_topk(10)
+        ids = (rids & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        rec = np.mean(
+            [len(set(ids[i].tolist()) & set(truth[i // 4].tolist())) / 10
+             for i in range(32)]
+        )
+        assert rec > 0.85, rec
+
+    def test_batched_matches_host_values(self, flat_searcher):
+        """Distances from the device path are exact f32 (final rescore)."""
+        q32 = np.repeat(QUERIES, 4, axis=0)
+        d_dev, r_dev = flat_searcher.search_batched(q32, SearchParams(k=5, ef=200))
+        d_host, r_host = flat_searcher._search_host(QUERIES, SearchParams(k=5, ef=200))
+        # same query -> same top-1 (exact distances, high ef)
+        np.testing.assert_allclose(d_dev[::4][:, 0], d_host[:, 0], rtol=1e-4)
+
+    def test_batched_penalty(self, flat_searcher, dataset):
+        allowed_tbl = dataset.to_table(columns=["id"], predicate="id < 300",
+                                       with_row_id=True)
+        allowed = np.sort(allowed_tbl.column("_rowid").to_numpy().astype(np.uint64))
+        pen = flat_searcher.slot_penalty(allowed, None)
+        q32 = np.repeat(QUERIES, 4, axis=0)
+        d, rids = flat_searcher.search_batched(q32, SearchParams(k=5, ef=64),
+                                               slot_penalty=pen)
+        sentinel = np.uint64(np.iinfo(np.uint64).max)
+        for qi in range(32):
+            valid = rids[qi][rids[qi] != sentinel]
+            ids = dataset.take_rows(valid, columns=["id"]).column("id").to_pylist()
+            assert all(i < 300 for i in ids)
+
+    def test_batched_sq_storage(self, dataset):
+        meta = build_hnsw_index(dataset, "vector", HnswSq(m=12, ef_construction=80))
+        s = load_searcher(dataset, meta)
+        q32 = np.repeat(QUERIES, 4, axis=0)
+        d, rids = s.search_batched(q32, SearchParams(k=10, ef=128))
+        truth = exact_topk(10)
+        ids = (rids & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        rec = np.mean(
+            [len(set(ids[i].tolist()) & set(truth[i // 4].tolist())) / 10
+             for i in range(32)]
+        )
+        assert rec > 0.75, rec
+
+    def test_build_timings_recorded(self, flat_searcher):
+        t = flat_searcher.params["build_timings"]
+        assert "knn_l0" in t and "adjacency_l0" in t

@@ -890,3 +890,47 @@ def test_s3_bucket_with_dots_requires_region():
     (reference __init__.py:36-66, lancedb issue #1898)."""
     with pytest.raises(InvalidInputError, match="contains dots"):
         ldb.connect("s3://my.bucket/db")
+
+
+class TestHalfPrecision:
+    """f16 storage + query-vector fidelity (reference IntoQueryVector
+    accepts f16/f32/f64 and stores halffloat columns —
+    rust/lancedb/src/query.rs:131-374)."""
+
+    def test_f16_column_round_trip(self, mem_db):
+        import numpy as np
+        import pyarrow as pa
+
+        x = np.random.default_rng(0).standard_normal((50, 8)).astype(np.float16)
+        fsl = pa.FixedSizeListArray.from_arrays(pa.array(x.ravel(), pa.float16()), 8)
+        t = mem_db.create_table("f16", pa.table(
+            {"id": pa.array(np.arange(50)), "vector": fsl}))
+        back = t.to_arrow()
+        assert back.schema.field("vector").type.value_type == pa.float16()
+        got = np.asarray(back.column("vector").combine_chunks().flatten(),
+                         dtype=np.float16).reshape(50, 8)
+        np.testing.assert_array_equal(got, x)  # bit-exact storage round-trip
+
+    def test_query_vector_dtypes(self, mem_db):
+        import numpy as np
+        import pyarrow as pa
+
+        x = np.random.default_rng(1).standard_normal((80, 8)).astype(np.float16)
+        fsl = pa.FixedSizeListArray.from_arrays(pa.array(x.ravel(), pa.float16()), 8)
+        t = mem_db.create_table("f16q", pa.table(
+            {"id": pa.array(np.arange(80)), "vector": fsl}))
+        for dt in (np.float16, np.float32, np.float64):
+            res = t.search(x[7].astype(dt)).limit(1).to_arrow()
+            assert res.column("id")[0].as_py() == 7, dt
+
+    def test_f16_with_index(self, mem_db):
+        import numpy as np
+        import pyarrow as pa
+
+        x = np.random.default_rng(2).standard_normal((300, 16)).astype(np.float16)
+        fsl = pa.FixedSizeListArray.from_arrays(pa.array(x.ravel(), pa.float16()), 16)
+        t = mem_db.create_table("f16i", pa.table(
+            {"id": pa.array(np.arange(300)), "vector": fsl}))
+        t.create_index(index_type="IVF_FLAT", metric="l2", num_partitions=4)
+        res = t.search(x[11]).limit(1).to_arrow()
+        assert res.column("id")[0].as_py() == 11
