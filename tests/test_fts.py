@@ -341,6 +341,20 @@ class TestCjkTokenizers:
         assert t.tokenize("机") == ["机"]
 
 
+
+    def test_dict_path_via_table_api(self, mem_db, tmp_path):
+        p = tmp_path / "userdict.txt"
+        p.write_text("机器学习 100\n神经网络 50\n", encoding="utf-8")
+        t = mem_db.create_table("cjkd", [
+            {"id": 0, "text": "机器学习模型"},
+            {"id": 1, "text": "神经网络推理"},
+        ])
+        t.create_fts_index("text", base_tokenizer="lindera", stem=False,
+                           dict_path=str(p))
+        r = t.search("神经网络", query_type="fts").limit(1).to_list()
+        assert r[0]["id"] == 1
+
+
 class TestTokenizerShorthand:
     """lance-style tokenizer_name shorthand (reference table.py:3205
     infer_tokenizer_configs) + accelerator kwarg acceptance."""
