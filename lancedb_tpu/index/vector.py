@@ -348,6 +348,17 @@ def build_vector_index(
         # insensitive to residual precision and rnorms reconstruct from
         # codebooks.
         chunk = 1 << 17 if dim <= 256 else 1 << 15
+        # capacity mode: beyond ~15M x 128 the bf16 table AND a bf16
+        # residual buffer no longer co-reside in 16 GB HBM — form
+        # residuals in-register per chunk instead (pq from_raw), skip
+        # the zero-buffer compile warmup (its (n, d) zeros would sit
+        # next to the real table), and lean on the persistent compile
+        # cache for the first-call compiles.
+        res_free = (
+            index_type == "IVF_PQ"
+            and not getattr(config, "opq", False)
+            and n * dim * 4 > 8_000_000_000
+        )
         rng = np.random.default_rng(config.seed)
         n_sample = min(n, config.sample_rate * nparts)
         n_pool = min(n_sample, max(32 * nparts, 4 * nparts))
@@ -373,17 +384,26 @@ def build_vector_index(
         )
         coarse_args = dict(
             k=nparts, max_iters=config.max_iterations, metric=train_metric,
-            chunk=min(chunk, n), with_residuals=need_res,
+            chunk=min(chunk, n), with_residuals=need_res and not res_free,
             residual_dtype=res_dtype,
         )
-        warm_threads = _start_build_warmup(
+        warm_threads = [] if res_free else _start_build_warmup(
             n, dim, nparts, n_sample, n_pool, chunk, build_dtype,
             coarse_args, config, index_type,
         )
         # the bf16 cast halves tunnel upload bytes (~19 MB/s); the assign
         # matmul already ran in bf16, and PQ codes / RQ signs quantize far
         # more coarsely than the cast does
-        xd = jnp.asarray(vectors.astype(build_dtype))
+        host_x = vectors.astype(build_dtype)
+        if res_free:
+            # pre-pad on host so the raw table IS the chunk-aligned
+            # buffer the pq encode scans (a device-side pad would hold
+            # two (n, d) buffers alive mid-copy)
+            n_pad_rf = ((n + chunk - 1) // chunk) * chunk
+            if n_pad_rf != n:
+                host_x = np.pad(host_x, ((0, n_pad_rf - n), (0, 0)))
+        xd = jnp.asarray(host_x)
+        del host_x
         for t in warm_threads:
             t.join()
         cents_d, assign_d, residuals_d = ivf_train_assign_device(
@@ -505,7 +525,7 @@ def build_vector_index(
                     0, n_train, size=(config.max_iterations, kcode)
                 ).astype(np.int32)
                 codebooks_d, codes_d, rnorms_d = pq_build_device(
-                    residuals_d,
+                    xd if res_free else residuals_d,
                     cents_d,
                     assign_d,
                     jnp.asarray(sel_pq),
@@ -515,6 +535,7 @@ def build_vector_index(
                     jnp.zeros((1, 1), jnp.float32),
                     nsub=nsub, kcode=kcode, max_iters=config.max_iterations,
                     chunk=min(chunk, n), has_rotation=False,
+                    from_raw=res_free,
                 )
                 codebooks = np.asarray(codebooks_d)
                 codes = np.asarray(codes_d[:n])

@@ -164,9 +164,10 @@ def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray, block_rows: int = 1
     return out
 
 
-@partial(jax.jit, static_argnames=("chunk", "has_rotation"))
+@partial(jax.jit, static_argnames=("chunk", "has_rotation", "from_raw"))
 def _encode_rnorms_device(
-    residuals, cents, assign, codebooks, rotation, chunk: int, has_rotation: bool
+    residuals, cents, assign, codebooks, rotation, chunk: int,
+    has_rotation: bool, from_raw: bool = False
 ):
     """Fused encode + reconstruct + |x̂|² in one device program, blocked
     over row chunks (lax.map) so transients stay bounded. Inputs stay
@@ -175,6 +176,12 @@ def _encode_rnorms_device(
     residuals: (N_pad, D); cents: (P, D); assign: (N_pad,) int32;
     rotation: (D, D) or (1, 1) placeholder. Returns (codes (N_pad, S)
     uint8, rnorms (N_pad,) f32) where rnorms = |c_assign + r̂|².
+
+    from_raw: the first argument holds RAW vectors, not residuals —
+    each chunk subtracts its coarse centroid in-register. This is the
+    capacity mode: a 30M x 128 build cannot hold the bf16 table AND a
+    bf16 residual buffer next to it in 16 GB HBM (7.7 GB each), and the
+    centroid gather was already paid for the |x̂|² reconstruction.
     """
     n, d = residuals.shape
     nsub, kcode, dsub = codebooks.shape
@@ -183,6 +190,8 @@ def _encode_rnorms_device(
 
     def one_chunk(args):
         res, asg = args  # (c, D), (c,)
+        if from_raw:
+            res = res.astype(jnp.float32) - jnp.take(cents, asg, axis=0)
         x = res @ rotation.T if has_rotation else res  # rotated residuals
         xs = x.reshape(-1, nsub, dsub)  # (c, S, dsub)
         dots = jnp.einsum(
@@ -230,7 +239,8 @@ def pq_encode_rnorms(
 
 @partial(
     jax.jit,
-    static_argnames=("nsub", "kcode", "max_iters", "chunk", "has_rotation"),
+    static_argnames=("nsub", "kcode", "max_iters", "chunk", "has_rotation",
+                     "from_raw"),
 )
 def pq_build_device(
     residuals: jax.Array,
@@ -247,9 +257,14 @@ def pq_build_device(
     max_iters: int = 50,
     chunk: int = 1 << 17,
     has_rotation: bool = False,
+    from_raw: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The whole PQ stage as ONE device program: codebook-sample gather →
     per-subvector k-means++ + Lloyd (vmapped) → fused encode+|x̂|².
+
+    ``from_raw=True``: the first argument holds RAW vectors; residuals
+    are formed in-register per chunk (and per training row) instead of
+    living as a second (N, D) buffer — see _encode_rnorms_device.
 
     Companion to ops.kmeans.ivf_train_assign_device — one compile-queue
     draw instead of four, and the residual training sample never leaves
@@ -272,6 +287,8 @@ def pq_build_device(
     # residuals may arrive bf16 (large-D builds halve the buffer);
     # codebook training accumulates in f32 regardless
     sample = jnp.take(residuals, sel, axis=0).astype(jnp.float32)
+    if from_raw:
+        sample = sample - jnp.take(cents, jnp.take(assign, sel), axis=0)
     if has_rotation:
         sample = sample @ rotation.T
     subs = sample.reshape(-1, nsub, dsub).transpose(1, 0, 2)  # (S, n, dsub)
@@ -285,6 +302,7 @@ def pq_build_device(
     codes, rnorms = _encode_rnorms_device(
         residuals, cents, assign, codebooks, rotation,
         chunk=min(chunk, residuals.shape[0]), has_rotation=has_rotation,
+        from_raw=from_raw,
     )
     return codebooks, codes, rnorms
 

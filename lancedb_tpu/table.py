@@ -919,8 +919,13 @@ class Table:
         ngram_min_length: int = 3,
         ngram_max_length: int = 3,
         prefix_only: bool = False,
+        dict_path: str | None = None,
     ) -> None:
-        """Build the BM25 inverted index (reference table.py:3111)."""
+        """Build the BM25 inverted index (reference table.py:3111).
+
+        ``dict_path``: user dictionary for the jieba/lindera
+        dictionary-backed CJK tokenizers ('word [freq [tag]]' lines).
+        """
         from .index.fts import build_fts_index
 
         fields = [field_names] if isinstance(field_names, str) else list(field_names)
@@ -945,6 +950,7 @@ class Table:
             ngram_min_length=ngram_min_length,
             ngram_max_length=ngram_max_length,
             prefix_only=prefix_only,
+            dict_path=dict_path,
         )
         meta = build_fts_index(self._dataset, fields, config)
         self._dataset.add_index(meta, replace=replace)
