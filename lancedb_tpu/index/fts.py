@@ -740,6 +740,9 @@ def build_fts_index(dataset, columns: list[str], config, name: str | None = None
     params = {
         "columns": columns,
         "tokenizer": tokenizer.to_json(),
+        # the scheme the postings were ACTUALLY segmented with (a jieba/
+        # lindera base can silently degrade to bigrams) — verified at load
+        "effective_scheme": tokenizer.effective_scheme(),
         "with_position": config.with_position,
         "num_docs": n_docs_total,
         "build_seconds": time.time() - t0,
@@ -765,6 +768,18 @@ class FtsIndex:
         params = json.loads(store.read_bytes(f"{prefix}/meta.json"))
         self.columns = params["columns"]
         self.tokenizer = Tokenizer.from_json(params["tokenizer"])
+        built_scheme = params.get("effective_scheme")
+        if built_scheme is not None:
+            now_scheme = self.tokenizer.effective_scheme()
+            if now_scheme != built_scheme:
+                raise InvalidInputError(
+                    f"FTS index was built with tokenization scheme "
+                    f"{built_scheme!r} but this environment resolves the same "
+                    f"tokenizer config to {now_scheme!r} (dictionary engine "
+                    f"missing or dict_path unreadable). Querying would "
+                    f"mis-match the persisted postings — restore the engine/"
+                    f"dictionary or rebuild the index."
+                )
         self.with_position = params["with_position"]
         self.by_column = {
             col: ColumnFtsIndex.load(store, f"{prefix}/col{i}", self.tokenizer, self.with_position)

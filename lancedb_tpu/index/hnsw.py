@@ -33,10 +33,13 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import time
 from functools import lru_cache, partial
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..errors import InvalidInputError
 from ..ops.distance import normalize_metric
@@ -47,6 +50,11 @@ from .vector import PAD_PENALTY, SearchParams, _load_npy, _save_npy, _collect_ve
 DEFAULT_M = 20  # reference index/vector.rs:402
 DEFAULT_EF_CONSTRUCTION = 300  # reference index/vector.rs:415
 DEFAULT_EF_SEARCH = 64
+
+# on-disk graph layout version. dense_v2 = dense padded adjacency
+# (level{lv}_adj.npy [+ level{lv}_nodes.npy]); the r3 CSR layout
+# (level{lv}_offsets/targets.npy) is not readable by this build.
+GRAPH_FORMAT = "dense_v2"
 
 _KNN_QUERY_CHUNK = 1024  # rows of the kNN graph computed per device dispatch
 _KNN_BLOCK = 8192  # database block per scan step (Q_CHUNK×B f32 = 32 MiB)
@@ -705,6 +713,7 @@ def build_hnsw_index(dataset, column: str, config, name: str | None = None) -> I
     meta_doc = {
         "index_type": config.index_type,
         "column": column,
+        "graph_format": GRAPH_FORMAT,
         "metric": metric,
         "dim": vectors.shape[1],
         "num_rows": n,
@@ -742,15 +751,31 @@ class HnswSearcher:
         self.row_ids_flat = np.asarray(_load_npy(store, f"{prefix}/row_ids.npy")).view(np.uint64)
         self.num_slots = len(self.row_ids_flat)
         self.entry = self.params["entry"]
+        fmt = self.params.get("graph_format")
+        if fmt is not None and fmt != GRAPH_FORMAT:
+            raise InvalidInputError(
+                f"HNSW index at {prefix!r} uses graph format {fmt!r}; this build "
+                f"reads {GRAPH_FORMAT!r} — rebuild the index (create_index with "
+                f"replace=True)"
+            )
         self.levels = []  # [(nodes_global or None, dense adj (n_lv, deg_tot))]
         for lv in range(self.params["num_levels"]):
-            adj = np.asarray(_load_npy(store, f"{prefix}/level{lv}_adj.npy"))
+            try:
+                adj = np.asarray(_load_npy(store, f"{prefix}/level{lv}_adj.npy"))
+            except Exception as exc:
+                # pre-dense_v2 indexes persisted CSR level{lv}_offsets/targets
+                raise InvalidInputError(
+                    f"HNSW index at {prefix!r} is missing level{lv}_adj.npy — it "
+                    f"was built by an older (CSR-format) revision; rebuild the "
+                    f"index (create_index with replace=True)"
+                ) from exc
             try:
                 nodes = np.asarray(_load_npy(store, f"{prefix}/level{lv}_nodes.npy"))
             except Exception:
                 nodes = None
             self.levels.append((nodes, adj))
         self._device = None  # lazy batched-serving residency
+        self._device_failed = False  # sticky: device beam errored, use host
 
     def _adj(self, level: int, node: int) -> np.ndarray:
         """Neighbors of a GLOBAL node id at ``level`` (global ids)."""
@@ -781,6 +806,7 @@ class HnswSearcher:
 
     # ---- batched device serving (CAGRA-style beam over layer 0) --------
     _DEVICE_BATCH_MIN = 16  # below this the host walk's latency wins
+    _DEVICE_EF_MAX = 512  # largest compiled beam bucket; beyond → host walk
 
     def _prepare_device(self):
         """Upload vectors + layer-0 adjacency + upper-node seed matrix
@@ -852,6 +878,11 @@ class HnswSearcher:
         blocked = slot_penalty is not None and slot_penalty.max() > 0
         if blocked:
             ef = max(ef, 3 * k)
+        if ef > self._DEVICE_EF_MAX:
+            # device beam programs are compiled per (B, E) bucket; honoring an
+            # arbitrary huge ef on device would either silently cap recall or
+            # compile an unbounded program — the host walk honors ef exactly
+            return self._search_host(q, params, slot_penalty)
         E = self._bucket(max(ef, 16), (16, 32, 64, 128, 256, 512))
         B = self._bucket(nq, (16, 64, 256))
         qq = q.astype(np.float32)
@@ -898,11 +929,22 @@ class HnswSearcher:
 
     def search(self, queries: np.ndarray, params: SearchParams, slot_penalty=None):
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        if len(q) >= self._DEVICE_BATCH_MIN and self.storage.kind in ("FLAT", "SQ"):
+        ef = max(getattr(params, "ef", None) or DEFAULT_EF_SEARCH, params.k)
+        if (
+            len(q) >= self._DEVICE_BATCH_MIN
+            and self.storage.kind in ("FLAT", "SQ")
+            and ef <= self._DEVICE_EF_MAX
+            and not self._device_failed
+        ):
             try:
                 return self.search_batched(q, params, slot_penalty)
             except Exception:  # pragma: no cover - host fallback keeps serving
-                pass
+                self._device_failed = True
+                logger.warning(
+                    "HNSW device beam search failed; falling back to per-query "
+                    "host walks for this searcher (~100x slower at batch)",
+                    exc_info=True,
+                )
         return self._search_host(q, params, slot_penalty)
 
     def _search_host(self, q: np.ndarray, params: SearchParams, slot_penalty=None):
@@ -917,7 +959,7 @@ class HnswSearcher:
             dist_fn = self.storage.query_fn(q[qi])
             seeds = self._seed_layer0(dist_fn)
             res = self._search_layer(
-                dist_fn, seeds or [ep],
+                dist_fn, seeds or [self.entry],
                 max(ef, k * 3 if blocked else ef), slot_penalty, level=0,
             )
             res = res[:k]

@@ -11,9 +11,12 @@ environment); the tokenizer registry is the extension point.
 from __future__ import annotations
 
 import functools
+import logging
 import re
 import unicodedata
 from dataclasses import dataclass
+
+logger = logging.getLogger(__name__)
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 _WS_RE = re.compile(r"\S+")
@@ -279,6 +282,46 @@ def _max_match_cjk(run: str, words: set, max_len: int) -> list[str]:
     return out
 
 
+_FALLBACK_WARNED: set = set()
+
+
+def _warn_bigram_fallback(engine: str, reason: str) -> None:
+    """Warn ONCE per (engine, reason) when a dictionary engine degrades to
+    character bigrams — an index built with the dictionary engine queried
+    through the bigram fallback silently mismatches its own postings."""
+    key = (engine, reason)
+    if key not in _FALLBACK_WARNED:
+        _FALLBACK_WARNED.add(key)
+        logger.warning(
+            "FTS tokenizer %r unavailable (%s); falling back to CJK character "
+            "bigrams. Queries against an index built with the dictionary "
+            "engine will mis-match its postings — fix the engine or rebuild "
+            "the index with base_tokenizer='cjk'.",
+            engine, reason,
+        )
+
+
+def effective_cjk_scheme(engine: str, dict_path: str | None) -> str:
+    """The segmentation scheme a jieba/lindera base ACTUALLY uses right now
+    (persisted into the index config and re-verified at query time)."""
+    if engine == "jieba":
+        try:
+            _jieba_tokenizer(dict_path)
+            return "jieba-dict" + (f":{dict_path}" if dict_path else "")
+        except Exception as exc:  # jieba missing or dict unreadable
+            _warn_bigram_fallback("jieba", repr(exc))
+            return "cjk-bigram"
+    if not dict_path:
+        _warn_bigram_fallback("lindera", "no dict_path supplied")
+        return "cjk-bigram"
+    try:
+        _load_mm_dict(dict_path)
+        return f"mm-dict:{dict_path}"
+    except Exception as exc:
+        _warn_bigram_fallback("lindera", repr(exc))
+        return "cjk-bigram"
+
+
 def _dict_cjk_tokens(text: str, engine: str, dict_path: str | None) -> list[str]:
     """Segment with a dictionary engine; non-CJK spans use unicode word
     boundaries (matching the reference's jieba/lindera wrappers, which
@@ -288,10 +331,12 @@ def _dict_cjk_tokens(text: str, engine: str, dict_path: str | None) -> list[str]
             tok = _jieba_tokenizer(dict_path)
             return [t for t in tok.lcut(text, HMM=True)
                     if t.strip() and any(ch.isalnum() for ch in t)]
-        except Exception:
+        except Exception as exc:
+            _warn_bigram_fallback("jieba", repr(exc))
             return _unicode_tokens(text, cjk_bigrams=True)
     # lindera-style maximum matching
     if not dict_path:
+        _warn_bigram_fallback("lindera", "no dict_path supplied")
         return _unicode_tokens(text, cjk_bigrams=True)
     words, max_len = _load_mm_dict(dict_path)
     out: list[str] = []
@@ -415,6 +460,17 @@ class Tokenizer:
     # reference tokenizer names accepted as aliases: icu → unicode
     # word-boundary segmentation (index.py:111-188)
     _ALIASES = {"icu": "unicode"}
+
+    def effective_scheme(self) -> str:
+        """The segmentation scheme this tokenizer resolves to RIGHT NOW.
+
+        Persisted into the FTS index config at build and re-verified at
+        load so an index built with a dictionary engine is never silently
+        queried through the bigram fallback (near-zero recall)."""
+        base = self._ALIASES.get(self.base, self.base)
+        if base in ("jieba", "lindera"):
+            return effective_cjk_scheme(base, self.dict_path)
+        return base
 
     def tokenize(self, text: str | None) -> list[str]:
         if not text:
