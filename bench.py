@@ -6,8 +6,21 @@ optional extras even if the driver's wall clock runs short:
   #3 GIST-class IVF_PQ (1M × 960, 2048 parts, 96 sub, refine10)
   #4 1M × 1536 cosine IVF_PQ + SQL prefilter
   #5 FTS BM25 top-k + hybrid RRF (single-chip slice)
-  extras: IVF_PQ 8-bit, IVF_HNSW_FLAT (budget-adaptive size),
-  streaming-dataloader throughput, single-query p50.
+  extras: IVF_PQ 8-bit, IVF_HNSW_FLAT at 500k, streaming-dataloader
+  throughput, single-query p50.
+
+Warm-cache contract (VERDICT r4 #1: the driver run must fit ALL FIVE
+configs + HNSW + dataloader inside its budget by caching, not by
+skipping): synthetic datasets, built indexes, queries, and ground truth
+persist to ``.bench_cache/`` (override: BENCH_CACHE_DIR), keyed by
+config + CACHE_VERSION. Datasets live as real on-disk lance datasets
+(LocalStore) with their indexes committed in the manifest, so a warm
+run spends its budget on *measurement*: the r4 run burned 487 s
+regenerating the gist dataset and 277 s rebuilding its index — both
+identical every run. Cache-dependent budget estimates keep the cold
+run honest (it skips, it never lies). ``cache_hits`` in
+bench_details.json records which stages rode the cache, and cached
+build times are reported with ``(cached)`` provenance markers.
 
 Survivability contract (the round-3 run was killed by the driver's
 ``timeout`` mid-config and recorded nothing): a TOTAL wall-clock
@@ -17,15 +30,24 @@ gracefully with whatever is measured; ``bench_details.json`` is
 rewritten after EVERY stage; the current-best headline is printed by
 an idempotent finalizer wired to normal exit, SIGTERM, and the stall
 watchdog — so a parseable headline lands no matter what the tunnel
-does.
+does. A stage skipped on budget records itself ONLY under
+``skipped_due_to_budget`` — never under ``completed_stages``
+(VERDICT r4 #6).
+
+Device-init overlap: the first dispatch of a fresh process pays a
+fixed TPU-runtime init through the axon tunnel (measured ~180 s on
+this rig). A daemon thread fires a trivial jit at t=0 so the init
+overlaps the host-side datagen/CPU-baseline work instead of
+serializing after it.
 
 Compile discipline: the nprobes sweep drives the runtime-nprobes
 programs (index/vector.py _masked_chunked_topk) through cached jitted
 runners — nprobes is a device scalar masked within a static power-of-
 two probe-capacity bucket, so the program set per layout is a small
-bounded handful and re-sweeping any nprobes value compiles NOTHING
-(VERDICT r3 #2; the 863 s per-value compile of round 3 is structurally
-gone). Each timed case logs whether it compiled or hit the cache.
+bounded handful and re-sweeping any nprobes value compiles NOTHING.
+The persistent XLA compilation cache (enabled by lancedb_tpu import)
+makes warm-process compiles ~1 s. Each timed case logs whether it
+compiled or hit the cache.
 
 Data model (matches real embedding geometry, unlike iid gaussians):
   * decaying covariance spectrum ((j+1)^-0.5) — energy concentrated in
@@ -41,13 +63,15 @@ runs its batch loop INSIDE one jit (lax.scan with a cross-iteration
 data dependence) over device-resident index arrays passed as jit
 arguments, is warmed first, then timed over fresh inputs and synced
 with a host fetch. Host-path dispatch latency is reported once,
-separately, for context.
+separately, for context. RNG discipline: every stage draws from its
+own fixed seed so cached and uncached runs measure IDENTICAL queries.
 
 Prints ONE JSON line; details to stderr + bench_details.json.
 """
 
 import json
 import os
+import shutil
 import signal
 import sys
 import threading
@@ -68,6 +92,10 @@ NPART = 1024
 
 _T0 = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# bumped whenever a config or build parameter changes (stale entries
+# would otherwise serve the wrong geometry)
+CACHE_VERSION = "v1" + ("-smoke" if _SMOKE else "")
 
 _LAST_PROGRESS = [time.monotonic()]
 _DETAILS: dict = {}
@@ -103,10 +131,12 @@ def set_headline(metric: str, value: float, vs_baseline: float):
 
 def checkpoint(stage: str | None = None):
     """Persist partial details after every stage — a killed run keeps
-    everything measured so far."""
+    everything measured so far. ``stage`` marks the stage COMPLETED, so
+    callers must pass it only when the stage body actually ran (a
+    budget-skipped stage appears under skipped_due_to_budget ONLY)."""
     if stage:
         _DETAILS.setdefault("completed_stages", []).append(stage)
-        _DETAILS["elapsed_s"] = round(elapsed(), 1)
+    _DETAILS["elapsed_s"] = round(elapsed(), 1)
     try:
         with open("bench_details.json", "w") as f:
             json.dump(_DETAILS, f, indent=2)
@@ -136,7 +166,7 @@ def budget_ok(stage: str, est_s: float) -> bool:
         return True
     log(f"SKIP {stage}: est {est_s:.0f}s > remaining budget {rem:.0f}s")
     _DETAILS.setdefault("skipped_due_to_budget", []).append(
-        {"stage": stage, "est_s": est_s, "remaining_s": round(rem, 1)}
+        {"stage": stage, "est_s": round(est_s, 1), "remaining_s": round(rem, 1)}
     )
     checkpoint()
     return False
@@ -180,6 +210,135 @@ def _start_watchdog(stall_s: float) -> None:
     threading.Thread(target=watch, daemon=True).start()
 
 
+def _start_device_warm() -> threading.Event:
+    """Fire a trivial jit from a daemon thread so the fixed TPU-runtime
+    init (~180 s through the axon tunnel, measured) overlaps the host-
+    side datagen / CPU-baseline work instead of serializing after it."""
+    ready = threading.Event()
+
+    def warm():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            t0 = time.perf_counter()
+            np.asarray(jax.jit(lambda c: c + 1.0)(jnp.float32(0)))
+            _DETAILS["device_init_s"] = round(time.perf_counter() - t0, 1)
+            log(f"device init {time.perf_counter() - t0:.0f}s (overlapped)")
+        except Exception as e:  # surfaced later by the first real dispatch
+            log(f"device warm thread failed: {type(e).__name__}: {e}")
+        finally:
+            ready.set()
+
+    threading.Thread(target=warm, daemon=True).start()
+    return ready
+
+
+# ------------------------------------------------------------------ cache
+
+
+def _cache_root() -> str:
+    return os.environ.get("BENCH_CACHE_DIR", os.path.join(_REPO, ".bench_cache"))
+
+
+def cache_entry(key: str) -> tuple[str, bool]:
+    """(cache dir for key, whether a completed entry exists)."""
+    d = os.path.join(_cache_root(), f"{key}-{CACHE_VERSION}")
+    return d, os.path.exists(os.path.join(d, "DONE"))
+
+
+def _note_cache(key: str, hit: bool) -> None:
+    _DETAILS.setdefault("cache_hits" if hit else "cache_builds", []).append(key)
+
+
+def open_or_build_dataset(key: str, build_fn):
+    """Disk-cached lance dataset + small aux arrays (queries / ground
+    truth). ``build_fn(store) -> (Dataset, aux dict)`` runs only on a
+    cache miss; a corrupt entry is deleted and rebuilt. Returns
+    (dataset, aux, hit)."""
+    from lancedb_tpu.io.object_store import LocalStore
+    from lancedb_tpu.storage.dataset import Dataset
+
+    d, hit = cache_entry(key)
+    if hit:
+        try:
+            ds = Dataset.open(LocalStore(d), "data.lance")
+            auxp = os.path.join(d, "aux.npz")
+            aux = dict(np.load(auxp)) if os.path.exists(auxp) else {}
+            log(f"[cache] hit {key}")
+            _note_cache(key, True)
+            return ds, aux, True
+        except Exception as e:
+            log(f"[cache] {key} unreadable ({type(e).__name__}: {e}) — rebuilding")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _note_cache(key, False)
+    ds, aux = build_fn(LocalStore(d))
+    if aux:
+        np.savez(os.path.join(d, "aux.npz"), **aux)
+    with open(os.path.join(d, "DONE"), "w") as f:
+        f.write("ok")
+    return ds, aux, False
+
+
+def ensure_index(ds, name: str, build_fn) -> tuple[object, float, bool]:
+    """Find index ``name`` in the dataset manifest or build it (the
+    build commits into the cached dataset, so the next run loads it).
+    Returns (meta, build_seconds, cached). Cached build time comes from
+    the sidecar builds.json next to the dataset."""
+    side = os.path.join(ds.store.root, "builds.json")
+    for ix in ds.manifest.indices:
+        if ix.name == name:
+            try:
+                with open(side) as f:
+                    secs = float(json.load(f).get(name, 0.0))
+            except Exception:
+                secs = 0.0
+            log(f"[cache] index hit {name} (built in {secs:.0f}s previously)")
+            return ix, secs, True
+    t0 = time.perf_counter()
+    meta = build_fn()
+    secs = time.perf_counter() - t0
+    try:
+        rec = {}
+        if os.path.exists(side):
+            with open(side) as f:
+                rec = json.load(f)
+        rec[name] = round(secs, 1)
+        with open(side, "w") as f:
+            json.dump(rec, f)
+    except Exception:
+        pass
+    return meta, secs, False
+
+
+def _npz_entry(key: str):
+    """Small-array cache (no dataset): returns (dict | None, save_fn)."""
+    d, hit = cache_entry(key)
+    path = os.path.join(d, "aux.npz")
+    if hit:
+        try:
+            out = dict(np.load(path))
+            log(f"[cache] hit {key}")
+            _note_cache(key, True)
+            return out, None
+        except Exception as e:
+            log(f"[cache] {key} unreadable ({type(e).__name__}: {e}) — rebuilding")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _note_cache(key, False)
+
+    def save(**arrays):
+        np.savez(path, **arrays)
+        with open(os.path.join(d, "DONE"), "w") as f:
+            f.write("ok")
+
+    return None, save
+
+
+# ------------------------------------------------------------------ datagen
+
+
 def make_clustered(rng, n, dim, n_coarse=N_COARSE, n_parents=N_PARENTS, n_queries=None):
     """Hierarchical clustered data + queries near existing parents (the
     property that makes recall@10 meaningful — see module docstring)."""
@@ -204,9 +363,9 @@ def make_data(rng):
     return x, q.reshape(8, N_QUERIES, DIM)
 
 
-def host_gt(x, q, k=10, metric="l2", block=200_000):
-    """Exact ground-truth ids on the host in blocked f32 BLAS — avoids a
-    multi-GB ground-truth upload through the ~19 MB/s tunnel."""
+def host_gt_ids(x, q, k=10, metric="l2", block=200_000) -> np.ndarray:
+    """Exact ground-truth ids (nq, k) on the host in blocked f32 BLAS —
+    avoids a multi-GB ground-truth upload through the tunnel."""
     if metric == "cosine":
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
@@ -222,7 +381,12 @@ def host_gt(x, q, k=10, metric="l2", block=200_000):
         sel = np.argpartition(alld, k, axis=1)[:, :k]
         best_d = np.take_along_axis(alld, sel, axis=1)
         best_i = np.take_along_axis(alli, sel, axis=1)
-    return [set(r.tolist()) for r in best_i]
+    return best_i
+
+
+def host_gt(x, q, k=10, metric="l2", block=200_000):
+    """Ground truth as a list of id-sets (back-compat for probes)."""
+    return [set(r.tolist()) for r in host_gt_ids(x, q, k=k, metric=metric, block=block)]
 
 
 def make_corpus(rng, n):
@@ -249,6 +413,8 @@ def cpu_baseline(x, q):
 
 
 def main() -> None:
+    warm = _start_device_warm()  # overlap TPU-runtime init with host work
+
     import jax
     import jax.numpy as jnp
 
@@ -256,14 +422,12 @@ def main() -> None:
 
     details = _DETAILS  # module-level so the watchdog can dump partials
     details["budget_s"] = BUDGET_S
-    log(f"backend={jax.default_backend()} devices={jax.devices()} "
-        f"budget={BUDGET_S:.0f}s")
+    log(f"backend={jax.default_backend()} budget={BUDGET_S:.0f}s")
     # capacity proof (scripts/probe_scale_30m.py): a ≥30M-row IVF_PQ
     # build+search measured on this same chip; too large for the driver
     # budget, so the committed artifact is embedded with its provenance
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALE_PROOF.json")) as f:
+        with open(os.path.join(_REPO, "SCALE_PROOF.json")) as f:
             details["scale_proof"] = json.load(f)
             details["scale_proof"]["provenance"] = (
                 "measured by scripts/probe_scale_30m.py on this chip; "
@@ -271,32 +435,44 @@ def main() -> None:
             )
     except Exception:
         pass
-    rng = np.random.default_rng(42)
-    log("generating hierarchical clustered data ...")
-    x, queries = make_data(rng)
+
+    # ---- host-side data (cached): runs under the overlapped device init
+    aux, save_flat = _npz_entry("flat128")
+    if aux is None:
+        log("generating hierarchical clustered data ...")
+        x, queries = make_data(np.random.default_rng(42))
+        gt_q = queries[0][:64]
+        log("host ground truth (f64, 64 queries) ...")
+        xn2_np = np.einsum("nd,nd->n", x.astype(np.float64), x.astype(np.float64))
+        d_ref = xn2_np[None, :] - 2.0 * (gt_q.astype(np.float64) @ x.T.astype(np.float64))
+        gt_ids = np.argpartition(d_ref, TOP_K, axis=1)[:, :TOP_K]
+        save_flat(x=x, queries=queries, gt_ids=gt_ids)
+    else:
+        x, queries, gt_ids = aux["x"], aux["queries"], aux["gt_ids"]
+        gt_q = queries[0][:64]
     q0 = queries[0]
+    gt_sets = [set(r.tolist()) for r in gt_ids]
 
     log("CPU baseline ...")
     cpu_qps = cpu_baseline(x, q0)
     details["cpu_flat_qps"] = round(cpu_qps, 2)
     log(f"cpu_flat_qps={cpu_qps:.1f}")
 
-    # exact ground truth on 64 queries (f64)
-    xn2_np = np.einsum("nd,nd->n", x.astype(np.float64), x.astype(np.float64))
-    gt_q = q0[:64]
-    d_ref = xn2_np[None, :] - 2.0 * (gt_q.astype(np.float64) @ x.T.astype(np.float64))
-    gt_sets = [set(r.tolist()) for r in np.argpartition(d_ref, TOP_K, axis=1)[:, :TOP_K]]
-
     def recall_of(ids64) -> float:
         return float(
             np.mean([len(set(ids64[i].tolist()) & gt_sets[i]) / TOP_K for i in range(64)])
         )
 
+    warm.wait()  # device init done (usually long before this point)
     dev = jax.devices()[0]
+    t_up = time.perf_counter()
     xj = jax.device_put(jnp.asarray(x), dev)
     xn2 = jnp.sum(jnp.square(xj), axis=1)
     qstack = jax.device_put(jnp.asarray(queries), dev)
     _ = np.asarray(xn2[0])
+    up_bps = x.nbytes / max(time.perf_counter() - t_up, 1e-9)
+    details["upload_mbps"] = round(up_bps / 1e6, 1)
+    log(f"tunnel upload ~{up_bps / 1e6:.0f} MB/s (drives fused-refine estimates)")
 
     # ------------- in-jit loop timer (device-resident throughput) -------
     # Each host->device dispatch through the axon tunnel costs a fixed
@@ -317,6 +493,9 @@ def main() -> None:
     rtt_s = float(np.median(_rtts))
     details["dispatch_rtt_ms"] = round(rtt_s * 1e3, 2)
     log(f"tunnel dispatch RTT ~ {rtt_s * 1e3:.1f} ms (subtracted from loop timings)")
+
+    def upload_est(nbytes: float, extra_s: float = 30.0) -> float:
+        return nbytes / max(up_bps, 1e6) + extra_s
 
     # jitted runners are cached by key so nprobes sweeps (nprobes = a
     # runtime arg) reuse ONE compiled program — zero recompiles across
@@ -430,6 +609,7 @@ def main() -> None:
 
     # ---------------- configs #2/#3-at-128d: IVF ------------------------
     pq4_qps = pq4_rec = 0.0
+    sp = None
     try:
         import pyarrow as pa
 
@@ -444,15 +624,17 @@ def main() -> None:
             build_vector_index,
             load_searcher,
         )
-        from lancedb_tpu.io.object_store import MemoryStore
         from lancedb_tpu.storage.dataset import Dataset
 
-        log("building dataset for IVF benches ...")
-        tbl = pa.table({
-            "id": pa.array(np.arange(N_ROWS, dtype=np.int64)),
-            "vector": pa.FixedSizeListArray.from_arrays(pa.array(x.ravel()), DIM),
-        })
-        ds = Dataset.create(MemoryStore(), "bench.lance", tbl.schema, tbl)
+        def build_128d(store):
+            log("building dataset for IVF benches ...")
+            tbl = pa.table({
+                "id": pa.array(np.arange(N_ROWS, dtype=np.int64)),
+                "vector": pa.FixedSizeListArray.from_arrays(pa.array(x.ravel()), DIM),
+            })
+            return Dataset.create(store, "data.lance", tbl.schema, tbl), {}
+
+        ds, _aux, _hit = open_or_build_dataset("ivf128", build_128d)
         zero_pen = jax.device_put(jnp.zeros((1,), jnp.float32), dev)
 
         def searcher_recall(s, params, refine=None):
@@ -462,11 +644,16 @@ def main() -> None:
             return recall_of((rid & np.uint64(0xFFFFFFFF)).astype(np.int64))
 
         # --- IVF_FLAT (config #2)
-        t0 = time.perf_counter()
-        meta_ivf = build_vector_index(ds, "vector", IvfFlat(num_partitions=NPART))
-        ivf_build_s = time.perf_counter() - t0
+        meta_ivf, ivf_build_s, ivf_cached = ensure_index(
+            ds, "bench_ivf_flat",
+            lambda: build_vector_index(
+                ds, "vector", IvfFlat(num_partitions=NPART), name="bench_ivf_flat"
+            ),
+        )
         details["ivf_flat_build_seconds"] = round(ivf_build_s, 1)
-        log(f"IVF_FLAT build {ivf_build_s:.1f}s (includes one-time kernel compiles)")
+        details["ivf_flat_build_cached"] = ivf_cached
+        log(f"IVF_FLAT build {ivf_build_s:.1f}s"
+            + (" (cached)" if ivf_cached else " (includes one-time kernel compiles)"))
 
         s = load_searcher(ds, meta_ivf)
         blocks = s.nparts
@@ -509,18 +696,25 @@ def main() -> None:
         )
         rec = searcher_recall(s, SearchParams(k=TOP_K, nprobes=64))
         details["ivf_flat_planner_fullscan"] = {"qps": round(qps, 1), "recall": round(rec, 4)}
+        # free the FLAT searcher's device arrays before the PQ stages
+        del s, fd
         checkpoint("ivf_flat_fullscan")
 
         # --- IVF_PQ at 128-d (4-bit x32 is the TPU-native operating point)
         def run_pq_128(tag, nbits, nsub):
             nonlocal pq4_qps, pq4_rec
-            t0 = time.perf_counter()
-            meta_pq = build_vector_index(
-                ds, "vector", IvfPq(num_partitions=NPART, num_sub_vectors=nsub, num_bits=nbits)
+            meta_pq, pq_build_s, pq_cached = ensure_index(
+                ds, f"bench_pq_{tag}",
+                lambda: build_vector_index(
+                    ds, "vector",
+                    IvfPq(num_partitions=NPART, num_sub_vectors=nsub, num_bits=nbits),
+                    name=f"bench_pq_{tag}",
+                ),
             )
-            pq_build_s = time.perf_counter() - t0
             details[f"ivf_pq_{tag}_build_seconds"] = round(pq_build_s, 1)
-            log(f"IVF_PQ {tag} build {pq_build_s:.1f}s")
+            details[f"ivf_pq_{tag}_build_cached"] = pq_cached
+            log(f"IVF_PQ {tag} build {pq_build_s:.1f}s"
+                + (" (cached)" if pq_cached else ""))
             sp = load_searcher(ds, meta_pq)
             blocks = sp.nparts
             logical = sp.params.get("num_logical_partitions", blocks)
@@ -570,11 +764,11 @@ def main() -> None:
                 f"refine10={rec_rf:.4f} refine_cost={refine_s * 1e3:.0f}ms/"
                 f"{len(qbatch)}q pipeline={refined_qps:.0f} qps")
             # fused on-device refine: scan + rerank in one dispatch chain
-            # (refine table is f32 at this size — exact rerank).
-            # Upload ≈ 512 MB through the tunnel + one fused-program
-            # compile: gate and log so the budget survives slow days.
+            # (refine table is f32 at this size — exact rerank). Cost =
+            # one table upload (measured bandwidth) + warm compile.
             log(f"IVF_PQ {tag}: uploading device refine table (f32, ~0.5 GB) ...")
-            if budget_ok(f"ivf_pq_{tag}_fused_refine", 180) and \
+            if budget_ok(f"ivf_pq_{tag}_fused_refine",
+                         upload_est(N_ROWS * DIM * 4)) and \
                     sp.prepare_device_refine(ds, "vector"):
                 params_rf = SearchParams(k=TOP_K, nprobes=20, refine_factor=10)
                 log(f"IVF_PQ {tag}: compiling fused scan+refine program ...")
@@ -643,88 +837,101 @@ def main() -> None:
         checkpoint()
 
     # ---- config #5: FTS BM25 + hybrid RRF (host/native-C++ FTS path)
-    if budget_ok("config5_fts_hybrid", 140):
+    _, fts_hit = cache_entry("fts1m")
+    _, hyb_hit = cache_entry("hybrid100k")
+    if budget_ok("config5_fts_hybrid",
+                 (40 if fts_hit else 120) + (30 if hyb_hit else 60)):
         try:
-            run_fts_hybrid_config(details, rng)
+            run_fts_hybrid_config(details)
+            checkpoint("config5_fts_hybrid")
         except Exception as e:
             import traceback
 
             traceback.print_exc(file=sys.stderr)
             details["fts_error"] = f"{type(e).__name__}: {e}"
-        checkpoint("config5_fts_hybrid")
+            checkpoint()
 
     # ---- configs #3/#4: large-D IVF_PQ (GIST-class + OpenAI-class)
     _parts3 = 64 if _SMOKE else 2048
     _parts4 = 64 if _SMOKE else 1024
-    for est, cfg in (
-        (400, dict(tag="gist_960d", n=N_ROWS, d=960, npart=_parts3, nsub=96, nbits=4,
-                   metric="l2", prefilter=False)),
-        (680, dict(tag="openai_1536d_cosine", n=N_ROWS, d=1536, npart=_parts4,
-                   nsub=192, nbits=4, metric="cosine", prefilter=True)),
+    for est_build, cfg in (
+        (850, dict(tag="gist_960d", n=N_ROWS, d=960, npart=_parts3, nsub=96, nbits=4,
+                   metric="l2", prefilter=False, seed=3960)),
+        (1100, dict(tag="openai_1536d_cosine", n=N_ROWS, d=1536, npart=_parts4,
+                    nsub=192, nbits=4, metric="cosine", prefilter=True, seed=41536)),
     ):
-        if not budget_ok(cfg["tag"], 30 if _SMOKE else est):
+        _, big_hit = cache_entry(f"pq_{cfg['tag']}")
+        # warm estimate: searcher upload + scan sweep + recalls + fused-
+        # refine f16 upload at the measured bandwidth
+        est = (60 + upload_est(cfg["n"] * cfg["d"] * 2, 40)) if big_hit \
+            else (30 if _SMOKE else est_build)
+        if not budget_ok(cfg["tag"], est):
             continue
         try:
-            run_big_pq_config(_DETAILS, timed_loop, rng, rtt_s, **cfg)
+            run_big_pq_config(_DETAILS, timed_loop, rtt_s, upload_est,
+                              budget_gate=budget_ok, **cfg)
+            checkpoint(cfg["tag"])
         except Exception as e:
             import traceback
 
             traceback.print_exc(file=sys.stderr)
             details[f"{cfg['tag']}_error"] = f"{type(e).__name__}: {e}"
-        checkpoint(cfg["tag"])
+            checkpoint()
 
     # ---- extras, cheapest first ---------------------------------------
     # IVF_PQ 8-bit at 128-d (kernel-routing depth point)
-    if budget_ok("ivf_pq_8bit_128d", 120):
+    _, ivf_hit = cache_entry("ivf128")
+    if budget_ok("ivf_pq_8bit_128d", 60 if ivf_hit else 120):
         try:
             run_pq_128("8bit", 8, 16)
+            checkpoint("ivf_pq_8bit_128d")
         except Exception as e:
             details["ivf_pq_8bit_error"] = f"{type(e).__name__}: {e}"
-        checkpoint("ivf_pq_8bit_128d")
+            checkpoint()
 
     # streaming dataloader throughput (the reference's only concrete
     # in-repo benchmark: python/benchmarks/bench_streaming_dataloader.py)
-    if budget_ok("dataloader", 70):
+    _, dl_hit = cache_entry("dl_bench")
+    if budget_ok("dataloader", 45 if dl_hit else 80):
         try:
             run_dataloader_config(details)
+            checkpoint("dataloader")
         except Exception as e:
             import traceback
 
             traceback.print_exc(file=sys.stderr)
             details["dataloader_error"] = f"{type(e).__name__}: {e}"
-        checkpoint("dataloader")
+            checkpoint()
 
-    # IVF_HNSW_FLAT — budget-adaptive size (500k costs ~900s build)
+    # IVF_HNSW_FLAT at 500k (the scale the BASELINE claims are about) —
+    # the built graph caches like every other index; only a cold cache
+    # pays the device-resident CAGRA-style build (~150 s at 500k)
     try:
-        rem = remaining()
-        n_h = 0
-        # device-resident CAGRA-style build: 500k measured ~150 s on the
-        # chip (+ GT/serving sweeps); estimates carry warm-cache compiles
-        for cand_n, est in ((500_000, 420), (250_000, 260), (125_000, 160)):
-            if rem >= est:
-                n_h = min(cand_n, len(x))
-                break
-        if n_h:
-            run_hnsw_config(details, x, rng, n_h=n_h)
-        else:
-            budget_ok("hnsw_125k", 220)  # records the skip honestly
+        n_h = min(500_000, len(x))
+        _, hnsw_hit = cache_entry(f"hnsw{n_h // 1000}k")
+        est = 120 if hnsw_hit else 420
+        if budget_ok(f"hnsw_{n_h // 1000}k", est):
+            run_hnsw_config(details, x, n_h=n_h, budget_gate=budget_ok)
+            checkpoint("hnsw")
     except Exception as e:
         import traceback
 
         traceback.print_exc(file=sys.stderr)
         details["hnsw_error"] = f"{type(e).__name__}: {e}"
-    checkpoint("hnsw")
+        checkpoint()
 
     finalize()
 
 
-def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d,
-                      npart, nsub, nbits, metric, prefilter, nq=32, nprobes=20):
+def run_big_pq_config(details, timed_loop, rtt_s, upload_est, *, tag, n, d,
+                      npart, nsub, nbits, metric, prefilter, seed,
+                      nq=32, nprobes=20, budget_gate=None):
     """BASELINE configs #3/#4: build + probed-scan QPS + raw/refined
     recall + the refine rerank cost measured separately; config #4 adds
     a 10%-selectivity SQL prefilter through the slot-penalty path.
 
-    Scan QPS rides the in-jit loop timer (tunnel RTT subtracted); the
+    Dataset + index + queries + ground truth ride the disk cache; scan
+    QPS rides the in-jit loop timer (tunnel RTT subtracted); the
     runtime-nprobes program compiles once per config."""
     import gc
 
@@ -741,40 +948,51 @@ def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d,
         build_vector_index,
         load_searcher,
     )
-    from lancedb_tpu.io.object_store import MemoryStore
     from lancedb_tpu.storage.dataset import Dataset
 
     log(f"[{tag}] {n} x {d} IVF_PQ({npart} parts, {nsub} sub, {nbits}-bit, {metric}) ...")
-    t0 = time.perf_counter()
-    x, q = make_clustered(rng, n, d, n_queries=nq)
-    if metric == "cosine":
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    cats = rng.integers(0, 10, n) if prefilter else None
-    cols = {
-        "id": pa.array(np.arange(n, dtype=np.int64)),
-        "vector": pa.FixedSizeListArray.from_arrays(pa.array(x.ravel()), d),
-    }
-    if cats is not None:
-        cols["cat"] = pa.array(cats)
-    ds = Dataset.create(MemoryStore(), f"bench_{tag}.lance", pa.table(cols).schema,
-                        pa.table(cols))
-    log(f"[{tag}] datagen+dataset {time.perf_counter() - t0:.0f}s")
 
-    t0 = time.perf_counter()
-    meta = build_vector_index(
-        ds, "vector",
-        IvfPq(num_partitions=npart, num_sub_vectors=nsub, num_bits=nbits,
-              distance_type=metric),
-    )
-    build_s = time.perf_counter() - t0
-    details[f"{tag}_build_seconds"] = round(build_s, 1)
-    log(f"[{tag}] build {build_s:.0f}s (includes bf16 table upload over the tunnel)")
+    def build(store):
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(seed)
+        x, q = make_clustered(rng, n, d, n_queries=nq)
+        if metric == "cosine":
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        cats = rng.integers(0, 10, n) if prefilter else np.zeros(0, np.int64)
+        cols = {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(x.ravel()), d),
+        }
+        if prefilter:
+            cols["cat"] = pa.array(cats)
+        ds = Dataset.create(store, "data.lance", pa.table(cols).schema,
+                            pa.table(cols))
+        log(f"[{tag}] datagen+dataset {time.perf_counter() - t0:.0f}s")
+        t0 = time.perf_counter()
+        gt_ids = host_gt_ids(x, q, k=TOP_K, metric=metric)
+        log(f"[{tag}] host ground truth {time.perf_counter() - t0:.0f}s")
+        return ds, {"q": q, "gt_ids": gt_ids, "cats": cats}
+
+    ds, aux, _hit = open_or_build_dataset(f"pq_{tag}", build)
+    q, gt_ids, cats = aux["q"], aux["gt_ids"], aux.get("cats")
+    gt_sets = [set(r.tolist()) for r in gt_ids]
     checkpoint()
 
-    t0 = time.perf_counter()
-    gt_sets = host_gt(x, q, k=TOP_K, metric=metric)
-    log(f"[{tag}] host ground truth {time.perf_counter() - t0:.0f}s")
+    meta, build_s, build_cached = ensure_index(
+        ds, "bench_pq",
+        lambda: build_vector_index(
+            ds, "vector",
+            IvfPq(num_partitions=npart, num_sub_vectors=nsub, num_bits=nbits,
+                  distance_type=metric),
+            name="bench_pq",
+        ),
+    )
+    details[f"{tag}_build_seconds"] = round(build_s, 1)
+    details[f"{tag}_build_cached"] = build_cached
+    log(f"[{tag}] build {build_s:.0f}s" + (" (cached)" if build_cached else
+        " (includes bf16 table upload over the tunnel)"))
+    checkpoint()
 
     sp = load_searcher(ds, meta)
     blocks = sp.nparts
@@ -812,6 +1030,7 @@ def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d,
         from the device leg per the file's measurement protocol."""
         sp.search(q, params, slot_penalty=pen)  # warm/compile
         reps = []
+        out = None
         for _ in range(3):
             t0 = time.perf_counter()
             out = sp.search(q, params, slot_penalty=pen)
@@ -846,10 +1065,11 @@ def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d,
     checkpoint()
     # fused on-device refine (f16 resident table at these dims — the
     # upload rides the tunnel once; co-located hardware pays HBM only).
-    # Upload ≈ n·d·2 bytes at ~19 MB/s + scan work.
-    fused_est = (n * d * 2) / 19e6 + 90
-    log(f"[{tag}] fused refine: upload ~{n * d * 2 / 1e9:.1f} GB + compile ...")
-    if budget_ok(f"{tag}_fused_refine", fused_est) and sp.prepare_device_refine(
+    fused_est = upload_est(n * d * 2, 40)
+    log(f"[{tag}] fused refine: upload ~{n * d * 2 / 1e9:.1f} GB "
+        f"(~{fused_est:.0f}s) + compile ...")
+    gate = budget_gate or budget_ok
+    if gate(f"{tag}_fused_refine", fused_est) and sp.prepare_device_refine(
         ds, "vector"
     ):
         params_rf = SearchParams(k=TOP_K, nprobes=nprobes, refine_factor=10)
@@ -857,6 +1077,9 @@ def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d,
         details[f"{tag}_np{nprobes}"]["fused_refine_qps"] = round(fqps, 1)
         details[f"{tag}_np{nprobes}"]["recall_fused_refine10"] = round(
             recall_of(rid_f), 4
+        )
+        details[f"{tag}_np{nprobes}"]["recall_fused_vs_host_gap"] = round(
+            rec_rf - recall_of(rid_f), 4
         )
         details[f"{tag}_np{nprobes}"]["refine_table_dtype"] = str(
             sp._device["refine_vecs"].dtype
@@ -888,19 +1111,20 @@ def run_big_pq_config(details, timed_loop, rng, rtt_s, *, tag, n, d,
         dp, ridp = sp.search(q, SearchParams(k=TOP_K, nprobes=nprobes),
                              slot_penalty=pen_np)
         hit = (ridp[np.isfinite(dp)] & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        ok = bool((cats[hit] == 3).all()) if len(hit) else False
+        ok = bool((np.asarray(cats)[hit] == 3).all()) if len(hit) else False
         details[f"{tag}_prefilter"] = {
             "qps": round(fqps, 1), "selectivity": 0.1, "all_match_filter": ok,
         }
         log(f"[{tag}] prefilter {fqps:.0f} qps all-cat3={ok}")
 
-    del sp, pd, qs, x, q, ds
+    del sp, pd, qs, q, ds
     gc.collect()
 
 
-def run_hnsw_config(details, x, rng, n_h=None):
-    """IVF_HNSW_FLAT (budget-adaptive n): CAGRA-style batched device
-    build, host graph-walk serving + batched device serving."""
+def run_hnsw_config(details, x, n_h=None, budget_gate=None):
+    """IVF_HNSW_FLAT at 500k (budget-adaptive n): CAGRA-style batched
+    device build — cached like every other index — host graph-walk
+    serving + batched device serving."""
     import gc
 
     import pyarrow as pa
@@ -908,30 +1132,42 @@ def run_hnsw_config(details, x, rng, n_h=None):
     from lancedb_tpu.index import HnswFlat
     from lancedb_tpu.index.hnsw import build_hnsw_index
     from lancedb_tpu.index.vector import SearchParams, load_searcher
-    from lancedb_tpu.io.object_store import MemoryStore
     from lancedb_tpu.storage.dataset import Dataset
 
     if n_h is None:
         n_h = min(500_000, len(x))
-    xh = np.ascontiguousarray(x[:n_h])
-    tbl = pa.table({
-        "id": pa.array(np.arange(n_h, dtype=np.int64)),
-        "vector": pa.FixedSizeListArray.from_arrays(pa.array(xh.ravel()), xh.shape[1]),
-    })
-    ds = Dataset.create(MemoryStore(), "bench_hnsw.lance", tbl.schema, tbl)
-    log(f"[hnsw] building IVF_HNSW_FLAT at {n_h} rows (m=20, device kNN graph) ...")
-    t0 = time.perf_counter()
-    meta = build_hnsw_index(ds, "vector", HnswFlat())
-    build_s = time.perf_counter() - t0
+    gate = budget_gate or budget_ok
+    dim = x.shape[1]
+
+    def build(store):
+        xh = np.ascontiguousarray(x[:n_h])
+        tbl = pa.table({
+            "id": pa.array(np.arange(n_h, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(pa.array(xh.ravel()), dim),
+        })
+        ds = Dataset.create(store, "data.lance", tbl.schema, tbl)
+        rng2 = np.random.default_rng(17)
+        qs = xh[rng2.integers(0, n_h, 256)] + 0.05 * rng2.standard_normal(
+            (256, dim)).astype(np.float32)
+        gt = host_gt_ids(xh, qs[:64], k=TOP_K)
+        return ds, {"qs": qs, "gt_ids": gt}
+
+    ds, aux, _hit = open_or_build_dataset(f"hnsw{n_h // 1000}k", build)
+    qs, gt_ids = aux["qs"], aux["gt_ids"]
+    gt_sets = [set(r.tolist()) for r in gt_ids]
+
+    log(f"[hnsw] IVF_HNSW_FLAT at {n_h} rows (m=20, device kNN graph) ...")
+    meta, build_s, build_cached = ensure_index(
+        ds, "bench_hnsw",
+        lambda: build_hnsw_index(ds, "vector", HnswFlat(), name="bench_hnsw"),
+    )
     details[f"hnsw_{n_h // 1000}k_build_seconds"] = round(build_s, 1)
-    details[f"hnsw_{n_h // 1000}k_build_timings"] = meta.params["build_timings"]
-    log(f"[hnsw] build {build_s:.0f}s {meta.params['build_timings']}")
+    details[f"hnsw_{n_h // 1000}k_build_cached"] = build_cached
+    details[f"hnsw_{n_h // 1000}k_build_timings"] = meta.params.get("build_timings")
+    log(f"[hnsw] build {build_s:.0f}s" + (" (cached)" if build_cached else "")
+        + f" {meta.params.get('build_timings')}")
     checkpoint()
     s = load_searcher(ds, meta)
-    rng2 = np.random.default_rng(17)
-    qs = xh[rng2.integers(0, n_h, 256)] + 0.05 * rng2.standard_normal(
-        (256, xh.shape[1])).astype(np.float32)
-    gt_sets = host_gt(xh, qs[:64], k=TOP_K)
     # host walks: the low-latency single-query serving path
     for i in range(4):
         s._search_host(qs[i], SearchParams(k=TOP_K))
@@ -951,7 +1187,7 @@ def run_hnsw_config(details, x, rng, n_h=None):
         log(f"[hnsw] host ef={ef}: {64 / dt:.0f} qps recall@10={rec:.4f}")
     # batched device beam (throughput serving path)
     for ef in (64, 128):
-        if not budget_ok(f"hnsw_dev_ef{ef}", 60):
+        if not gate(f"hnsw_dev_ef{ef}", 60):
             break
         s.search_batched(qs, SearchParams(k=TOP_K, ef=ef))  # warm/compile
         t0 = time.perf_counter()
@@ -967,7 +1203,7 @@ def run_hnsw_config(details, x, rng, n_h=None):
             "qps": round(256 / dt, 1), "recall": round(rec, 4),
         }
         log(f"[hnsw] device ef={ef}: {256 / dt:.0f} qps recall@10={rec:.4f}")
-    del s, ds, xh
+    del s, ds
     gc.collect()
 
 
@@ -976,8 +1212,6 @@ def run_dataloader_config(details, n_rows=None, row_bytes=4096, steps=4096):
     geometry (24 splits, 4 KiB payload rows, read_batch_size=256 — the
     sweet spot of the sweep; reference
     python/benchmarks/bench_streaming_dataloader.py:1-48)."""
-    import tempfile
-
     import pyarrow as pa
 
     import lancedb_tpu
@@ -985,10 +1219,21 @@ def run_dataloader_config(details, n_rows=None, row_bytes=4096, steps=4096):
 
     if n_rows is None:
         n_rows = 12_288 if _SMOKE else 49_152
-    rng = np.random.default_rng(0)
-    blob = rng.integers(0, 256, size=(n_rows, row_bytes), dtype=np.uint8).tobytes()
-    with tempfile.TemporaryDirectory() as td:
-        db = lancedb_tpu.connect(td)
+    d, hit = cache_entry("dl_bench")
+    if hit:
+        try:
+            t = lancedb_tpu.connect(d).open_table("dl_bench")
+            log("[cache] hit dl_bench")
+            _note_cache("dl_bench", True)
+        except Exception:
+            hit = False
+    if not hit:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        _note_cache("dl_bench", False)
+        rng = np.random.default_rng(0)
+        blob = rng.integers(0, 256, size=(n_rows, row_bytes), dtype=np.uint8).tobytes()
+        db = lancedb_tpu.connect(d)
         tbl = pa.table({
             "id": pa.array(np.arange(n_rows, dtype=np.int64)),
             "payload": pa.array(
@@ -997,25 +1242,29 @@ def run_dataloader_config(details, n_rows=None, row_bytes=4096, steps=4096):
             ),
         })
         t = db.create_table("dl_bench", tbl)
-        perm = permutation_builder(t).split_random(seed=7).shuffle(seed=7).execute()
-        ds = StreamingDataset(perm, num_splits=24, read_batch_size=256)
-        it = iter(ds)
-        for _ in range(512):  # warm
-            next(it)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            next(it)
-        dt = time.perf_counter() - t0
-        details["dataloader_rows_per_s"] = round(steps / dt, 1)
-        details["dataloader_mib_per_s"] = round(steps * row_bytes / dt / 2**20, 1)
-        log(f"[dataloader] {details['dataloader_rows_per_s']} rows/s "
-            f"{details['dataloader_mib_per_s']} MiB/s (read_batch_size=256)")
+        with open(os.path.join(d, "DONE"), "w") as f:
+            f.write("ok")
+    perm = permutation_builder(t).split_random(seed=7).shuffle(seed=7).execute()
+    ds = StreamingDataset(perm, num_splits=24, read_batch_size=256)
+    it = iter(ds)
+    for _ in range(512):  # warm
+        next(it)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        next(it)
+    dt = time.perf_counter() - t0
+    details["dataloader_rows_per_s"] = round(steps / dt, 1)
+    details["dataloader_mib_per_s"] = round(steps * row_bytes / dt / 2**20, 1)
+    log(f"[dataloader] {details['dataloader_rows_per_s']} rows/s "
+        f"{details['dataloader_mib_per_s']} MiB/s (read_batch_size=256)")
 
 
-def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
+def run_fts_hybrid_config(details, n_docs=None, n_hybrid=None):
     """BASELINE config #5 single-chip slice: BM25 top-k + phrase QPS on
     a 1M-doc corpus (native DAAT scorers) and hybrid vector+FTS RRF QPS
-    through the public API."""
+    through the public API. Corpus tables + indexes ride the disk
+    cache; queries come from dedicated seeds so cached and uncached
+    runs measure the same work."""
     import gc
 
     import lancedb_tpu
@@ -1024,18 +1273,55 @@ def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
         n_docs = 20_000 if _SMOKE else 1_000_000
     if n_hybrid is None:
         n_hybrid = 5_000 if _SMOKE else 100_000
-    db = lancedb_tpu.connect("memory://bench-fts")
-    log(f"[fts] corpus {n_docs} docs ...")
-    t0 = time.perf_counter()
-    docs = make_corpus(rng, n_docs)
-    t = db.create_table("fts_bench", {"id": np.arange(n_docs), "text": docs})
-    log(f"[fts] corpus+table {time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    t.create_fts_index("text", with_position=True)
-    details["fts_1m_build_seconds"] = round(time.perf_counter() - t0, 1)
-    log(f"[fts] build {details['fts_1m_build_seconds']}s")
 
-    qterms = [f"w{r}" for r in rng.integers(50, 2000, size=200)]
+    def _read_side(cdir):
+        try:
+            with open(os.path.join(cdir, "builds.json")) as f:
+                details.update(json.load(f))
+        except Exception:
+            pass
+
+    def _write_side(cdir, keys):
+        try:
+            with open(os.path.join(cdir, "builds.json"), "w") as f:
+                json.dump({k: details[k] for k in keys if k in details}, f)
+        except Exception:
+            pass
+
+    d, hit = cache_entry("fts1m")
+    t = None
+    if hit:
+        try:
+            t = lancedb_tpu.connect(d).open_table("fts_bench")
+            log("[cache] hit fts1m")
+            _note_cache("fts1m", True)
+            _read_side(d)
+        except Exception as e:
+            log(f"[cache] fts1m unreadable ({type(e).__name__}) — rebuilding")
+            t = None
+    if t is None:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        _note_cache("fts1m", False)
+        log(f"[fts] corpus {n_docs} docs ...")
+        t0 = time.perf_counter()
+        docs = make_corpus(np.random.default_rng(1042), n_docs)
+        t = lancedb_tpu.connect(d).create_table(
+            "fts_bench", {"id": np.arange(n_docs), "text": docs}
+        )
+        log(f"[fts] corpus+table {time.perf_counter() - t0:.0f}s")
+        t0 = time.perf_counter()
+        t.create_fts_index("text", with_position=True)
+        details["fts_1m_build_seconds"] = round(time.perf_counter() - t0, 1)
+        log(f"[fts] build {details['fts_1m_build_seconds']}s")
+        _write_side(d, ["fts_1m_build_seconds"])
+        with open(os.path.join(d, "DONE"), "w") as f:
+            f.write("ok")
+        del docs
+        gc.collect()
+
+    qrng = np.random.default_rng(2042)
+    qterms = [f"w{r}" for r in qrng.integers(50, 2000, size=200)]
     queries = [f"{qterms[2 * i]} {qterms[2 * i + 1]}" for i in range(100)]
     for qq in queries[:3]:
         t.search(qq, query_type="fts").limit(10).to_arrow()
@@ -1052,7 +1338,7 @@ def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
     log(f"[fts] phrase top-10: {details['fts_phrase_top10_qps']} qps")
     # worst case: high-frequency terms with long postings (VERDICT r3
     # weak #6 — must scale with the parallel DAAT scorers)
-    common = [f"w{r} w{r + 1}" for r in rng.integers(0, 30, size=50)]
+    common = [f"w{r} w{r + 1}" for r in qrng.integers(0, 30, size=50)]
     for qq in common[:3]:
         t.search(qq, query_type="fts").limit(10).to_arrow()
     t0 = time.perf_counter()
@@ -1062,23 +1348,41 @@ def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
         len(common) / (time.perf_counter() - t0), 1
     )
     log(f"[fts] common-term OR top-10: {details['fts_common_term_top10_qps']} qps")
-    db.drop_table("fts_bench")
-    del docs
+    del t
     gc.collect()
 
-    vecs = rng.standard_normal((n_hybrid, DIM)).astype(np.float32)
-    docs = make_corpus(rng, n_hybrid)
-    th = db.create_table("hybrid_bench", {
-        "id": np.arange(n_hybrid), "text": docs, "vector": list(vecs),
-    })
-    t0 = time.perf_counter()
-    th.create_fts_index("text", with_position=False)
-    th.create_index(index_type="IVF_PQ", num_partitions=256, num_sub_vectors=32,
-                    num_bits=4)
-    details["hybrid_build_seconds"] = round(time.perf_counter() - t0, 1)
-    qv = vecs[rng.integers(0, n_hybrid, 64)] + 0.05 * rng.standard_normal(
+    d, hit = cache_entry("hybrid100k")
+    hrng = np.random.default_rng(3042)
+    vecs = hrng.standard_normal((n_hybrid, DIM)).astype(np.float32)
+    th = None
+    if hit:
+        try:
+            th = lancedb_tpu.connect(d).open_table("hybrid_bench")
+            log("[cache] hit hybrid100k")
+            _note_cache("hybrid100k", True)
+            _read_side(d)
+        except Exception as e:
+            log(f"[cache] hybrid100k unreadable ({type(e).__name__}) — rebuilding")
+            th = None
+    if th is None:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        _note_cache("hybrid100k", False)
+        docs = make_corpus(np.random.default_rng(1043), n_hybrid)
+        th = lancedb_tpu.connect(d).create_table("hybrid_bench", {
+            "id": np.arange(n_hybrid), "text": docs, "vector": list(vecs),
+        })
+        t0 = time.perf_counter()
+        th.create_fts_index("text", with_position=False)
+        th.create_index(index_type="IVF_PQ", num_partitions=256, num_sub_vectors=32,
+                        num_bits=4)
+        details["hybrid_build_seconds"] = round(time.perf_counter() - t0, 1)
+        _write_side(d, ["hybrid_build_seconds"])
+        with open(os.path.join(d, "DONE"), "w") as f:
+            f.write("ok")
+    qv = vecs[hrng.integers(0, n_hybrid, 64)] + 0.05 * hrng.standard_normal(
         (64, DIM)).astype(np.float32)
-    qt = [f"w{r} w{r + 3}" for r in rng.integers(50, 2000, size=64)]
+    qt = [f"w{r} w{r + 3}" for r in hrng.integers(50, 2000, size=64)]
     th.search((qv[0], qt[0]), query_type="hybrid").limit(10).to_arrow()
     t0 = time.perf_counter()
     for i in range(64):
@@ -1096,7 +1400,7 @@ def run_fts_hybrid_config(details, rng, n_docs=None, n_hybrid=None):
     b.to_arrow()
     details["hybrid_rrf_batch64_qps"] = round(64 / (time.perf_counter() - t0), 1)
     log(f"[hybrid] RRF batched-64 top-10: {details['hybrid_rrf_batch64_qps']} qps")
-    db.drop_table("hybrid_bench")
+    del th
     gc.collect()
 
 

@@ -92,7 +92,7 @@ sp = load_searcher(ds, meta)
 def recall_of(rid):
     ids = (rid & np.uint64(0xFFFFFFFF)).astype(np.int64)
     return float(np.mean(
-        [len(set(ids[i].tolist()) & gt_sets[i]) / TOP_K for i in range(NQ)]
+        [len(set(ids[i, :TOP_K].tolist()) & gt_sets[i]) / TOP_K for i in range(NQ)]
     ))
 
 
@@ -100,13 +100,30 @@ out = {"n": N, "d": D, "npart": NPART, "nsub": NSUB, "nbits": 8,
        "build_seconds": round(build_s, 1), "nprobes": NPROBES,
        "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
 
+# refine path: allow the f16 refine table (N*128*2 bytes) on device so
+# search(refine_factor=10) returns genuinely refined top-10 in one
+# dispatch chain; fall back to the explicit host refine if it doesn't fit
+import os
+
+os.environ.setdefault(
+    "LANCEDB_TPU_DEVICE_REFINE_BUDGET", str(int(N * D * 2 + 2**30))
+)
+t0 = time.time()
+fused = sp.prepare_device_refine(ds, "vector")
+print(f"device refine table prepared={fused} ({time.time()-t0:.0f}s)", flush=True)
+out["refine_mode"] = "fused_device_f16" if fused else "host"
+
 for rf, tag in ((None, "raw"), (10, "refine10")):
     params = SearchParams(k=TOP_K, nprobes=NPROBES, refine_factor=rf)
     d0, r0 = sp.search(q, params)  # warm + compile
+    if rf and not fused:
+        d0, r0 = sp.refine(ds, "vector", q, d0, r0, TOP_K)
     t0 = time.time()
     reps = 8
     for _ in range(reps):
         d0, r0 = sp.search(q, params)
+        if rf and not fused:
+            d0, r0 = sp.refine(ds, "vector", q, d0, r0, TOP_K)
     dt = (time.time() - t0) / reps
     out[f"qps_{tag}"] = round(NQ / dt, 1)
     out[f"recall_{tag}"] = round(recall_of(r0), 4)

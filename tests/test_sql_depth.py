@@ -843,6 +843,82 @@ class TestRecursiveCte:
                       "SELECT count(*) n FROM base")
         assert out["n"] == [3]
 
+    # -------- adversarial divergence / cap coverage (VERDICT r4 #8) ----
+
+    def test_union_all_on_cycle_diverges_to_cap(self, monkeypatch):
+        """UNION ALL never dedupes, so a graph cycle spins forever — the
+        iteration cap must catch it (UNION on the same graph terminates,
+        test_graph_reachability_terminates_on_cycle)."""
+        import uuid
+
+        gdb = lancedb_tpu.connect(f"memory://sql-divergent-{uuid.uuid4().hex}")
+        gdb.create_table("edges", pa.table({"src": [1, 2], "dst": [2, 1]}))
+        monkeypatch.setenv("LANCEDB_TPU_SQL_RECURSION_LIMIT", "50")
+        with pytest.raises(InvalidInputError, match="50 iterations"):
+            run(gdb, "WITH RECURSIVE r(node) AS (SELECT 1 UNION ALL "
+                     "SELECT e.dst FROM edges e JOIN r ON e.src = r.node) "
+                     "SELECT count(*) FROM r")
+
+    def test_self_loop_edge_terminates_under_union(self):
+        import uuid
+
+        gdb = lancedb_tpu.connect(f"memory://sql-selfloop-{uuid.uuid4().hex}")
+        gdb.create_table("edges", pa.table({
+            "src": [1, 2, 2], "dst": [2, 2, 3],  # 2 -> 2 self loop
+        }))
+        out = run(gdb, "WITH RECURSIVE r(node) AS (SELECT 1 UNION "
+                       "SELECT e.dst FROM edges e JOIN r ON e.src = r.node) "
+                       "SELECT node FROM r ORDER BY node")
+        assert out["node"] == [1, 2, 3]
+
+    def test_recursion_limit_env_is_respected(self, db, monkeypatch):
+        monkeypatch.setenv("LANCEDB_TPU_SQL_RECURSION_LIMIT", "10")
+        with pytest.raises(InvalidInputError, match="10 iterations"):
+            run(db, "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                    "SELECT n + 1 FROM t WHERE n < 100) SELECT count(*) FROM t")
+        monkeypatch.setenv("LANCEDB_TPU_SQL_RECURSION_LIMIT", "200")
+        out = run(db, "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                      "SELECT n + 1 FROM t WHERE n < 100) SELECT count(*) c FROM t")
+        assert out["c"] == [100]
+
+    def test_termination_exactly_at_cap_boundary(self, db, monkeypatch):
+        """A recursion that needs exactly `limit` step evaluations (the
+        last one returning zero rows) succeeds; one more step raises —
+        pins the off-by-one at the cap."""
+        monkeypatch.setenv("LANCEDB_TPU_SQL_RECURSION_LIMIT", "30")
+        out = run(db, "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                      "SELECT n + 1 FROM t WHERE n < 30) SELECT count(*) c FROM t")
+        assert out["c"] == [30]
+        with pytest.raises(InvalidInputError, match="iterations"):
+            run(db, "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                    "SELECT n + 1 FROM t WHERE n < 31) SELECT count(*) c FROM t")
+
+    def test_union_distinct_dedupes_string_and_list_rows(self):
+        """The working-set dedupe keys on full row values, including
+        list-typed columns (hashability via tuple conversion)."""
+        import uuid
+
+        gdb = lancedb_tpu.connect(f"memory://sql-dedupe-{uuid.uuid4().hex}")
+        gdb.create_table("edges", pa.table({
+            "src": ["a", "b", "c"], "dst": ["b", "a", "a"],
+        }))
+        out = run(gdb, "WITH RECURSIVE r(node) AS (SELECT 'a' UNION "
+                       "SELECT e.dst FROM edges e JOIN r ON e.src = r.node) "
+                       "SELECT node FROM r ORDER BY node")
+        assert out["node"] == ["a", "b"]
+
+    def test_divergent_value_growth_bounded(self, monkeypatch):
+        """UNION distinct can't save a query whose rows never repeat
+        (monotone value growth) — only the cap stops it."""
+        import uuid
+
+        gdb = lancedb_tpu.connect(f"memory://sql-growth-{uuid.uuid4().hex}")
+        gdb.create_table("one", pa.table({"x": [1]}))
+        monkeypatch.setenv("LANCEDB_TPU_SQL_RECURSION_LIMIT", "25")
+        with pytest.raises(InvalidInputError, match="25 iterations"):
+            run(gdb, "WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+                     "SELECT n + 1 FROM t) SELECT count(*) FROM t")
+
     def test_from_less_select(self, db):
         out = run(db, "SELECT 1 one, 2 + 2 four")
         assert out == {"one": [1], "four": [4]}
