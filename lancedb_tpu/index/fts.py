@@ -224,10 +224,67 @@ class ColumnFtsIndex:
         ).astype(np.int32)
         return self._impact_order
 
+    def impact_strata(self):
+        """Per-term contribution strata for the 2-term stratified scorer
+        (ldb_bm25_impact2_topk): postings regrouped by QUANTIZED
+        contribution (1% log buckets — exact ties collapse to one
+        stratum on uniform-length corpora), doc-ascending within each
+        stratum so stratum pairs intersect by galloping merge over
+        CONTIGUOUS arrays (no position indirection on the hot loop).
+        Returns (strat_docs int32, strat_contrib float32 — postings in
+        stratum order; strat_starts int64 absolute, strat_term_off
+        int64 per-term CSR, strat_ub float32 exact max contribution per
+        stratum). Computed once per load, vectorized."""
+        cached = getattr(self, "_impact_strata_cache", None)
+        if cached is not None:
+            return cached
+        off = np.asarray(self.postings_offsets, dtype=np.int64)
+        lens = off[1:] - off[:-1]
+        norm = self._doc_norm()
+        tfs = self.postings_tf.astype(np.float32)
+        contrib = tfs * (K1 + 1.0) / (tfs + norm[self.postings_docs])
+        n_terms = len(lens)
+        if contrib.size == 0:
+            self._impact_strata_cache = (
+                np.zeros(0, np.int32), np.zeros(0, np.float32),
+                np.zeros(0, np.int64),
+                np.zeros(n_terms + 1, np.int64), np.zeros(0, np.float32),
+            )
+            return self._impact_strata_cache
+        term_of = np.repeat(np.arange(n_terms, dtype=np.int64), lens)
+        bucket = np.floor(
+            np.log(np.maximum(contrib, 1e-9)) * (1.0 / np.log(1.01))
+        ).astype(np.int32)
+        pos_within = np.arange(contrib.size, dtype=np.int64) - np.repeat(
+            off[:-1], lens
+        )
+        order = np.lexsort((pos_within, -bucket, term_of))
+        strat_docs = self.postings_docs[order].astype(np.int32)
+        strat_contrib = contrib[order].astype(np.float32)
+        tb, bb = term_of[order], bucket[order]
+        change = np.empty(order.size, dtype=bool)
+        change[0] = True
+        change[1:] = (tb[1:] != tb[:-1]) | (bb[1:] != bb[:-1])
+        strat_starts = np.nonzero(change)[0].astype(np.int64)
+        strat_term_off = np.searchsorted(
+            tb[strat_starts], np.arange(n_terms + 1)
+        ).astype(np.int64)
+        strat_ub = np.maximum.reduceat(strat_contrib, strat_starts).astype(
+            np.float32
+        )
+        self._impact_strata_cache = (
+            strat_docs, strat_contrib, strat_starts, strat_term_off, strat_ub
+        )
+        return self._impact_strata_cache
+
     # posting mass above which the impact-ordered TA scorer beats DAAT
     # (measured: tied-score corpora plateau the TA threshold instantly,
     # while MaxScore/BMW must still merge every posting)
     IMPACT_MIN_POSTINGS = 1 << 17
+    # posting mass above which a TWO-term OR routes to the stratified
+    # pair scorer — it beats the DAAT merge as soon as the merge itself
+    # dominates per-query cost (measured crossover well below 16k)
+    IMPACT2_MIN_POSTINGS = 1 << 14
 
     def topk_match_native(
         self, query: str, k: int, dead: np.ndarray | None = None
@@ -239,7 +296,11 @@ class ColumnFtsIndex:
         (ldb_bm25_maxscore_topk) otherwise. Both skip dead docs
         (deletes / dead fragments) inside the loop. None when the
         native lib is absent."""
-        from ..native import bm25_impact_topk_native, bm25_maxscore_topk_native
+        from ..native import (
+            bm25_impact2_topk_native,
+            bm25_impact_topk_native,
+            bm25_maxscore_topk_native,
+        )
 
         tokens = self.tokenizer.tokenize(query)
         tids = sorted({t for t in (self.vocab.get(tok) for tok in tokens) if t is not None})
@@ -250,6 +311,19 @@ class ColumnFtsIndex:
         off = np.asarray(self.postings_offsets, dtype=np.int64)
         ta = np.asarray(tids)
         total = int((off[ta + 1] - off[ta]).sum())
+        if len(tids) == 2 and total >= self.IMPACT2_MIN_POSTINGS:
+            # two-term OR: stratified pair enumeration — top-k lives in
+            # the cross products of high-contribution strata, each a
+            # tiny galloping intersection (the common-term worst case
+            # where both TA and the DAAT merge degrade)
+            out = bm25_impact2_topk_native(
+                self.postings_docs, self.postings_tf, self.postings_offsets,
+                *self.impact_strata(),
+                np.asarray(tids, dtype=np.int32), idf, norm, k, K1, dead,
+                max_work=1 << 24,
+            )
+            if out is not None:
+                return out
         if total >= self.IMPACT_MIN_POSTINGS:
             # pop budget: TA either converges in a few thousand pops
             # (tied/quantized impact distributions — measured <1024 on

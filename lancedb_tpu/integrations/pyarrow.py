@@ -26,7 +26,12 @@ def _reader_from_query(table, columns, filter_, limit, batch_size) -> pa.RecordB
     expr_filter = filter_ if not isinstance(filter_, (str, type(None))) else None
     if sql_filter is not None:
         query = query.where(sql_filter)
-    if columns is not None:
+    # an expression filter may reference columns OUTSIDE the projection
+    # (duckdb pushes e.g. filter=name!='d', columns=['x']): scan the
+    # full schema, filter, then project — matching pyarrow.dataset
+    # semantics where the filter sees the dataset schema
+    project_after = columns is not None and expr_filter is not None
+    if columns is not None and not project_after:
         query = query.select(list(columns))
     if limit is not None and limit <= 0:
         raise ValueError("limit must be positive")
@@ -40,8 +45,10 @@ def _reader_from_query(table, columns, filter_, limit, batch_size) -> pa.RecordB
         produced = 0
         for batch in query.to_batches(max_batch_length=batch_size or 1024):
             if expr_filter is not None:
-                batch = pa.Table.from_batches([batch]).filter(expr_filter).combine_chunks()
-                batches = [b for b in batch.to_batches() if b.num_rows]
+                tbl = pa.Table.from_batches([batch]).filter(expr_filter)
+                if project_after:
+                    tbl = tbl.select(list(columns))
+                batches = [b for b in tbl.combine_chunks().to_batches() if b.num_rows]
             else:
                 batches = [batch] if batch.num_rows else []
             for b in batches:

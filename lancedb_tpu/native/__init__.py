@@ -118,6 +118,11 @@ def get_lib() -> ctypes.CDLL | None:
             i64p, i64p, i64p, i32p, i32p, f32p, ctypes.c_int32, f32p, u8p,
             ctypes.c_int32, ctypes.c_float, i64, i64p, f32p,
         ]
+        lib.ldb_bm25_impact2_topk.restype = i64
+        lib.ldb_bm25_impact2_topk.argtypes = [
+            i64p, i64p, i64p, i32p, f32p, i64p, i64p, f32p, i32p, f32p,
+            f32p, u8p, ctypes.c_int32, ctypes.c_float, i64, i64p, f32p,
+        ]
         lib.ldb_bm25_and_topk.restype = i64
         lib.ldb_bm25_and_topk.argtypes = [
             i64p, i64p, i64p, i32p, f32p, ctypes.c_int32, f32p, u8p,
@@ -527,5 +532,74 @@ def bm25_impact_topk_native(
         _np_ptr(out_scores, ctypes.c_float),
     )
     if n < 0:  # pop budget exhausted before the upper-bound stop fired
+        return None
+    return out_docs[:n], out_scores[:n]
+
+
+def bm25_impact2_topk_native(
+    postings_docs: np.ndarray,
+    postings_tf: np.ndarray,
+    postings_offsets: np.ndarray,
+    strat_docs: np.ndarray,
+    strat_contrib: np.ndarray,
+    strat_starts: np.ndarray,
+    strat_term_off: np.ndarray,
+    strat_ub: np.ndarray,
+    qterms: np.ndarray,
+    qidf: np.ndarray,
+    doc_norm: np.ndarray,
+    k: int,
+    k1: float,
+    dead: np.ndarray | None = None,
+    max_work: int = 1 << 21,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Exact 2-term BM25 top-k via stratified pair enumeration
+    (ldb_bm25_impact2_topk): per-term contribution strata intersect by
+    galloping merge in descending joint-upper-bound order — the common-
+    term worst case converges after touching only the thin high strata
+    instead of the full posting mass. Returns None when the native lib
+    is absent, the terms don't route (an empty term), or the work
+    budget trips first (rarely co-occurring terms — the caller falls
+    back to the DAAT scorer)."""
+    lib = get_lib()
+    if lib is None or len(qterms) != 2:
+        return None
+    postings_docs = np.ascontiguousarray(postings_docs, dtype=np.int64)
+    postings_tf = np.ascontiguousarray(postings_tf, dtype=np.int64)
+    postings_offsets = np.ascontiguousarray(postings_offsets, dtype=np.int64)
+    strat_docs = np.ascontiguousarray(strat_docs, dtype=np.int32)
+    strat_contrib = np.ascontiguousarray(strat_contrib, dtype=np.float32)
+    strat_starts = np.ascontiguousarray(strat_starts, dtype=np.int64)
+    strat_term_off = np.ascontiguousarray(strat_term_off, dtype=np.int64)
+    strat_ub = np.ascontiguousarray(strat_ub, dtype=np.float32)
+    qterms = np.ascontiguousarray(qterms, dtype=np.int32)
+    qidf = np.ascontiguousarray(qidf, dtype=np.float32)
+    doc_norm = np.ascontiguousarray(doc_norm, dtype=np.float32)
+    dead_ptr = None
+    if dead is not None:
+        dead = np.ascontiguousarray(dead, dtype=np.uint8)
+        dead_ptr = _np_ptr(dead, ctypes.c_uint8)
+    out_docs = np.zeros(max(1, k), dtype=np.int64)
+    out_scores = np.zeros(max(1, k), dtype=np.float32)
+    n = lib.ldb_bm25_impact2_topk(
+        _np_ptr(postings_docs, ctypes.c_int64),
+        _np_ptr(postings_tf, ctypes.c_int64),
+        _np_ptr(postings_offsets, ctypes.c_int64),
+        _np_ptr(strat_docs, ctypes.c_int32),
+        _np_ptr(strat_contrib, ctypes.c_float),
+        _np_ptr(strat_starts, ctypes.c_int64),
+        _np_ptr(strat_term_off, ctypes.c_int64),
+        _np_ptr(strat_ub, ctypes.c_float),
+        _np_ptr(qterms, ctypes.c_int32),
+        _np_ptr(qidf, ctypes.c_float),
+        _np_ptr(doc_norm, ctypes.c_float),
+        dead_ptr,
+        int(k),
+        float(k1),
+        int(max_work),
+        _np_ptr(out_docs, ctypes.c_int64),
+        _np_ptr(out_scores, ctypes.c_float),
+    )
+    if n < 0:  # work budget exhausted (or unroutable): DAAT fallback
         return None
     return out_docs[:n], out_scores[:n]

@@ -1056,4 +1056,187 @@ int64_t ldb_phrase_topk(
   return m;
 }
 
+// ------------------------------- BM25 2-term impact-stratified top-k
+//
+// The exact answer to the two-common-term worst case, where BOTH
+// per-posting TA (ldb_bm25_impact_topk) and DAAT MaxScore/BMW degrade:
+// TA must pop through every posting of the big middle tf-strata (each
+// pop paying a partner binary search), and MaxScore cannot raise theta
+// above the flat block maxima. Observation: with per-term postings
+// grouped into contribution STRATA (quantized-contribution runs of the
+// impact order, doc-sorted within each stratum — index/fts.py
+// impact_strata), the top-k candidates live in the CROSS PRODUCTS of
+// high strata, and each cross product is a tiny galloping intersection
+// of doc-sorted lists. Enumerate units — stratum pairs (ia, ib) plus
+// solo strata (ia, ∅)/(∅, ib) — from a max-heap ordered by score upper
+// bound idfA·ub[ia] + idfB·ub[ib]; stop when the running kth best >=
+// the next unit's bound (ties lose, matching the DAAT scorer).
+// Fagin's TA with stratified random access; same candidate-pruning
+// idea as Bast et al.'s IO-Top-K block index.
+//
+// Exactness: every doc is covered by one cross unit (if it has both
+// terms) whose bound dominates its score, or by a solo unit (single
+// term) likewise; units are processed in descending bound order; solo
+// units score docs fully via a partner binary search, so early
+// processing of a doc through ANY unit yields its exact score (the
+// seen-set prevents rescoring).
+//
+// max_work <= 0: unlimited. Otherwise return -1 once the touched-
+// posting count exceeds the budget (terms that rarely co-occur make
+// solo strata dominate — the caller falls back to DAAT MaxScore).
+int64_t ldb_bm25_impact2_topk(
+    const int64_t* postings_docs, const int64_t* postings_tf,
+    const int64_t* postings_offsets,
+    const int32_t* strat_docs,      // postings in stratum order (contiguous)
+    const float* strat_contrib,     // matching raw contributions
+    const int64_t* strat_starts,    // absolute stratum starts (global ids)
+    const int64_t* strat_term_off,  // per-term CSR into strat_starts
+    const float* strat_ub,          // raw contribution ub per stratum (no idf)
+    const int32_t* qterms, const float* qidf,  // exactly 2 terms
+    const float* doc_norm, const uint8_t* dead,
+    int32_t k, float k1, int64_t max_work,
+    int64_t* out_docs, float* out_scores) {
+  if (k <= 0) return 0;
+  struct TermS {
+    const int64_t* pdocs;   // doc-sorted postings (for solo partner lookup)
+    const int64_t* ptfs;
+    const int32_t* docs;    // stratum-order docs, contiguous per stratum
+    const float* contrib;   // stratum-order contributions
+    int64_t len;
+    int64_t base;  // global posting offset
+    int64_t s0, s1;  // global stratum id range
+    float idf;
+  };
+  TermS T[2];
+  for (int i = 0; i < 2; i++) {
+    int32_t t = qterms[i];
+    int64_t s = postings_offsets[t], e = postings_offsets[t + 1];
+    if (e <= s) return -1;  // empty term: let the DAAT path handle it
+    T[i] = {postings_docs + s, postings_tf + s, strat_docs + s,
+            strat_contrib + s, e - s, s,
+            strat_term_off[t], strat_term_off[t + 1], qidf[i]};
+    if (T[i].s1 <= T[i].s0) return -1;  // no strata (stale cache)
+  }
+  auto s_begin = [&](const TermS& t, int64_t rel) {
+    return strat_starts[t.s0 + rel] - t.base;
+  };
+  auto s_end = [&](const TermS& t, int64_t rel) {
+    return (t.s0 + rel + 1 < t.s1) ? (strat_starts[t.s0 + rel + 1] - t.base)
+                                   : t.len;
+  };
+
+  struct Unit {
+    float bound;
+    int32_t ia, ib;  // relative stratum index or -1 (solo)
+  };
+  auto ucmp = [](const Unit& a, const Unit& b) { return a.bound < b.bound; };
+  std::vector<Unit> units;
+  units.reserve(64);
+  int64_t nA = T[0].s1 - T[0].s0, nB = T[1].s1 - T[1].s0;
+  auto push_unit = [&](int64_t ia, int64_t ib) {
+    if (ia >= nA || ib >= nB) return;
+    float b = 0.0f;
+    if (ia >= 0) b += T[0].idf * strat_ub[T[0].s0 + ia];
+    if (ib >= 0) b += T[1].idf * strat_ub[T[1].s0 + ib];
+    units.push_back({b, (int32_t)ia, (int32_t)ib});
+    std::push_heap(units.begin(), units.end(), ucmp);
+  };
+  push_unit(0, 0);
+  push_unit(0, -1);
+  push_unit(-1, 0);
+
+  auto hcmp = [](const LdbHit& a, const LdbHit& b) { return a.first > b.first; };
+  std::vector<LdbHit> heap;
+  heap.reserve(k + 1);
+  auto offer = [&](int64_t d, float sc) {
+    if ((int)heap.size() < k || sc > heap.front().first) {
+      heap.push_back({sc, d});
+      std::push_heap(heap.begin(), heap.end(), hcmp);
+      if ((int)heap.size() > k) {
+        std::pop_heap(heap.begin(), heap.end(), hcmp);
+        heap.pop_back();
+      }
+    }
+  };
+  std::unordered_set<int64_t> seen;
+  seen.reserve(512);
+  // gallop a contiguous doc-ascending stratum slice to first >= target
+  auto gallop = [&](const int32_t* docs, int64_t i, int64_t e, int32_t target) {
+    int64_t step = 1, j = i;
+    while (j + step < e && docs[j + step] < target) {
+      j += step;
+      step <<= 1;
+    }
+    int64_t hi = j + step < e ? j + step : e;
+    while (j < hi) {
+      int64_t m = (j + hi) >> 1;
+      if (docs[m] < target) j = m + 1;
+      else hi = m;
+    }
+    return j;
+  };
+
+  int64_t work = 0;
+  while (!units.empty()) {
+    std::pop_heap(units.begin(), units.end(), ucmp);
+    Unit u = units.back();
+    units.pop_back();
+    if ((int)heap.size() >= k && heap.front().first >= u.bound) break;
+    if (max_work > 0 && work >= max_work) return -1;
+    if (u.ia >= 0 && u.ib >= 0) {
+      const TermS& A = T[0];
+      const TermS& B = T[1];
+      int64_t a = s_begin(A, u.ia), ae = s_end(A, u.ia);
+      int64_t b = s_begin(B, u.ib), be = s_end(B, u.ib);
+      work += (ae - a) < (be - b) ? (ae - a) : (be - b);
+      const float wa = A.idf, wb = B.idf;
+      while (a < ae && b < be) {
+        int32_t da = A.docs[a];
+        int32_t db = B.docs[b];
+        if (da == db) {
+          if (!(dead != nullptr && dead[da]) && seen.insert(da).second)
+            offer(da, wa * A.contrib[a] + wb * B.contrib[b]);
+          a++;
+          b++;
+        } else if (da < db) {
+          a = gallop(A.docs, a, ae, db);
+        } else {
+          b = gallop(B.docs, b, be, da);
+        }
+      }
+      if (u.ib == 0) push_unit(u.ia + 1, 0);  // staircase frontier
+      push_unit(u.ia, u.ib + 1);
+    } else {
+      int which = u.ia >= 0 ? 0 : 1;
+      const TermS& S = T[which];
+      const TermS& O = T[1 - which];
+      int64_t si = which == 0 ? u.ia : u.ib;
+      int64_t a = s_begin(S, si), ae = s_end(S, si);
+      work += ae - a;
+      for (int64_t i = a; i < ae; i++) {
+        int64_t d = S.docs[i];
+        if (dead != nullptr && dead[d]) continue;
+        if (!seen.insert(d).second) continue;
+        float sc = S.idf * S.contrib[i];
+        const int64_t* lo = std::lower_bound(O.pdocs, O.pdocs + O.len, d);
+        if (lo != O.pdocs + O.len && *lo == d) {
+          float tf = (float)O.ptfs[lo - O.pdocs];
+          sc += O.idf * tf * (k1 + 1.0f) / (tf + doc_norm[d]);
+        }
+        offer(d, sc);
+      }
+      if (which == 0) push_unit(si + 1, -1);
+      else push_unit(-1, si + 1);
+    }
+  }
+  std::sort(heap.begin(), heap.end(),
+            [](const LdbHit& a, const LdbHit& b) { return a.first > b.first; });
+  int64_t m = (int64_t)heap.size();
+  for (int64_t i = 0; i < m; i++) {
+    out_scores[i] = heap[i].first;
+    out_docs[i] = heap[i].second;
+  }
+  return m;
+}
+
 }  // extern "C"

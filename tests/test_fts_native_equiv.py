@@ -71,6 +71,86 @@ def test_maxscore_matches_dense(seed):
             assert must_have <= set(int(d) for d in docs_n)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_impact2_stratified_matches_dense(seed):
+    """The 2-term stratified pair scorer (ldb_bm25_impact2_topk) is
+    exact on varying-length corpora (continuous contributions → many
+    quantized strata), common/common and rare/common term mixes, and
+    dead-doc masks — forced directly, bypassing the routing threshold."""
+    from lancedb_tpu.native import bm25_impact2_topk_native
+
+    rng = np.random.default_rng(200 + seed)
+    ix = _index(_corpus(rng, 4000, vocab=120))
+    strat = ix.impact_strata()
+    for trial in range(30):
+        # bias toward common terms (low ids) half the time
+        if trial % 2 == 0:
+            a, b = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+        else:
+            a, b = int(rng.integers(0, 120)), int(rng.integers(0, 120))
+        if a == b:
+            b = (b + 1) % 120
+        q = f"t{a} t{b}"
+        tids = sorted(
+            {t for t in (ix.vocab.get(f"t{x}") for x in (a, b)) if t is not None}
+        )
+        if len(tids) != 2:
+            continue
+        dead = None
+        if trial % 3 == 0:
+            dead = (rng.random(ix.num_docs) < 0.25).astype(np.uint8)
+        k = int(rng.integers(1, 30))
+        idf = np.array([ix.idf(t) for t in tids], dtype=np.float32)
+        out = bm25_impact2_topk_native(
+            ix.postings_docs, ix.postings_tf, ix.postings_offsets,
+            *strat, np.asarray(tids, dtype=np.int32), idf, ix._doc_norm(),
+            k, 1.2, dead,
+        )
+        assert out is not None, (q, k)
+        docs_n, scores_n = out
+        dense = _dense_topk(ix, q, k, dead)
+        assert len(docs_n) == len(dense), (q, k, len(docs_n), len(dense))
+        np.testing.assert_allclose(
+            scores_n, [s for _, s in dense], rtol=1e-5, atol=1e-5
+        )
+        if len(dense):
+            cut = dense[-1][1]
+            must_have = {d for d, s in dense if s > cut + 1e-6}
+            assert must_have <= set(int(d) for d in docs_n), (q, k)
+
+
+def test_impact2_work_budget_falls_back():
+    """A tiny work budget returns None (the caller's DAAT fallback)."""
+    from lancedb_tpu.native import bm25_impact2_topk_native
+
+    rng = np.random.default_rng(7)
+    ix = _index(_corpus(rng, 3000, vocab=30))
+    tids = sorted(v for kk, v in ix.vocab.items() if kk in ("t0", "t1"))
+    idf = np.array([ix.idf(t) for t in tids], dtype=np.float32)
+    out = bm25_impact2_topk_native(
+        ix.postings_docs, ix.postings_tf, ix.postings_offsets,
+        *ix.impact_strata(), np.asarray(tids, dtype=np.int32), idf,
+        ix._doc_norm(), 10, 1.2, None, max_work=4,
+    )
+    assert out is None
+
+
+def test_impact2_routing_through_match_native(monkeypatch):
+    """topk_match_native routes 2-term ORs through the stratified
+    scorer once past IMPACT2_MIN_POSTINGS; results stay exact."""
+    rng = np.random.default_rng(9)
+    ix = _index(_corpus(rng, 3000, vocab=60))
+    monkeypatch.setattr(ColumnFtsIndex, "IMPACT2_MIN_POSTINGS", 1)
+    for a, b in ((0, 1), (0, 5), (2, 40)):
+        q = f"t{a} t{b}"
+        native = ix.topk_match_native(q, 12, None)
+        assert native is not None
+        dense = _dense_topk(ix, q, 12, None)
+        np.testing.assert_allclose(
+            native[1], [s for _, s in dense], rtol=1e-5, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_phrase_matches_positions(seed):
     rng = np.random.default_rng(100 + seed)
