@@ -23,6 +23,13 @@ import numpy as np
 import pyarrow as pa
 
 from ..errors import InvalidInputError
+from ..native import (
+    bm25_and_topk_native,
+    bm25_impact2_topk_native,
+    bm25_impact_topk_native,
+    bm25_maxscore_topk_native,
+    phrase_topk_native,
+)
 from ..query_fts import (
     BooleanQuery,
     BoostQuery,
@@ -296,12 +303,6 @@ class ColumnFtsIndex:
         (ldb_bm25_maxscore_topk) otherwise. Both skip dead docs
         (deletes / dead fragments) inside the loop. None when the
         native lib is absent."""
-        from ..native import (
-            bm25_impact2_topk_native,
-            bm25_impact_topk_native,
-            bm25_maxscore_topk_native,
-        )
-
         tokens = self.tokenizer.tokenize(query)
         tids = sorted({t for t in (self.vocab.get(tok) for tok in tokens) if t is not None})
         if not tids:
@@ -355,7 +356,6 @@ class ColumnFtsIndex:
         galloping-intersection scorer (ldb_bm25_and_topk): no dense
         match-count arrays. Returns empty when any required token has
         no postings (tantivy AND semantics). None = lib absent."""
-        from ..native import bm25_and_topk_native
 
         tokens = self.tokenizer.tokenize(query)
         if not tokens:
@@ -378,8 +378,6 @@ class ColumnFtsIndex:
         index lacks positions."""
         if self.pos_offsets is None or self.positions is None:
             return None
-        from ..native import phrase_topk_native
-
         tokens = self.tokenizer.tokenize(query)
         if not tokens:
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -845,6 +843,11 @@ class FtsIndex:
         built_scheme = params.get("effective_scheme")
         if built_scheme is not None:
             now_scheme = self.tokenizer.effective_scheme()
+            if built_scheme == "unicode" and now_scheme == "uax29":
+                # index persisted before the UAX #29 segmenter: query it
+                # with the \w+ segmentation its postings were built with
+                self.tokenizer.legacy_unicode = True
+                now_scheme = self.tokenizer.effective_scheme()
             if now_scheme != built_scheme:
                 raise InvalidInputError(
                     f"FTS index was built with tokenization scheme "

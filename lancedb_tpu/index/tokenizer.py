@@ -153,11 +153,17 @@ def _ascii_fold(text: str) -> str:
 
 def _accent_fold(text: str) -> str:
     """Strip combining marks but KEEP non-latin scripts (the ascii fold
-    would delete CJK outright) — used by the unicode tokenizer."""
-    return "".join(
+    would delete CJK outright) — used by the unicode tokenizer. The
+    final NFC pass recomposes what decomposition took apart and
+    survives mark-stripping — notably Hangul syllables, which NFKD
+    breaks into conjoining jamo."""
+    stripped = "".join(
         c for c in unicodedata.normalize("NFKD", text)
-        if unicodedata.category(c) != "Mn"
+        # keep kana voicing marks (U+3099/309A): folding だ→た or ぱ→は
+        # conflates distinct Japanese words
+        if unicodedata.category(c) != "Mn" or 0x3099 <= ord(c) <= 0x309A
     )
+    return unicodedata.normalize("NFC", stripped)
 
 
 def _is_cjk(c: str) -> bool:
@@ -207,6 +213,195 @@ def _emit_cjk(run: str, bigrams: bool) -> list[str]:
     if not bigrams or len(run) == 1:
         return list(run)
     return [run[i : i + 2] for i in range(len(run) - 1)]
+
+
+# ---- UAX #29 word segmentation (the algorithm ICU implements) --------
+# The reference's `icu` tokenizer is ICU's word-break iterator
+# (python/python/lancedb/index.py:111-188 base_tokenizer="icu"); ICU's
+# word breaks are UAX #29 (Unicode TR29 "Text Segmentation"). This is a
+# direct implementation of the WB rules over property classes derived
+# from unicodedata + the (small, stable) explicit code-point lists in
+# WordBreakProperty.txt, so "don't", "3.14", "1,000", "e.g", "foo_bar"
+# and katakana runs segment exactly as ICU segments them — the prior
+# `\w+` approximation split all of those. Han / Hiragana take UAX #29's
+# default (every pair breaks → single-character tokens), which is also
+# what ICU does without its CJK dictionary; Hangul is ALetter (whole
+# words), matching ICU.
+
+_WB_OTHER, _WB_AL, _WB_HL, _WB_NUM, _WB_KA, _WB_ML, _WB_MN, _WB_MNL, \
+    _WB_SQ, _WB_DQ, _WB_ENL, _WB_EXT, _WB_FMT, _WB_ZWJ, _WB_RI, _WB_NL, \
+    _WB_WS = range(17)
+
+_WB_MIDLETTER = {0x3A, 0xB7, 0x387, 0x55F, 0x5F4, 0x2027, 0xFE13, 0xFE55,
+                 0xFF1A}
+_WB_MIDNUM = {0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C, 0x7F8,
+              0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B}
+_WB_MIDNUMLET = {0x2E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E}
+_WB_NEWLINES = {0x0A, 0x0B, 0x0C, 0x0D, 0x85, 0x2028, 0x2029}
+
+_WB_CLASS_CACHE: dict[str, int] = {}
+
+
+def _wb_class_uncached(c: str) -> int:
+    o = ord(c)
+    if o in _WB_NEWLINES:
+        return _WB_NL
+    if o == 0x27:
+        return _WB_SQ
+    if o == 0x22:
+        return _WB_DQ
+    if o == 0x200D:
+        return _WB_ZWJ
+    if o in _WB_MIDLETTER:
+        return _WB_ML
+    if o in _WB_MIDNUM:
+        return _WB_MN
+    if o in _WB_MIDNUMLET:
+        return _WB_MNL
+    if 0x1F1E6 <= o <= 0x1F1FF:
+        return _WB_RI
+    if (0x30A1 <= o <= 0x30FA or 0x30FC <= o <= 0x30FE
+            or 0x31F0 <= o <= 0x31FF or 0xFF66 <= o <= 0xFF9F
+            or 0x32D0 <= o <= 0x32FE or o == 0x3357):
+        return _WB_KA
+    cat = unicodedata.category(c)
+    if cat in ("Mn", "Mc", "Me") or o == 0x200C:
+        return _WB_EXT
+    if cat == "Cf":
+        return _WB_FMT
+    if cat == "Pc":          # ExtendNumLet: '_' and friends
+        return _WB_ENL
+    if cat == "Nd":
+        return _WB_NUM
+    if cat == "Zs" or c.isspace():
+        return _WB_WS
+    if c.isalpha():
+        # Han (no WB rule joins — default break both sides) and
+        # Hiragana are excluded from ALetter by UAX #29
+        if (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+                or 0xF900 <= o <= 0xFAFF or 0x20000 <= o <= 0x2FA1F
+                or 0x3041 <= o <= 0x3096 or 0x309D <= o <= 0x309F):
+            return _WB_OTHER
+        if 0x5D0 <= o <= 0x5EA or 0x5EF <= o <= 0x5F2 or 0xFB1D <= o <= 0xFB4F:
+            return _WB_HL
+        return _WB_AL
+    return _WB_OTHER
+
+
+def _wb_class(c: str) -> int:
+    v = _WB_CLASS_CACHE.get(c)
+    if v is None:
+        v = _WB_CLASS_CACHE[c] = _wb_class_uncached(c)
+    return v
+
+
+_WB_AHL = (_WB_AL, _WB_HL)
+_WB_MID_WORD = (_WB_ML, _WB_MNL, _WB_SQ)
+_WB_MID_NUM = (_WB_MN, _WB_MNL, _WB_SQ)
+_WB_IGNORE = (_WB_EXT, _WB_FMT, _WB_ZWJ)
+_WB_JOINABLE = (_WB_AL, _WB_HL, _WB_NUM, _WB_KA, _WB_ENL)
+
+
+def _uax29_segments(text: str) -> list[str]:
+    """Split ``text`` at UAX #29 word boundaries (rules WB3–WB13b +
+    the WB999 default; WB4 collapses Extend/Format/ZWJ onto the
+    preceding character)."""
+    n = len(text)
+    if n == 0:
+        return []
+    cls = [_wb_class(c) for c in text]
+
+    def prev_base(i: int) -> int:
+        while i >= 0 and cls[i] in _WB_IGNORE:
+            i -= 1
+        return cls[i] if i >= 0 else -1
+
+    def prev_base_idx(i: int) -> int:
+        while i >= 0 and cls[i] in _WB_IGNORE:
+            i -= 1
+        return i
+
+    def next_base(i: int) -> int:
+        while i < n and cls[i] in _WB_IGNORE:
+            i += 1
+        return cls[i] if i < n else -1
+
+    breaks = [0]
+    for i in range(1, n):
+        c1, c2 = cls[i - 1], cls[i]
+        # WB3/WB3a/WB3b: newlines break around, except CR x LF
+        if c1 == _WB_NL or c2 == _WB_NL:
+            if not (text[i - 1] == "\r" and text[i] == "\n"):
+                breaks.append(i)
+            continue
+        # WB4: X (Extend|Format|ZWJ)* -> X
+        if c2 in _WB_IGNORE:
+            continue
+        p_idx = prev_base_idx(i - 1)
+        p = cls[p_idx] if p_idx >= 0 else -1
+        q = c2
+        if p in _WB_AHL and q in _WB_AHL:               # WB5
+            continue
+        if p in _WB_AHL and q in _WB_MID_WORD and next_base(i + 1) in _WB_AHL:
+            continue                                     # WB6
+        if p in _WB_MID_WORD and q in _WB_AHL and \
+                prev_base(p_idx - 1) in _WB_AHL:
+            continue                                     # WB7
+        if p == _WB_HL and q == _WB_SQ:                  # WB7a
+            continue
+        if p == _WB_HL and q == _WB_DQ and next_base(i + 1) == _WB_HL:
+            continue                                     # WB7b
+        if p == _WB_DQ and q == _WB_HL and prev_base(p_idx - 1) == _WB_HL:
+            continue                                     # WB7c
+        if p == _WB_NUM and q == _WB_NUM:                # WB8
+            continue
+        if p in _WB_AHL and q == _WB_NUM:                # WB9
+            continue
+        if p == _WB_NUM and q in _WB_AHL:                # WB10
+            continue
+        if p in _WB_MID_NUM and q == _WB_NUM and \
+                prev_base(p_idx - 1) == _WB_NUM:
+            continue                                     # WB11
+        if p == _WB_NUM and q in _WB_MID_NUM and next_base(i + 1) == _WB_NUM:
+            continue                                     # WB12
+        if p == _WB_KA and q == _WB_KA:                  # WB13
+            continue
+        if p in _WB_JOINABLE and q == _WB_ENL:           # WB13a
+            continue
+        if p == _WB_ENL and q in (_WB_AL, _WB_HL, _WB_NUM, _WB_KA):
+            continue                                     # WB13b
+        if p == _WB_RI and q == _WB_RI:                  # WB15/16: pair RIs
+            j, run = p_idx, 0
+            while j >= 0 and cls[j] == _WB_RI:
+                run += 1
+                j = prev_base_idx(j - 1)
+            if run % 2 == 1:
+                continue
+        breaks.append(i)
+    breaks.append(n)
+    return [text[breaks[j]: breaks[j + 1]] for j in range(len(breaks) - 1)]
+
+
+_ASCII_SIMPLE_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _uax29_tokens(text: str) -> list[str]:
+    """UAX #29 word tokens: segment, keep segments containing an
+    alphanumeric. Whitespace always breaks (no WB rule joins across a
+    space), so chunks split fast on whitespace and an all-[A-Za-z0-9_]
+    chunk — the common case in latin text — is one token by WB5/8/9/
+    10/13a/b without running the automaton."""
+    out: list[str] = []
+    for chunk in text.split():
+        if chunk.isascii() and _ASCII_SIMPLE_RE.fullmatch(chunk):
+            out.append(chunk)
+            continue
+        for seg in _uax29_segments(chunk):
+            for ch in seg:
+                if ch.isalnum():
+                    out.append(seg)
+                    break
+    return out
 
 
 # ---- dictionary-backed CJK segmentation ------------------------------
@@ -456,6 +651,10 @@ class Tokenizer:
     ngram_max_length: int = 3
     prefix_only: bool = False
     dict_path: str | None = None  # user dictionary for jieba/lindera
+    # set by FtsIndex.load for indexes persisted before the UAX #29
+    # segmenter: keeps querying them with the \w+ segmentation their
+    # postings were built with (scheme "unicode") instead of raising
+    legacy_unicode: bool = False
 
     # reference tokenizer names accepted as aliases: icu → unicode
     # word-boundary segmentation (index.py:111-188)
@@ -470,6 +669,8 @@ class Tokenizer:
         base = self._ALIASES.get(self.base, self.base)
         if base in ("jieba", "lindera"):
             return effective_cjk_scheme(base, self.dict_path)
+        if base == "unicode":
+            return "unicode" if self.legacy_unicode else "uax29"
         return base
 
     def tokenize(self, text: str | None) -> list[str]:
@@ -481,6 +682,11 @@ class Tokenizer:
                 _accent_fold(text) if self.ascii_folding else text,
                 base, self.dict_path,
             )
+        elif base == "unicode" and not self.legacy_unicode:
+            # real ICU behavior: UAX #29 word boundaries (the legacy
+            # flag pins pre-uax29 indexes to the \w+ segmentation their
+            # postings were built with)
+            toks = _uax29_tokens(_accent_fold(text) if self.ascii_folding else text)
         elif base in ("unicode", "cjk"):
             # accent folding keeps non-latin scripts alive
             toks = _unicode_tokens(

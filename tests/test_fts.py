@@ -477,3 +477,89 @@ def test_query_type_tags():
     assert MultiMatchQuery("q", ["a", "b"]).query_type() is \
         FullTextQueryType.MULTI_MATCH
     assert (m & p).query_type() is FullTextQueryType.BOOLEAN
+
+
+class TestUax29Tokenizer:
+    """UAX #29 word segmentation for base='unicode'/'icu' (the
+    reference's icu tokenizer IS ICU's UAX #29 word-break iterator,
+    reference index.py:111-188). Cases the old \\w+ approximation got
+    wrong: mid-word punctuation, decimal/thousands numbers, katakana
+    runs. Plus legacy-index compatibility: indexes persisted with the
+    pre-uax29 'unicode' scheme keep querying with \\w+."""
+
+    def tok(self, **kw):
+        from lancedb_tpu.index.tokenizer import Tokenizer
+
+        return Tokenizer(base="icu", stem=False, remove_stop_words=False, **kw)
+
+    def test_midword_punctuation_joins(self):
+        t = self.tok()
+        assert t.tokenize("don't stop") == ["don't", "stop"]
+        assert t.tokenize("e.g") == ["e.g"]
+        assert t.tokenize("c:a") == ["c:a"]
+
+    def test_numbers(self):
+        t = self.tok()
+        assert t.tokenize("3.14") == ["3.14"]
+        assert t.tokenize("1,000,000") == ["1,000,000"]
+        assert t.tokenize("abc123 12a") == ["abc123", "12a"]
+        # trailing punctuation is NOT mid-word: it drops
+        assert t.tokenize("end. next") == ["end", "next"]
+        assert t.tokenize("a, b") == ["a", "b"]
+
+    def test_underscore_extendnumlet(self):
+        assert self.tok().tokenize("foo_bar_9") == ["foo_bar_9"]
+
+    def test_katakana_runs_whole_hangul_words_han_singles(self):
+        t = self.tok(lower_case=False)
+        assert t.tokenize("カタカナ") == ["カタカナ"]
+        # hangul is ALetter under UAX #29: whole words
+        assert t.tokenize("한국어 검색") == ["한국어", "검색"]
+        # han has no joining rule: single-character tokens
+        assert t.tokenize("日本語") == ["日", "本", "語"]
+
+    def test_mixed_script_boundaries(self):
+        t = self.tok(lower_case=False)
+        assert t.tokenize("TPUで動くFTS") == ["TPU", "で", "動", "く", "FTS"]
+
+    def test_combining_marks_attach(self):
+        # explicit combining acute stays attached with folding off
+        t = self.tok(ascii_folding=False)
+        assert t.tokenize("café bar") == ["café", "bar"]
+
+    def test_crlf_and_newlines_break(self):
+        t = self.tok()
+        assert t.tokenize("one\r\ntwo\nthree") == ["one", "two", "three"]
+
+    def test_scheme_and_legacy_load(self, mem_db):
+        from lancedb_tpu.index.tokenizer import Tokenizer
+
+        t = Tokenizer(base="icu", stem=False)
+        assert t.effective_scheme() == "uax29"
+        t.legacy_unicode = True
+        assert t.effective_scheme() == "unicode"
+        # an index whose meta recorded the legacy 'unicode' scheme loads
+        # with legacy \w+ segmentation instead of raising
+        import json as _json
+
+        tbl = mem_db.create_table(
+            "uax_legacy", {"id": [0, 1], "text": ["don't stop", "plain words"]}
+        )
+        tbl.create_fts_index("text", base_tokenizer="unicode", stem=False)
+        store = tbl._dataset.store
+        meta = next(
+            m for m in tbl._dataset.manifest.indices if m.index_type == "FTS"
+        )
+        meta_path = tbl._dataset.index_dir(meta.uuid) + "/meta.json"
+        params = _json.loads(store.read_bytes(meta_path))
+        params["effective_scheme"] = "unicode"
+        store.write_bytes(meta_path, _json.dumps(params).encode())
+        tbl._invalidate_caches()
+        ix = tbl._get_fts_index(
+            next(m for m in tbl._dataset.manifest.indices if m.index_type == "FTS")
+        )
+        assert ix.tokenizer.legacy_unicode
+        assert ix.tokenizer.effective_scheme() == "unicode"
+        # legacy \w+ splits don't -> don, t — queries still match the
+        # postings that index would have held
+        assert ix.tokenizer.tokenize("don't") == ["don", "t"]
