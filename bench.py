@@ -69,6 +69,7 @@ own fixed seed so cached and uncached runs measure IDENTICAL queries.
 Prints ONE JSON line; details to stderr + bench_details.json.
 """
 
+import contextlib
 import json
 import os
 import shutil
@@ -251,6 +252,30 @@ def _note_cache(key: str, hit: bool) -> None:
     _DETAILS.setdefault("cache_hits" if hit else "cache_builds", []).append(key)
 
 
+@contextlib.contextmanager
+def _host_heartbeat(label: str, every_s: float = 45.0):
+    """Keep the stall watchdog fed through long HOST-side work (datagen,
+    Dataset.create, ground truth) that emits no log lines. Scoped to
+    host phases only — TPU phases stay under the strict watchdog so a
+    wedged tunnel is still caught."""
+    stop = threading.Event()
+
+    def beat():
+        n = 0
+        while not stop.wait(every_s):
+            _LAST_PROGRESS[0] = time.monotonic()
+            n += 1
+            if n % 8 == 0:  # a visible tick every ~6 min
+                log(f"[{label}] still building (host-side) ...")
+
+    t = threading.Thread(target=beat, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+
+
 def open_or_build_dataset(key: str, build_fn):
     """Disk-cached lance dataset + small aux arrays (queries / ground
     truth). ``build_fn(store) -> (Dataset, aux dict)`` runs only on a
@@ -273,7 +298,8 @@ def open_or_build_dataset(key: str, build_fn):
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     _note_cache(key, False)
-    ds, aux = build_fn(LocalStore(d))
+    with _host_heartbeat(key):
+        ds, aux = build_fn(LocalStore(d))
     if aux:
         np.savez(os.path.join(d, "aux.npz"), **aux)
     with open(os.path.join(d, "DONE"), "w") as f:
@@ -299,6 +325,14 @@ def ensure_index(ds, name: str, build_fn) -> tuple[object, float, bool]:
     t0 = time.perf_counter()
     meta = build_fn()
     secs = time.perf_counter() - t0
+    try:
+        # build_vector_index persists artifacts but the manifest commit
+        # is the caller's job (table.py create_index does the same) —
+        # without it every "cached" run silently rebuilds the index
+        ds.add_index(meta, replace=True)
+    except Exception as e:
+        log(f"[cache] index commit failed ({type(e).__name__}: {e}) — "
+            "next run will rebuild")
     try:
         rec = {}
         if os.path.exists(side):

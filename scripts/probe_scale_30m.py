@@ -5,9 +5,15 @@ Replaces the 65M-rows/chip extrapolation with a measured point
 and HBM in use after the index is resident. Writes SCALE_PROOF.json at
 the repo root; bench.py embeds it into bench_details.json with
 provenance.
+
+Every expensive phase (dataset materialization, IVF_PQ build, exact
+ground truth) persists under .bench_cache/scale{N}m-v1/ with the same
+DONE-marker convention bench.py uses, so a killed run resumes instead
+of repeating ~45 min of host work.
 """
 import gc
 import json
+import os
 import sys
 import time
 
@@ -17,80 +23,138 @@ sys.path.insert(0, "/root/repo")
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000_000
 D = 128
-NPART = 4096
+NPART = 4096 if N >= 8_000_000 else 256  # small-N smoke runs
 NSUB = 16
 NPROBES = 20
 NQ = 32
 TOP_K = 10
-
-rng = np.random.default_rng(0)
-nc = 10_000
-cents = (rng.standard_normal((nc, D)) * 2.0).astype(np.float32)
-
-t0 = time.time()
-x = np.empty((N, D), dtype=np.float32)
 CH = 1_000_000
-for s in range(0, N, CH):
-    e = min(s + CH, N)
-    a = rng.integers(0, nc, e - s)
-    x[s:e] = cents[a] + rng.standard_normal((e - s, D)).astype(np.float32)
-print(f"datagen {time.time()-t0:.0f}s ({x.nbytes/2**30:.1f} GiB)", flush=True)
 
-qi = rng.integers(0, N, NQ)
-q = x[qi] + 0.05 * rng.standard_normal((NQ, D)).astype(np.float32)
+CACHE = os.path.join(
+    os.environ.get("BENCH_CACHE_DIR", "/root/repo/.bench_cache"),
+    f"scale{N // 1_000_000}m-v1",
+)
+os.makedirs(CACHE, exist_ok=True)
 
 import pyarrow as pa
 
 from lancedb_tpu.index import IvfPq
 from lancedb_tpu.index.vector import SearchParams, build_vector_index, load_searcher
-from lancedb_tpu.io.object_store import MemoryStore
+from lancedb_tpu.io.object_store import LocalStore
 from lancedb_tpu.storage.dataset import Dataset
 
-t0 = time.time()
-tbl = pa.table({
-    "id": pa.array(np.arange(N, dtype=np.int64)),
-    "vector": pa.FixedSizeListArray.from_arrays(
-        pa.array(x.reshape(-1), type=pa.float32()), D
-    ),
-})
-ds = Dataset.create(MemoryStore(), "scale30m.lance", tbl.schema, tbl)
-del tbl
+rng = np.random.default_rng(0)
+nc = 10_000
+cents = (rng.standard_normal((nc, D)) * 2.0).astype(np.float32)
+# query/gt reproducibility does NOT depend on regenerating x: queries
+# perturb rows drawn by chunk-deterministic assignment below
+qi = np.random.default_rng(7).integers(0, N, NQ)
+
+store = LocalStore(CACHE)
+timings = {}
+
+if os.path.exists(os.path.join(CACHE, "DATA_DONE")):
+    ds = Dataset.open(store, "data.lance")
+    q = np.load(os.path.join(CACHE, "queries.npy"))
+    print(f"dataset cached ({N} rows)", flush=True)
+else:
+    # chunked generation + streaming append: peak host memory is one
+    # 1M-row chunk (~0.5 GiB), not the full 14.3 GiB array
+    t0 = time.time()
+    schema = pa.schema([
+        ("id", pa.int64()),
+        ("vector", pa.list_(pa.float32(), D)),
+    ])
+    ds = None
+    q_rows = {}
+    want = {}
+    for j, ridx in enumerate(qi.tolist()):
+        want.setdefault(ridx // CH, []).append((j, ridx))
+    for s in range(0, N, CH):
+        e = min(s + CH, N)
+        crng = np.random.default_rng(1000 + s // CH)
+        a = crng.integers(0, nc, e - s)
+        blk = cents[a] + crng.standard_normal((e - s, D), dtype=np.float32)
+        for j, ridx in want.get(s // CH, []):
+            q_rows[j] = blk[ridx - s].copy()
+        tblk = pa.table({
+            "id": pa.array(np.arange(s, e, dtype=np.int64)),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(blk.reshape(-1)), D
+            ),
+        })
+        if ds is None:
+            ds = Dataset.create(store, "data.lance", schema, tblk)
+        else:
+            ds.append(tblk)
+        if (s // CH) % 5 == 0:
+            print(f"datagen+append {e}/{N} rows {time.time()-t0:.0f}s",
+                  flush=True)
+    timings["datagen_append_s"] = round(time.time() - t0, 1)
+    q = np.stack([q_rows[j] for j in range(NQ)]).astype(np.float32)
+    q += 0.05 * np.random.default_rng(8).standard_normal((NQ, D)).astype(np.float32)
+    np.save(os.path.join(CACHE, "queries.npy"), q)
+    with open(os.path.join(CACHE, "DATA_DONE"), "w") as f:
+        f.write("ok")
+    print(f"datagen+dataset {timings['datagen_append_s']:.0f}s", flush=True)
+
+# ---- IVF_PQ build (commits into the cached dataset manifest) ----------
+meta = next((ix for ix in ds.manifest.indices if ix.name == "scale_pq"), None)
+if meta is not None:
+    build_s = json.load(open(os.path.join(CACHE, "build.json")))["build_s"] \
+        if os.path.exists(os.path.join(CACHE, "build.json")) else 0.0
+    print(f"index cached (built in {build_s:.0f}s previously)", flush=True)
+else:
+    t0 = time.time()
+    meta = build_vector_index(
+        ds, "vector",
+        IvfPq(num_partitions=NPART, num_sub_vectors=NSUB, num_bits=8,
+              distance_type="l2"),
+        name="scale_pq",
+    )
+    build_s = time.time() - t0
+    ds.add_index(meta)  # commit into the manifest so a rerun resumes
+    json.dump({"build_s": build_s}, open(os.path.join(CACHE, "build.json"), "w"))
+    print(f"build {build_s:.0f}s", flush=True)
 gc.collect()
-print(f"dataset {time.time()-t0:.0f}s", flush=True)
 
-t0 = time.time()
-meta = build_vector_index(
-    ds, "vector",
-    IvfPq(num_partitions=NPART, num_sub_vectors=NSUB, num_bits=8,
-          distance_type="l2"),
-)
-build_s = time.time() - t0
-print(f"build {build_s:.0f}s", flush=True)
-
-# exact ground truth on host (blocked; offline cost, not serving)
-t0 = time.time()
-gt = np.zeros((NQ, TOP_K), dtype=np.int64)
-best_d = np.full((NQ, TOP_K), np.inf, dtype=np.float32)
-qn2 = (q * q).sum(1)[:, None]
-for s in range(0, N, CH):
-    e = min(s + CH, N)
-    blk = x[s:e]
-    d = qn2 - 2.0 * (q @ blk.T) + (blk * blk).sum(1)[None, :]
-    cand = np.argpartition(d, TOP_K, axis=1)[:, :TOP_K]
-    cd = np.take_along_axis(d, cand, axis=1)
-    alld = np.concatenate([best_d, cd], axis=1)
-    alli = np.concatenate([gt, cand + s], axis=1)
-    pick = np.argpartition(alld, TOP_K, axis=1)[:, :TOP_K]
-    best_d = np.take_along_axis(alld, pick, axis=1)
-    gt = np.take_along_axis(alli, pick, axis=1)
-print(f"gt {time.time()-t0:.0f}s", flush=True)
+# ---- exact ground truth (blocked over the dataset; cached) ------------
+gtp = os.path.join(CACHE, "gt.npy")
+if os.path.exists(gtp):
+    gt = np.load(gtp)
+    print("ground truth cached", flush=True)
+else:
+    t0 = time.time()
+    gt = np.zeros((NQ, TOP_K), dtype=np.int64)
+    best_d = np.full((NQ, TOP_K), np.inf, dtype=np.float32)
+    qn2 = (q * q).sum(1)[:, None]
+    off = 0
+    for batch in ds.scan_batches(columns=["vector"], max_batch_length=CH):
+        col = batch.column("vector")
+        blk = np.asarray(col.flatten(), dtype=np.float32).reshape(-1, D)
+        dmat = qn2 - 2.0 * (q @ blk.T) + (blk * blk).sum(1)[None, :]
+        kk = min(TOP_K, dmat.shape[1])
+        cand = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
+        cd = np.take_along_axis(dmat, cand, axis=1)
+        alld = np.concatenate([best_d, cd], axis=1)
+        alli = np.concatenate([gt, cand + off], axis=1)
+        pick = np.argpartition(alld, TOP_K - 1, axis=1)[:, :TOP_K]
+        best_d = np.take_along_axis(alld, pick, axis=1)
+        gt = np.take_along_axis(alli, pick, axis=1)
+        off += blk.shape[0]
+    np.save(gtp, gt)
+    print(f"gt {time.time()-t0:.0f}s", flush=True)
 gt_sets = [set(r.tolist()) for r in gt]
 
 sp = load_searcher(ds, meta)
 
 
 def recall_of(rid):
-    ids = (rid & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # every fragment holds exactly CH rows (appends are CH-row tables,
+    # CH < 1<<20 fragment cap), so row ids decode to global indices as
+    # fragment_id * CH + offset
+    ids = ((rid >> np.uint64(32)).astype(np.int64) * CH
+           + (rid & np.uint64(0xFFFFFFFF)).astype(np.int64))
     return float(np.mean(
         [len(set(ids[i, :TOP_K].tolist()) & gt_sets[i]) / TOP_K for i in range(NQ)]
     ))
@@ -103,8 +167,6 @@ out = {"n": N, "d": D, "npart": NPART, "nsub": NSUB, "nbits": 8,
 # refine path: allow the f16 refine table (N*128*2 bytes) on device so
 # search(refine_factor=10) returns genuinely refined top-10 in one
 # dispatch chain; fall back to the explicit host refine if it doesn't fit
-import os
-
 os.environ.setdefault(
     "LANCEDB_TPU_DEVICE_REFINE_BUDGET", str(int(N * D * 2 + 2**30))
 )
