@@ -1484,9 +1484,16 @@ class VectorSearcher:
         points vs the host f32 refine): default 'auto' stores f32 when
         the table fits LANCEDB_TPU_DEVICE_REFINE_F32_BUDGET bytes
         (default 2e9 — exact rerank, recall == host refine) and f16
-        above it (10 mantissa bits ≈ 0.3 recall-point loss measured on
-        clustered 1M x 128, vs ~2 points for bf16; halves HBM and the
-        upload). Explicit 'float32' / 'float16' / 'bfloat16' override."""
+        above it (halves HBM and the upload). The sub-f32 table holds
+        RESIDUALS against each slot's IVF block centroid rather than
+        raw vectors: x = c_block + r with only r rounded, and ‖r‖ runs
+        2–5x below ‖x‖ on clustered data, so the f16 rounding error on
+        the reconstructed dot shrinks by the same factor — this is what
+        closes the large-D (960/1536) fused-vs-host recall gap without
+        spending f32 bytes. The centroids are already device-resident
+        f32 and a candidate's block is just slot // pmax, so the refine
+        step reconstructs in-jit at no extra HBM. Explicit 'float32' /
+        'float16' / 'bfloat16' override."""
         if self.device_refine_active:
             return True
         if getattr(self, "_refine_unavailable", False):
@@ -1522,11 +1529,27 @@ class VectorSearcher:
         slotmap = np.where(found & self.row_ids_valid, pos, 0).astype(np.int32)
         if mat.shape[0] == 0:
             return False
+        self._refine_residual = False
+        if dtype != jnp.float32:
+            # residual storage (see docstring): rows keep their owning
+            # slot's block centroid implicit; reconstruct in-jit
+            cents = np.asarray(self._device["centroids"], dtype=np.float32)
+            part_of_slot = (
+                np.arange(self.num_slots, dtype=np.int64) // self.pmax
+            ).astype(np.int32)
+            valid = found & self.row_ids_valid
+            part_of_row = np.zeros(mat.shape[0], np.int32)
+            part_of_row[pos[valid]] = part_of_slot[valid]
+            mat = mat - cents[part_of_row]
+            self._refine_residual = True
         self._device["refine_slotmap"] = jnp.asarray(slotmap)
         self._device["refine_vecs"] = jnp.asarray(mat, dtype=dtype)
         if self.metric not in ("dot", "cosine"):
+            # exact f32 norms of the ORIGINAL rows (residual storage
+            # never touches them): recompute pre-subtraction values
+            orig = mat + cents[part_of_row] if self._refine_residual else mat
             self._device["refine_norms2"] = jnp.asarray(
-                np.sum(mat.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                np.sum(orig.astype(np.float64) ** 2, axis=1).astype(np.float32)
             )
         return True
 
@@ -1671,6 +1694,7 @@ class VectorSearcher:
             # scan's outputs — the host never sees the k·refine
             # candidates, and the single device_get below still pays
             # only one tunnel round trip
+            residual = getattr(self, "_refine_residual", False)
             vals, slots = _device_refine_step(
                 qj, vals, slots,
                 self._device["refine_slotmap"],
@@ -1678,6 +1702,8 @@ class VectorSearcher:
                 self._device.get("refine_norms2", zero),
                 k=min(params.k, k_eff),
                 metric=self.metric,
+                centroids=self._device["centroids"] if residual else None,
+                pmax=self.pmax if residual else 0,
             )
             fused_refined = True
         # ONE device_get for both outputs: through the axon tunnel each
@@ -1715,8 +1741,11 @@ class VectorSearcher:
         return refine_candidates(dataset, column, queries, row_ids, k, self.metric)
 
 
-@partial(jax.jit, static_argnames=("k", "metric"))
-def _device_refine_step(q, vals, slots, slotmap, table, cnorms2, k: int, metric: str):
+@partial(jax.jit, static_argnames=("k", "metric", "pmax"))
+def _device_refine_step(
+    q, vals, slots, slotmap, table, cnorms2, k: int, metric: str,
+    centroids=None, pmax: int = 0,
+):
     """Fused on-device refine: rerank the scan's k·refine candidates
     against a device-resident copy of the original vectors, inside the
     same dispatch chain as the scan (no host gather, no extra round
@@ -1731,9 +1760,18 @@ def _device_refine_step(q, vals, slots, slotmap, table, cnorms2, k: int, metric:
     already penalized out (padding / filter / delete) carry
     vals >= PAD_PENALTY/2 and stay +inf. Reference parity: refine_factor
     rerank, reference query.rs:1329 — but gathering from HBM at MXU
-    rate instead of late-materializing through the dataset."""
+    rate instead of late-materializing through the dataset.
+
+    When pmax > 0 the table holds RESIDUALS against each slot's IVF
+    block centroid (see prepare_device_refine): reconstruct
+    x̂ = centroids[slot // pmax] + r in f32 before the dot — only r
+    carries storage rounding, so the f16 error shrinks by ‖x‖/‖r‖."""
     rows = slotmap[slots]                           # (Q, kc)
-    cand = jnp.take(table, rows, axis=0)            # (Q, kc, D)
+    cand = jnp.take(table, rows, axis=0).astype(jnp.float32)  # (Q, kc, D)
+    if pmax:
+        cand = cand + jnp.take(centroids, slots // pmax, axis=0).astype(
+            jnp.float32
+        )
     # upcast the gathered candidates and accumulate in f32 at HIGHEST
     # precision: the (Q, kc, D) transient is tiny, so the only error
     # left is the storage rounding of `table` itself (f32 = exact,

@@ -81,6 +81,42 @@ class TestDeviceRefine:
         ])
         assert agree >= 0.85, agree  # bf16 misranks only near-ties
 
+    def test_f16_residual_storage_matches_host(self):
+        # sub-f32 tables store residuals vs the slot's IVF centroid and
+        # reconstruct in-jit (x̂ = c + r): rounding applies only to the
+        # small residual, so f16 tracks the exact host refine closely
+        ds = _dataset()
+        s = _searcher(ds)
+        params = SearchParams(k=10, nprobes=8, refine_factor=10)
+        d_scan, r_scan = s.search(QUERIES, params)
+        d_host, r_host = s.refine(ds, "vector", QUERIES, d_scan, r_scan, 10)
+        assert s.prepare_device_refine(ds, "vector", precision="float16")
+        assert s._refine_residual
+        d_dev, r_dev = s.search(QUERIES, params)
+        agree = np.mean([
+            len(set(r_dev[i].tolist()) & set(r_host[i].tolist())) / 10
+            for i in range(len(QUERIES))
+        ])
+        assert agree >= 0.95, agree
+        np.testing.assert_allclose(
+            np.sort(d_dev), np.sort(d_host), rtol=5e-3, atol=5e-3
+        )
+
+    def test_f16_residual_cosine(self):
+        ds = _dataset()
+        s = _searcher(ds, metric="cosine")
+        assert s.prepare_device_refine(ds, "vector", precision="float16")
+        assert s._refine_residual
+        d_dev, r_dev = s.search(
+            QUERIES, SearchParams(k=5, nprobes=8, refine_factor=10)
+        )
+        qn = QUERIES / np.linalg.norm(QUERIES, axis=1, keepdims=True)
+        xn = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+        for i in range(len(QUERIES)):
+            ids = (r_dev[i] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            expect = 1.0 - xn[ids] @ qn[i]
+            np.testing.assert_allclose(d_dev[i], expect, rtol=5e-3, atol=5e-3)
+
     def test_cosine_distances_are_true_cosine(self):
         ds = _dataset()
         s = _searcher(ds, metric="cosine")
