@@ -848,6 +848,11 @@ class FtsIndex:
                 # with the \w+ segmentation its postings were built with
                 self.tokenizer.legacy_unicode = True
                 now_scheme = self.tokenizer.effective_scheme()
+            if built_scheme == "cjk-bigram" and now_scheme.startswith("mm-dict:"):
+                # lindera index persisted before the bundled Japanese
+                # seed lexicon: its postings are character bigrams
+                self.tokenizer.legacy_bigram = True
+                now_scheme = self.tokenizer.effective_scheme()
             if now_scheme != built_scheme:
                 raise InvalidInputError(
                     f"FTS index was built with tokenization scheme "

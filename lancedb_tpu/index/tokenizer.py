@@ -3,15 +3,19 @@ stop words, ascii folding.
 
 Covers the reference tokenizer surface (python index.py:111-188:
 base_tokenizer simple/whitespace/raw/ngram, language stemming, stop
-words, ascii_folding, max_token_length, ngram options). ICU/Jieba/
-Lindera CJK tokenizers are gated out (no external data files in this
-environment); the tokenizer registry is the extension point.
+words, ascii_folding, max_token_length, ngram options). 'icu' maps to
+UAX #29 word-boundary segmentation, 'jieba' to real dictionary
+segmentation (DAG + unigram DP), and 'lindera' to forward maximum
+matching over a bundled Japanese seed lexicon (data/ja_seed.txt;
+dict_path= extends or replaces it). The tokenizer registry is the
+extension point.
 """
 
 from __future__ import annotations
 
 import functools
 import logging
+import os
 import re
 import unicodedata
 from dataclasses import dataclass
@@ -409,12 +413,20 @@ def _uax29_tokens(text: str) -> list[str]:
 # segmenters (python/python/lancedb/index.py:111-188). 'jieba' uses the
 # installed jieba package (DAG + unigram DP over its frequency dict,
 # optional user dict); 'lindera' runs forward maximum matching over a
-# user-supplied dictionary (lindera's ipadic cannot ship here), falling
-# back to character bigrams for out-of-dictionary runs so recall never
-# drops below the dictionary-free baseline.
+# bundled Japanese seed lexicon (the reference ships full ipadic via
+# the lindera crate; the seed lexicon gives working out-of-the-box
+# Japanese, dict_path= supplies a bigger dictionary), falling back to
+# character bigrams for out-of-dictionary runs so recall never drops
+# below the dictionary-free baseline.
 
 _JIEBA_CACHE: dict = {}
 _MM_DICT_CACHE: dict = {}
+
+# bundled Japanese seed lexicon; scheme string stays machine-independent
+# ("builtin-ja-seed", not the absolute path) so an index built on one
+# host verifies cleanly on another
+_BUILTIN_JA_DICT = os.path.join(os.path.dirname(__file__), "data", "ja_seed.txt")
+_BUILTIN_JA_SCHEME = "mm-dict:builtin-ja-seed"
 
 
 def _jieba_tokenizer(dict_path: str | None):
@@ -440,6 +452,8 @@ def _load_mm_dict(dict_path: str) -> tuple[set, int]:
         max_len = 1
         with open(dict_path, encoding="utf-8") as f:
             for line in f:
+                if line.startswith("#"):
+                    continue
                 w = line.strip().split()
                 if w and w[0]:
                     words.add(w[0])
@@ -507,8 +521,12 @@ def effective_cjk_scheme(engine: str, dict_path: str | None) -> str:
             _warn_bigram_fallback("jieba", repr(exc))
             return "cjk-bigram"
     if not dict_path:
-        _warn_bigram_fallback("lindera", "no dict_path supplied")
-        return "cjk-bigram"
+        try:
+            _load_mm_dict(_BUILTIN_JA_DICT)
+            return _BUILTIN_JA_SCHEME
+        except Exception as exc:  # seed lexicon missing/unreadable
+            _warn_bigram_fallback("lindera", repr(exc))
+            return "cjk-bigram"
     try:
         _load_mm_dict(dict_path)
         return f"mm-dict:{dict_path}"
@@ -529,11 +547,12 @@ def _dict_cjk_tokens(text: str, engine: str, dict_path: str | None) -> list[str]
         except Exception as exc:
             _warn_bigram_fallback("jieba", repr(exc))
             return _unicode_tokens(text, cjk_bigrams=True)
-    # lindera-style maximum matching
-    if not dict_path:
-        _warn_bigram_fallback("lindera", "no dict_path supplied")
+    # lindera-style maximum matching (no dict_path → bundled JA seed)
+    try:
+        words, max_len = _load_mm_dict(dict_path or _BUILTIN_JA_DICT)
+    except Exception as exc:
+        _warn_bigram_fallback("lindera", repr(exc))
         return _unicode_tokens(text, cjk_bigrams=True)
-    words, max_len = _load_mm_dict(dict_path)
     out: list[str] = []
     for run in _UNI_WORD_RE.findall(text):
         seg = ""
@@ -655,6 +674,10 @@ class Tokenizer:
     # segmenter: keeps querying them with the \w+ segmentation their
     # postings were built with (scheme "unicode") instead of raising
     legacy_unicode: bool = False
+    # set by FtsIndex.load for lindera indexes persisted before the
+    # bundled Japanese seed lexicon: keeps querying them with the
+    # character bigrams their postings were built with
+    legacy_bigram: bool = False
 
     # reference tokenizer names accepted as aliases: icu → unicode
     # word-boundary segmentation (index.py:111-188)
@@ -667,6 +690,8 @@ class Tokenizer:
         load so an index built with a dictionary engine is never silently
         queried through the bigram fallback (near-zero recall)."""
         base = self._ALIASES.get(self.base, self.base)
+        if base == "lindera" and self.legacy_bigram:
+            return "cjk-bigram"
         if base in ("jieba", "lindera"):
             return effective_cjk_scheme(base, self.dict_path)
         if base == "unicode":
@@ -677,7 +702,12 @@ class Tokenizer:
         if not text:
             return []
         base = self._ALIASES.get(self.base, self.base)
-        if base in ("jieba", "lindera"):
+        if base == "lindera" and self.legacy_bigram:
+            toks = _unicode_tokens(
+                _accent_fold(text) if self.ascii_folding else text,
+                cjk_bigrams=True,
+            )
+        elif base in ("jieba", "lindera"):
             toks = _dict_cjk_tokens(
                 _accent_fold(text) if self.ascii_folding else text,
                 base, self.dict_path,

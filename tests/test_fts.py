@@ -301,8 +301,12 @@ class TestCjkTokenizers:
         assert Tokenizer(base="jieba", stem=False).tokenize("机器学习模型训练") == [
             "机器", "学习", "模型", "训练",
         ]
-        # lindera without a dictionary degrades to CJK bigrams
-        assert Tokenizer(base="lindera", stem=False).tokenize("机器学") == ["机器", "器学"]
+        # lindera: bundled Japanese seed lexicon out of the box;
+        # out-of-lexicon runs (Chinese here) degrade to CJK bigrams
+        lt = Tokenizer(base="lindera", stem=False)
+        assert lt.tokenize("语言模型训练") == ["语言", "言模", "模型", "型训", "训练"]
+        ja = lt.tokenize("東京都に住む")
+        assert "東京都" in ja and "住む" in ja
         assert Tokenizer(base="icu", stem=False).tokenize("机器") == ["机", "器"]
 
     def test_lindera_user_dictionary(self, tmp_path):
